@@ -1,0 +1,353 @@
+package graft.operators
+
+import graft.{QDef, QFamily}
+import graft.util.D._
+import graft.util.Sq
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational surface (SURVEY.md §2.1) — the Spark-native
+  * re-expression of pd-explain's ExpDataFrame operation set
+  * (reference: /root/reference/src/pd_explain/core/explainable_data_frame.py:
+  * __getitem__/where/groupby/merge/join/sample/drop_duplicates/...).
+  *
+  * Scale notes: every filter/projection pushes to the parquet scan;
+  * dimension joins (customer/supplier/nation/region) are broadcast; the
+  * only large shuffle is lineitem⋈orders on the join key. Aggregations
+  * use map-side partial aggregation for free via groupBy.
+  */
+object Relational extends QFamily {
+
+  private def q(name: String, sql: String)(fn: (SparkSession, String) => DataFrame): QDef =
+    QDef(name, Some(sql), fn)
+
+  val defs: Seq[QDef] = Seq(
+    // ---- filter + projection (pushed to scan) --------------------------
+    q("q_filter",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    q("q_project",
+      s"""SELECT l_orderkey, l_linenumber,
+        |  ${Sq.dmul("l_extendedprice", "1 - l_discount")} AS disc_price,
+        |  ${Sq.dmul("l_extendedprice", "1 + l_tax")} AS charge_base
+        |FROM lineitem WHERE l_orderkey % 50 = 7
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 7)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          emit6(revenue(col("l_extendedprice"), col("l_discount"))).as("disc_price"),
+          emit6(dmul(col("l_extendedprice"), lit(1.0) + col("l_tax"))).as("charge_base"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- groupBy + agg (TPC-H Q1 shape) --------------------------------
+    q("q_groupby_agg",
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${Sq.dsum("l_quantity")} AS sum_qty,
+        |  ${Sq.dsum("l_extendedprice")} AS sum_base_price,
+        |  ${Sq.revsum("l_extendedprice", "l_discount")} AS sum_disc_price,
+        |  ROUND(${Sq.dsum("l_quantity")} / COUNT(*), 6) AS avg_qty,
+        |  ROUND(${Sq.dsum("l_discount")} / COUNT(*), 6) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsumd(col("l_quantity")).as("sum_qty"),
+          dsumd(col("l_extendedprice")).as("sum_base_price"),
+          dsumprod(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("sum_disc_price"),
+          r(dsumd(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          r(dsumd(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    q("q_groupby_nunique",
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_custkey) AS n_cust,
+        |  COUNT(DISTINCT o_orderstatus) AS n_status,
+        |  ${Sq.dsum("o_totalprice")} AS total_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderstatus")).as("n_status"),
+          dsumd(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- moment statistics from decimal-exact sums ---------------------
+    q("q_agg_stats",
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+        |  ${Sq.mean("l_quantity")} AS mean_qty,
+        |  ROUND(${Sq.varSamp("l_quantity")}, 6) AS var_qty,
+        |  ROUND(SQRT(${Sq.varSamp("l_quantity")}), 6) AS std_qty,
+        |  ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS median_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val n = count(lit(1))
+      val sm = dsumd(col("l_quantity"))
+      val sq = dsumsq(col("l_quantity"))
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(n.as("n"),
+          r(sm / n).as("mean_qty"),
+          r(varSamp(sm, sq, n)).as("var_qty"),
+          r(sqrt(varSamp(sm, sq, n))).as("std_qty"),
+          r(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- joins ---------------------------------------------------------
+    q("q_join",
+      s"""SELECT c_mktsegment, COUNT(*) AS n_lines,
+        |  ${Sq.revsum("l_extendedprice", "l_discount")} AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_lines"),
+          dsumprod(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
+        .orderBy("c_mktsegment")
+    },
+
+    q("q_join_multi",
+      s"""SELECT r_name, n_name, COUNT(*) AS n_lines,
+        |  ${Sq.revsum("l_extendedprice", "l_discount")} AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_lines"),
+          dsumprod(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
+        .orderBy("r_name", "n_name")
+    },
+
+    q("q_left_join",
+      s"""SELECT c_mktsegment,
+        |  COUNT(DISTINCT c_custkey) AS n_customers,
+        |  COUNT(DISTINCT CASE WHEN o_orderkey IS NOT NULL THEN c_custkey END) AS n_with_orders,
+        |  COUNT(o_orderkey) AS n_orders,
+        |  ${Sq.dsum("COALESCE(o_totalprice, 0)")} AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(countDistinct(col("c_custkey")).as("n_customers"),
+          countDistinct(when(col("o_orderkey").isNotNull, col("c_custkey"))).as("n_with_orders"),
+          count(col("o_orderkey")).as("n_orders"),
+          dsumd(coalesce(col("o_totalprice"), lit(0.0))).as("spend"))
+        .orderBy("c_mktsegment")
+    },
+
+    q("q_semi_anti",
+      """SELECT c_mktsegment, kind, COUNT(*) AS n FROM (
+        |  SELECT c_mktsegment, 'with_orders' AS kind FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  UNION ALL
+        |  SELECT c_mktsegment, 'without_orders' AS kind FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |) GROUP BY c_mktsegment, kind ORDER BY c_mktsegment, kind""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .withColumn("kind", lit("with_orders"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .withColumn("kind", lit("without_orders"))
+      semi.unionByName(anti)
+        .groupBy("c_mktsegment", "kind").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment", "kind")
+    },
+
+    // ---- set operations ------------------------------------------------
+    q("q_union",
+      """SELECT c_mktsegment, COUNT(*) AS n FROM (
+        |  SELECT c_mktsegment FROM customer WHERE c_acctbal < 0
+        |  UNION ALL
+        |  SELECT c_mktsegment FROM customer WHERE c_acctbal > 9000
+        |) GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      c.filter(col("c_acctbal") < 0).select("c_mktsegment")
+        .unionByName(c.filter(col("c_acctbal") > 9000).select("c_mktsegment"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
+    q("q_intersect",
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    q("q_except",
+      """SELECT o_custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      o.select("o_custkey")
+        .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    q("q_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS BIGINT) AS ship_year
+        |FROM lineitem ORDER BY l_returnflag, l_linestatus, ship_year""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          year(col("l_shipdate")).cast("long").as("ship_year"))
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus", "ship_year")
+    },
+
+    // ---- ordering / top-k ----------------------------------------------
+    q("q_topk",
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    q("q_value_counts",
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM lineitem), 6) AS share
+        |FROM lineitem GROUP BY l_returnflag ORDER BY cnt DESC, l_returnflag""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      // scalar total via broadcast cross join (NOT a global window, which
+      // would single-partition the data at scale)
+      val total = li.agg(count(lit(1)).as("total"))
+      li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .select(col("l_returnflag"), col("cnt"),
+          r(col("cnt").cast("double") / col("total")).as("share"))
+        .orderBy(col("cnt").desc, col("l_returnflag"))
+    },
+
+    // ---- describe ------------------------------------------------------
+    q("q_describe",
+      Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+        s"""SELECT '$c' AS col, COUNT($c) AS n,
+           |  ${Sq.mean(c)} AS mean,
+           |  ROUND(SQRT(${Sq.varSamp(c)}), 6) AS std,
+           |  MIN($c) AS min_v,
+           |  ROUND(CAST(quantile_cont($c, 0.25) AS DOUBLE), 4) AS q25,
+           |  ROUND(CAST(quantile_cont($c, 0.5) AS DOUBLE), 4) AS q50,
+           |  ROUND(CAST(quantile_cont($c, 0.75) AS DOUBLE), 4) AS q75,
+           |  MAX($c) AS max_v
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col")) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+        val n = count(col(c))
+        val sm = dsumd(col(c))
+        val sq = dsumsq(col(c))
+        li.agg(n.as("n"),
+          r(sm / n).as("mean"),
+          r(sqrt(varSamp(sm, sq, n))).as("std"),
+          min(col(c)).as("min_v"),
+          r(percentile(col(c), lit(0.25)), 4).as("q25"),
+          r(percentile(col(c), lit(0.5)), 4).as("q50"),
+          r(percentile(col(c), lit(0.75)), 4).as("q75"),
+          max(col(c)).as("max_v"))
+          .select(lit(c).as("col"), col("n"), col("mean"), col("std"), col("min_v"),
+            col("q25"), col("q50"), col("q75"), col("max_v"))
+      }.reduce(_ unionByName _).orderBy("col")
+    },
+
+    // ---- window functions ----------------------------------------------
+    q("q_window",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  lag(l_quantity) OVER w AS prev_qty,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6)))
+        |       OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(25,6)) AS DOUBLE) AS run_qty
+        |FROM lineitem WHERE l_suppkey <= 2
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 2)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(w).cast("long").as("rn"),
+          lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+          emit6(sum(col("l_quantity").cast(dec25)).over(wr)).as("run_qty"))
+        .orderBy("l_suppkey", "rn")
+    },
+
+    // ---- pivot ---------------------------------------------------------
+    q("q_pivot",
+      s"""SELECT l_returnflag,
+        |  ${Sq.dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_f,
+        |  ${Sq.dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsumd(col("l_quantity")))
+        .select(col("l_returnflag"), col("F").as("qty_f"), col("O").as("qty_o"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- rollup --------------------------------------------------------
+    q("q_rollup",
+      s"""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COUNT(*) AS n,
+        |  ${Sq.dsum("o_totalprice")} AS total
+        |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsumd(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("total"))
+        .orderBy("priority", "status")
+    },
+
+    // ---- deterministic sampling ----------------------------------------
+    q("q_sample_det",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_orderkey % 97 = 11
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(97)) === 11)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    }
+  )
+}

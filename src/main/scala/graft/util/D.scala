@@ -1,0 +1,67 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loading + cross-engine-deterministic numeric helpers.
+  *
+  * Double summation order differs between Spark's partial aggregation and
+  * DuckDB's; decimal addition is exact and associative, so every oracled
+  * sum is computed over `DECIMAL` and only cast to double at the very end
+  * (SURVEY.md §4). The mirrored DuckDB SQL uses the same casts.
+  */
+object D {
+  val dec25: DecimalType = DecimalType(25, 6)
+  val dec18: DecimalType = DecimalType(18, 6)
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal sum of a double column. */
+  def dsum(c: Column): Column = sum(c.cast(dec25))
+
+  /** Emit a decimal as double, deterministically across engines.
+    *
+    * Both Spark (java.math.BigDecimal.doubleValue on inflated values) and
+    * DuckDB (int128→double, then divide by 10^scale) DOUBLE-ROUND when the
+    * unscaled value exceeds 2^52 — and they can disagree by 1 ulp. Rescaling
+    * to scale 6 first keeps the unscaled value < 2^52 for magnitudes < ~4e9,
+    * making the final conversion a single exact-operand division (correctly
+    * rounded, identical in both engines). SQL mirror:
+    * CAST(CAST(x AS DECIMAL(25,6)) AS DOUBLE). */
+  def emit6(c: Column): Column = c.cast(dec25).cast(DoubleType)
+
+  /** Like emit6 for huge magnitudes (e.g. sums of squares): round to scale 0
+    * so the unscaled value stays < 2^52. Mirror: CAST(CAST(x AS DECIMAL(38,0)) AS DOUBLE). */
+  def emit0(c: Column): Column = c.cast(DecimalType(38, 0)).cast(DoubleType)
+
+  /** Exact decimal sum emitted as double (deterministic cast). */
+  def dsumd(c: Column): Column = emit6(dsum(c))
+
+  /** Decimal product of two double expressions (exact, scale 12). */
+  def dmul(a: Column, b: Column): Column = a.cast(dec18) * b.cast(dec18)
+
+  /** l_extendedprice * (1 - l_discount) in exact decimal. */
+  def revenue(price: Column, disc: Column): Column = dmul(price, lit(1.0) - disc)
+
+  /** Round a derived double to `s` decimals (inputs must already be
+    * cross-engine identical doubles). */
+  def r(c: Column, s: Int = 6): Column = round(c.cast(DoubleType), s)
+
+  /** Exact sum of squares as decimal, emitted as double (scale-0 rescale —
+    * see emit0; both engines round the decimal identically, so the double
+    * inputs to downstream variance math are identical). */
+  def dsumsq(c: Column): Column = emit0(sum(dmul(c, c)))
+
+  /** Sum of an exact decimal product, emitted as double. */
+  def dsumprod(a: Column, b: Column): Column = emit6(sum(dmul(a, b)))
+
+  /** Population variance from decimal-exact moments. */
+  def varPop(sumd: Column, sumsq: Column, n: Column): Column =
+    (sumsq - sumd * sumd / n) / n
+
+  /** Sample variance from decimal-exact moments. */
+  def varSamp(sumd: Column, sumsq: Column, n: Column): Column =
+    (sumsq - sumd * sumd / n) / (n - lit(1))
+}
