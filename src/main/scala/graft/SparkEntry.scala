@@ -9,7 +9,8 @@ object SparkEntry {
 
   /** All implemented query families (SURVEY.md §2). */
   private def families: Seq[QFamily] = Seq(
-    operators.Relational
+    operators.Relational,
+    explain.Explainers
   )
 
   private lazy val all: Seq[QDef] = families.flatMap(_.defs)

@@ -1,0 +1,109 @@
+package graft.explain
+
+import graft.util.D
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Correlation utilities mirroring the reference's column-correlation
+  * machinery (/root/reference/src/pd_explain/explainers/beta_explainers/
+  * metainsight_explainer.py:504-598 `_find_correlated_columns`):
+  *  - Pearson r (numeric × numeric)
+  *  - correlation ratio η (categorical → numeric, ANOVA √(SSB/SST))
+  *  - Cramér's V (categorical × categorical, χ² based, no correction)
+  *
+  * All moments are decimal-exact sums emitted as deterministic doubles
+  * (util.D); each is one aggregation pass. */
+object Correlation {
+
+  import GroupByExplain.{dval, dvalSql}
+
+  private def dsum(c: Column) = sum(c.cast(D.dec25)).cast(D.dec25).cast(DoubleType)
+  private def dsumBig(c: Column) = sum((c).cast(DecimalType(30, 6))).cast(DecimalType(38, 0)).cast(DoubleType)
+
+  private def dsumSql(c: String) = s"CAST(ROUND(SUM(CAST($c AS DECIMAL(25,6))), 6) AS DOUBLE)"
+  private def dsumBigSql(c: String) = s"CAST(ROUND(SUM(CAST($c AS DECIMAL(30,6))), 0) AS DOUBLE)"
+
+  /** Pearson r for each (x, y) pair, one scan for all pairs. */
+  def pearson(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    val cols = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val aggs = cols.flatMap(c => Seq(
+      dsum(col(c)).as(s"s_$c"), dsumBig(col(c) * col(c)).as(s"ss_$c"))) ++
+      pairs.map(p => dsumBig(col(p._1) * col(p._2)).as(s"sp_${p._1}__${p._2}")) :+
+      count(lit(1)).as("n")
+    val a = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (x, y) =>
+      val n = col("n")
+      val num = n * col(s"sp_${x}__$y") - col(s"s_$x") * col(s"s_$y")
+      val den = sqrt(greatest(n * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x"), lit(0.0))) *
+        sqrt(greatest(n * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y"), lit(0.0)))
+      struct(lit("pearson").as("stat"), lit(x).as("col_x"), lit(y).as("col_y"),
+        round(when(den > 1e-9, num / den).otherwise(lit(0.0)), 6).as("value"))
+    }
+    a.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  def pearsonSql(table: String, pairs: Seq[(String, String)]): String =
+    pairs.map { case (x, y) =>
+      val n = "CAST(COUNT(*) AS DOUBLE)"
+      val num = s"($n * ${dsumBigSql(s"$x * $y")} - ${dsumSql(x)} * ${dsumSql(y)})"
+      val den = s"(SQRT(GREATEST($n * ${dsumBigSql(s"$x * $x")} - ${dsumSql(x)} * ${dsumSql(x)}, 0)) * " +
+        s"SQRT(GREATEST($n * ${dsumBigSql(s"$y * $y")} - ${dsumSql(y)} * ${dsumSql(y)}, 0)))"
+      s"""SELECT 'pearson' AS stat, '$x' AS col_x, '$y' AS col_y,
+         |  ROUND(CASE WHEN $den > 1e-9 THEN $num / $den ELSE 0.0 END, 6) AS value
+         |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** Correlation ratio η: categorical `cat` → numeric `num`. */
+  def eta(df: DataFrame, cat: String, num: String): DataFrame = {
+    val g = df.groupBy(col(cat).as("g"))
+      .agg(count(lit(1)).as("ng"), dsum(col(num)).as("sg"))
+    val tot = df.agg(count(lit(1)).as("n"), dsum(col(num)).as("s"),
+      dsumBig(col(num) * col(num)).as("ss"))
+    val mean = col("s") / col("n")
+    val ssb = g.crossJoin(broadcast(tot))
+      .select((col("ng") * (col("sg") / col("ng") - mean) * (col("sg") / col("ng") - mean)).cast(dval).as("t"),
+        col("n"), col("s"), col("ss"))
+      .groupBy("n", "s", "ss").agg(sum(col("t")).cast(DoubleType).as("ssb"))
+    ssb.select(lit("eta").as("stat"), lit(cat).as("col_x"), lit(num).as("col_y"),
+      round(sqrt(col("ssb") / greatest(col("ss") - col("n") * (col("s") / col("n")) * (col("s") / col("n")), lit(1e-9))), 6).as("value"))
+  }
+
+  def etaSql(table: String, cat: String, num: String): String =
+    s"""SELECT 'eta' AS stat, '$cat' AS col_x, '$num' AS col_y,
+       |  ROUND(SQRT(ssb / GREATEST(ss - n * (s / n) * (s / n), 1e-9)), 6) AS value
+       |FROM (
+       |  SELECT CAST(SUM(CAST(ng * (sg / ng - s / n) * (sg / ng - s / n) AS DECIMAL(18,6))) AS DOUBLE) AS ssb,
+       |    MAX(n) AS n, MAX(s) AS s, MAX(ss) AS ss
+       |  FROM (SELECT $cat AS g, COUNT(*) AS ng, ${dsumSql(num)} AS sg FROM $table GROUP BY 1) g
+       |  CROSS JOIN (SELECT CAST(COUNT(*) AS DOUBLE) AS n, ${dsumSql(num)} AS s,
+       |    ${dsumBigSql(s"$num * $num")} AS ss FROM $table) t)""".stripMargin
+
+  /** Cramér's V for two categorical columns (χ² without correction). */
+  def cramersV(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.groupBy(col(a).as("ca"), col(b).as("cb")).agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy("ca").agg(sum("o").as("rn"))
+    val cb = cells.groupBy("cb").agg(sum("o").as("cn"))
+    val n = cells.agg(sum("o").as("n"), countDistinct(col("ca")).as("r"), countDistinct(col("cb")).as("k"))
+    val e = col("rn") * col("cn") / col("n")
+    val chi = cells.join(ra, Seq("ca")).join(cb, Seq("cb")).crossJoin(broadcast(n))
+      .select((((col("o") - e) * (col("o") - e) / e)).cast(dval).as("t"), col("n"), col("r"), col("k"))
+      .groupBy("n", "r", "k").agg(sum(col("t")).cast(DoubleType).as("chi2"))
+    chi.select(lit("cramers_v").as("stat"), lit(a).as("col_x"), lit(b).as("col_y"),
+      round(sqrt(col("chi2") / (col("n") * greatest(least(col("r"), col("k")) - 1, lit(1)))), 6).as("value"))
+  }
+
+  def cramersVSql(table: String, a: String, b: String): String =
+    s"""SELECT 'cramers_v' AS stat, '$a' AS col_x, '$b' AS col_y,
+       |  ROUND(SQRT(chi2 / (n * GREATEST(LEAST(r, k) - 1, 1))), 6) AS value
+       |FROM (
+       |  SELECT CAST(SUM(CAST((o - rn * cn / n) * (o - rn * cn / n) / (rn * cn / n) AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+       |    MAX(n) AS n, MAX(r) AS r, MAX(k) AS k
+       |  FROM (SELECT ca, cb, o,
+       |      SUM(o) OVER (PARTITION BY ca) AS rn,
+       |      SUM(o) OVER (PARTITION BY cb) AS cn,
+       |      SUM(o) OVER () AS n,
+       |      (SELECT COUNT(DISTINCT $a) FROM $table) AS r,
+       |      (SELECT COUNT(DISTINCT $b) FROM $table) AS k
+       |    FROM (SELECT $a AS ca, $b AS cb, COUNT(*) AS o FROM $table GROUP BY 1, 2)))""".stripMargin
+}

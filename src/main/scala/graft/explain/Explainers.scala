@@ -1,0 +1,116 @@
+package graft.explain
+
+import graft.{QDef, QFamily}
+import graft.util.D._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** SURVEY.md §2.2 — the explainer query surface. Each query binds an
+  * explainer (Fedex / Outlier / ManyToOne / MetaInsight / Correlation)
+  * to a concrete operation on the test tables, with a DuckDB oracle
+  * generated from the same documented semantics. */
+object Explainers extends QFamily {
+
+  // The explained operation for the filter queries:
+  //   lineitem[lineitem.l_quantity >= 30]   (pd-explain: df[df.q >= 30])
+  private val filterAttrsNum = Seq("l_extendedprice", "l_discount", "l_tax")
+  private val filterAttrsCat = Seq("l_returnflag", "l_linestatus")
+  private val filterAttrs =
+    filterAttrsNum.map(Fedex.Attr(_, numeric = true)) ++ filterAttrsCat.map(Fedex.Attr(_, numeric = false))
+
+  private def filterCounts(s: SparkSession, dir: String) = {
+    val li = t(s, dir, "lineitem")
+    Fedex.binCounts(li, li.filter(col("l_quantity") >= 30), filterAttrs)
+  }
+
+  private def filterCountsSqlPrefix =
+    Fedex.countsSql("lineitem", "1=1", "l_quantity >= 30", filterAttrsNum, filterAttrsCat)
+
+  // GroupBy operation explained: orders.groupby(o_orderpriority)
+  //   .agg({'o_totalprice': 'mean'}) (+ group sizes)
+  private def gbMelt(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "orders").groupBy(col("o_orderpriority").as("grp"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sm"))
+      .select(col("grp"), round(emit6(col("sm")) / col("cnt"), 6).as("v_mean"),
+        col("cnt").cast(DoubleType).as("v_cnt"))
+    g.select(col("grp"), lit("totalprice_mean").as("measure"), col("v_mean").as("v"))
+      .unionByName(g.select(col("grp"), lit("row_count").as("measure"), col("v_cnt").as("v")))
+  }
+
+  private val gbMeltSql =
+    """SELECT grp, 'totalprice_mean' AS measure, v_mean AS v FROM (
+      |  SELECT o_orderpriority AS grp,
+      |    ROUND(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 6) AS DOUBLE) / COUNT(*), 6) AS v_mean,
+      |    CAST(COUNT(*) AS DOUBLE) AS v_cnt
+      |  FROM orders GROUP BY 1)
+      |UNION ALL
+      |SELECT grp, 'row_count', v_cnt FROM (
+      |  SELECT o_orderpriority AS grp,
+      |    ROUND(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 6) AS DOUBLE) / COUNT(*), 6) AS v_mean,
+      |    CAST(COUNT(*) AS DOUBLE) AS v_cnt
+      |  FROM orders GROUP BY 1)""".stripMargin
+
+  val defs: Seq[QDef] = Seq(
+    QDef("q_fedex_filter",
+      Some(s"$filterCountsSqlPrefix\n${Fedex.deviationSelectSql}"),
+      (s, dir) => Fedex.filterDeviation(filterCounts(s, dir)).orderBy("attribute")),
+
+    QDef("q_fedex_filter_influence",
+      Some(s"$filterCountsSqlPrefix\n${Fedex.influenceSelectSql}"),
+      (s, dir) => Fedex.binInfluence(filterCounts(s, dir)).orderBy("attribute", "bin")),
+
+    QDef("q_fedex_groupby",
+      Some(s"""${GroupByExplain.zdevSql(gbMeltSql)}
+              |SELECT measure, MAX(n_groups) AS n_groups, MAX(zdev) AS exceptionality
+              |FROM z GROUP BY measure ORDER BY measure""".stripMargin),
+      (s, dir) => GroupByExplain.exceptionality(gbMelt(s, dir)).orderBy("measure")),
+
+    QDef("q_fedex_groupby_influence",
+      Some(s"""${GroupByExplain.zdevSql(gbMeltSql)}
+              |SELECT measure, grp, value, zdev FROM z ORDER BY measure, grp""".stripMargin),
+      (s, dir) => GroupByExplain.zdev(gbMelt(s, dir))
+        .select("measure", "grp", "value", "zdev").orderBy("measure", "grp")),
+
+    QDef("q_outlier_explain",
+      Some(Outlier.sql("lineitem", "l_returnflag", "l_extendedprice", "R", 1,
+        Seq("l_quantity", "l_discount", "l_tax"))),
+      (s, dir) => Outlier.explain(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        "R", 1, Seq("l_quantity", "l_discount", "l_tax"))),
+
+    QDef("q_many_to_one",
+      Some(ManyToOne.sql("customer", "c_mktsegment", Seq("c_nationkey"), Seq("c_acctbal"))),
+      (s, dir) => ManyToOne.explain(t(s, dir, "customer"), "c_mktsegment",
+        Seq("c_nationkey"), Seq("c_acctbal"))),
+
+    QDef("q_metainsight",
+      Some(MetaInsight.sql("orders", "o_orderpriority", "o_orderstatus",
+        "o_orderdate", "o_totalprice", "totalprice_mean")),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val cat = MetaInsight.catPatterns(o, "o_orderpriority", "o_orderstatus",
+          "o_totalprice", "totalprice_mean")
+        val tr = MetaInsight.trendPatterns(o, "o_orderpriority", month(col("o_orderdate")),
+          "month", "o_totalprice", "totalprice_mean")
+        MetaInsight.mine(cat.unionByName(tr))
+      }),
+
+    QDef("q_correlation",
+      Some(Seq(
+        Correlation.pearsonSql("lineitem", Seq(
+          ("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+          ("l_extendedprice", "l_discount"))),
+        Correlation.etaSql("lineitem", "l_returnflag", "l_quantity"),
+        Correlation.cramersVSql("lineitem", "l_returnflag", "l_linestatus")
+      ).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY stat, col_x, col_y")),
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        Correlation.pearson(li, Seq(
+            ("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+            ("l_extendedprice", "l_discount")))
+          .unionByName(Correlation.eta(li, "l_returnflag", "l_quantity"))
+          .unionByName(Correlation.cramersV(li, "l_returnflag", "l_linestatus"))
+          .orderBy("stat", "col_x", "col_y")
+      })
+  )
+}

@@ -1,0 +1,196 @@
+package graft.explain
+
+import graft.util.D
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** MetaInsight pattern mining (reference:
+  * /root/reference/src/pd_explain/explainers/beta_explainers/
+  * metainsight_explainer.py; "MetaInsight: Automatic Discovery of
+  * Structured Knowledge for Exploratory Data Analysis", Ma et al.,
+  * SIGMOD'21).
+  *
+  * Data scopes = (subspace, breakdown, measure): subspaces are the values
+  * of a filter dimension plus '*' (all); measures are aggregated per
+  * breakdown value inside each subspace. Patterns evaluated per scope:
+  *  - outlier   (cat breakdown): some breakdown value has |z| > 1.5
+  *  - dominance (cat breakdown): max share of the measure total ≥ 0.5
+  *  - trend_up / trend_down (ordered breakdown): Pearson r of
+  *    (breakdown index, v) ≥ 0.5 / ≤ −0.5
+  * A MetaInsight groups scopes by (breakdown, measure, pattern):
+  *   commonness = n_matching / n_subspaces  (kept when > 0)
+  *   score      = commonness − 0.1·[no exceptions]   (the reference's
+  *                no_exception_penalty_weight=0.1 actionability penalty)
+  *
+  * Scale: ONE scan aggregates (filterDim, breakdown) cells; the '*'
+  * subspace is re-aggregated from those cells (sums are additive), so no
+  * second scan. Pattern math runs on the tiny cell table.
+  */
+object MetaInsight {
+
+  import GroupByExplain._
+
+  /** Cells: (subspace, b, cnt, sm) for subspace ∈ filterDim values ∪ '*'. */
+  private def cells(src: DataFrame, filterDim: String, breakdown: Column): DataFrame = {
+    val c0 = src.groupBy(col(filterDim).cast("string").as("subspace"), breakdown.as("b"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v0").cast(D.dec25)).as("sm"))
+    val cStar = c0.groupBy("b")
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sm")).as("sm"))
+      .withColumn("subspace", lit("*"))
+      .select("subspace", "b", "cnt", "sm")
+    c0.unionByName(cStar)
+  }
+
+  /** Melt cells into (subspace, b, measure, v): mean + row count. */
+  private def melt(cells: DataFrame, meanName: String): DataFrame = {
+    val vMean = round(col("sm").cast(D.dec25).cast(DoubleType) / col("cnt"), 6)
+    cells.select(col("subspace"), col("b").cast("string").as("b"),
+        lit(meanName).as("measure"), vMean.as("v"))
+      .unionByName(cells.select(col("subspace"), col("b").cast("string").as("b"),
+        lit("row_count").as("measure"), col("cnt").cast(DoubleType).as("v")))
+  }
+
+  /** Categorical-breakdown patterns: outlier + dominance per scope. */
+  def catPatterns(src: DataFrame, filterDim: String, breakdown: String,
+                  aggCol: String, meanName: String): DataFrame = {
+    val m = melt(cells(src.withColumn("v0", col(aggCol)), filterDim, col(breakdown)), meanName)
+    val s = m.groupBy("subspace", "measure")
+      .agg(count(lit(1)).as("k"),
+        sum(col("v").cast(dval)).cast(DoubleType).as("sv"),
+        sum((col("v") * col("v")).cast(dbig)).cast(DoubleType).as("svv"))
+    val mu = col("sv") / col("k")
+    val sigma = sigmaExpr(col("sv"), col("svv"), col("k"))
+    val z = m.join(s, Seq("subspace", "measure"))
+      .withColumn("zscore", when(sigma > 1e-12, abs(col("v") - mu) / sigma).otherwise(lit(0.0)))
+      .withColumn("share", col("v") / col("sv"))
+    val wz = Window.partitionBy("subspace", "measure").orderBy(col("zscore").desc, col("b"))
+    val ws = Window.partitionBy("subspace", "measure").orderBy(col("share").desc, col("b"))
+    val z2 = z.withColumn("rn_z", row_number().over(wz)).withColumn("rn_s", row_number().over(ws))
+    val out = z2.groupBy("subspace", "measure")
+      .agg(max(when(col("zscore") > 1.5, 1).otherwise(0)).as("has_pat"),
+        max(when(col("rn_z") === 1 && col("zscore") > 1.5, col("b"))).as("highlight"))
+      .withColumn("pattern", lit("outlier"))
+    val dom = z2.groupBy("subspace", "measure")
+      .agg(max(when(col("share") >= 0.5, 1).otherwise(0)).as("has_pat"),
+        max(when(col("rn_s") === 1 && col("share") >= 0.5, col("b"))).as("highlight"))
+      .withColumn("pattern", lit("dominance"))
+    out.unionByName(dom).withColumn("breakdown", lit(breakdown))
+  }
+
+  /** Ordered-breakdown patterns: trend_up / trend_down per scope.
+    * Breakdown must be an integer index column (e.g. month). */
+  def trendPatterns(src: DataFrame, filterDim: String, breakdownIdx: Column,
+                    breakdownName: String, aggCol: String, meanName: String): DataFrame = {
+    val m = melt(cells(src.withColumn("v0", col(aggCol)), filterDim, breakdownIdx), meanName)
+      .withColumn("x", col("b").cast(IntegerType))
+    val s = m.groupBy("subspace", "measure")
+      .agg(count(lit(1)).as("k"),
+        sum(col("x")).as("sx"),
+        sum((col("x") * col("x")).cast(LongType)).as("sxx"),
+        sum(col("v").cast(dval)).cast(DoubleType).as("sv"),
+        sum((col("v") * col("v")).cast(dbig)).cast(DoubleType).as("svv"),
+        sum((col("x") * col("v")).cast(dval)).cast(DoubleType).as("sxv"))
+    val num = col("k") * col("sxv") - col("sx") * col("sv")
+    val den = sqrt((col("k") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)) *
+      sqrt(greatest(col("k") * col("svv") - col("sv") * col("sv"), lit(0.0)))
+    val withR = s.withColumn("r_xy", when(den > 1e-9, num / den).otherwise(lit(0.0)))
+    val up = withR.select(col("subspace"), col("measure"),
+      when(col("r_xy") >= 0.5, 1).otherwise(0).as("has_pat"),
+      when(col("r_xy") >= 0.5, lit("up")).as("highlight"), lit("trend_up").as("pattern"))
+    val down = withR.select(col("subspace"), col("measure"),
+      when(col("r_xy") <= -0.5, 1).otherwise(0).as("has_pat"),
+      when(col("r_xy") <= -0.5, lit("down")).as("highlight"), lit("trend_down").as("pattern"))
+    up.unionByName(down).withColumn("breakdown", lit(breakdownName))
+  }
+
+  /** Group scope patterns into scored MetaInsights. */
+  def mine(patterns: DataFrame): DataFrame =
+    patterns.groupBy("breakdown", "measure", "pattern")
+      .agg(count(lit(1)).as("n_subspaces"),
+        sum(col("has_pat")).as("n_matching"),
+        min(when(col("has_pat") === 1, concat_ws(":", col("subspace"), col("highlight"))))
+          .as("example_highlight"))
+      .filter(col("n_matching") > 0)
+      .withColumn("commonness", round(col("n_matching").cast(DoubleType) / col("n_subspaces"), 6))
+      .withColumn("score", round(col("n_matching").cast(DoubleType) / col("n_subspaces") -
+        lit(0.1) * when(col("n_matching") === col("n_subspaces"), 1).otherwise(0), 6))
+      .select("breakdown", "measure", "pattern", "n_subspaces", "n_matching",
+        "commonness", "score", "example_highlight")
+      .orderBy("breakdown", "measure", "pattern")
+
+  // ---------------------------------------------------------------- SQL --
+
+  /** Full DuckDB mirror for orders-style input: filterDim × (cat breakdown,
+    * ordered month breakdown), measures mean(aggCol) + row count. */
+  def sql(table: String, filterDim: String, catBreakdown: String,
+          monthCol: String, aggCol: String, meanName: String): String = {
+    def cellsSql(bexpr: String): String =
+      s"""SELECT CAST($filterDim AS VARCHAR) AS subspace, $bexpr AS b,
+         |  COUNT(*) AS cnt, SUM(CAST($aggCol AS DECIMAL(25,6))) AS sm
+         |FROM $table GROUP BY 1, 2""".stripMargin
+    def star(c: String): String =
+      s"SELECT '*' AS subspace, b, SUM(cnt) AS cnt, SUM(sm) AS sm FROM $c GROUP BY b"
+    def meltSql(c: String): String =
+      s"""SELECT subspace, CAST(b AS VARCHAR) AS b, '$meanName' AS measure,
+         |  ROUND(CAST(CAST(sm AS DECIMAL(25,6)) AS DOUBLE) / cnt, 6) AS v FROM $c
+         |UNION ALL
+         |SELECT subspace, CAST(b AS VARCHAR), 'row_count', CAST(cnt AS DOUBLE) FROM $c""".stripMargin
+    s"""WITH c0 AS (${cellsSql(catBreakdown)}),
+       |call AS (SELECT * FROM c0 UNION ALL ${star("c0")}),
+       |m AS (${meltSql("call")}),
+       |s AS (SELECT subspace, measure, COUNT(*) AS k,
+       |    ${dvalSql("v")} AS sv, ${dbigSql("v * v")} AS svv
+       |  FROM m GROUP BY 1, 2),
+       |z AS (SELECT m.subspace, m.measure, m.b, m.v,
+       |    CASE WHEN ${sigmaSql("s.sv", "s.svv", "s.k")} > 1e-12
+       |         THEN ABS(m.v - s.sv / s.k) / ${sigmaSql("s.sv", "s.svv", "s.k")} ELSE 0.0 END AS zscore,
+       |    m.v / s.sv AS share
+       |  FROM m JOIN s ON m.subspace = s.subspace AND m.measure = s.measure),
+       |z2 AS (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY subspace, measure ORDER BY zscore DESC, b) AS rn_z,
+       |    ROW_NUMBER() OVER (PARTITION BY subspace, measure ORDER BY share DESC, b) AS rn_s
+       |  FROM z),
+       |pat_cat AS (
+       |  SELECT subspace, measure, MAX(CASE WHEN zscore > 1.5 THEN 1 ELSE 0 END) AS has_pat,
+       |    MAX(CASE WHEN rn_z = 1 AND zscore > 1.5 THEN b END) AS highlight,
+       |    'outlier' AS pattern, '$catBreakdown' AS breakdown
+       |  FROM z2 GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT subspace, measure, MAX(CASE WHEN share >= 0.5 THEN 1 ELSE 0 END),
+       |    MAX(CASE WHEN rn_s = 1 AND share >= 0.5 THEN b END), 'dominance', '$catBreakdown'
+       |  FROM z2 GROUP BY 1, 2),
+       |cm0 AS (${cellsSql(s"month($monthCol)")}),
+       |cmall AS (SELECT * FROM cm0 UNION ALL ${star("cm0")}),
+       |mm AS (SELECT *, CAST(b AS INT) AS x FROM (${meltSql("cmall")})),
+       |sm2 AS (SELECT subspace, measure, COUNT(*) AS k, SUM(x) AS sx,
+       |    SUM(CAST(x * x AS BIGINT)) AS sxx,
+       |    ${dvalSql("v")} AS sv, ${dbigSql("v * v")} AS svv, ${dvalSql("x * v")} AS sxv
+       |  FROM mm GROUP BY 1, 2),
+       |rr AS (SELECT subspace, measure,
+       |    CASE WHEN SQRT(CAST(k * sxx - sx * sx AS DOUBLE)) * SQRT(GREATEST(k * svv - sv * sv, 0)) > 1e-9
+       |         THEN (k * sxv - sx * sv) /
+       |              (SQRT(CAST(k * sxx - sx * sx AS DOUBLE)) * SQRT(GREATEST(k * svv - sv * sv, 0)))
+       |         ELSE 0.0 END AS r_xy
+       |  FROM sm2),
+       |pat_tr AS (
+       |  SELECT subspace, measure, CASE WHEN r_xy >= 0.5 THEN 1 ELSE 0 END AS has_pat,
+       |    CASE WHEN r_xy >= 0.5 THEN 'up' END AS highlight, 'trend_up' AS pattern, 'month' AS breakdown
+       |  FROM rr
+       |  UNION ALL
+       |  SELECT subspace, measure, CASE WHEN r_xy <= -0.5 THEN 1 ELSE 0 END,
+       |    CASE WHEN r_xy <= -0.5 THEN 'down' END, 'trend_down', 'month'
+       |  FROM rr),
+       |pats AS (SELECT * FROM pat_cat UNION ALL SELECT * FROM pat_tr)
+       |SELECT breakdown, measure, pattern, COUNT(*) AS n_subspaces,
+       |  CAST(SUM(has_pat) AS BIGINT) AS n_matching,
+       |  ROUND(CAST(SUM(has_pat) AS DOUBLE) / COUNT(*), 6) AS commonness,
+       |  ROUND(CAST(SUM(has_pat) AS DOUBLE) / COUNT(*) -
+       |    0.1 * CASE WHEN SUM(has_pat) = COUNT(*) THEN 1 ELSE 0 END, 6) AS score,
+       |  MIN(CASE WHEN has_pat = 1 THEN concat_ws(':', subspace, highlight) END) AS example_highlight
+       |FROM pats GROUP BY 1, 2, 3
+       |HAVING SUM(has_pat) > 0
+       |ORDER BY breakdown, measure, pattern""".stripMargin
+  }
+}
