@@ -10,7 +10,9 @@ object SparkEntry {
   /** All implemented query families (SURVEY.md §2). */
   private def families: Seq[QFamily] = Seq(
     operators.Relational,
-    explain.Explainers
+    explain.Explainers,
+    operators.Pipeline,
+    operators.Events
   )
 
   private lazy val all: Seq[QDef] = families.flatMap(_.defs)

@@ -1,0 +1,213 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for document corpora (SURVEY.md §2.3).
+  *
+  * Scale design: signature computation (md5 / minhash / simhash) is a
+  * single scan with map-side combine; LSH banding shuffles only
+  * signatures (a few strings per doc), never documents; candidate
+  * verification joins stay inside buckets/blocks so pair counts remain
+  * ~linear in corpus size.
+  */
+object Dedup {
+
+  val NumHashes = 16
+  val BandRows = 2 // 8 bands × 2 rows
+
+  /** Exact-duplicate groups on a key expression (md5 of text). */
+  def exactGroups(docs: DataFrame, key: Column): DataFrame =
+    docs.groupBy(key.as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+      .orderBy("fingerprint")
+
+  /** Normalization used by q_dedup_norm: lowercase, strip non [a-z0-9 ],
+    * squeeze runs of spaces, trim. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  def normTextSql(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** Distinct (doc_id, shingle) pairs — the MinHash input set. */
+  def shingleSet(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("sh")).distinct()
+
+  /** MinHash signatures: h_i = min over shingles of md5("i:" ‖ shingle)
+    * (hex strings; lexicographic min == numeric min). One scan, one
+    * map-side-combined aggregation. */
+  def minhashSig(docs: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")).cast(BinaryType))).as(s"h$i"))
+    shingleSet(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  def minhashSigSql(table: String): String = {
+    val mins = (0 until NumHashes).map(i => s"MIN(md5('$i:' || sh)) AS h$i").mkString(",\n    ")
+    s"""sig AS (SELECT doc_id, $mins
+       |  FROM (SELECT DISTINCT doc_id, unnest(${TextOps.shinglesSql("text")}) AS sh FROM $table)
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
+  /** LSH band keys: band j = md5(h_{2j} ‖ h_{2j+1}), j ∈ [0, 8). */
+  def bands(sig: DataFrame): DataFrame = {
+    val structs = (0 until NumHashes / BandRows).map { j =>
+      struct(lit(j).as("j"),
+        md5(concat(col(s"h${BandRows * j}"), col(s"h${BandRows * j + 1}")).cast(BinaryType)).as("bk"))
+    }
+    sig.select(col("doc_id"), explode(array(structs: _*)).as("b"))
+      .select(col("doc_id"), col("b.j").as("j"), col("b.bk").as("bk"))
+  }
+
+  def bandsSql: String = {
+    val branches = (0 until NumHashes / BandRows).map(j =>
+      s"SELECT doc_id, $j AS j, md5(h${BandRows * j} || h${BandRows * j + 1}) AS bk FROM sig")
+    s"bands AS (${branches.mkString("\nUNION ALL\n")})"
+  }
+
+  /** Candidate pairs from band collisions + estimated Jaccard =
+    * matching signature positions / 16. */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSig(docs)
+    val bs = bands(sig)
+    val cand = bs.alias("a").join(bs.alias("b"),
+        col("a.j") === col("b.j") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val s1 = sig.select(col("doc_id").as("doc_a") +:
+      (0 until NumHashes).map(i => col(s"h$i").as(s"a$i")): _*)
+    val s2 = sig.select(col("doc_id").as("doc_b") +:
+      (0 until NumHashes).map(i => col(s"h$i").as(s"b$i")): _*)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(s1, "doc_a").join(s2, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.util.D.r(matches.cast(DoubleType) / NumHashes, 6).as("est_jaccard"))
+      .withColumn("is_dup", (col("est_jaccard") >= 0.5).cast("int"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def minhashPairsSql(table: String): String = {
+    val est = (0 until NumHashes)
+      .map(i => s"(CASE WHEN s1.h$i = s2.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH ${minhashSigSql(table)},
+       |${bandsSql},
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.j = b.j AND a.bk = b.bk AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, est_jaccard,
+       |  CAST(CASE WHEN est_jaccard >= 0.5 THEN 1 ELSE 0 END AS INT) AS is_dup
+       |FROM (
+       |  SELECT doc_a, doc_b, ROUND(CAST($est AS DOUBLE) / $NumHashes, 6) AS est_jaccard
+       |  FROM cand JOIN sig s1 ON cand.doc_a = s1.doc_id JOIN sig s2 ON cand.doc_b = s2.doc_id)
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------ SimHash --
+
+  val SimBits = 32
+
+  /** DuckDB mirror of [[simhashDf]]. */
+  def simhashSql(table: String): String = {
+    val nibble = "strpos('0123456789abcdef', substr(md5(w), 1 + (j // 4), 1)) - 1"
+    s"""wc AS (SELECT doc_id, w, COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM $table) GROUP BY 1, 2),
+       |bitsum AS (SELECT doc_id, j,
+       |    SUM(cnt * (2 * ((($nibble) >> (3 - (j % 4))) & 1) - 1)) AS s
+       |  FROM wc, range(0, $SimBits) r(j) GROUP BY 1, 2),
+       |sh AS (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, ${SimBits - 1} - j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bitsum GROUP BY 1)""".stripMargin
+  }
+
+  /** 32-bit SimHash over word occurrences: bit j of word-hash taken from
+    * md5 hex nibbles; simhash bit j = sign of Σ cnt_w · (2·bit_j(w) − 1).
+    * Returns (doc_id, simhash BIGINT). */
+  def simhashDf(docs: DataFrame): DataFrame = {
+    val wc = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val bits = wc
+      .select(col("doc_id"), col("cnt"), md5(col("w").cast(BinaryType)).as("hx"),
+        explode(sequence(lit(0), lit(SimBits - 1))).as("j"))
+      .withColumn("nibble",
+        conv(expr(s"substr(hx, 1 + CAST(j / 4 AS INT), 1)"), 16, 10).cast(IntegerType))
+      .withColumn("bit", expr("shiftright(nibble, 3 - (j % 4)) & 1"))
+      .withColumn("contrib", col("cnt") * (col("bit") * 2 - 1))
+    bits.groupBy("doc_id", "j").agg(sum(col("contrib")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0,
+        pow(lit(2.0), lit(SimBits - 1) - col("j")).cast(LongType)).otherwise(0L))
+        .cast(LongType).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4 byte-bands, keep hamming ≤ 6. */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val sh = simhashDf(docs)
+    val bandStructs = (0 until 4).map(k =>
+      struct(lit(k).as("k"), shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L)).as("band")))
+    val bs = sh.select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.k").as("k"), col("b.band").as("band"))
+    val cand = bs.alias("a").join(bs.alias("b"),
+        col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast(LongType))
+      .filter(col("hamming") <= 6)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def simhashPairsSql(table: String): String = {
+    val bandBranches = (0 until 4).map(k =>
+      s"SELECT doc_id, simhash, $k AS k, (simhash >> ${8 * k}) & 255 AS band FROM sh")
+    s"""WITH ${simhashSql(table)},
+       |bands AS (${bandBranches.mkString("\nUNION ALL\n")}),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------- n-gram Jaccard -----
+
+  /** Blocked pairwise word-3-gram Jaccard (block = `blockCol`), keep ≥ th. */
+  def ngramJaccard(docs: DataFrame, blockCol: String, th: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"), col(blockCol).as("blk"),
+        explode(TextOps.shingles(col("text"))).as("sh")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.alias("a").join(sh.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+      .withColumn("jaccard",
+        graft.util.D.r(col("inter").cast(DoubleType) / (col("sa") + col("sb") - col("inter")), 6))
+      .filter(col("jaccard") >= th)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def ngramJaccardSql(table: String, blockCol: String, th: Double): String =
+    s"""WITH sh AS (SELECT DISTINCT doc_id, $blockCol AS blk,
+       |    unnest(${TextOps.shinglesSql("text")}) AS sh FROM $table),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, jaccard FROM (
+       |  SELECT doc_a, doc_b, inter,
+       |    ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+       |  FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+       |  JOIN sizes sb ON inter.doc_b = sb.doc_id)
+       |WHERE jaccard >= $th ORDER BY doc_a, doc_b""".stripMargin
+}

@@ -38,7 +38,7 @@ object Correlation {
       val den = sqrt(greatest(n * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x"), lit(0.0))) *
         sqrt(greatest(n * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y"), lit(0.0)))
       struct(lit("pearson").as("stat"), lit(x).as("col_x"), lit(y).as("col_y"),
-        round(when(den > 1e-9, num / den).otherwise(lit(0.0)), 6).as("value"))
+        graft.util.D.r(when(den > 1e-9, num / den).otherwise(lit(0.0)), 6).as("value"))
     }
     a.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
@@ -66,7 +66,7 @@ object Correlation {
         col("n"), col("s"), col("ss"))
       .groupBy("n", "s", "ss").agg(sum(col("t")).cast(DoubleType).as("ssb"))
     ssb.select(lit("eta").as("stat"), lit(cat).as("col_x"), lit(num).as("col_y"),
-      round(sqrt(col("ssb") / greatest(col("ss") - col("n") * (col("s") / col("n")) * (col("s") / col("n")), lit(1e-9))), 6).as("value"))
+      graft.util.D.r(sqrt(col("ssb") / greatest(col("ss") - col("n") * (col("s") / col("n")) * (col("s") / col("n")), lit(1e-9))), 6).as("value"))
   }
 
   def etaSql(table: String, cat: String, num: String): String =
@@ -90,7 +90,7 @@ object Correlation {
       .select((((col("o") - e) * (col("o") - e) / e)).cast(dval).as("t"), col("n"), col("r"), col("k"))
       .groupBy("n", "r", "k").agg(sum(col("t")).cast(DoubleType).as("chi2"))
     chi.select(lit("cramers_v").as("stat"), lit(a).as("col_x"), lit(b).as("col_y"),
-      round(sqrt(col("chi2") / (col("n") * greatest(least(col("r"), col("k")) - 1, lit(1)))), 6).as("value"))
+      graft.util.D.r(sqrt(col("chi2") / (col("n") * greatest(least(col("r"), col("k")) - 1, lit(1)))), 6).as("value"))
   }
 
   def cramersVSql(table: String, a: String, b: String): String =

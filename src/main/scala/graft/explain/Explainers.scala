@@ -32,7 +32,7 @@ object Explainers extends QFamily {
   private def gbMelt(s: SparkSession, dir: String): DataFrame = {
     val g = t(s, dir, "orders").groupBy(col("o_orderpriority").as("grp"))
       .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sm"))
-      .select(col("grp"), round(emit6(col("sm")) / col("cnt"), 6).as("v_mean"),
+      .select(col("grp"), graft.util.D.r(emit6(col("sm")) / col("cnt"), 6).as("v_mean"),
         col("cnt").cast(DoubleType).as("v_cnt"))
     g.select(col("grp"), lit("totalprice_mean").as("measure"), col("v_mean").as("v"))
       .unionByName(g.select(col("grp"), lit("row_count").as("measure"), col("v_cnt").as("v")))

@@ -44,7 +44,7 @@ object GroupByExplain {
     val sigma = sigmaExpr(col("sv"), col("svv"), col("n_groups"))
     m.join(s, Seq("measure"))
       .select(col("measure"), col("grp"), col("v").as("value"), col("n_groups"),
-        when(sigma > 1e-12, round(abs(col("v") - mu) / sigma, 6)).otherwise(lit(0.0)).as("zdev"))
+        when(sigma > 1e-12, graft.util.D.r(abs(col("v") - mu) / sigma, 6)).otherwise(lit(0.0)).as("zdev"))
   }
 
   /** Exceptionality per measure = max standardized deviation. */

@@ -46,8 +46,8 @@ object ManyToOne {
 
     lc.join(lt, Seq("label")).join(ct, Seq("attribute", "val"))
       .select(col("label"), col("attribute"), col("val"), col("n_match"),
-        round(col("n_match").cast("double") / col("n_label"), 6).as("coverage"),
-        round((col("n_cond") - col("n_match")).cast("double") / col("n_cond"), 6).as("separation_err"))
+        graft.util.D.r(col("n_match").cast("double") / col("n_label"), 6).as("coverage"),
+        graft.util.D.r((col("n_cond") - col("n_match")).cast("double") / col("n_cond"), 6).as("separation_err"))
       .withColumn("passes", (col("coverage") >= covTh && col("separation_err") <= sepTh).cast("int"))
       .orderBy("label", "attribute", "val")
   }

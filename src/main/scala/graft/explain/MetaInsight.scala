@@ -45,7 +45,7 @@ object MetaInsight {
 
   /** Melt cells into (subspace, b, measure, v): mean + row count. */
   private def melt(cells: DataFrame, meanName: String): DataFrame = {
-    val vMean = round(col("sm").cast(D.dec25).cast(DoubleType) / col("cnt"), 6)
+    val vMean = graft.util.D.r(col("sm").cast(D.dec25).cast(DoubleType) / col("cnt"), 6)
     cells.select(col("subspace"), col("b").cast("string").as("b"),
         lit(meanName).as("measure"), vMean.as("v"))
       .unionByName(cells.select(col("subspace"), col("b").cast("string").as("b"),
@@ -113,8 +113,8 @@ object MetaInsight {
         min(when(col("has_pat") === 1, concat_ws(":", col("subspace"), col("highlight"))))
           .as("example_highlight"))
       .filter(col("n_matching") > 0)
-      .withColumn("commonness", round(col("n_matching").cast(DoubleType) / col("n_subspaces"), 6))
-      .withColumn("score", round(col("n_matching").cast(DoubleType) / col("n_subspaces") -
+      .withColumn("commonness", graft.util.D.r(col("n_matching").cast(DoubleType) / col("n_subspaces"), 6))
+      .withColumn("score", graft.util.D.r(col("n_matching").cast(DoubleType) / col("n_subspaces") -
         lit(0.1) * when(col("n_matching") === col("n_subspaces"), 1).otherwise(0), 6))
       .select("breakdown", "measure", "pattern", "n_subspaces", "n_matching",
         "commonness", "score", "example_highlight")

@@ -82,8 +82,8 @@ object Outlier {
       .withColumn("s_excl",
         lit(dir) * (col("vt") - col("sv") / col("k")) / sigmaExpr(col("sv"), col("svv"), col("k")))
       .select(col("attribute"), col("bin"), col("n_removed"),
-        round(col("s_full"), 6).as("s_full"),
-        round((col("s_full") - col("s_excl")) * (col("n_total") - col("n_removed")) / col("n_total"), 6)
+        graft.util.D.r(col("s_full"), 6).as("s_full"),
+        graft.util.D.r((col("s_full") - col("s_excl")) * (col("n_total") - col("n_removed")) / col("n_total"), 6)
           .as("influence"))
       .orderBy("attribute", "bin")
   }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.{QDef, QFamily}
+import graft.util.D._
+import graft.util.Sq
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Event-stream analytics (SURVEY.md §2.7), batch side. The same
+  * sessionization semantics run under Structured Streaming via
+  * [[graft.streaming.Sessionizer]] (ScalaTest-covered — streaming results
+  * cannot be oracled through DuckDB).
+  *
+  * Scale: window/sessionize shuffle once on user_id; tumbling windows are
+  * a plain groupBy on the truncated timestamp (map-side combined). */
+object Events extends QFamily {
+
+  /** events.ts is stored as TIMESTAMP(NANOS) parquet, which Spark reads
+    * as long nanos under spark.sql.legacy.parquet.nanosAsLong (set in
+    * Verify/Bench/tests); convert to a microsecond timestamp here. The
+    * oracle mirrors with CAST(ts AS TIMESTAMP) (ns → us). */
+  private def ev(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  private val evSql =
+    "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  val defs: Seq[QDef] = Seq(
+
+    QDef("q_events_window",
+      Some(s"""WITH $evSql
+              |SELECT date_trunc('hour', ts) AS window_start, event_type,
+              |  COUNT(*) AS n, ${Sq.dsum("value")} AS total_value,
+              |  ROUND(${Sq.dsum("value")} / COUNT(*), 6) AS avg_value
+              |FROM ev GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
+      (s, dir) => ev(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"),
+          graft.util.D.r(dsumd(col("value")) / count(lit(1)), 6).as("avg_value"))
+        .orderBy("window_start", "event_type")),
+
+    QDef("q_events_sessionize",
+      Some(s"""WITH $evSql,
+             |o AS (SELECT user_id, event_id, ts, value,
+             |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+             |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |flagged AS (SELECT *,
+             |    CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+             |  FROM o),
+             |sess AS (SELECT *,
+             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM flagged)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end,
+             |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+             |  CAST(ROUND(SUM(CAST(value AS DECIMAL(25,6))), 6) AS DOUBLE) AS total_value
+             |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+            (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+          .withColumn("new_s",
+            when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1).otherwise(0))
+          .withColumn("session_id", sum(col("new_s")).over(wr).cast(LongType))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+            (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"),
+            dsumd(col("value")).as("total_value"))
+          .orderBy("user_id", "session_id")
+      }),
+
+    QDef("q_events_json",
+      Some(s"""SELECT k_bucket, COUNT(*) AS n, ${Sq.dsum("value")} AS total_value
+              |FROM (SELECT CAST(CAST(props->>'k' AS INT) // 10 AS INT) AS k_bucket, value FROM events)
+              |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin),
+      (s, dir) => t(s, dir, "events")
+        .select((get_json_object(col("props"), "$.k").cast(IntegerType) / 10)
+          .cast(IntegerType).as("k_bucket"), col("value"))
+        .groupBy("k_bucket")
+        .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"))
+        .orderBy("k_bucket")),
+
+    QDef("q_events_funnel",
+      Some(s"""WITH $evSql,
+             |su AS (SELECT user_id, MIN(ts) AS signup_ts FROM ev
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |pu AS (SELECT su.user_id, MIN(e.ts) AS first_purchase_ts
+             |  FROM su JOIN ev e ON e.user_id = su.user_id
+             |    AND e.event_type = 'purchase' AND e.ts >= su.signup_ts
+             |  GROUP BY 1)
+             |SELECT su.user_id, su.signup_ts, pu.first_purchase_ts,
+             |  CASE WHEN pu.first_purchase_ts IS NOT NULL
+             |       THEN epoch_us(pu.first_purchase_ts) - epoch_us(su.signup_ts) END AS us_to_convert
+             |FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+             |ORDER BY su.user_id""".stripMargin),
+      (s, dir) => {
+        val e = ev(s, dir)
+        val su = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+        val pu = su.join(e.select(col("user_id"), col("ts"), col("event_type")),
+            Seq("user_id"))
+          .filter(col("event_type") === "purchase" && col("ts") >= col("signup_ts"))
+          .groupBy("user_id").agg(min(col("ts")).as("first_purchase_ts"))
+        su.join(pu, Seq("user_id"), "left")
+          .select(col("user_id"), col("signup_ts"), col("first_purchase_ts"),
+            when(col("first_purchase_ts").isNotNull,
+              unix_micros(col("first_purchase_ts")) - unix_micros(col("signup_ts")))
+              .as("us_to_convert"))
+          .orderBy("user_id")
+      })
+  )
+}

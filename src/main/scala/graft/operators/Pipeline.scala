@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.{QDef, QFamily}
+import graft.util.D._
+import graft.dedup.Dedup
+import graft.sim.Ann
+import graft.text.TextOps
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LLM-data-pipeline operators (SURVEY.md §2.3–2.6): dedup, similarity
+  * search, text analysis, multimodal plumbing — all over the `documents`
+  * and `embeddings` tables. */
+object Pipeline extends QFamily {
+
+  private val langs = Seq("de", "en", "es", "fr")
+
+  val defs: Seq[QDef] = Seq(
+
+    // ------------------------------------------------------- dedup -----
+    QDef("q_dedup_exact",
+      Some("""SELECT fingerprint, n_docs, keep_doc_id FROM (
+             |  SELECT md5(text) AS fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+             |  FROM documents GROUP BY 1) ORDER BY fingerprint""".stripMargin),
+      (s, dir) => Dedup.exactGroups(t(s, dir, "documents"),
+        md5(col("text").cast(BinaryType)))),
+
+    QDef("q_dedup_norm",
+      Some(s"""SELECT fingerprint, n_docs, keep_doc_id FROM (
+              |  SELECT md5(${Dedup.normTextSql("text")}) AS fingerprint,
+              |    COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+              |  FROM documents GROUP BY 1) ORDER BY fingerprint""".stripMargin),
+      (s, dir) => Dedup.exactGroups(t(s, dir, "documents"),
+        md5(Dedup.normText(col("text")).cast(BinaryType)))),
+
+    QDef("q_minhash_sig",
+      Some(s"""WITH ${Dedup.minhashSigSql("documents")}
+              |SELECT * FROM sig ORDER BY doc_id""".stripMargin),
+      (s, dir) => Dedup.minhashSig(t(s, dir, "documents")).orderBy("doc_id")),
+
+    QDef("q_dedup_minhash",
+      Some(Dedup.minhashPairsSql("documents")),
+      (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"))),
+
+    QDef("q_dedup_simhash",
+      Some(Dedup.simhashPairsSql("documents")),
+      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
+
+    QDef("q_dedup_ngram",
+      Some(Dedup.ngramJaccardSql("documents", "source", 0.02)),
+      (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"), "source", 0.02)),
+
+    QDef("q_dedup_embedding",
+      Some(Ann.embeddingPairsSql("embeddings", 0.3)),
+      (s, dir) => Ann.embeddingPairs(t(s, dir, "embeddings"), 0.3)),
+
+    // -------------------------------------------- similarity search ----
+    QDef("q_ann_topk",
+      Some(Ann.bruteTopKSql("embeddings", 40, 5)),
+      (s, dir) => Ann.bruteTopK(t(s, dir, "embeddings"), 40, 5)),
+
+    QDef("q_ann_ivf",
+      Some(Ann.ivfTopKSql("embeddings", 40, 25, 7, 3, 5)),
+      (s, dir) => Ann.ivfTopK(t(s, dir, "embeddings"), 40, 25, 7, 3, 5)),
+
+    // rows-only check: native codegen'd cosine throughput path
+    QDef("q_ann_fast", None,
+      (s, dir) => Ann.fastTopK(t(s, dir, "embeddings"), 40, 5)),
+
+    // ------------------------------------------------ text analysis ----
+    QDef("q_text_langid", {
+      val toks = TextOps.tokensSql("text")
+      val hits = langs.map(l => s"${TextOps.langHitsSql(toks, l)} AS ${l}_hits").mkString(",\n  ")
+      val m = langs.map(l => s"${l}_hits").mkString("GREATEST(", ", ", ")")
+      val pick = langs.map(l => s"WHEN ${l}_hits = $m THEN '$l'").mkString(" ")
+      Some(s"""SELECT doc_id, n_tokens, de_hits, en_hits, es_hits, fr_hits, zh_chars,
+              |  CASE WHEN zh_chars > 0 THEN 'zh'
+              |       WHEN $m = 0 THEN 'unk'
+              |       $pick END AS predicted,
+              |  lang AS actual
+              |FROM (
+              |  SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens,
+              |    $hits,
+              |    CAST(${TextOps.cjkCountSql("text")} AS BIGINT) AS zh_chars
+              |  FROM documents)
+              |ORDER BY doc_id""".stripMargin)
+    }, (s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val cols = Seq(col("doc_id"), col("lang"), size(toks).cast(LongType).as("n_tokens")) ++
+        langs.map(l => TextOps.langHits(toks, l).cast(LongType).as(s"${l}_hits")) :+
+        TextOps.cjkCount(col("text")).cast(LongType).as("zh_chars")
+      val base = t(s, dir, "documents").select(cols: _*)
+      val m = greatest(langs.map(l => col(s"${l}_hits")): _*)
+      // CASE semantics: first matching lang in de,en,es,fr order wins
+      val pickOrdered = langs.foldLeft(when(lit(false), "x")) {
+        (acc, l) => acc.when(col(s"${l}_hits") === m, l)
+      }
+      base.select(col("doc_id"), col("n_tokens"),
+        col("de_hits"), col("en_hits"), col("es_hits"), col("fr_hits"), col("zh_chars"),
+        when(col("zh_chars") > 0, "zh").when(m === 0, "unk").otherwise(pickOrdered).as("predicted"),
+        col("lang").as("actual"))
+        .orderBy("doc_id")
+    }),
+
+    QDef("q_text_quality", {
+      val toks = TextOps.tokensSql("text")
+      Some(s"""SELECT doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+              |  ROUND(0.3 * LEAST(n_tokens / 100.0, 1.0) + 0.4 * (1.0 - punct_ratio)
+              |        + 0.3 * LEAST(stopword_ratio * 5.0, 1.0), 6) AS quality
+              |FROM (
+              |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+              |    ROUND((strlen(text) - len($toks) + 1.0) / len($toks), 6) AS avg_token_len,
+              |    ROUND(CAST(strlen(text) - strlen(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / strlen(text), 6) AS punct_ratio,
+              |    ROUND(CAST(${TextOps.langHitsSql(toks, "en")} AS DOUBLE) / len($toks), 6) AS stopword_ratio
+              |  FROM documents)
+              |ORDER BY doc_id""".stripMargin)
+    }, (s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val nTok = size(toks)
+      t(s, dir, "documents").select(
+          col("doc_id"), nTok.cast(LongType).as("n_tokens"),
+          graft.util.D.r((length(col("text")) - nTok + lit(1.0)) / nTok, 6).as("avg_token_len"),
+          graft.util.D.r((length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+            .cast(DoubleType) / length(col("text")), 6).as("punct_ratio"),
+          graft.util.D.r(TextOps.langHits(toks, "en").cast(DoubleType) / nTok, 6).as("stopword_ratio"))
+        .withColumn("quality",
+          graft.util.D.r(lit(0.3) * least(col("n_tokens") / 100.0, lit(1.0)) +
+            lit(0.4) * (lit(1.0) - col("punct_ratio")) +
+            lit(0.3) * least(col("stopword_ratio") * 5.0, lit(1.0)), 6))
+        .orderBy("doc_id")
+    }),
+
+    QDef("q_text_tokens",
+      Some(s"""SELECT lang, source, COUNT(*) AS n_docs,
+              |  CAST(SUM(len(${TextOps.tokensSql("text")})) AS BIGINT) AS ws_tokens,
+              |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]'))) AS BIGINT) AS re_tokens,
+              |  ROUND(CAST(SUM(len(${TextOps.tokensSql("text")})) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+              |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text")))).cast(LongType).as("ws_tokens"),
+          sum(regexp_count(col("text"), lit("[a-z]+|[0-9]"))).cast(LongType).as("re_tokens"),
+          graft.util.D.r(sum(size(TextOps.tokens(col("text")))).cast(DoubleType) / count(lit(1)), 6).as("avg_tokens"))
+        .orderBy("lang", "source")),
+
+    QDef("q_text_fingerprint",
+      Some(s"""SELECT fingerprint, n_docs, min_doc_id FROM (
+              |  SELECT ${TextOps.bagFingerprintSql("text")} AS fingerprint,
+              |    COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+              |  FROM documents GROUP BY 1) ORDER BY fingerprint""".stripMargin),
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(TextOps.bagFingerprint(col("text")).as("fingerprint"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+        .orderBy("fingerprint")),
+
+    // --------------------------------------------------- multimodal ----
+    QDef("q_multimodal_meta",
+      Some(Multimodal.decodeMetaSql("documents")),
+      (s, dir) => Multimodal.decodeMeta(s, t(s, dir, "documents"))),
+
+    QDef("q_multimodal_frames",
+      Some(Multimodal.frameSampleSql("documents")),
+      (s, dir) => Multimodal.frameSample(t(s, dir, "documents")))
+  )
+}

@@ -1,0 +1,180 @@
+package graft.sim
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (SURVEY.md §2.4).
+  *
+  * Two numeric paths:
+  *  - fixed-point exact cosine (`dotFix`) for oracle-checked queries —
+  *    components scaled to longs at 1e8, products summed exactly in long
+  *    arithmetic, so Spark and DuckDB produce bit-identical doubles;
+  *  - the codegen'd native [[graft.functions.CosineSimilarity]] for the
+  *    throughput path (q_ann_fast, rows-only check).
+  *
+  * Scale: queries/centroids are broadcast; the corpus side streams through
+  * whole-stage codegen. IVF bounds the scanned set to the probed lists —
+  * at cluster scale the list id becomes a partition key so probing prunes
+  * partitions.
+  */
+object Ann {
+
+  /** Fixed-point exact vector math: each float component is scaled to a
+    * long at 1e8 (ties unrepresentable in binary → identical rounding in
+    * both engines); dot products are exact Σ xi·yi over longs (|x| ≤ ~90
+    * before Σ 64·(9e9)² could overflow — embeddings are unit-scale).
+    * The long→double emission is one correctly-rounded conversion in both
+    * engines. Integer math also keeps the hot loop codegen-friendly. */
+  private val Scale = 1e8
+
+  private def fx(x: Column): Column = round(x.cast(DoubleType) * Scale, 0).cast(LongType)
+
+  /** Exact fixed-point dot product (raw scale 1e16), as long. */
+  def dotFix(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => fx(x) * fx(y)), lit(0L), (acc, v) => acc + v)
+
+  def dotFixSql(a: String, b: String): String =
+    s"""(SELECT CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT) * CAST(ROUND(CAST(y AS DOUBLE) * 100000000) AS BIGINT)) AS BIGINT)
+       | FROM (SELECT unnest($a) AS x, unnest($b) AS y) zz)""".stripMargin
+
+  /** Per-vector squared norm table: (vec_id, nsq raw-scale long). */
+  def normSq(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), dotFix(col("embedding"), col("embedding")).as("nsq"))
+
+  def normSqSql(table: String): String =
+    s"""norms AS (SELECT vec_id,
+       |    CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT) * CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS BIGINT) AS nsq
+       |  FROM (SELECT vec_id, unnest(embedding) AS x FROM $table) GROUP BY vec_id)""".stripMargin
+
+  /** Cosine from raw fixed-point dot + norms: all-double math on
+    * identical operands in both engines. */
+  def cosExpr(dot: Column, nsqA: Column, nsqB: Column): Column = {
+    val den = sqrt(nsqA.cast(DoubleType)) * sqrt(nsqB.cast(DoubleType))
+    when(den > 0, dot.cast(DoubleType) / den).otherwise(lit(0.0))
+  }
+
+  def cosSql(dot: String, nsqA: String, nsqB: String): String =
+    s"""(CASE WHEN SQRT(CAST($nsqA AS DOUBLE)) * SQRT(CAST($nsqB AS DOUBLE)) > 0
+       | THEN CAST($dot AS DOUBLE) / (SQRT(CAST($nsqA AS DOUBLE)) * SQRT(CAST($nsqB AS DOUBLE))) ELSE 0.0 END)""".stripMargin
+
+  /** Brute-force cosine top-k: query set = vec_id % queryMod = 0. */
+  def bruteTopK(vecs: DataFrame, queryMod: Int, k: Int): DataFrame = {
+    val n = normSq(vecs)
+    val base = vecs.join(n, "vec_id")
+    val queries = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nsq").as("qn"))
+    val joined = base.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosExpr(dotFix(col("qe"), col("embedding")), col("qn"), col("nsq")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        graft.util.D.r(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  def bruteTopKSql(table: String, queryMod: Int, k: Int): String =
+    s"""WITH ${normSqSql(table)},
+       |base AS (SELECT e.vec_id, e.embedding, n.nsq FROM $table e JOIN norms n ON e.vec_id = n.vec_id),
+       |scored AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${cosSql(dotFixSql("q.embedding", "b.embedding"), "q.nsq", "b.nsq")} AS cosine
+       |  FROM base q JOIN base b ON q.vec_id % $queryMod = 0 AND b.vec_id <> q.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** IVF: centroids = vec_id % centMod = centOff; assign every vector to
+    * its max-cosine centroid; queries probe the `nprobe` nearest lists. */
+  def ivfTopK(vecs: DataFrame, queryMod: Int, centMod: Int, centOff: Int,
+              nprobe: Int, k: Int): DataFrame = {
+    val n = normSq(vecs)
+    val base = vecs.join(n, "vec_id")
+    val cents = base.filter(col("vec_id") % centMod === centOff)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nsq").as("cn"))
+    val scoredC = base.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosExpr(dotFix(col("ce"), col("embedding")), col("cn"), col("nsq")))
+    val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val assign = scoredC.withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("list_id"))
+    val members = base.join(assign, "vec_id")
+    val probes = scoredC.filter(col("vec_id") % queryMod === 0)
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nsq").as("qn"), col("cid").as("list_id"))
+    val scored = members.join(broadcast(probes), "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosExpr(dotFix(col("qe"), col("embedding")), col("qn"), col("nsq")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        graft.util.D.r(col("cosine"), 6).as("cosine"), col("list_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  def ivfTopKSql(table: String, queryMod: Int, centMod: Int, centOff: Int,
+                 nprobe: Int, k: Int): String =
+    s"""WITH ${normSqSql(table)},
+       |base AS (SELECT e.vec_id, e.embedding, n.nsq FROM $table e JOIN norms n ON e.vec_id = n.vec_id),
+       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE vec_id % $centMod = $centOff),
+       |scored_c AS (SELECT b.vec_id, b.embedding, b.nsq, c.cid,
+       |    ${cosSql(dotFixSql("c.ce", "b.embedding"), "c.cn", "b.nsq")} AS ccos
+       |  FROM base b CROSS JOIN cents c),
+       |ranked_c AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored_c),
+       |assign AS (SELECT vec_id, cid AS list_id FROM ranked_c WHERE rn = 1),
+       |members AS (SELECT b.vec_id, b.embedding, b.nsq, a.list_id FROM base b JOIN assign a ON b.vec_id = a.vec_id),
+       |probes AS (SELECT vec_id AS query_id, embedding AS qe, nsq AS qn, cid AS list_id
+       |  FROM ranked_c WHERE vec_id % $queryMod = 0 AND rn <= $nprobe),
+       |scored AS (SELECT p.query_id, m.vec_id AS neighbor_id, m.list_id,
+       |    ${cosSql(dotFixSql("p.qe", "m.embedding"), "p.qn", "m.nsq")} AS cosine
+       |  FROM members m JOIN probes p ON m.list_id = p.list_id AND m.vec_id <> p.query_id),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine, list_id
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Throughput path: native codegen'd cosine, no oracle (rows-only). */
+  def fastTopK(vecs: DataFrame, queryMod: Int, k: Int): DataFrame = {
+    val queries = vecs.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val joined = vecs.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", CosineSimilarity(col("qe"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Label-blocked embedding near-dup pairs (cosine ≥ th). */
+  def embeddingPairs(vecs: DataFrame, th: Double): DataFrame = {
+    val n = normSq(vecs)
+    val base = vecs.join(n, "vec_id")
+    val a = base.select(col("label").as("lbl"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nsq").as("na"))
+    val b = base.select(col("label").as("lbl"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nsq").as("nb"))
+    a.join(b, Seq("lbl")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", graft.util.D.r(cosExpr(dotFix(col("ea"), col("eb")), col("na"), col("nb")), 6))
+      .filter(col("cosine") >= th)
+      .select(col("lbl").as("label"), col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy("label", "vec_a", "vec_b")
+  }
+
+  def embeddingPairsSql(table: String, th: Double): String =
+    s"""WITH ${normSqSql(table)},
+       |base AS (SELECT e.vec_id, e.label, e.embedding, n.nsq FROM $table e JOIN norms n ON e.vec_id = n.vec_id)
+       |SELECT label, vec_a, vec_b, cosine FROM (
+       |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ROUND(${cosSql(dotFixSql("a.embedding", "b.embedding"), "a.nsq", "b.nsq")}, 6) AS cosine
+       |  FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |WHERE cosine >= $th ORDER BY label, vec_a, vec_b""".stripMargin
+}

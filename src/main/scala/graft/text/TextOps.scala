@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared text primitives for the LLM-pipeline operators (SURVEY.md
+  * §2.3/§2.5). Each helper has a Spark Column form and an equivalent
+  * DuckDB SQL form; both operate on single-space-separated text.
+  *
+  * All functions are built-in/codegen'd (split/transform/sequence/md5) —
+  * no UDFs in the hot path. */
+object TextOps {
+
+  def tokens(c: Column): Column = split(c, " ")
+
+  def tokensSql(c: String): String = s"string_split($c, ' ')"
+
+  /** Word 3-gram shingles (empty when fewer than 3 tokens). */
+  def shingles(c: Column): Column = {
+    val w = tokens(c)
+    when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  def shinglesSql(c: String): String = {
+    val w = s"string_split($c, ' ')"
+    s"list_transform(range(1, len($w) - 1), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])"
+  }
+
+  /** Stopword lists used by the language-ID heuristic (public common
+    * function words; zh is detected via CJK codepoints instead). */
+  val langWords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein", "zu", "auf", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pour", "dans", "un", "une", "sur"),
+    "es" -> Seq("el", "los", "las", "y", "es", "para", "como", "un", "una", "con"))
+
+  def langHits(toks: Column, lang: String): Column =
+    size(filter(toks, x => array_contains(array(langWords(lang).map(lit): _*), x)))
+
+  def langHitsSql(toksExpr: String, lang: String): String = {
+    val lst = langWords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($toksExpr, x -> list_contains($lst, x)))"
+  }
+
+  /** Count of CJK codepoints (zh signal). */
+  def cjkCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[\\u4e00-\\u9fff]", ""))
+
+  def cjkCountSql(c: String): String =
+    s"len(regexp_extract_all($c, '[\\x{4e00}-\\x{9fff}]'))"
+
+  /** Bag fingerprint: md5 of the sorted distinct token set. */
+  def bagFingerprint(c: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))).cast(BinaryType))
+
+  def bagFingerprintSql(c: String): String =
+    s"md5(array_to_string(list_sort(list_distinct(${tokensSql(c)})), ' '))"
+}

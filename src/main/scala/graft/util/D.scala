@@ -45,9 +45,18 @@ object D {
   /** l_extendedprice * (1 - l_discount) in exact decimal. */
   def revenue(price: Column, disc: Column): Column = dmul(price, lit(1.0) - disc)
 
-  /** Round a derived double to `s` decimals (inputs must already be
-    * cross-engine identical doubles). */
-  def r(c: Column, s: Int = 6): Column = round(c.cast(DoubleType), s)
+  /** Round a derived double to `s` decimals, cross-engine identically.
+    *
+    * DuckDB's ROUND(double, s) computes round(x·10^s)/10^s in floating
+    * point; Spark's round(double, s) rounds the exact binary expansion —
+    * they disagree when x·10^s lands within an ulp of a .5 boundary.
+    * Mirroring the multiply-then-round form here makes both engines
+    * evaluate the same double product, round it half-away-from-zero, and
+    * divide — bit-identical everywhere. */
+  def r(c: Column, s: Int = 6): Column = {
+    val f = math.pow(10, s)
+    round(c.cast(DoubleType) * f, 0) / f
+  }
 
   /** Exact sum of squares as decimal, emitted as double (scale-0 rescale —
     * see emit0; both engines round the decimal identically, so the double
