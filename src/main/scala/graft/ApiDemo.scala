@@ -1,0 +1,22 @@
+package graft
+import graft.core.ExplainFrame
+import org.apache.spark.sql.functions._
+/** Sample program through the public library API (pd-explain-style flow). */
+object ApiDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4").config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val li = ExplainFrame(util.D.t(spark, "/root/testdata/sf0.001", "lineitem"), "lineitem")
+    val filtered = li.filter(col("l_quantity") >= 30)
+    println("== fedex explanation of the filter ==")
+    filtered.explainFedex(topK = 3).show(false)
+    println(filtered.explanationText(filtered.explainFedex(topK = 1).head()))
+    val g = li.groupBy("l_returnflag").mean("l_extendedprice")
+    println("== outlier explanation for group R ==")
+    g.explainOutlier("R", "high", Seq("l_quantity", "l_discount")).show(3, false)
+    println("== groupby exceptionality ==")
+    g.explainFedex(topK = 4).show(false)
+    spark.stop()
+  }
+}

@@ -1,0 +1,205 @@
+package graft.core
+
+import graft.explain._
+import graft.util.D
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, StringType}
+
+/** Provenance of the last query operation on an [[ExplainFrame]] — the
+  * Spark-native equivalent of pd-explain's `operation` field on
+  * ExpDataFrame (reference: /root/reference/src/pd_explain/core/
+  * explainable_data_frame.py). Holds lazy plans, never materialized data. */
+sealed trait Operation { def describe: String }
+final case class FilterOp(source: DataFrame, result: DataFrame, cond: String) extends Operation {
+  def describe = s"filter[$cond]"
+}
+final case class GroupByOp(source: DataFrame, result: DataFrame,
+                           groupCols: Seq[String], aggCol: String, aggFn: String) extends Operation {
+  def describe = s"groupby[${groupCols.mkString(",")}].$aggFn($aggCol)"
+}
+final case class JoinOp(left: DataFrame, right: DataFrame, result: DataFrame,
+                        on: Seq[String], how: String) extends Operation {
+  def describe = s"join[${on.mkString(",")}:$how]"
+}
+
+/** Explainable DataFrame: wraps a lazy DataFrame, records operation
+  * provenance, and exposes `.explain*` methods that return DataFrames of
+  * explanations (Spark-first — no plotting layer).
+  *
+  * Mirrors the reference's ExpDataFrame operation surface: filter/where/
+  * select/groupBy/join/dropDuplicates/sample/valueCounts/describe; the
+  * explainers mirror fedex / outlier / many_to_one / metainsight.
+  */
+final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name: String) {
+
+  private def next(d: DataFrame, o: Operation): ExplainFrame = new ExplainFrame(d, Some(o), name)
+
+  // ------------------------------------------------------ operations ----
+  def filter(cond: Column): ExplainFrame =
+    next(df.filter(cond), FilterOp(df, df.filter(cond), cond.toString))
+
+  def where(cond: Column): ExplainFrame = filter(cond)
+
+  def select(cols: Column*): ExplainFrame = new ExplainFrame(df.select(cols: _*), op, name)
+
+  def drop(colNames: String*): ExplainFrame = new ExplainFrame(df.drop(colNames: _*), op, name)
+
+  def withColumnRenamed(a: String, b: String): ExplainFrame =
+    new ExplainFrame(df.withColumnRenamed(a, b), op, name)
+
+  def groupBy(cols: String*): ExplainGroupBy = new ExplainGroupBy(this, cols)
+
+  def join(other: ExplainFrame, on: Seq[String], how: String = "inner"): ExplainFrame = {
+    val res = df.join(other.df, on, how)
+    next(res, JoinOp(df, other.df, res, on, how))
+  }
+
+  def dropDuplicates(cols: Seq[String] = Nil): ExplainFrame = {
+    val res = if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
+    new ExplainFrame(res, op, name)
+  }
+
+  /** Deterministic sample: keeps rows where hash-mod of `keyCol` hits. */
+  def sampleDeterministic(keyCol: String, mod: Int, rem: Int = 0): ExplainFrame =
+    new ExplainFrame(df.filter(pmod(col(keyCol), lit(mod)) === rem), op, name)
+
+  def valueCounts(c: String): DataFrame = {
+    val total = df.agg(count(lit(1)).as("total"))
+    df.groupBy(c).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .select(col(c), col("cnt"), D.r(col("cnt").cast(DoubleType) / col("total")).as("share"))
+      .orderBy(col("cnt").desc, col(c))
+  }
+
+  def describeStats(cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      val n = count(col(c))
+      val sm = D.emit6(D.dsum(col(c)))
+      val sq = D.dsumsq(col(c))
+      df.agg(n.as("n"), D.r(sm / n).as("mean"),
+          D.r(sqrt(D.varSamp(sm, sq, n))).as("std"),
+          min(col(c)).as("min_v"), max(col(c)).as("max_v"))
+        .select(lit(c).as("col"), col("n"), col("mean"), col("std"), col("min_v"), col("max_v"))
+    }.reduce(_ unionByName _).orderBy("col")
+
+  // ------------------------------------------------------- explainers ---
+
+  /** Attributes considered by default: up to `maxAttrs` numeric + string
+    * columns of the source, skipping key-ish columns (reference skips via
+    * correlation pruning; we use the name heuristic). */
+  private def defaultAttrs(src: DataFrame, exclude: Set[String], maxAttrs: Int = 6): Seq[Fedex.Attr] =
+    src.schema.fields.iterator
+      .filterNot(f => exclude.contains(f.name))
+      .filterNot(f => f.name.endsWith("key") || f.name.endsWith("_id") || f.name.endsWith("date"))
+      .collect {
+        case f if f.dataType.isInstanceOf[NumericType] => Fedex.Attr(f.name, numeric = true)
+        case f if f.dataType == StringType => Fedex.Attr(f.name, numeric = false)
+      }
+      .take(maxAttrs).toSeq
+
+  /** FEDEx-style explanation of the last operation:
+    *  - after filter/join: per-attribute deviation + top-influence bins
+    *  - after groupBy-agg: per-measure exceptionality + group influences
+    * Returns a DataFrame of scored explanations. */
+  def explainFedex(attributes: Seq[String] = Nil, topK: Int = 3): DataFrame = op match {
+    case Some(FilterOp(src, res, _)) =>
+      fedexDeviation(src, res, attributes, topK)
+    case Some(JoinOp(left, _, res, on, _)) =>
+      fedexDeviation(left, res.select(left.columns.map(col).toIndexedSeq: _*), attributes, topK,
+        excludeExtra = on.toSet)
+    case Some(g: GroupByOp) =>
+      val m = meltGroupBy(g)
+      GroupByExplain.zdev(m).orderBy(col("zdev").desc, col("measure"), col("grp")).limit(topK)
+    case _ =>
+      throw new IllegalStateException("explainFedex requires a filter/join/groupBy operation")
+  }
+
+  private def fedexDeviation(src: DataFrame, res: DataFrame, attributes: Seq[String],
+                             topK: Int, excludeExtra: Set[String] = Set.empty): DataFrame = {
+    val attrs =
+      if (attributes.nonEmpty) {
+        val byName = src.schema.fields.map(f => f.name -> f).toMap
+        attributes.map(a => Fedex.Attr(a, byName(a).dataType.isInstanceOf[NumericType]))
+      } else defaultAttrs(src, excludeExtra)
+    val counts = Fedex.binCounts(src, res, attrs)
+    val dev = Fedex.filterDeviation(counts)
+    val infl = Fedex.binInfluence(counts)
+    dev.join(infl, Seq("attribute"))
+      .select(col("attribute"), col("kl_score"), col("bin"), col("ns"), col("nr"), col("influence"))
+      .orderBy(col("kl_score").desc, col("influence").desc, col("attribute"), col("bin"))
+      .limit(topK)
+  }
+
+  private def meltGroupBy(g: GroupByOp): DataFrame = {
+    val grouped = g.source.groupBy(g.groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), D.dsum(col(g.aggCol)).as("sm"))
+      .select(concat_ws("|", g.groupCols.map(col): _*).as("grp"),
+        D.r(D.emit6(col("sm")) / col("cnt")).as("v_mean"),
+        col("cnt").cast(DoubleType).as("v_cnt"))
+    grouped.select(col("grp"), lit(s"${g.aggCol}_${g.aggFn}").as("measure"), col("v_mean").as("v"))
+      .unionByName(grouped.select(col("grp"), lit("row_count").as("measure"), col("v_cnt").as("v")))
+  }
+
+  /** Scorpion-style outlier explanation for a groupBy result. */
+  def explainOutlier(target: String, dir: String, attributes: Seq[String] = Nil): DataFrame =
+    op match {
+      case Some(g: GroupByOp) =>
+        val d = if (dir == "high") 1 else -1
+        val attrs =
+          if (attributes.nonEmpty) attributes
+          else defaultAttrs(g.source, g.groupCols.toSet + g.aggCol).filter(_.numeric).map(_.name)
+        Outlier.explain(g.source, g.groupCols.head, g.aggCol, target, d, attrs)
+          .orderBy(col("influence").desc, col("attribute"), col("bin"))
+      case _ => throw new IllegalStateException("explainOutlier requires a groupBy operation")
+    }
+
+  /** Many-to-one rule explanation against a label column. */
+  def explainManyToOne(labelCol: String, catAttrs: Seq[String], numAttrs: Seq[String]): DataFrame =
+    ManyToOne.explain(df, labelCol, catAttrs, numAttrs)
+
+  /** MetaInsight pattern mining over a filter dimension + breakdown. */
+  def explainMetaInsight(filterDim: String, breakdown: String, aggCol: String): DataFrame =
+    MetaInsight.mine(MetaInsight.catPatterns(df, filterDim, breakdown, aggCol, s"${aggCol}_mean"))
+
+  /** Textual description of the top explanation, mirroring the reference's
+    * get_explanation_in_textual_description. */
+  def explanationText(explRow: org.apache.spark.sql.Row): String = {
+    val opDesc = op.map(_.describe).getOrElse("(no operation)")
+    val fields = explRow.schema.fieldNames.zipWithIndex
+      .map { case (f, i) => s"$f=${explRow.get(i)}" }.mkString(", ")
+    s"Among the most interesting statistical changes after running $opDesc on dataframe '$name', " +
+      s"we found (using automated analysis): $fields."
+  }
+}
+
+object ExplainFrame {
+  def apply(df: DataFrame, name: String): ExplainFrame = new ExplainFrame(df, None, name)
+}
+
+/** GroupBy surface mirroring ExpDataFrameGroupBy (count/mean/sum/min/max/
+  * nunique/median/std/var — reference explainable_group_by_dataframe.py). */
+final class ExplainGroupBy(parent: ExplainFrame, cols: Seq[String]) {
+
+  private def agg1(aggCol: String, fn: String, e: Column): ExplainFrame = {
+    val res = parent.df.groupBy(cols.map(col): _*).agg(e.as(s"${aggCol}_$fn"))
+    new ExplainFrame(res, Some(GroupByOp(parent.df, res, cols, aggCol, fn)), parent.name)
+  }
+
+  def count(): ExplainFrame = agg1(cols.head, "count", org.apache.spark.sql.functions.count(lit(1)))
+  def mean(c: String): ExplainFrame = agg1(c, "mean", D.r(D.emit6(D.dsum(col(c))) / org.apache.spark.sql.functions.count(col(c))))
+  def sum(c: String): ExplainFrame = agg1(c, "sum", D.dsumd(col(c)))
+  def min(c: String): ExplainFrame = agg1(c, "min", org.apache.spark.sql.functions.min(col(c)))
+  def max(c: String): ExplainFrame = agg1(c, "max", org.apache.spark.sql.functions.max(col(c)))
+  def nunique(c: String): ExplainFrame = agg1(c, "nunique", countDistinct(col(c)))
+  def median(c: String): ExplainFrame = agg1(c, "median", D.r(percentile(col(c), lit(0.5)), 4))
+  def std(c: String): ExplainFrame = {
+    val n = org.apache.spark.sql.functions.count(col(c))
+    agg1(c, "std", D.r(sqrt(D.varSamp(D.emit6(D.dsum(col(c))), D.dsumsq(col(c)), n))))
+  }
+  def variance(c: String): ExplainFrame = {
+    val n = org.apache.spark.sql.functions.count(col(c))
+    agg1(c, "var", D.r(D.varSamp(D.emit6(D.dsum(col(c))), D.dsumsq(col(c)), n)))
+  }
+  def size(): ExplainFrame = count()
+}

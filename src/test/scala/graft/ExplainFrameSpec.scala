@@ -1,0 +1,65 @@
+package graft
+
+import graft.core.ExplainFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExplainFrameSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def li = ExplainFrame(graft.util.D.t(spark, sf, "lineitem"), "lineitem")
+  private def orders = ExplainFrame(graft.util.D.t(spark, sf, "orders"), "orders")
+
+  test("filter provenance + fedex explanation") {
+    val f = li.filter(col("l_quantity") >= 30)
+    assert(f.op.get.describe.startsWith("filter["))
+    val ex = f.explainFedex(topK = 3).collect()
+    assert(ex.length === 3)
+    assert(ex.head.schema.fieldNames.contains("kl_score"))
+    val txt = f.explanationText(ex.head)
+    assert(txt.contains("filter[") && txt.contains("lineitem"))
+  }
+
+  test("groupBy mean + exceptionality explanation") {
+    val g = orders.groupBy("o_orderpriority").mean("o_totalprice")
+    assert(g.df.columns.contains("o_totalprice_mean"))
+    val ex = g.explainFedex(topK = 5).collect()
+    assert(ex.nonEmpty && ex.head.schema.fieldNames.contains("zdev"))
+  }
+
+  test("outlier explanation on groupBy") {
+    val g = li.groupBy("l_returnflag").mean("l_extendedprice")
+    val ex = g.explainOutlier("R", "high", Seq("l_quantity", "l_discount")).collect()
+    assert(ex.nonEmpty)
+    assert(ex.head.schema.fieldNames.contains("influence"))
+  }
+
+  test("many-to-one + metainsight dispatch") {
+    val c = ExplainFrame(graft.util.D.t(spark, sf, "customer"), "customer")
+    val m = c.explainManyToOne("c_mktsegment", Seq("c_nationkey"), Seq("c_acctbal"))
+    assert(m.count() > 0)
+    val mi = orders.explainMetaInsight("o_orderpriority", "o_orderstatus", "o_totalprice")
+    assert(mi.columns.contains("commonness"))
+  }
+
+  test("join provenance + fedex on join") {
+    val liK = li.select(col("l_orderkey"), col("l_quantity"), col("l_discount"),
+      col("l_returnflag"))
+    val oSmall = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val j = liK.join(new ExplainFrame(oSmall.df.withColumnRenamed("o_orderkey", "l_orderkey"),
+      None, "orders"), Seq("l_orderkey"))
+    assert(j.op.get.describe.startsWith("join["))
+    val ex = j.explainFedex(topK = 2).collect()
+    assert(ex.length === 2)
+  }
+
+  test("relational helpers") {
+    val vc = li.valueCounts("l_returnflag").collect()
+    assert(vc.length === 3 && math.abs(vc.map(_.getDouble(2)).sum - 1.0) < 0.01)
+    val ds = li.describeStats(Seq("l_quantity")).collect()
+    assert(ds.length === 1 && ds.head.getLong(1) > 0)
+    val sm = li.sampleDeterministic("l_orderkey", 10).df.count()
+    assert(sm > 0 && sm < li.df.count())
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.sim.Ann
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def docs = graft.util.D.t(spark, sf, "documents")
+  private def vecs = graft.util.D.t(spark, sf, "embeddings")
+
+  test("identical documents collapse under every dedup signature") {
+    // duplicate one real doc under a new id — exact dup must be found
+    val one = docs.filter(col("doc_id") === 0)
+    val dup = one.withColumn("doc_id", lit(100000L))
+    val d2 = docs.unionByName(dup)
+
+    val exact = Dedup.exactGroups(d2, md5(col("text").cast("binary")))
+      .filter(col("n_docs") === 2)
+    assert(exact.count() === 1)
+
+    val mh = Dedup.minhashPairs(d2)
+      .filter(col("doc_a") === 0 && col("doc_b") === 100000L)
+      .head()
+    assert(mh.getAs[Double]("est_jaccard") === 1.0)
+
+    val sh = Dedup.simhashPairs(d2)
+      .filter(col("doc_a") === 0 && col("doc_b") === 100000L)
+      .head()
+    assert(sh.getAs[Long]("hamming") === 0L)
+  }
+
+  test("ngram jaccard of identical docs within a block is 1") {
+    val one = docs.filter(col("doc_id") === 0)
+    val dup = one.withColumn("doc_id", lit(100000L))
+    val j = Dedup.ngramJaccard(docs.unionByName(dup), "source", 0.5)
+      .filter(col("doc_a") === 0 && col("doc_b") === 100000L).head()
+    assert(j.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("self-cosine is 1; fast path agrees with exact top-k") {
+    val n = Ann.normSq(vecs)
+    val self = vecs.join(n, "vec_id")
+      .select(Ann.cosExpr(Ann.dotFix(col("embedding"), col("embedding")),
+        col("nsq"), col("nsq")).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(math.abs(self.getDouble(0) - 1.0) < 1e-9 && math.abs(self.getDouble(1) - 1.0) < 1e-9)
+
+    val exact = Ann.bruteTopK(vecs, 40, 5).select("query_id", "rank", "neighbor_id").collect().toSet
+    val fast = Ann.fastTopK(vecs, 40, 5).select("query_id", "rank", "neighbor_id").collect().toSet
+    assert(exact.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ===
+      fast.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
+
+  test("multimodal stub decode is deterministic and typed") {
+    val m = graft.multimodal.Multimodal.decodeMeta(spark, docs)
+    assert(m.schema.fieldNames.toSeq ===
+      Seq("doc_id", "byte_len", "head_byte", "width", "height", "format"))
+    val fmts = m.select("format").distinct().collect().map(_.getString(0)).toSet
+    assert(fmts.subsetOf(Set("jpeg", "png", "webp")))
+    assert(m.count() === docs.count())
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.streaming.{Session, SessionEvent, Sessionizer}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming sessionization under MemoryStream: the streamed (closed)
+  * sessions must be exactly a subset of the batch sessions, and sessions
+  * whose gap elapsed before the final watermark must all be emitted. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def sampleEvents: Seq[SessionEvent] = {
+    import spark.implicits._
+    graft.util.D.t(spark, sf, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[SessionEvent].collect().toSeq
+  }
+
+  test("stream sessions match batch sessions") {
+    import spark.implicits._
+    val events = sampleEvents
+    val batch = Sessionizer
+      .sessionizeBatch(spark, spark.createDataset(events))
+      .collect()
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, math.round(s.total_value * 100)))
+      .toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val q = Sessionizer.sessionizeStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("sessions_out").outputMode("append").start()
+    try {
+      // two batches so the watermark advances past early sessions
+      val (first, second) = events.sortBy(_.ts.getTime).splitAt(events.size / 2)
+      mem.addData(first)
+      q.processAllAvailable()
+      mem.addData(second)
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_out").as[Session].collect()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, math.round(s.total_value * 100)))
+        .toSet
+      assert(streamed.nonEmpty, "no sessions emitted")
+      assert(streamed.subsetOf(batch),
+        s"streamed sessions not found in batch: ${streamed.diff(batch).take(3)}")
+    } finally q.stop()
+  }
+
+  test("fold semantics: gap splits sessions") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    val evs = Seq(
+      SessionEvent(1, at(0), 1.0), SessionEvent(1, at(10), 2.0),
+      SessionEvent(1, at(70), 3.0)) // 60-min gap → new session
+    val (closed, open) = Sessionizer.foldEvents(evs, None)
+    assert(closed.length === 1 && closed.head.n_events === 2 && closed.head.total_value === 3.0)
+    assert(open.get.n === 1 && open.get.total === 3.0)
+  }
+}
