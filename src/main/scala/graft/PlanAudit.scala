@@ -1,0 +1,18 @@
+package graft
+/** Dumps formatted physical plans for representative queries (SURVEY §5). */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val names = if (args.nonEmpty) args.toSeq else Seq("q_filter", "q_join", "q_ann_topk", "q_groupby_agg")
+    names.foreach { n =>
+      println(s"########## $n ##########")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -36,19 +36,32 @@ object Dedup {
   def shingleSet(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("sh")).distinct()
 
-  /** MinHash signatures: h_i = min over shingles of md5("i:" ‖ shingle)
-    * (hex strings; lexicographic min == numeric min). One scan, one
-    * map-side-combined aggregation. */
+  /** XOR seeds deriving the 16 hash functions from ONE md5 per shingle:
+    * h_i(s) = base(s) XOR seed_i where base = first 15 hex digits of
+    * md5(s) as a (positive, < 2^60) long. One md5 instead of 16 — the
+    * signature pass is hash-bound at corpus scale. */
+  val Seeds: Seq[Long] = Seq(
+    0x51dc5a92c9de366L, 0x6fc1c9b2c628c20L, 0x64153fc5c7fe614L, 0x08dbc68907e964fL,
+    0x0d1ea40ba7cac6cL, 0x8812b55c93989c8L, 0xe1d90e11cc47904L, 0x7c798cb67c9520dL,
+    0x19375dc936b22b9L, 0xfa3abf5f0b34db1L, 0x136223943bf791dL, 0x0b02098ae0a8121L,
+    0x83e002c87fd56b0L, 0x23d61d514bb7aa7L, 0x213d2e47e2bceccL, 0x52f8b05f00409f3L)
+
+  /** MinHash signatures: h_i = min over shingles of base(s) XOR seed_i.
+    * One scan, one map-side-combined aggregation. */
   def minhashSig(docs: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sh")).cast(BinaryType))).as(s"h$i"))
-    shingleSet(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val base = conv(substring(md5(col("sh").cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
+    val withBase = shingleSet(docs).withColumn("hb", base)
+    val aggs = Seeds.zipWithIndex.map { case (seed, i) =>
+      min(col("hb").bitwiseXOR(lit(seed))).as(s"h$i") }
+    withBase.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   def minhashSigSql(table: String): String = {
-    val mins = (0 until NumHashes).map(i => s"MIN(md5('$i:' || sh)) AS h$i").mkString(",\n    ")
+    val mins = Seeds.zipWithIndex.map { case (seed, i) =>
+      s"MIN(xor(hb, CAST($seed AS BIGINT))) AS h$i" }.mkString(",\n    ")
     s"""sig AS (SELECT doc_id, $mins
-       |  FROM (SELECT DISTINCT doc_id, unnest(${TextOps.shinglesSql("text")}) AS sh FROM $table)
+       |  FROM (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS hb
+       |        FROM (SELECT DISTINCT doc_id, unnest(${TextOps.shinglesSql("text")}) AS sh FROM $table))
        |  GROUP BY doc_id)""".stripMargin
   }
 
@@ -56,7 +69,7 @@ object Dedup {
   def bands(sig: DataFrame): DataFrame = {
     val structs = (0 until NumHashes / BandRows).map { j =>
       struct(lit(j).as("j"),
-        md5(concat(col(s"h${BandRows * j}"), col(s"h${BandRows * j + 1}")).cast(BinaryType)).as("bk"))
+        md5(concat_ws(",", col(s"h${BandRows * j}"), col(s"h${BandRows * j + 1}")).cast(BinaryType)).as("bk"))
     }
     sig.select(col("doc_id"), explode(array(structs: _*)).as("b"))
       .select(col("doc_id"), col("b.j").as("j"), col("b.bk").as("bk"))
@@ -64,14 +77,17 @@ object Dedup {
 
   def bandsSql: String = {
     val branches = (0 until NumHashes / BandRows).map(j =>
-      s"SELECT doc_id, $j AS j, md5(h${BandRows * j} || h${BandRows * j + 1}) AS bk FROM sig")
+      s"SELECT doc_id, $j AS j, md5(h${BandRows * j}::VARCHAR || ',' || h${BandRows * j + 1}::VARCHAR) AS bk FROM sig")
     s"bands AS (${branches.mkString("\nUNION ALL\n")})"
   }
 
   /** Candidate pairs from band collisions + estimated Jaccard =
     * matching signature positions / 16. */
   def minhashPairs(docs: DataFrame): DataFrame = {
-    val sig = minhashSig(docs)
+    // the signature table is referenced three times below (bands + both
+    // pair sides); persist it — at corpus scale signatures are a
+    // materialized table, not a recomputed subplan
+    val sig = minhashSig(docs).persist()
     val bs = bands(sig)
     val cand = bs.alias("a").join(bs.alias("b"),
         col("a.j") === col("b.j") && col("a.bk") === col("b.bk") &&
@@ -177,10 +193,16 @@ object Dedup {
 
   // ------------------------------------------------- n-gram Jaccard -----
 
-  /** Blocked pairwise word-3-gram Jaccard (block = `blockCol`), keep ≥ th. */
+  /** Blocked pairwise word-3-gram Jaccard (block = `blockCol`), keep ≥ th.
+    * Shingles are joined via their 60-bit md5-prefix hash — a long
+    * shuffle key instead of a string (cheaper network + compare; hash
+    * collisions are deterministic and mirrored by the oracle). */
   def ngramJaccard(docs: DataFrame, blockCol: String, th: Double): DataFrame = {
     val sh = docs.select(col("doc_id"), col(blockCol).as("blk"),
-        explode(TextOps.shingles(col("text"))).as("sh")).distinct()
+        explode(TextOps.shingles(col("text"))).as("sh0"))
+      .select(col("doc_id"), col("blk"),
+        conv(substring(md5(col("sh0").cast(BinaryType)), 1, 15), 16, 10).cast(LongType).as("sh"))
+      .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.alias("a").join(sh.alias("b"),
         col("a.blk") === col("b.blk") && col("a.sh") === col("b.sh") &&
@@ -198,8 +220,9 @@ object Dedup {
   }
 
   def ngramJaccardSql(table: String, blockCol: String, th: Double): String =
-    s"""WITH sh AS (SELECT DISTINCT doc_id, $blockCol AS blk,
-       |    unnest(${TextOps.shinglesSql("text")}) AS sh FROM $table),
+    s"""WITH sh AS (SELECT DISTINCT doc_id, blk, ('0x' || substr(md5(sh0), 1, 15))::BIGINT AS sh
+       |  FROM (SELECT doc_id, $blockCol AS blk,
+       |    unnest(${TextOps.shinglesSql("text")}) AS sh0 FROM $table)),
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
        |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.sh = b.sh AND a.doc_id < b.doc_id

@@ -21,7 +21,9 @@ object Explainers extends QFamily {
 
   private def filterCounts(s: SparkSession, dir: String) = {
     val li = t(s, dir, "lineitem")
-    Fedex.binCounts(li, li.filter(col("l_quantity") >= 30), filterAttrs)
+    // KB-sized count table reused by deviation + influence — persist so
+    // the base-table scans run once
+    Fedex.binCounts(li, li.filter(col("l_quantity") >= 30), filterAttrs).persist()
   }
 
   private def filterCountsSqlPrefix =

@@ -1,6 +1,6 @@
 package graft.sim
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, FixedDot}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -32,7 +32,12 @@ object Ann {
 
   private def fx(x: Column): Column = round(x.cast(DoubleType) * Scale, 0).cast(LongType)
 
-  /** Exact fixed-point dot product (raw scale 1e16), as long. */
+  /** Pre-scaled long vector (compute once per vector; pairwise dots then
+    * run through the codegen'd [[FixedDot]]). */
+  def scaled(e: Column): Column = transform(e, x => fx(x))
+
+  /** Exact fixed-point dot product (raw scale 1e16), as long. Same value
+    * as FixedDot over [[scaled]] arrays (long addition is associative). */
   def dotFix(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => fx(x) * fx(y)), lit(0L), (acc, v) => acc + v)
 
@@ -43,6 +48,11 @@ object Ann {
   /** Per-vector squared norm table: (vec_id, nsq raw-scale long). */
   def normSq(vecs: DataFrame): DataFrame =
     vecs.select(col("vec_id"), dotFix(col("embedding"), col("embedding")).as("nsq"))
+
+  /** (vec_id [, label], fxe, nsq) — scaled arrays + norms in one pass. */
+  private def scaledBase(vecs: DataFrame, extra: Seq[String] = Nil): DataFrame =
+    vecs.select((Seq(col("vec_id")) ++ extra.map(col) :+ scaled(col("embedding")).as("fxe")): _*)
+      .withColumn("nsq", FixedDot(col("fxe"), col("fxe")))
 
   def normSqSql(table: String): String =
     s"""norms AS (SELECT vec_id,
@@ -62,13 +72,12 @@ object Ann {
 
   /** Brute-force cosine top-k: query set = vec_id % queryMod = 0. */
   def bruteTopK(vecs: DataFrame, queryMod: Int, k: Int): DataFrame = {
-    val n = normSq(vecs)
-    val base = vecs.join(n, "vec_id")
+    val base = scaledBase(vecs)
     val queries = base.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nsq").as("qn"))
+      .select(col("vec_id").as("query_id"), col("fxe").as("qe"), col("nsq").as("qn"))
     val joined = base.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosExpr(dotFix(col("qe"), col("embedding")), col("qn"), col("nsq")))
+      .withColumn("cosine", cosExpr(FixedDot(col("qe"), col("fxe")), col("qn"), col("nsq")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     joined.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
@@ -93,12 +102,11 @@ object Ann {
     * its max-cosine centroid; queries probe the `nprobe` nearest lists. */
   def ivfTopK(vecs: DataFrame, queryMod: Int, centMod: Int, centOff: Int,
               nprobe: Int, k: Int): DataFrame = {
-    val n = normSq(vecs)
-    val base = vecs.join(n, "vec_id")
+    val base = scaledBase(vecs)
     val cents = base.filter(col("vec_id") % centMod === centOff)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nsq").as("cn"))
+      .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
     val scoredC = base.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosExpr(dotFix(col("ce"), col("embedding")), col("cn"), col("nsq")))
+      .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
     val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
     val assign = scoredC.withColumn("rn", row_number().over(wA))
       .filter(col("rn") === 1)
@@ -107,11 +115,11 @@ object Ann {
     val probes = scoredC.filter(col("vec_id") % queryMod === 0)
       .withColumn("rn", row_number().over(wA))
       .filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      .select(col("vec_id").as("query_id"), col("fxe").as("qe"),
         col("nsq").as("qn"), col("cid").as("list_id"))
     val scored = members.join(broadcast(probes), "list_id")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosExpr(dotFix(col("qe"), col("embedding")), col("qn"), col("nsq")))
+      .withColumn("cosine", cosExpr(FixedDot(col("qe"), col("fxe")), col("qn"), col("nsq")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
@@ -156,14 +164,13 @@ object Ann {
 
   /** Label-blocked embedding near-dup pairs (cosine ≥ th). */
   def embeddingPairs(vecs: DataFrame, th: Double): DataFrame = {
-    val n = normSq(vecs)
-    val base = vecs.join(n, "vec_id")
+    val base = scaledBase(vecs, Seq("label"))
     val a = base.select(col("label").as("lbl"), col("vec_id").as("vec_a"),
-      col("embedding").as("ea"), col("nsq").as("na"))
+      col("fxe").as("ea"), col("nsq").as("na"))
     val b = base.select(col("label").as("lbl"), col("vec_id").as("vec_b"),
-      col("embedding").as("eb"), col("nsq").as("nb"))
+      col("fxe").as("eb"), col("nsq").as("nb"))
     a.join(b, Seq("lbl")).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", graft.util.D.r(cosExpr(dotFix(col("ea"), col("eb")), col("na"), col("nb")), 6))
+      .withColumn("cosine", graft.util.D.r(cosExpr(FixedDot(col("ea"), col("eb")), col("na"), col("nb")), 6))
       .filter(col("cosine") >= th)
       .select(col("lbl").as("label"), col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy("label", "vec_a", "vec_b")
