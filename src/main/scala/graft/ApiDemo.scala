@@ -17,6 +17,8 @@ object ApiDemo {
     g.explainOutlier("R", "high", Seq("l_quantity", "l_discount")).show(3, false)
     println("== groupby exceptionality ==")
     g.explainFedex(topK = 4).show(false)
+    println("== correlation-pruned attributes (corr_TH=0.7) ==")
+    filtered.correlatedAttributes("l_quantity").show(false)
     spark.stop()
   }
 }

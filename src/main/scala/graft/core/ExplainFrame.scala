@@ -98,13 +98,38 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
       }
       .take(maxAttrs).toSeq
 
+  /** Pearson |r| of every other numeric column vs `to` on the source
+    * (one aggregation pass), with a `dropped` flag at `corrTH` — the
+    * reference's correlation pruning + `present_deleted_correlated`
+    * (explainable_data_frame.py:1082, fedex corr_TH=0.7). */
+  def correlatedAttributes(to: String, corrTH: Double = 0.7): DataFrame = {
+    val src = op match {
+      case Some(FilterOp(s, _, _)) => s
+      case Some(JoinOp(l, _, _, _, _)) => l
+      case Some(g: GroupByOp) => g.source
+      case None => df
+    }
+    val others = src.schema.fields
+      .filter(f => f.dataType.isInstanceOf[NumericType] && f.name != to)
+      .map(_.name).toSeq
+    Correlation.pearson(src, others.map(o => (to, o)))
+      .select(col("col_y").as("attribute"), abs(col("value")).as("abs_corr"))
+      .withColumn("dropped", (col("abs_corr") >= corrTH).cast("int"))
+      .orderBy(col("abs_corr").desc, col("attribute"))
+  }
+
   /** FEDEx-style explanation of the last operation:
     *  - after filter/join: per-attribute deviation + top-influence bins
     *  - after groupBy-agg: per-measure exceptionality + group influences
     * Returns a DataFrame of scored explanations. */
-  def explainFedex(attributes: Seq[String] = Nil, topK: Int = 3): DataFrame = op match {
+  def explainFedex(attributes: Seq[String] = Nil, topK: Int = 3,
+                   pruneCorrelatedTo: Option[String] = None, corrTH: Double = 0.7): DataFrame = op match {
     case Some(FilterOp(src, res, _)) =>
-      fedexDeviation(src, res, attributes, topK)
+      val pruned = pruneCorrelatedTo.map { to =>
+        correlatedAttributes(to, corrTH)
+          .filter(col("dropped") === 1).collect().map(_.getString(0)).toSet + to
+      }.getOrElse(Set.empty[String])
+      fedexDeviation(src, res, attributes, topK, excludeExtra = pruned)
     case Some(JoinOp(left, _, res, on, _)) =>
       fedexDeviation(left, res.select(left.columns.map(col).toIndexedSeq: _*), attributes, topK,
         excludeExtra = on.toSet)

@@ -74,6 +74,29 @@ object Explainers extends QFamily {
       (s, dir) => GroupByExplain.zdev(gbMelt(s, dir))
         .select("measure", "grp", "value", "zdev").orderBy("measure", "grp")),
 
+    // datetime bins (reference custom_bins/date_time_bin.py: Months +
+    // Seasons): months 1-3 Winter, 4-6 Spring, 7-9 Summer, 10-12 Autumn
+    // (pd.cut(month, 4) boundaries)
+    QDef("q_fedex_datetime", {
+      // NB: // (integer division) — CAST(double AS INT) rounds in DuckDB
+      val season = "CASE ((month(l_shipdate) - 1) // 3) WHEN 0 THEN 'Winter' WHEN 1 THEN 'Spring' WHEN 2 THEN 'Summer' ELSE 'Autumn' END"
+      Some(Fedex.countsSqlExpr("lineitem", "1=1", "l_quantity >= 30", Nil,
+        Seq("ship_month" -> "CAST(month(l_shipdate) AS VARCHAR)", "ship_season" -> season)) +
+        "\n" + Fedex.deviationSelectSql)
+    }, (s, dir) => {
+      val season = when((month(col("l_shipdate")) - 1) / 3 < 1, "Winter")
+        .when((month(col("l_shipdate")) - 1) / 3 < 2, "Spring")
+        .when((month(col("l_shipdate")) - 1) / 3 < 3, "Summer")
+        .otherwise("Autumn")
+      val withBins = t(s, dir, "lineitem")
+        .withColumn("ship_month", month(col("l_shipdate")).cast("string"))
+        .withColumn("ship_season", season)
+      val attrs = Seq(Fedex.Attr("ship_month", numeric = false), Fedex.Attr("ship_season", numeric = false))
+      Fedex.filterDeviation(
+        Fedex.binCounts(withBins, withBins.filter(col("l_quantity") >= 30), attrs))
+        .orderBy("attribute")
+    }),
+
     QDef("q_outlier_explain",
       Some(Outlier.sql("lineitem", "l_returnflag", "l_extendedprice", "R", 1,
         Seq("l_quantity", "l_discount", "l_tax"))),

@@ -119,6 +119,34 @@ object Fedex {
 
   // ---------------------------------------------------------------- SQL --
 
+  /** DuckDB CTE prefix like [[countsSql]], with categorical attributes
+    * given as (alias, sqlExpr) pairs — supports derived bins such as the
+    * reference's Seasons/Months datetime bins
+    * (/root/reference/src/pd_explain/custom_bins/date_time_bin.py). */
+  def countsSqlExpr(table: String, srcWhere: String, resWhere: String,
+                    num: Seq[String], catExpr: Seq[(String, String)], nb: Int = 10): String = {
+    val statCols = num.map(a => s"MIN($a) AS lo_$a, MAX($a) AS hi_$a").mkString(", ")
+    def branch(side: String, where: String): Seq[String] = {
+      val nbx = num.map(a =>
+        s"SELECT '$a' AS attribute, CAST(${binSql(a, s"lo_$a", s"hi_$a", nb)} AS VARCHAR) AS bin, '$side' AS side FROM $table, st WHERE ($where) AND $a IS NOT NULL")
+      val cbx = catExpr.map { case (alias, e) =>
+        s"SELECT '$alias' AS attribute, CAST($e AS VARCHAR) AS bin, '$side' AS side FROM $table WHERE ($where) AND ($e) IS NOT NULL" }
+      nbx ++ cbx
+    }
+    val st = if (num.nonEmpty) s"st AS (SELECT $statCols FROM $table WHERE ($srcWhere)),\n" else ""
+    s"""WITH $st
+       |u AS (${(branch("src", srcWhere) ++ branch("res", resWhere)).mkString("\nUNION ALL\n")}),
+       |cnt AS (SELECT attribute, bin,
+       |  COUNT(*) FILTER (WHERE side = 'src') AS ns,
+       |  COUNT(*) FILTER (WHERE side = 'res') AS nr
+       |  FROM u GROUP BY attribute, bin),
+       |en AS (SELECT attribute, bin, ns, nr,
+       |  SUM(ns) OVER (PARTITION BY attribute) AS n_src,
+       |  SUM(nr) OVER (PARTITION BY attribute) AS n_res,
+       |  COUNT(*) OVER (PARTITION BY attribute) AS k
+       |  FROM cnt WHERE ns > 0)""".stripMargin
+  }
+
   /** DuckDB CTE prefix producing the same `en` table as [[enriched]]. */
   def countsSql(table: String, srcWhere: String, resWhere: String,
                 num: Seq[String], cat: Seq[String], nb: Int = 10): String = {
@@ -127,7 +155,7 @@ object Fedex {
       val nbx = num.map(a =>
         s"SELECT '$a' AS attribute, CAST(${binSql(a, s"lo_$a", s"hi_$a", nb)} AS VARCHAR) AS bin, '$side' AS side FROM $table, st WHERE ($where) AND $a IS NOT NULL")
       val cbx = cat.map(a =>
-        s"SELECT '$a', CAST($a AS VARCHAR), '$side' FROM $table WHERE ($where) AND $a IS NOT NULL")
+        s"SELECT '$a' AS attribute, CAST($a AS VARCHAR) AS bin, '$side' AS side FROM $table WHERE ($where) AND $a IS NOT NULL")
       nbx ++ cbx
     }
     val st = if (num.nonEmpty) s"st AS (SELECT $statCols FROM $table WHERE ($srcWhere)),\n" else ""

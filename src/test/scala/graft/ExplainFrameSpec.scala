@@ -54,6 +54,17 @@ class ExplainFrameSpec extends AnyFunSuite {
     assert(ex.length === 2)
   }
 
+  test("correlation pruning removes correlated attributes") {
+    val f = li.filter(col("l_quantity") >= 30)
+    val corr = f.correlatedAttributes("l_quantity", corrTH = 0.7).collect()
+    assert(corr.nonEmpty && corr.forall(_.getDouble(1) <= 1.0))
+    // corrTH = -1 drops every numeric attribute: explanations must then
+    // come only from categorical attrs
+    val ex = f.explainFedex(topK = 3, pruneCorrelatedTo = Some("l_quantity"), corrTH = -1.0)
+      .select("attribute").distinct().collect().map(_.getString(0))
+    assert(ex.forall(a => Set("l_returnflag", "l_linestatus").contains(a)), ex.mkString(","))
+  }
+
   test("relational helpers") {
     val vc = li.valueCounts("l_returnflag").collect()
     assert(vc.length === 3 && math.abs(vc.map(_.getDouble(2)).sum - 1.0) < 0.01)
