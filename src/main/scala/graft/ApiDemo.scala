@@ -19,6 +19,12 @@ object ApiDemo {
     g.explainFedex(topK = 4).show(false)
     println("== correlation-pruned attributes (corr_TH=0.7) ==")
     filtered.correlatedAttributes("l_quantity").show(false)
+    println("== automated exploration (2 iterations) ==")
+    graft.core.AutoExplore.explore(
+      ExplainFrame(util.D.t(spark, "/root/testdata/sf0.001", "lineitem")
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_returnflag"), "lineitem"),
+      iterations = 2)
+      .foreach(s => println(s"[${s.iteration}] ${s.query} score=${s.score}"))
     spark.stop()
   }
 }

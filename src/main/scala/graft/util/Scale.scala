@@ -1,0 +1,27 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cluster-scale building blocks (SURVEY.md §5): bucketed co-located
+  * joins and salted aggregation for skewed keys. Exercised by ScaleSpec,
+  * which asserts the resulting plan shapes. */
+object Scale {
+
+  /** Write a bucketed + sorted copy of `df` — repeated joins/aggs on
+    * `key` then run shuffle-free (the 100 TB answer to "this join
+    * shuffles every time"). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** Salted two-phase sum for skewed group keys: partial aggregate on
+    * (key, salt) spreads a hot key over `salt` reducers; the exact
+    * decimal sums re-combine associatively in the final phase. */
+  def saltedSum(df: DataFrame, keyCol: String, valueCol: String, salt: Int): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(sum(col(valueCol).cast(D.dec25)).as("_partial"), count(lit(1)).as("_n"))
+      .groupBy(col(keyCol))
+      .agg(D.emit6(sum(col("_partial"))).as("total"), sum(col("_n")).as("n"))
+}
