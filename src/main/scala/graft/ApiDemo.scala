@@ -19,6 +19,8 @@ object ApiDemo {
     g.explainFedex(topK = 4).show(false)
     println("== correlation-pruned attributes (corr_TH=0.7) ==")
     filtered.correlatedAttributes("l_quantity").show(false)
+    println("== unified explain dispatch: shapley ==")
+    filtered.explain("shapley").show(5, false)
     println("== automated exploration (2 iterations) ==")
     graft.core.AutoExplore.explore(
       ExplainFrame(util.D.t(spark, "/root/testdata/sf0.001", "lineitem")

@@ -98,6 +98,62 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
       }
       .take(maxAttrs).toSeq
 
+  /** Unified explainer dispatch, mirroring the reference's
+    * `df.explain(explainer=...)` entry point and its argument validation
+    * (reference tests: tests/test_explainers.py — unknown explainer,
+    * outlier without target/dir or on non-groupby, invalid thresholds all
+    * raise). */
+  def explain(explainer: String = "fedex",
+              target: String = null, dir: String = null,
+              labelCol: String = null,
+              attributes: Seq[String] = Nil, topK: Int = 3,
+              coverageThreshold: Double = 0.3, separationThreshold: Double = 0.7,
+              catAttrs: Seq[String] = Nil, numAttrs: Seq[String] = Nil,
+              filterDim: String = null, breakdown: String = null,
+              aggCol: String = null): DataFrame = explainer match {
+    case "fedex" => explainFedex(attributes, topK)
+    case "shapley" => op match {
+      case Some(FilterOp(src, res, _)) =>
+        val attrs =
+          if (attributes.nonEmpty) {
+            val byName = src.schema.fields.map(f => f.name -> f).toMap
+            attributes.map(a => Fedex.Attr(a, byName(a).dataType.isInstanceOf[NumericType]))
+          } else defaultAttrs(src, Set.empty)
+        Fedex.binShapley(Fedex.binCounts(src, res, attrs)).orderBy("attribute", "bin")
+      case _ => throw new IllegalArgumentException(
+        "shapley explainer requires a filter operation")
+    }
+    case "outlier" =>
+      if (target == null) throw new IllegalArgumentException("target must be specified")
+      if (dir != "high" && dir != "low")
+        throw new IllegalArgumentException("dir must be either 'low' or 'high'")
+      if (!op.exists(_.isInstanceOf[GroupByOp]))
+        throw new IllegalArgumentException(
+          "Outlier explainer only works on the results of a groupby operation")
+      explainOutlier(target, dir, attributes)
+    case "many_to_one" =>
+      if (coverageThreshold < 0 || coverageThreshold > 1)
+        throw new IllegalArgumentException("The coverage threshold must be between 0 and 1.")
+      if (separationThreshold < 0 || separationThreshold > 1)
+        throw new IllegalArgumentException("The separation threshold must be between 0 and 1.")
+      val label = Option(labelCol).orElse(op.collect { case g: GroupByOp => g.groupCols.head })
+        .getOrElse(throw new IllegalArgumentException(
+          "If this dataframe is not the result of a groupby operation, you must provide the labels."))
+      val base = op.collect { case g: GroupByOp => g.source }.getOrElse(df)
+      ManyToOne.explain(base, label,
+        if (catAttrs.nonEmpty) catAttrs else Nil,
+        if (numAttrs.nonEmpty) numAttrs
+        else defaultAttrs(base, Set(label)).filter(_.numeric).map(_.name),
+        coverageThreshold, separationThreshold)
+    case "metainsight" =>
+      if (filterDim == null || breakdown == null || aggCol == null)
+        throw new IllegalArgumentException(
+          "metainsight requires filterDim, breakdown, and aggCol")
+      explainMetaInsight(filterDim, breakdown, aggCol)
+    case other =>
+      throw new IllegalArgumentException(s"Unknown explainer: $other")
+  }
+
   /** Pearson |r| of every other numeric column vs `to` on the source
     * (one aggregation pass), with a `dropped` flag at `corrTH` — the
     * reference's correlation pruning + `present_deleted_correlated`

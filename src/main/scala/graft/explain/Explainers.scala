@@ -62,6 +62,10 @@ object Explainers extends QFamily {
       Some(s"$filterCountsSqlPrefix\n${Fedex.influenceSelectSql}"),
       (s, dir) => Fedex.binInfluence(filterCounts(s, dir)).orderBy("attribute", "bin")),
 
+    QDef("q_fedex_shapley",
+      Some(s"$filterCountsSqlPrefix\n${Fedex.shapleySelectSql}"),
+      (s, dir) => Fedex.binShapley(filterCounts(s, dir)).orderBy("attribute", "bin")),
+
     QDef("q_fedex_groupby",
       Some(s"""${GroupByExplain.zdevSql(gbMeltSql)}
               |SELECT measure, MAX(n_groups) AS n_groups, MAX(zdev) AS exceptionality

@@ -97,6 +97,20 @@ object Fedex {
       .groupBy("attribute")
       .agg(max(col("k")).as("n_bins"), sum(col("term")).cast(DoubleType).as("kl_score"))
 
+  /** Shapley attribution per bin: the deviation measure is additive over
+    * bins (score = Σ_b term_b), so the exact Shapley value of bin b IS its
+    * own term — no sampling needed (reference explainer='shapley'). */
+  def binShapley(counts: DataFrame): DataFrame =
+    enriched(counts)
+      .select(col("attribute"), col("bin"), col("ns"), col("nr"),
+        klTerm(col("nr"), col("ns"), col("n_res"), col("n_src"), col("k"))
+          .cast(DoubleType).as("shapley"))
+
+  def shapleySelectSql: String =
+    s"""SELECT attribute, bin, ns, nr,
+       |  CAST(${klTermSql("nr", "ns", "n_res", "n_src", "k")} AS DOUBLE) AS shapley
+       |FROM en ORDER BY attribute, bin""".stripMargin
+
   /** Leave-one-bin-out influence: (attribute, bin, ns, nr, influence). */
   def binInfluence(counts: DataFrame): DataFrame = {
     val en = enriched(counts)

@@ -11,9 +11,22 @@ object Scale {
   /** Write a bucketed + sorted copy of `df` — repeated joins/aggs on
     * `key` then run shuffle-free (the 100 TB answer to "this join
     * shuffles every time"). */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
-      .format("parquet").saveAsTable(table)
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a fresh in-memory catalog doesn't know about a previous JVM's
+    // managed location — clear it so saveAsTable can recreate
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(warehouse, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+    df.write.bucketBy(buckets, key).sortBy(key).format("parquet").saveAsTable(table)
+  }
 
   /** Salted two-phase sum for skewed group keys: partial aggregate on
     * (key, salt) spreads a hot key over `salt` reducers; the exact

@@ -65,6 +65,24 @@ class ExplainFrameSpec extends AnyFunSuite {
     assert(ex.forall(a => Set("l_returnflag", "l_linestatus").contains(a)), ex.mkString(","))
   }
 
+  test("unified explain dispatch + validation errors (reference semantics)") {
+    val f = li.filter(col("l_quantity") >= 30)
+    assert(f.explain("fedex", topK = 2).count() === 2)
+    assert(f.explain("shapley").columns.contains("shapley"))
+    val g = li.groupBy("l_returnflag").mean("l_extendedprice")
+    assert(g.explain("outlier", target = "R", dir = "high",
+      attributes = Seq("l_quantity")).count() > 0)
+    // labels derived from the last groupby (reference:
+    // test_many_to_one_explainer_with_labels_from_groupby_should_work)
+    assert(g.explain("many_to_one").count() > 0)
+    intercept[IllegalArgumentException](f.explain("nope"))
+    intercept[IllegalArgumentException](g.explain("outlier", dir = "high"))
+    intercept[IllegalArgumentException](g.explain("outlier", target = "R", dir = "x"))
+    intercept[IllegalArgumentException](f.explain("outlier", target = "R", dir = "high"))
+    intercept[IllegalArgumentException](g.explain("many_to_one", coverageThreshold = 1.5))
+    intercept[IllegalArgumentException](li.explain("many_to_one"))
+  }
+
   test("relational helpers") {
     val vc = li.valueCounts("l_returnflag").collect()
     assert(vc.length === 3 && math.abs(vc.map(_.getDouble(2)).sum - 1.0) < 0.01)

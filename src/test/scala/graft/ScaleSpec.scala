@@ -22,6 +22,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("partition pruning reaches the scan on a date-partitioned copy") {
+    val base = graft.util.D.t(spark, sf, "lineitem")
+      .withColumn("ship_year", org.apache.spark.sql.functions.year(col("l_shipdate")))
+    val path = "/tmp/graft_part_li"
+    base.write.mode("overwrite").partitionBy("ship_year").parquet(path)
+    val pruned = spark.read.parquet(path).filter(col("ship_year") === 1996)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("1996"),
+      s"partition filter not pushed:\n${plan.take(1200)}")
+    assert(pruned.count() > 0)
+  }
+
   test("salted sum equals direct sum") {
     val li = graft.util.D.t(spark, sf, "lineitem")
     val direct = li.groupBy("l_returnflag")

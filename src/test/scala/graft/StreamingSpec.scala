@@ -49,6 +49,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed streaming aggregation with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val agg = mem.toDS()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(org.apache.spark.sql.functions.count("*").as("n"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      val evs = sampleEvents.sortBy(_.ts.getTime)
+      val (a, b) = evs.splitAt(evs.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      assert(spark.table("win_out").count() > 0)
+    } finally q.stop()
+  }
+
   test("fold semantics: gap splits sessions") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
