@@ -112,6 +112,11 @@ object Explainers extends QFamily {
       (s, dir) => ManyToOne.explain(t(s, dir, "customer"), "c_mktsegment",
         Seq("c_nationkey"), Seq("c_acctbal"))),
 
+    QDef("q_many_to_one_conj",
+      Some(ManyToOne.conjSql("customer", "c_mktsegment", "c_nationkey", "c_acctbal")),
+      (s, dir) => ManyToOne.explainConj(t(s, dir, "customer"), "c_mktsegment",
+        "c_nationkey", "c_acctbal")),
+
     QDef("q_metainsight",
       Some(MetaInsight.sql("orders", "o_orderpriority", "o_orderstatus",
         "o_orderdate", "o_totalprice", "totalprice_mean")),
