@@ -85,6 +85,37 @@ object Events extends QFamily {
         .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"))
         .orderBy("k_bucket")),
 
+    // as-of join (pandas merge_asof): each purchase gets the latest
+    // signup at-or-before it, per user — see operators.AsOf
+    QDef("q_asof_join",
+      Some(s"""WITH $evSql,
+             |l AS (SELECT event_id, user_id, ts, value, 1 AS _side, NULL::TIMESTAMP AS rts
+             |  FROM ev WHERE event_type = 'purchase'),
+             |r AS (SELECT event_id, user_id, ts, NULL::DOUBLE AS value, 0 AS _side, ts AS rts
+             |  FROM ev WHERE event_type = 'signup'),
+             |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+             |f AS (SELECT *, last_value(rts IGNORE NULLS) OVER (
+             |    PARTITION BY user_id ORDER BY ts, _side, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+             |  FROM u)
+             |SELECT event_id, user_id, ts, last_signup_ts,
+             |  CASE WHEN last_signup_ts IS NOT NULL
+             |       THEN epoch_us(ts) - epoch_us(last_signup_ts) END AS us_since_signup
+             |FROM f WHERE _side = 1 ORDER BY user_id, ts, event_id""".stripMargin),
+      (s, dir) => {
+        val e = ev(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        val signups = e.filter(col("event_type") === "signup")
+          .select("event_id", "user_id", "ts")
+        AsOf.join(purchases, signups, "user_id", "ts", "event_id", Seq("ts"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("right_ts").as("last_signup_ts"),
+            when(col("right_ts").isNotNull,
+              unix_micros(col("ts")) - unix_micros(col("right_ts"))).as("us_since_signup"))
+          .orderBy("user_id", "ts", "event_id")
+      }),
+
     QDef("q_events_funnel",
       Some(s"""WITH $evSql,
              |su AS (SELECT user_id, MIN(ts) AS signup_ts FROM ev

@@ -1,0 +1,51 @@
+package graft
+
+import graft.sources.IO
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IoSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("csv and jsonl round-trips preserve data with explicit schemas") {
+    val base = graft.util.D.t(spark, sf, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    IO.writeCsv(base, "/tmp/graft_io_csv")
+    val csv = IO.readCsv(spark, "/tmp/graft_io_csv", base)
+    assert(csv.count() === base.count())
+    assert(csv.exceptAll(base).count() === 0)
+
+    IO.writeJsonl(base, "/tmp/graft_io_jsonl")
+    val jl = IO.readJsonl(spark, "/tmp/graft_io_jsonl", base)
+    assert(jl.exceptAll(base).count() === 0)
+
+    IO.writeParquet(base, "/tmp/graft_io_parq", partitionBy = Seq("c_mktsegment"))
+    val pq = IO.readParquet(spark, "/tmp/graft_io_parq")
+    assert(pq.count() === base.count())
+  }
+
+  test("native functions usable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    graft.util.D.t(spark, sf, "embeddings").createOrReplaceTempView("emb")
+    val r = spark.sql(
+      """SELECT cosine_similarity(embedding, embedding) AS c,
+        |       fixed_dot(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 100000000) AS BIGINT)),
+        |                 transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 100000000) AS BIGINT))) AS d
+        |FROM emb LIMIT 5""".stripMargin).collect()
+    assert(r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-9 && row.getLong(1) > 0))
+  }
+
+  test("as-of join semantics on a constructed case") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("user_id", "t", "event_id")
+    val r = Seq((1L, 10L, 900L), (1L, 15L, 901L), (2L, 9L, 902L))
+      .toDF("user_id", "t", "event_id")
+    val j = graft.operators.AsOf.join(l, r, "user_id", "t", "event_id", Seq("t"))
+      .select("user_id", "t", "right_t").collect()
+      .map(x => (x.getLong(0), x.getLong(1), if (x.isNullAt(2)) -1L else x.getLong(2))).toSet
+    // exact match at t=10 joins; t=20 takes the later signup 15; user 2
+    // at t=5 has no prior right row
+    assert(j === Set((1L, 10L, 10L), (1L, 20L, 15L), (2L, 5L, -1L)))
+  }
+}
