@@ -339,6 +339,16 @@ object Relational extends QFamily {
         .orderBy("priority", "status")
     },
 
+    // ---- sketch-based scale path (rows-only: approx results are not
+    // cross-engine reproducible, which is exactly their trade-off) -------
+    QDef("q_approx_stats", None, (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // ---- deterministic sampling ----------------------------------------
     q("q_sample_det",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag

@@ -20,7 +20,7 @@ class QuerySpec extends AnyFunSuite {
 
   test("oracleSql covers every query except rows-only ones") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing === Set("q_ann_fast"), s"unexpected oracle-less queries: $missing")
+    assert(missing === Set("q_ann_fast", "q_approx_stats"), s"unexpected oracle-less queries: $missing")
   }
 
   test("q_groupby_agg counts sum to lineitem size") {
