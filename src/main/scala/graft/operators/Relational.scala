@@ -339,6 +339,74 @@ object Relational extends QFamily {
         .orderBy("priority", "status")
     },
 
+    // ---- cube (all grouping-set combinations) --------------------------
+    q("q_cube",
+      s"""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COUNT(*) AS n, ${Sq.dsum("o_totalprice")} AS total
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsumd(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("total"))
+        .orderBy("priority", "status")
+    },
+
+    // ---- string function family (pandas .str accessor surface) ---------
+    q("q_string_ops",
+      """SELECT p_partkey,
+        |  upper(substr(p_name, 1, 8)) AS name_prefix,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  replace(p_brand, 'Brand', 'B') AS brand_short,
+        |  lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
+        |  regexp_extract(p_type, '([A-Z]+)', 1) AS type_word,
+        |  CAST(contains(p_name, 'a') AS INT) AS has_a,
+        |  split_part(p_type, ' ', 1) AS type_first
+        |FROM part WHERE p_partkey % 4 = 1 ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_partkey") % 4 === 1)
+        .select(col("p_partkey"),
+          upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+          length(col("p_name")).cast("long").as("name_len"),
+          regexp_replace(col("p_brand"), "Brand", "B").as("brand_short"),
+          lpad(col("p_size").cast("string"), 3, "0").as("size_padded"),
+          regexp_extract(col("p_type"), "([A-Z]+)", 1).as("type_word"),
+          col("p_name").contains("a").cast("int").as("has_a"),
+          split(col("p_type"), " ").getItem(0).as("type_first"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- date/time function family -------------------------------------
+    // dayofweek: Spark is 1=Sunday..7=Saturday; DuckDB dayofweek is
+    // 0=Sunday..6 → +1 in the oracle.
+    q("q_date_ops",
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+        |FROM orders WHERE o_orderkey % 25 = 3 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 25 === 3)
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          last_day(col("o_orderdate")).as("month_end"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2002"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- sketch-based scale path (rows-only: approx results are not
     // cross-engine reproducible, which is exactly their trade-off) -------
     QDef("q_approx_stats", None, (s, dir) =>
