@@ -31,6 +31,10 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** Total registered QDefs (duplicate names would silently collapse in
+    * the `queries` map — guarded by QuerySpec). */
+  def registeredCount: Int = all.size
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(d => d.name -> d.fn).toMap

@@ -18,6 +18,10 @@ class QuerySpec extends AnyFunSuite {
     }
   }
 
+  test("no duplicate query names collapse in the registry") {
+    assert(SparkEntry.queries.size === SparkEntry.registeredCount)
+  }
+
   test("oracleSql covers every query except rows-only ones") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing === Set("q_ann_fast", "q_approx_stats"), s"unexpected oracle-less queries: $missing")
