@@ -19,19 +19,21 @@ object AutoExplore {
     var i = 1
     var continue = true
     while (i <= iterations && continue) {
-      val recs = QueryRecommender.recommend(cur, topK = 8)
-        .filterNot { case (q, _) => used.contains(q.takeWhile(_ != ' ')) }
+      // structured candidates: the predicate is rebuilt from typed
+      // (attr, op, threshold) fields, never parsed back out of a string
+      val recs = QueryRecommender.recommendCandidates(cur, topK = 8)
+        .filterNot { case (c, _) => used.contains(c.attr) }
       recs.headOption match {
         case None => continue = false
-        case Some((q, score)) =>
-          val attr = q.takeWhile(_ != ' ')
-          used += attr
-          val next =
-            if (q.contains(">=")) cur.filter(col(attr) >= q.substring(q.indexOf(">=") + 3).toDouble)
-            else cur.filter(col(attr) < q.substring(q.indexOf("<") + 2).toDouble)
+        case Some((c, score)) =>
+          used += c.attr
+          val next = c.op match {
+            case ">=" => cur.filter(col(c.attr) >= c.threshold)
+            case _    => cur.filter(col(c.attr) < c.threshold)
+          }
           val expl = next.explainFedex(topK = 1).collect()
           val text = if (expl.isEmpty) "(no explanation)" else next.explanationText(expl.head)
-          steps += Step(i, q, score, text)
+          steps += Step(i, c.display, score, text)
           cur = next
           i += 1
       }

@@ -14,9 +14,17 @@ import org.apache.spark.sql.types.NumericType
   */
 object QueryRecommender {
 
+  /** A structured candidate query: consumers apply `frame` or rebuild the
+    * predicate from (attr, op, threshold) — never by parsing `display`
+    * (attribute names with spaces / format drift would break a string
+    * round-trip). */
+  final case class Candidate(attr: String, op: String, threshold: Double, frame: ExplainFrame) {
+    def display: String = s"$attr $op $threshold"
+  }
+
   /** Candidate filters: for each numeric attribute, `attr >= median` and
     * `attr < median` (the classic EDA drill-down candidates). */
-  def candidates(ef: ExplainFrame, maxAttrs: Int = 4): Seq[(String, ExplainFrame)] = {
+  def structuredCandidates(ef: ExplainFrame, maxAttrs: Int = 4): Seq[Candidate] = {
     val nums = ef.df.schema.fields
       .filter(_.dataType.isInstanceOf[NumericType])
       .filterNot(f => f.name.endsWith("key") || f.name.endsWith("_id"))
@@ -27,10 +35,13 @@ object QueryRecommender {
     nums.zipWithIndex.flatMap { case (f, i) =>
       val m = medRow.getDouble(i)
       Seq(
-        s"${f.name} >= $m" -> ef.filter(col(f.name) >= m),
-        s"${f.name} < $m" -> ef.filter(col(f.name) < m))
+        Candidate(f.name, ">=", m, ef.filter(col(f.name) >= m)),
+        Candidate(f.name, "<", m, ef.filter(col(f.name) < m)))
     }.toSeq
   }
+
+  def candidates(ef: ExplainFrame, maxAttrs: Int = 4): Seq[(String, ExplainFrame)] =
+    structuredCandidates(ef, maxAttrs).map(c => c.display -> c.frame)
 
   /** Score one executed candidate: max per-attribute KL deviation of its
     * result vs source (the reference scores logged queries from the
@@ -40,12 +51,16 @@ object QueryRecommender {
     if (scores.isEmpty) 0.0 else scores.head.getDouble(0)
   }
 
+  /** Rank candidate follow-up queries by interestingness (structured). */
+  def recommendCandidates(ef: ExplainFrame, topK: Int = 3): Seq[(Candidate, Double)] =
+    structuredCandidates(ef)
+      .map(c => c -> score(c.frame))
+      .sortBy { case (c, s) => (-s, c.display) }
+      .take(topK)
+
   /** Rank candidate follow-up queries by interestingness. */
   def recommend(ef: ExplainFrame, topK: Int = 3): Seq[(String, Double)] =
-    candidates(ef)
-      .map { case (q, cand) => q -> score(cand) }
-      .sortBy { case (q, s) => (-s, q) }
-      .take(topK)
+    recommendCandidates(ef, topK).map { case (c, s) => c.display -> s }
 }
 
 /** Session-local query log (reference: query_logger.py — stores executed

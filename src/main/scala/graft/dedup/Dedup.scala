@@ -32,9 +32,18 @@ object Dedup {
   def normTextSql(c: String): String =
     s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
-  /** Distinct (doc_id, shingle) pairs — the MinHash input set. */
-  def shingleSet(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("sh")).distinct()
+  /** Raw exploded (doc_id, shingle) pairs, duplicates retained. MIN
+    * aggregation is insensitive to duplicate shingles, so the MinHash
+    * signature path consumes these directly — distinct() here would be a
+    * full shuffle of the largest intermediate in the corpus for zero
+    * semantic effect. Set-semantics consumers (Jaccard) apply their own
+    * distinct. */
+  def shinglePairs(docs: DataFrame): DataFrame =
+    docs.withColumn("w", TextOps.tokens(col("text")))
+      .select(col("doc_id"), explode(TextOps.shinglesOf(col("w"))).as("sh"))
+
+  /** Distinct (doc_id, shingle) pairs — the set-semantics form. */
+  def shingleSet(docs: DataFrame): DataFrame = shinglePairs(docs).distinct()
 
   /** XOR seeds deriving the 16 hash functions from ONE md5 per shingle:
     * h_i(s) = base(s) XOR seed_i where base = first 15 hex digits of
@@ -47,10 +56,12 @@ object Dedup {
     0x83e002c87fd56b0L, 0x23d61d514bb7aa7L, 0x213d2e47e2bceccL, 0x52f8b05f00409f3L)
 
   /** MinHash signatures: h_i = min over shingles of base(s) XOR seed_i.
-    * One scan, one map-side-combined aggregation. */
+    * One scan, one map-side-combined aggregation straight off the raw
+    * exploded pairs (MIN ignores duplicates — no distinct, no extra
+    * shuffle). */
   def minhashSig(docs: DataFrame): DataFrame = {
     val base = conv(substring(md5(col("sh").cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
-    val withBase = shingleSet(docs).withColumn("hb", base)
+    val withBase = shinglePairs(docs).withColumn("hb", base)
     val aggs = Seeds.zipWithIndex.map { case (seed, i) =>
       min(col("hb").bitwiseXOR(lit(seed))).as(s"h$i") }
     withBase.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -61,7 +72,7 @@ object Dedup {
       s"MIN(xor(hb, CAST($seed AS BIGINT))) AS h$i" }.mkString(",\n    ")
     s"""sig AS (SELECT doc_id, $mins
        |  FROM (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS hb
-       |        FROM (SELECT DISTINCT doc_id, unnest(${TextOps.shinglesSql("text")}) AS sh FROM $table))
+       |        FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("text")}) AS sh FROM $table))
        |  GROUP BY doc_id)""".stripMargin
   }
 
@@ -141,27 +152,34 @@ object Dedup {
 
   /** 32-bit SimHash over word occurrences: bit j of word-hash taken from
     * md5 hex nibbles; simhash bit j = sign of Σ cnt_w · (2·bit_j(w) − 1).
-    * Returns (doc_id, simhash BIGINT). */
+    * Returns (doc_id, simhash BIGINT).
+    *
+    * The first 8 md5 hex digits form a 32-bit word hash wh with
+    * bit j = (wh >> (31−j)) & 1 — identical to the oracle's nibble form,
+    * since hex digit j/4 occupies bits [31−4·(j/4)−3, 31−4·(j/4)].
+    * ONE token explode feeds ONE map-side-combined groupBy carrying 32
+    * codegen'd ±1 SUM aggregates (Σ over occurrences ≡ Σ cnt_w·±1) —
+    * no 32× row blowup (the old explode(sequence(0,31)) shuffled 32× the
+    * word-count table), and no interpreted higher-order functions in the
+    * hot path. */
   def simhashDf(docs: DataFrame): DataFrame = {
-    val wc = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-    val bits = wc
-      .select(col("doc_id"), col("cnt"), md5(col("w").cast(BinaryType)).as("hx"),
-        explode(sequence(lit(0), lit(SimBits - 1))).as("j"))
-      .withColumn("nibble",
-        conv(expr(s"substr(hx, 1 + CAST(j / 4 AS INT), 1)"), 16, 10).cast(IntegerType))
-      .withColumn("bit", expr("shiftright(nibble, 3 - (j % 4)) & 1"))
-      .withColumn("contrib", col("cnt") * (col("bit") * 2 - 1))
-    bits.groupBy("doc_id", "j").agg(sum(col("contrib")).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0,
-        pow(lit(2.0), lit(SimBits - 1) - col("j")).cast(LongType)).otherwise(0L))
-        .cast(LongType).as("simhash"))
+    val occ = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w").cast(BinaryType)), 1, 8), 16, 10).cast(LongType).as("wh"))
+    val sums = (0 until SimBits).map { j =>
+      sum(shiftright(col("wh"), SimBits - 1 - j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j") }
+    val agg = occ.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val sim = (0 until SimBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << (SimBits - 1 - j))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), sim.cast(LongType).as("simhash"))
   }
 
   /** SimHash near-dup pairs: 4 byte-bands, keep hamming ≤ 6. */
   def simhashPairs(docs: DataFrame): DataFrame = {
-    val sh = simhashDf(docs)
+    // the signature table feeds both sides of the band self-join —
+    // persist so the corpus scan + hashing runs once
+    val sh = simhashDf(docs).persist()
     val bandStructs = (0 until 4).map(k =>
       struct(lit(k).as("k"), shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L)).as("band")))
     val bs = sh.select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("b"))
@@ -193,39 +211,85 @@ object Dedup {
 
   // ------------------------------------------------- n-gram Jaccard -----
 
+  /** Max within-block document frequency for a shingle to generate
+    * candidate pairs (rare-shingle blocking). */
+  val NgramDfCap = 100
+
   /** Blocked pairwise word-3-gram Jaccard (block = `blockCol`), keep ≥ th.
     * Shingles are joined via their 60-bit md5-prefix hash — a long
     * shuffle key instead of a string (cheaper network + compare; hash
-    * collisions are deterministic and mirrored by the oracle). */
-  def ngramJaccard(docs: DataFrame, blockCol: String, th: Double): DataFrame = {
-    val sh = docs.select(col("doc_id"), col(blockCol).as("blk"),
-        explode(TextOps.shingles(col("text"))).as("sh0"))
-      .select(col("doc_id"), col("blk"),
-        conv(substring(md5(col("sh0").cast(BinaryType)), 1, 15), 16, 10).cast(LongType).as("sh"))
-      .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.alias("a").join(sh.alias("b"),
+    * collisions are deterministic and mirrored by the oracle).
+    *
+    * Candidate generation is bounded by rare-shingle blocking: only
+    * shingles whose within-block document frequency df satisfies
+    * 2 ≤ df ≤ dfCap emit pairs. A raw (blk, sh) self-join emits
+    * Σ_sh df²/2 pairs — quadratic in the hottest shingle, so a single
+    * common trigram ("of the and") in an unbounded block explodes one
+    * reducer at corpus scale. With the cap, pairs per shingle ≤ dfCap²/2
+    * and in total ≤ (dfCap/2)·Σ_sh df = (dfCap/2)·|shingle rows| —
+    * LINEAR in corpus size. Exact Jaccard is then computed over the FULL
+    * shingle sets of each surviving candidate pair (near-dup pairs share
+    * rare shingles essentially by definition — a pair sharing only
+    * ubiquitous shingles has near-zero Jaccard anyway). The oracle
+    * mirrors the same candidate rule. */
+  def ngramJaccard(docs: DataFrame, blockCol: String, th: Double,
+                   dfCap: Int = NgramDfCap): DataFrame = {
+    // Per-doc DISTINCT hashed shingle ARRAY, built entirely per-row (one
+    // scan, zero shuffle) and reused by every stage — candidate docs are
+    // few, so intersections run as size(array_intersect(...)) on the
+    // candidate pair rows instead of re-exploding the corpus into
+    // (pair, shingle) rows and shuffling them.
+    val arr = docs.withColumn("w", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col(blockCol).as("blk"),
+        array_sort(array_distinct(transform(TextOps.shinglesOf(col("w")),
+          s => conv(substring(md5(s.cast(BinaryType)), 1, 15), 16, 10).cast(LongType))))
+          .as("shs"))
+      .withColumn("sz", size(col("shs")).cast(LongType))
+      .persist()
+    // document frequency per (block, shingle): the ONE corpus-sized
+    // shuffle in the plan (map-side combined)
+    val sh = arr.select(col("doc_id"), col("blk"), explode(col("shs")).as("sh"))
+    val dfs = sh.groupBy("blk", "sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .select("blk", "sh")
+    // rare-shingle rows are a small fraction of the corpus → broadcast
+    // the qualifying keys; the self-join then shuffles only rare rows
+    val rare = sh.join(broadcast(dfs), Seq("blk", "sh"))
+    val cand = rare.alias("a").join(rare.alias("b"),
         col("a.blk") === col("b.blk") && col("a.sh") === col("b.sh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact Jaccard per candidate pair from the array table. broadcast is
+    // right at bench scale; at cluster scale this becomes two shuffle
+    // joins on doc id — cand is linear in corpus size (see bound above),
+    // so both joins stay linear too.
+    val aTab = arr.select(col("doc_id").as("doc_a"), col("shs").as("sa"), col("sz").as("sza"))
+    val bTab = arr.select(col("doc_id").as("doc_b"), col("shs").as("sb"), col("sz").as("szb"))
+    cand.join(broadcast(aTab), "doc_a").join(broadcast(bTab), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast(LongType))
       .withColumn("jaccard",
-        graft.util.D.r(col("inter").cast(DoubleType) / (col("sa") + col("sb") - col("inter")), 6))
+        graft.util.D.r(col("inter").cast(DoubleType) / (col("sza") + col("szb") - col("inter")), 6))
       .filter(col("jaccard") >= th)
       .select("doc_a", "doc_b", "inter", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 
-  def ngramJaccardSql(table: String, blockCol: String, th: Double): String =
+  def ngramJaccardSql(table: String, blockCol: String, th: Double,
+                      dfCap: Int = NgramDfCap): String =
     s"""WITH sh AS (SELECT DISTINCT doc_id, blk, ('0x' || substr(md5(sh0), 1, 15))::BIGINT AS sh
        |  FROM (SELECT doc_id, $blockCol AS blk,
        |    unnest(${TextOps.shinglesSql("text")}) AS sh0 FROM $table)),
+       |rare AS (SELECT s.doc_id, s.blk, s.sh FROM sh s JOIN (
+       |    SELECT blk, sh FROM sh GROUP BY 1, 2
+       |    HAVING COUNT(*) >= 2 AND COUNT(*) <= $dfCap) d
+       |  ON s.blk = d.blk AND s.sh = d.sh),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b ON a.blk = b.blk AND a.sh = b.sh AND a.doc_id < b.doc_id),
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-       |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.sh = b.sh AND a.doc_id < b.doc_id
+       |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, inter, jaccard FROM (
        |  SELECT doc_a, doc_b, inter,

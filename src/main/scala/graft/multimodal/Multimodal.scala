@@ -50,18 +50,28 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Oracle mirror. head_byte is the first UTF-8 BYTE (hex of the blob),
+    * matching `payload(0) & 0xff` on the Spark side even for non-ASCII
+    * text — ascii(substr(text,1,1)) would be the first CODEPOINT and
+    * diverge on any multi-byte leading character. */
   def decodeMetaSql(table: String): String =
     s"""SELECT doc_id,
        |  CAST(strlen(text) AS BIGINT) AS byte_len,
-       |  CAST(ascii(substr(text, 1, 1)) AS INT) AS head_byte,
+       |  CAST(hb AS INT) AS head_byte,
        |  CAST(16 + (strlen(text) % 64) * 4 AS BIGINT) AS width,
-       |  CAST(16 + ((strlen(text) + ascii(substr(text, 1, 1))) % 48) * 4 AS BIGINT) AS height,
-       |  CASE ascii(substr(text, 1, 1)) % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
-       |FROM $table ORDER BY doc_id""".stripMargin
+       |  CAST(16 + ((strlen(text) + hb) % 48) * 4 AS BIGINT) AS height,
+       |  CASE hb % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+       |FROM (SELECT doc_id, text,
+       |    CASE WHEN strlen(text) = 0 THEN 0
+       |         ELSE ('0x' || substr(hex(CAST(text AS BLOB)), 1, 2))::INT END AS hb
+       |  FROM $table)
+       |ORDER BY doc_id""".stripMargin
 
-  /** Frame sampling plan: 4 stride offsets per payload, exploded. */
+  /** Frame sampling plan: 4 stride offsets per payload, exploded.
+    * Offsets are BYTE offsets into the payload (octet_length, matching
+    * the oracle's strlen byte semantics), not character counts. */
   def frameSample(docs: DataFrame): DataFrame = {
-    val len = length(col("text")).cast(LongType)
+    val len = octet_length(col("text")).cast(LongType)
     val stride = greatest(floor(len / 4).cast(LongType), lit(1L))
     docs.select(col("doc_id"), len.as("byte_len"), stride.as("stride"),
         posexplode(sequence(lit(0L), stride * 3, stride)))

@@ -105,13 +105,16 @@ object Pipeline extends QFamily {
 
     QDef("q_text_quality", {
       val toks = TextOps.tokensSql("text")
+      // length() on both sides = CHARACTER counts (Spark length ==
+      // DuckDB length); strlen would be bytes and diverge on
+      // multi-byte text
       Some(s"""SELECT doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
               |  ROUND(0.3 * LEAST(n_tokens / 100.0, 1.0) + 0.4 * (1.0 - punct_ratio)
               |        + 0.3 * LEAST(stopword_ratio * 5.0, 1.0), 6) AS quality
               |FROM (
               |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
-              |    ROUND((strlen(text) - len($toks) + 1.0) / len($toks), 6) AS avg_token_len,
-              |    ROUND(CAST(strlen(text) - strlen(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / strlen(text), 6) AS punct_ratio,
+              |    ROUND((length(text) - len($toks) + 1.0) / len($toks), 6) AS avg_token_len,
+              |    ROUND(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
               |    ROUND(CAST(${TextOps.langHitsSql(toks, "en")} AS DOUBLE) / len($toks), 6) AS stopword_ratio
               |  FROM documents)
               |ORDER BY doc_id""".stripMargin)

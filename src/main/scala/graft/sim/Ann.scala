@@ -105,14 +105,18 @@ object Ann {
     val base = scaledBase(vecs)
     val cents = base.filter(col("vec_id") % centMod === centOff)
       .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
-    val scoredC = base.crossJoin(broadcast(cents))
+    def scoreCents(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
       .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
-    val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-    val assign = scoredC.withColumn("rn", row_number().over(wA))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid").as("list_id"))
+    // assignment via max_by over (ccos, -cid): map-side-combinable argmax
+    // (same tie-break as ORDER BY ccos DESC, cid ASC) — a row_number()
+    // window here would sort-shuffle the full N×K scored table
+    val assign = scoreCents(base).groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("list_id"))
     val members = base.join(assign, "vec_id")
-    val probes = scoredC.filter(col("vec_id") % queryMod === 0)
+    // probes: score only the query vectors (N/queryMod rows) before the
+    // tiny top-nprobe window
+    val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val probes = scoreCents(base.filter(col("vec_id") % queryMod === 0))
       .withColumn("rn", row_number().over(wA))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("fxe").as("qe"),

@@ -16,14 +16,21 @@ object TextOps {
 
   def tokensSql(c: String): String = s"string_split($c, ' ')"
 
-  /** Word 3-gram shingles (empty when fewer than 3 tokens). */
-  def shingles(c: Column): Column = {
-    val w = tokens(c)
+  /** Word 3-gram shingles from a PRE-TOKENIZED array column (empty when
+    * fewer than 3 tokens). `w` must be a bound attribute (materialize the
+    * token array once per row with `.withColumn("w", tokens(col))`):
+    * inside the `transform` lambda every subexpression is re-evaluated
+    * per element, so referencing `split(text)` there re-splits the whole
+    * text 3× per shingle — a ~10× slowdown measured on the corpus. */
+  def shinglesOf(w: Column): Column =
     when(size(w) >= 3,
       transform(sequence(lit(1), size(w) - 2),
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
       .otherwise(array().cast(ArrayType(StringType)))
-  }
+
+  /** Convenience form over raw text — ONLY for row-at-a-time/test use;
+    * hot paths must pre-tokenize and call [[shinglesOf]] (see above). */
+  def shingles(c: Column): Column = shinglesOf(tokens(c))
 
   def shinglesSql(c: String): String = {
     val w = s"string_split($c, ' ')"
