@@ -11,7 +11,8 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, StringType
   * ExpDataFrame (reference: /root/reference/src/pd_explain/core/
   * explainable_data_frame.py). Holds lazy plans, never materialized data. */
 sealed trait Operation { def describe: String }
-final case class FilterOp(source: DataFrame, result: DataFrame, cond: String) extends Operation {
+final case class FilterOp(source: DataFrame, result: DataFrame, cond: String,
+                          condCol: Option[Column] = None) extends Operation {
   def describe = s"filter[$cond]"
 }
 final case class GroupByOp(source: DataFrame, result: DataFrame,
@@ -37,7 +38,7 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
 
   // ------------------------------------------------------ operations ----
   def filter(cond: Column): ExplainFrame =
-    next(df.filter(cond), FilterOp(df, df.filter(cond), cond.toString))
+    next(df.filter(cond), FilterOp(df, df.filter(cond), cond.toString, Some(cond)))
 
   def where(cond: Column): ExplainFrame = filter(cond)
 
@@ -63,6 +64,22 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
   /** Deterministic sample: keeps rows where hash-mod of `keyCol` hits. */
   def sampleDeterministic(keyCol: String, mod: Int, rem: Int = 0): ExplainFrame =
     new ExplainFrame(df.filter(pmod(col(keyCol), lit(mod)) === rem), op, name)
+
+  // ------------------------------------------------- explainer sampling --
+
+  /** Keep-every-mod'th deterministic row sample keyed on the CONTENT hash
+    * of `cols` (generalizes [[sampleDeterministic]] to key-less tables).
+    * Content hashing makes sampling CONSISTENT across source and result:
+    * a result row that is also a source row (filter/join provenance)
+    * hashes identically, so sampled-source distributions and
+    * sampled-result distributions stay comparable. */
+  private def hashSample(d: DataFrame, cols: Seq[String], mod: Long): DataFrame =
+    if (mod <= 1L) d
+    else d.filter(pmod(xxhash64(cols.map(col): _*), lit(mod)) === 0)
+
+  /** mod for a ~`sampleSize`-row sample of an `n`-row table. */
+  private def sampleMod(n: Long, sampleSize: Int): Long =
+    math.max(1L, math.round(n.toDouble / sampleSize))
 
   def valueCounts(c: String): DataFrame = {
     val total = df.agg(count(lit(1)).as("total"))
@@ -107,19 +124,27 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
               target: String = null, dir: String = null,
               labelCol: String = null,
               attributes: Seq[String] = Nil, topK: Int = 3,
-              coverageThreshold: Double = 0.3, separationThreshold: Double = 0.7,
+              coverageThreshold: Double = 0.7, separationThreshold: Double = 0.3,
               catAttrs: Seq[String] = Nil, numAttrs: Seq[String] = Nil,
               filterDim: String = null, breakdown: String = null,
-              aggCol: String = null): DataFrame = explainer match {
-    case "fedex" => explainFedex(attributes, topK)
+              aggCol: String = null,
+              useSampling: Boolean = true, sampleSize: Int = 5000): DataFrame = explainer match {
+    case "fedex" => explainFedex(attributes, topK,
+      useSampling = useSampling, sampleSize = sampleSize)
     case "shapley" => op match {
-      case Some(FilterOp(src, res, _)) =>
+      case Some(FilterOp(src, res, _, condCol)) =>
         val attrs =
           if (attributes.nonEmpty) {
             val byName = src.schema.fields.map(f => f.name -> f).toMap
             attributes.map(a => Fedex.Attr(a, byName(a).dataType.isInstanceOf[NumericType]))
           } else defaultAttrs(src, Set.empty)
-        Fedex.binShapley(Fedex.binCounts(src, res, attrs)).orderBy("attribute", "bin")
+        val mod = if (useSampling) sampleMod(src.count(), sampleSize) else 1L
+        val s2 = hashSample(src, src.columns.toSeq, mod)
+        val counts = condCol match {
+          case Some(c) => Fedex.binCountsFiltered(s2, c, attrs)
+          case None => Fedex.binCounts(s2, hashSample(res, src.columns.toSeq, mod), attrs)
+        }
+        Fedex.binShapley(counts).orderBy("attribute", "bin")
       case _ => throw new IllegalArgumentException(
         "shapley explainer requires a filter operation")
     }
@@ -130,7 +155,7 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
       if (!op.exists(_.isInstanceOf[GroupByOp]))
         throw new IllegalArgumentException(
           "Outlier explainer only works on the results of a groupby operation")
-      explainOutlier(target, dir, attributes)
+      explainOutlier(target, dir, attributes, useSampling, sampleSize)
     case "many_to_one" =>
       if (coverageThreshold < 0 || coverageThreshold > 1)
         throw new IllegalArgumentException("The coverage threshold must be between 0 and 1.")
@@ -139,7 +164,10 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
       val label = Option(labelCol).orElse(op.collect { case g: GroupByOp => g.groupCols.head })
         .getOrElse(throw new IllegalArgumentException(
           "If this dataframe is not the result of a groupby operation, you must provide the labels."))
-      val base = op.collect { case g: GroupByOp => g.source }.getOrElse(df)
+      val base0 = op.collect { case g: GroupByOp => g.source }.getOrElse(df)
+      val base =
+        if (useSampling) hashSample(base0, base0.columns.toSeq, sampleMod(base0.count(), sampleSize))
+        else base0
       ManyToOne.explain(base, label,
         if (catAttrs.nonEmpty) catAttrs else Nil,
         if (numAttrs.nonEmpty) numAttrs
@@ -147,8 +175,7 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
         coverageThreshold, separationThreshold)
     case "metainsight" =>
       if (filterDim == null || breakdown == null || aggCol == null)
-        throw new IllegalArgumentException(
-          "metainsight requires filterDim, breakdown, and aggCol")
+        return explainMetaInsightAuto(topK)
       explainMetaInsight(filterDim, breakdown, aggCol)
     case other =>
       throw new IllegalArgumentException(s"Unknown explainer: $other")
@@ -160,7 +187,7 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
     * (explainable_data_frame.py:1082, fedex corr_TH=0.7). */
   def correlatedAttributes(to: String, corrTH: Double = 0.7): DataFrame = {
     val src = op match {
-      case Some(FilterOp(s, _, _)) => s
+      case Some(FilterOp(s, _, _, _)) => s
       case Some(JoinOp(l, _, _, _, _)) => l
       case Some(g: GroupByOp) => g.source
       case None => df
@@ -175,20 +202,46 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
   }
 
   /** FEDEx-style explanation of the last operation:
-    *  - after filter/join: per-attribute deviation + top-influence bins
+    *  - after filter: per-attribute deviation + top-influence bins (one
+    *    conditional-count scan when the filter predicate is known)
+    *  - after join: deviation of the `consider` side's attributes in the
+    *    join result vs that side's source — "right" by default, matching
+    *    the reference (explainable_data_frame.py:1091)
     *  - after groupBy-agg: per-measure exceptionality + group influences
+    * `useSampling` applies the deterministic content-hash sample to the
+    * source (and consistently to the result) before binning — the
+    * reference's default execution mode (use_sampling=True,
+    * sample_size=5000); defaults off here because this is the
+    * library-internal entry (the user-facing `explain()` defaults it on).
     * Returns a DataFrame of scored explanations. */
   def explainFedex(attributes: Seq[String] = Nil, topK: Int = 3,
-                   pruneCorrelatedTo: Option[String] = None, corrTH: Double = 0.7): DataFrame = op match {
-    case Some(FilterOp(src, res, _)) =>
+                   pruneCorrelatedTo: Option[String] = None, corrTH: Double = 0.7,
+                   consider: String = "right",
+                   useSampling: Boolean = false, sampleSize: Int = 5000): DataFrame = op match {
+    case Some(FilterOp(src, res, _, condCol)) =>
       val pruned = pruneCorrelatedTo.map { to =>
         correlatedAttributes(to, corrTH)
           .filter(col("dropped") === 1).collect().map(_.getString(0)).toSet + to
       }.getOrElse(Set.empty[String])
-      fedexDeviation(src, res, attributes, topK, excludeExtra = pruned)
-    case Some(JoinOp(left, _, res, on, _)) =>
-      fedexDeviation(left, res.select(left.columns.map(col).toIndexedSeq: _*), attributes, topK,
-        excludeExtra = on.toSet)
+      val attrs = resolveAttrs(src, attributes, pruned)
+      val mod = if (useSampling) sampleMod(src.count(), sampleSize) else 1L
+      val s2 = hashSample(src, src.columns.toSeq, mod)
+      val counts = condCol match {
+        case Some(c) => Fedex.binCountsFiltered(s2, c, attrs)
+        case None => Fedex.binCounts(s2, hashSample(res, src.columns.toSeq, mod), attrs)
+      }
+      deviationTopK(counts, topK)
+    case Some(JoinOp(left, right, res, on, _)) =>
+      if (consider != "left" && consider != "right")
+        throw new IllegalArgumentException("consider must be either 'left' or 'right'")
+      val side = if (consider == "left") left else right
+      val sideCols = side.columns.toSeq
+      val attrs = resolveAttrs(side, attributes, on.toSet)
+      val mod = if (useSampling) sampleMod(side.count(), sampleSize) else 1L
+      val counts = Fedex.binCounts(
+        hashSample(side, sideCols, mod),
+        hashSample(res.select(sideCols.map(col): _*), sideCols, mod), attrs)
+      deviationTopK(counts, topK)
     case Some(g: GroupByOp) =>
       val m = meltGroupBy(g)
       GroupByExplain.zdev(m).orderBy(col("zdev").desc, col("measure"), col("grp")).limit(topK)
@@ -196,14 +249,14 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
       throw new IllegalStateException("explainFedex requires a filter/join/groupBy operation")
   }
 
-  private def fedexDeviation(src: DataFrame, res: DataFrame, attributes: Seq[String],
-                             topK: Int, excludeExtra: Set[String] = Set.empty): DataFrame = {
-    val attrs =
-      if (attributes.nonEmpty) {
-        val byName = src.schema.fields.map(f => f.name -> f).toMap
-        attributes.map(a => Fedex.Attr(a, byName(a).dataType.isInstanceOf[NumericType]))
-      } else defaultAttrs(src, excludeExtra)
-    val counts = Fedex.binCounts(src, res, attrs)
+  private def resolveAttrs(src: DataFrame, attributes: Seq[String],
+                           excludeExtra: Set[String]): Seq[Fedex.Attr] =
+    if (attributes.nonEmpty) {
+      val byName = src.schema.fields.map(f => f.name -> f).toMap
+      attributes.map(a => Fedex.Attr(a, byName(a).dataType.isInstanceOf[NumericType]))
+    } else defaultAttrs(src, excludeExtra)
+
+  private def deviationTopK(counts: DataFrame, topK: Int): DataFrame = {
     val dev = Fedex.filterDeviation(counts)
     val infl = Fedex.binInfluence(counts)
     dev.join(infl, Seq("attribute"))
@@ -223,14 +276,19 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
   }
 
   /** Scorpion-style outlier explanation for a groupBy result. */
-  def explainOutlier(target: String, dir: String, attributes: Seq[String] = Nil): DataFrame =
+  def explainOutlier(target: String, dir: String, attributes: Seq[String] = Nil,
+                     useSampling: Boolean = false, sampleSize: Int = 5000): DataFrame =
     op match {
       case Some(g: GroupByOp) =>
         val d = if (dir == "high") 1 else -1
         val attrs =
           if (attributes.nonEmpty) attributes
           else defaultAttrs(g.source, g.groupCols.toSet + g.aggCol).filter(_.numeric).map(_.name)
-        Outlier.explain(g.source, g.groupCols.head, g.aggCol, target, d, attrs)
+        val src =
+          if (useSampling) hashSample(g.source, g.source.columns.toSeq,
+            sampleMod(g.source.count(), sampleSize))
+          else g.source
+        Outlier.explain(src, g.groupCols.head, g.aggCol, target, d, attrs)
           .orderBy(col("influence").desc, col("attribute"), col("bin"))
       case _ => throw new IllegalStateException("explainOutlier requires a groupBy operation")
     }
@@ -242,6 +300,45 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
   /** MetaInsight pattern mining over a filter dimension + breakdown. */
   def explainMetaInsight(filterDim: String, breakdown: String, aggCol: String): DataFrame =
     MetaInsight.mine(MetaInsight.catPatterns(df, filterDim, breakdown, aggCol, s"${aggCol}_mean"))
+
+  /** MetaInsight AUTO-search (the reference's default mode when no
+    * explicit scope is given): enumerate filterDim × breakdown × measure
+    * candidates from the schema — string columns as dimensions, numeric
+    * columns as measures, key/id/date/free-text-ish columns excluded —
+    * capped like the reference's max_filter_columns /
+    * max_aggregation_columns; prune near-duplicate measures by |Pearson r|
+    * ≥ `corrTH` (one aggregation pass); evaluate all scopes in one job. */
+  def explainMetaInsightAuto(topK: Int = 5,
+                             filterDims: Seq[String] = Nil,
+                             breakdowns: Seq[String] = Nil,
+                             measures: Seq[String] = Nil,
+                             maxFilterColumns: Int = 3,
+                             maxAggregationColumns: Int = 2,
+                             corrTH: Double = 0.95): DataFrame = {
+    val skip = Seq("key", "_id", "date", "comment", "name", "phone", "address")
+    val strCols = df.schema.fields
+      .filter(_.dataType == StringType).map(_.name)
+      .filterNot(n => skip.exists(n.endsWith)).toSeq
+    val numCols = df.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name)
+      .filterNot(n => n.endsWith("key") || n.endsWith("_id")).toSeq
+    val fs = (if (filterDims.nonEmpty) filterDims else strCols).take(maxFilterColumns)
+    val bs = (if (breakdowns.nonEmpty) breakdowns else strCols).take(maxFilterColumns)
+    val ms0 = (if (measures.nonEmpty) measures else numCols).take(maxAggregationColumns + 2)
+    val ms =
+      if (ms0.size <= 1) ms0.take(maxAggregationColumns)
+      else {
+        val pairs = ms0.combinations(2).map(p => (p(0), p(1))).toSeq
+        val corr = Correlation.pearson(df, pairs).collect()
+          .map(r => (r.getString(1), r.getString(2)) -> math.abs(r.getDouble(3))).toMap
+        ms0.foldLeft(Seq.empty[String]) { (kept, m) =>
+          if (kept.exists(k => corr.getOrElse((k, m), corr.getOrElse((m, k), 0.0)) >= corrTH)) kept
+          else kept :+ m
+        }.take(maxAggregationColumns)
+      }
+    val scopes = for (f <- fs; b <- bs if f != b; m <- ms) yield (f, b, m)
+    MetaInsight.auto(df, scopes, topK)
+  }
 
   /** Textual description of the top explanation, mirroring the reference's
     * get_explanation_in_textual_description. */

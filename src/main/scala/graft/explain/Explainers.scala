@@ -22,8 +22,10 @@ object Explainers extends QFamily {
   private def filterCounts(s: SparkSession, dir: String) = {
     val li = t(s, dir, "lineitem")
     // KB-sized count table reused by deviation + influence — persist so
-    // the base-table scans run once
-    Fedex.binCounts(li, li.filter(col("l_quantity") >= 30), filterAttrs).persist()
+    // the base-table scan runs once; the filtered fast path counts both
+    // sides in ONE scan (conditional count) instead of scanning source
+    // and result separately
+    Fedex.binCountsFiltered(li, col("l_quantity") >= 30, filterAttrs).persist()
   }
 
   private def filterCountsSqlPrefix =
@@ -97,7 +99,7 @@ object Explainers extends QFamily {
         .withColumn("ship_season", season)
       val attrs = Seq(Fedex.Attr("ship_month", numeric = false), Fedex.Attr("ship_season", numeric = false))
       Fedex.filterDeviation(
-        Fedex.binCounts(withBins, withBins.filter(col("l_quantity") >= 30), attrs))
+        Fedex.binCountsFiltered(withBins, col("l_quantity") >= 30, attrs))
         .orderBy("attribute")
     }),
 
@@ -107,15 +109,95 @@ object Explainers extends QFamily {
       (s, dir) => Outlier.explain(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
         "R", 1, Seq("l_quantity", "l_discount", "l_tax"))),
 
+    // library defaults are the reference's 0.7/0.3; the demo passes
+    // relaxed thresholds explicitly (uniform synthetic data finds nothing
+    // at the reference defaults) — both engines apply the same ones
     QDef("q_many_to_one",
-      Some(ManyToOne.sql("customer", "c_mktsegment", Seq("c_nationkey"), Seq("c_acctbal"))),
+      Some(ManyToOne.sql("customer", "c_mktsegment", Seq("c_nationkey"), Seq("c_acctbal"),
+        covTh = 0.3, sepTh = 0.7)),
       (s, dir) => ManyToOne.explain(t(s, dir, "customer"), "c_mktsegment",
-        Seq("c_nationkey"), Seq("c_acctbal"))),
+        Seq("c_nationkey"), Seq("c_acctbal"), covTh = 0.3, sepTh = 0.7)),
 
     QDef("q_many_to_one_conj",
       Some(ManyToOne.conjSql("customer", "c_mktsegment", "c_nationkey", "c_acctbal")),
       (s, dir) => ManyToOne.explainConj(t(s, dir, "customer"), "c_mktsegment",
         "c_nationkey", "c_acctbal")),
+
+    // length-3 conjunction (reference max_explanation_length=3 default):
+    // ONE groupBy over (label, v1, v2, v3)
+    QDef("q_many_to_one_conj3",
+      Some(ManyToOne.conjKSql("lineitem", "l_returnflag",
+        Seq("l_linestatus"), Seq("l_quantity", "l_discount"), covTh = 0.05, sepTh = 0.95)),
+      (s, dir) => ManyToOne.explainConj(t(s, dir, "lineitem"), "l_returnflag",
+        Seq(Fedex.Attr("l_linestatus", numeric = false),
+          Fedex.Attr("l_quantity", numeric = true), Fedex.Attr("l_discount", numeric = true)),
+        covTh = 0.05, sepTh = 0.95)),
+
+    // binning_method='quantile' (the reference's default binning)
+    QDef("q_many_to_one_quantile",
+      Some(ManyToOne.sql("customer", "c_mktsegment", Seq("c_nationkey"), Seq("c_acctbal"),
+        covTh = 0.3, sepTh = 0.7, binningMethod = "quantile")),
+      (s, dir) => ManyToOne.explain(t(s, dir, "customer"), "c_mktsegment",
+        Seq("c_nationkey"), Seq("c_acctbal"), covTh = 0.3, sepTh = 0.7,
+        binningMethod = "quantile")),
+
+    // explanation_form='disj': rule = (attrA = a OR attrB in bin_b),
+    // inclusion-exclusion over the conjunction count table
+    QDef("q_many_to_one_disj",
+      Some(ManyToOne.disjSql("customer", "c_mktsegment", "c_nationkey", "c_acctbal",
+        covTh = 0.3, sepTh = 0.95)),
+      (s, dir) => ManyToOne.explainDisj(t(s, dir, "customer"), "c_mktsegment",
+        "c_nationkey", "c_acctbal", covTh = 0.3, sepTh = 0.95)),
+
+    // bin_numeric: numeric label (c_acctbal) quantile-binned into 10
+    // groups before rule mining
+    QDef("q_many_to_one_label_bin", {
+      val bin = ManyToOne.quantileBinSql("c_acctbal", (1 until 10).map(_.toDouble / 10))
+        .replace("FROM SRC", "FROM customer")
+      Some(s"""WITH pairs AS (SELECT 'bin_' || CAST($bin AS VARCHAR) AS label,
+              |    'c_mktsegment' AS attribute, CAST(c_mktsegment AS VARCHAR) AS val
+              |  FROM customer WHERE c_mktsegment IS NOT NULL),
+              |lc AS (SELECT label, attribute, val, COUNT(*) AS n_match FROM pairs GROUP BY 1,2,3),
+              |lt AS (SELECT label, COUNT(*) AS n_label FROM pairs GROUP BY 1),
+              |ct AS (SELECT attribute, val, COUNT(*) AS n_cond FROM pairs GROUP BY 1,2)
+              |SELECT label, attribute, val, n_match, coverage, separation_err,
+              |  CAST(CASE WHEN coverage >= 0.05 AND separation_err <= 0.95
+              |       THEN 1 ELSE 0 END AS INT) AS passes
+              |FROM (
+              |  SELECT lc.label, lc.attribute, lc.val, lc.n_match,
+              |    ROUND(CAST(lc.n_match AS DOUBLE) / lt.n_label, 6) AS coverage,
+              |    ROUND(CAST(ct.n_cond - lc.n_match AS DOUBLE) / ct.n_cond, 6) AS separation_err
+              |  FROM lc JOIN lt ON lc.label = lt.label
+              |  JOIN ct ON lc.attribute = ct.attribute AND lc.val = ct.val)
+              |ORDER BY label, attribute, val""".stripMargin)
+    }, (s, dir) => ManyToOne.explain(t(s, dir, "customer"), "c_acctbal",
+      Seq("c_mktsegment"), Nil, covTh = 0.05, sepTh = 0.95,
+      binNumericLabel = true)),
+
+    // prune_if_too_many_labels: 25 nation labels -> top 10 by frequency
+    // (count desc, label-string asc tie-break on both sides)
+    QDef("q_many_to_one_pruned",
+      Some(s"""WITH pairs AS (SELECT CAST(c_nationkey AS VARCHAR) AS label,
+              |    'c_mktsegment' AS attribute, CAST(c_mktsegment AS VARCHAR) AS val
+              |  FROM customer WHERE c_mktsegment IS NOT NULL),
+              |keep AS (SELECT label FROM pairs GROUP BY 1
+              |  ORDER BY COUNT(*) DESC, label LIMIT 10),
+              |kept AS (SELECT p.* FROM pairs p JOIN keep k ON p.label = k.label),
+              |lc AS (SELECT label, attribute, val, COUNT(*) AS n_match FROM kept GROUP BY 1,2,3),
+              |lt AS (SELECT label, COUNT(*) AS n_label FROM kept GROUP BY 1),
+              |ct AS (SELECT attribute, val, COUNT(*) AS n_cond FROM kept GROUP BY 1,2)
+              |SELECT label, attribute, val, n_match, coverage, separation_err,
+              |  CAST(CASE WHEN coverage >= 0.05 AND separation_err <= 0.95
+              |       THEN 1 ELSE 0 END AS INT) AS passes
+              |FROM (
+              |  SELECT lc.label, lc.attribute, lc.val, lc.n_match,
+              |    ROUND(CAST(lc.n_match AS DOUBLE) / lt.n_label, 6) AS coverage,
+              |    ROUND(CAST(ct.n_cond - lc.n_match AS DOUBLE) / ct.n_cond, 6) AS separation_err
+              |  FROM lc JOIN lt ON lc.label = lt.label
+              |  JOIN ct ON lc.attribute = ct.attribute AND lc.val = ct.val)
+              |ORDER BY label, attribute, val""".stripMargin),
+      (s, dir) => ManyToOne.explain(t(s, dir, "customer"), "c_nationkey",
+        Seq("c_mktsegment"), Nil, covTh = 0.05, sepTh = 0.95)),
 
     QDef("q_metainsight",
       Some(MetaInsight.sql("orders", "o_orderpriority", "o_orderstatus",
@@ -128,6 +210,35 @@ object Explainers extends QFamily {
           "month", "o_totalprice", "totalprice_mean")
         MetaInsight.mine(cat.unionByName(tr))
       }),
+
+    // MetaInsight auto-search: explicit candidate lists here so the
+    // oracle enumerates the identical scopes; schema-driven derivation is
+    // exercised by ExplainFrameSpec
+    QDef("q_metainsight_auto", {
+      val scopes = Seq(
+        ("o_orderpriority", "o_orderstatus", "o_totalprice"),
+        ("o_orderstatus", "o_orderpriority", "o_totalprice"))
+      Some(MetaInsight.autoSql("orders", scopes, 5))
+    }, (s, dir) => graft.core.ExplainFrame(t(s, dir, "orders"), "orders")
+      .explainMetaInsightAuto(topK = 5,
+        filterDims = Seq("o_orderpriority", "o_orderstatus"),
+        breakdowns = Seq("o_orderstatus", "o_orderpriority"),
+        measures = Seq("o_totalprice"))),
+
+    // fedex join explanation, consider='right' (reference default): the
+    // join result's customer-attribute distributions vs the customer table
+    QDef("q_fedex_join", {
+      val resRel = "(SELECT c.* FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)"
+      Some(Fedex.countsSqlRel("customer", resRel,
+        Seq("c_acctbal"), Seq("c_mktsegment")) + Fedex.deviationTopKSql(10))
+    }, (s, dir) => {
+      val o = graft.core.ExplainFrame(
+        t(s, dir, "orders").withColumnRenamed("o_custkey", "custkey"), "orders")
+      val c = graft.core.ExplainFrame(
+        t(s, dir, "customer").withColumnRenamed("c_custkey", "custkey"), "customer")
+      o.join(c, Seq("custkey"))
+        .explainFedex(attributes = Seq("c_acctbal", "c_mktsegment"), topK = 10)
+    }),
 
     QDef("q_correlation",
       Some(Seq(

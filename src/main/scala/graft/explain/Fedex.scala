@@ -75,6 +75,30 @@ object Fedex {
     s.join(r, Seq("attribute", "bin"), "left").na.fill(0L, Seq("nr"))
   }
 
+  /** Fast path of [[binCounts]] when the result is `src.filter(cond)`
+    * (the filter-explanation case): ONE scan + ONE aggregation with a
+    * conditional count, instead of scanning/exploding source and result
+    * separately and joining. Identical output — bins come from the same
+    * source stats, and every result row is a source row. */
+  def binCountsFiltered(src: DataFrame, cond: Column, attrs: Seq[Attr], nb: Int = 10): DataFrame = {
+    val stats = statsDf(src, attrs)
+    val base = stats.map(st => src.crossJoin(broadcast(st))).getOrElse(src)
+    val structs = attrs.map { a =>
+      val bin =
+        if (a.numeric) binExpr(col(a.name), col(s"lo_${a.name}"), col(s"hi_${a.name}"), nb).cast("string")
+        else col(a.name).cast("string")
+      struct(lit(a.name).as("attribute"), bin.as("bin"))
+    }
+    // when().otherwise(0): a NULL condition means "not in the filter
+    // result" (0), and keeps all-excluded groups at nr=0 rather than NULL
+    base.select(explode(array(structs: _*)).as("ab"),
+        when(cond, 1L).otherwise(0L).as("inres"))
+      .select(col("ab.attribute").as("attribute"), col("ab.bin").as("bin"), col("inres"))
+      .filter(col("bin").isNotNull)
+      .groupBy("attribute", "bin")
+      .agg(count(lit(1)).as("ns"), sum(col("inres")).as("nr"))
+  }
+
   /** Enrich counts with per-attribute totals (window over the tiny table). */
   private def enriched(counts: DataFrame): DataFrame = {
     val w = Window.partitionBy("attribute")
@@ -185,6 +209,49 @@ object Fedex {
        |  COUNT(*) OVER (PARTITION BY attribute) AS k
        |  FROM cnt WHERE ns > 0)""".stripMargin
   }
+
+  /** [[countsSql]] over explicit src/res RELATIONS (the result side of a
+    * join explanation is itself a join, not a WHERE on the source). */
+  def countsSqlRel(srcRel: String, resRel: String,
+                   num: Seq[String], cat: Seq[String], nb: Int = 10): String = {
+    val statCols = num.map(a => s"MIN($a) AS lo_$a, MAX($a) AS hi_$a").mkString(", ")
+    def branch(side: String, rel: String): Seq[String] = {
+      val nbx = num.map(a =>
+        s"SELECT '$a' AS attribute, CAST(${binSql(a, s"lo_$a", s"hi_$a", nb)} AS VARCHAR) AS bin, '$side' AS side FROM $rel AS tt, st WHERE $a IS NOT NULL")
+      val cbx = cat.map(a =>
+        s"SELECT '$a' AS attribute, CAST($a AS VARCHAR) AS bin, '$side' AS side FROM $rel AS tt WHERE $a IS NOT NULL")
+      nbx ++ cbx
+    }
+    val st = if (num.nonEmpty) s"st AS (SELECT $statCols FROM $srcRel AS ss),\n" else ""
+    s"""WITH $st
+       |u AS (${(branch("src", srcRel) ++ branch("res", resRel)).mkString("\nUNION ALL\n")}),
+       |cnt AS (SELECT attribute, bin,
+       |  COUNT(*) FILTER (WHERE side = 'src') AS ns,
+       |  COUNT(*) FILTER (WHERE side = 'res') AS nr
+       |  FROM u GROUP BY attribute, bin),
+       |en AS (SELECT attribute, bin, ns, nr,
+       |  SUM(ns) OVER (PARTITION BY attribute) AS n_src,
+       |  SUM(nr) OVER (PARTITION BY attribute) AS n_res,
+       |  COUNT(*) OVER (PARTITION BY attribute) AS k
+       |  FROM cnt WHERE ns > 0)""".stripMargin
+  }
+
+  /** Combined deviation + per-bin influence select, ranked and capped —
+    * the SQL mirror of ExplainFrame.deviationTopK. */
+  def deviationTopKSql(topK: Int): String =
+    s""", ex AS (
+       |  SELECT x.attribute AS attribute, e.bin AS bin, e.ns AS ns, e.nr AS nr,
+       |    CAST(SUM(${klTermSql("x.nr", "x.ns", "(x.n_res - e.nr)", "(x.n_src - e.ns)", "(x.k - 1)")}) AS DOUBLE) AS score_excl
+       |  FROM en x JOIN en e ON x.attribute = e.attribute AND x.bin <> e.bin
+       |  GROUP BY x.attribute, e.bin, e.ns, e.nr),
+       |fl AS (SELECT attribute,
+       |  CAST(SUM(${klTermSql("nr", "ns", "n_res", "n_src", "k")}) AS DOUBLE) AS kl_score
+       |  FROM en GROUP BY attribute)
+       |SELECT fl.attribute, fl.kl_score, ex.bin, ex.ns, ex.nr,
+       |  (fl.kl_score - ex.score_excl) AS influence
+       |FROM ex JOIN fl ON ex.attribute = fl.attribute
+       |ORDER BY fl.kl_score DESC, influence DESC, fl.attribute, ex.bin
+       |LIMIT $topK""".stripMargin
 
   private def klTermSql(nr: String, ns: String, nRes: String, nSrc: String, k: String): String = {
     val q = s"(($nr + 0.5) / ($nRes + 0.5 * $k))"

@@ -1,43 +1,135 @@
 package graft.explain
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 
 /** Many-to-one (cluster-explorer style) rule explanations (reference:
   * /root/reference/src/pd_explain/explainers/many_to_one_explainer.py).
   *
-  * For each label (group) and each candidate single-attribute condition
-  * (categorical `attr = v`, or numeric `attr ∈ bin_b` over 10 equal-width
-  * bins), compute
+  * For each label (group) and each candidate condition (categorical
+  * `attr = v`, or numeric `attr ∈ bin_b` over `nb` bins), compute
   *   coverage       = |cond ∧ label| / |label|
   *   separation_err = |cond ∧ ¬label| / |cond|
-  * and flag rules passing the documented thresholds
-  * (coverage ≥ 0.3, separation_err ≤ 0.7 — the reference defaults 0.7/0.3
-  * find nothing on uniform synthetic data, so the demo thresholds are
-  * relaxed; both engines apply the same ones).
+  * and flag rules passing the thresholds. Defaults match the reference:
+  * coverage ≥ 0.7, separation_err ≤ 0.3 (many_to_one_explainer.py:22-23);
+  * the demo oracle queries pass relaxed values explicitly because uniform
+  * synthetic data finds nothing at the reference defaults.
+  *
+  * Reference surface covered here:
+  *  - `binning_method` 'uniform' | 'quantile' for numeric attributes
+  *    (reference :216-218; quantile boundaries are exact interpolated
+  *    percentiles, rounded to 6dp so both engines bin identically)
+  *  - `bin_numeric`/`num_bins` numeric LABEL binning (:197-224): numeric
+  *    labels with more than num_bins distinct values are quantile-binned;
+  *    the label becomes "bin_<i>" (the reference renders verbose interval
+  *    strings — cosmetic difference, same partition)
+  *  - `prune_if_too_many_labels`/`max_labels`, pruning_method='largest'
+  *    (:240-252): keep the max_labels most frequent labels (count desc,
+  *    label asc tie-break), drop other rows
+  *  - `max_explanation_length` K via [[explainConj]]: length-K
+  *    conjunction rules from ONE groupBy over (label, v1..vK)
+  *  - `explanation_form` 'disj' via [[explainDisj]]: pairwise
+  *    disjunctions computed by inclusion–exclusion over the SAME count
+  *    tables as the conjunctions — no extra scan
   *
   * Scale: one scan explodes rows into (label, attribute, val) pairs
-  * (map-side combined counts); the metric math joins three tiny count
-  * tables.
+  * (map-side combined counts); the metric math joins tiny count tables.
+  * Label pruning/binning add one small aggregation pass each (collected
+  * to the driver — label cardinality is bounded by definition here).
   */
 object ManyToOne {
 
+  /** Attribute binned-value expression. Equal-width uses source min/max;
+    * quantile uses exact interpolated (nb-1) inner percentile boundaries
+    * rounded to 6dp (bin = number of boundaries strictly below x), both
+    * mirrored by the oracle. */
+  final case class NumBin(name: String, boundaries: Seq[Double]) {
+    def expr: Column =
+      boundaries.foldLeft(lit(0))((acc, b) => acc + when(col(name) > b, 1).otherwise(0))
+  }
+
+  /** Quantile boundaries for the given numeric attrs (ONE aggregation). */
+  def quantileBins(src: DataFrame, numAttrs: Seq[String], nb: Int): Seq[NumBin] = {
+    if (numAttrs.isEmpty) return Nil
+    val ps = (1 until nb).map(_.toDouble / nb)
+    val aggs = numAttrs.flatMap(a => ps.zipWithIndex.map { case (p, i) =>
+      graft.util.D.r(percentile(col(a), lit(p)), 6).as(s"${a}__q$i") })
+    val row = src.agg(aggs.head, aggs.tail: _*).head()
+    // duplicate boundaries are KEPT (a value above a doubled boundary
+    // advances two bins) — the SQL mirror counts every boundary the same
+    // way, so dedup here would desynchronize bin indices across engines
+    numAttrs.map(a => NumBin(a, ps.indices.map(i => row.getDouble(row.fieldIndex(s"${a}__q$i")))))
+  }
+
+  def quantileBinSql(a: String, ps: Seq[Double]): String =
+    ps.map(p => s"(CASE WHEN $a > (SELECT ROUND(quantile_cont($a, $p), 6) FROM SRC) THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** Numeric-label binning (reference bin_numeric): if the label column is
+    * numeric with more than `numBins` distinct values, replace it by
+    * "bin_<quantile bin>"; otherwise cast to string unchanged. */
+  def binnedLabel(src: DataFrame, labelCol: String, numBins: Int,
+                  binningMethod: String = "quantile"): Column = {
+    val numeric = src.schema(labelCol).dataType.isInstanceOf[NumericType]
+    if (!numeric) return col(labelCol).cast("string")
+    val distinct = src.agg(countDistinct(col(labelCol))).head().getLong(0)
+    if (distinct <= numBins) return col(labelCol).cast("string")
+    val bin = binningMethod match {
+      case "quantile" => quantileBins(src, Seq(labelCol), numBins).head.expr
+      case "uniform" =>
+        val r = src.agg(min(col(labelCol)).as("lo"), max(col(labelCol)).as("hi")).head()
+        Fedex.binExpr(col(labelCol), lit(r.get(0)), lit(r.get(1)), numBins)
+      case other => throw new IllegalArgumentException(
+        "The binning method must be either 'uniform' or 'quantile'.")
+    }
+    concat(lit("bin_"), bin.cast("string"))
+  }
+
+  /** pruning_method='largest': the `maxLabels` most frequent label values
+    * (count desc, label asc). Returns None when no pruning is needed. */
+  def topLabels(pairs: DataFrame, maxLabels: Int): Option[Seq[String]] = {
+    val counts = pairs.groupBy("label").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("label")).limit(maxLabels + 1).collect()
+    if (counts.length <= maxLabels) None
+    else Some(counts.take(maxLabels).map(_.getString(0)).toSeq)
+  }
+
   def explain(src: DataFrame, labelCol: String,
               catAttrs: Seq[String], numAttrs: Seq[String],
-              covTh: Double = 0.3, sepTh: Double = 0.7, nb: Int = 10): DataFrame = {
+              covTh: Double = 0.7, sepTh: Double = 0.3, nb: Int = 10,
+              binningMethod: String = "equal_width",
+              binNumericLabel: Boolean = false, numLabelBins: Int = 10,
+              pruneIfTooManyLabels: Boolean = true, maxLabels: Int = 10): DataFrame = {
     val attrs = catAttrs.map(Fedex.Attr(_, numeric = false)) ++ numAttrs.map(Fedex.Attr(_, numeric = true))
-    val stats = Fedex.statsDf(src, attrs)
-    val structs = attrs.map { a =>
-      val v =
-        if (a.numeric) Fedex.binExpr(col(a.name), col(s"lo_${a.name}"), col(s"hi_${a.name}"), nb).cast("string")
-        else col(a.name).cast("string")
-      struct(lit(a.name).as("attribute"), v.as("val"))
+    val structs = binningMethod match {
+      case "quantile" =>
+        val qb = quantileBins(src, numAttrs, nb).map(b => b.name -> b).toMap
+        attrs.map { a =>
+          val v = if (a.numeric) qb(a.name).expr.cast("string") else col(a.name).cast("string")
+          struct(lit(a.name).as("attribute"), v.as("val"))
+        }
+      case _ =>
+        attrs.map { a =>
+          val v =
+            if (a.numeric) Fedex.binExpr(col(a.name), col(s"lo_${a.name}"), col(s"hi_${a.name}"), nb).cast("string")
+            else col(a.name).cast("string")
+          struct(lit(a.name).as("attribute"), v.as("val"))
+        }
     }
+    val stats = if (binningMethod == "quantile") None else Fedex.statsDf(src, attrs)
     val base = stats.map(st => src.crossJoin(broadcast(st))).getOrElse(src)
-    val pairs = base
-      .select(col(labelCol).cast("string").as("label"), explode(array(structs: _*)).as("av"))
+    val labelExpr =
+      if (binNumericLabel) binnedLabel(src, labelCol, numLabelBins)
+      else col(labelCol).cast("string")
+    val pairs0 = base
+      .select(labelExpr.as("label"), explode(array(structs: _*)).as("av"))
       .select(col("label"), col("av.attribute").as("attribute"), col("av.val").as("val"))
-      .filter(col("val").isNotNull)
+      .filter(col("val").isNotNull && col("label").isNotNull)
+    val pairs = (if (pruneIfTooManyLabels) topLabels(pairs0, maxLabels) else None) match {
+      case Some(keep) => pairs0.filter(col("label").isin(keep: _*))
+      case None => pairs0
+    }
 
     val lc = pairs.groupBy("label", "attribute", "val").agg(count(lit(1)).as("n_match"))
     val lt = pairs.filter(col("attribute") === attrs.head.name)
@@ -52,22 +144,90 @@ object ManyToOne {
       .orderBy("label", "attribute", "val")
   }
 
-  /** Length-2 conjunction rules (reference max_explanation_length > 1):
-    * one condition from `attrA` × one from binned `attrB`, scored with the
-    * same coverage/separation metrics. The co-occurrence counts come from
-    * ONE groupBy over (label, valA, valB) — no pairwise join. */
-  def explainConj(src: DataFrame, labelCol: String, attrA: String, attrB: String,
-                  covTh: Double = 0.2, sepTh: Double = 0.8, nb: Int = 10): DataFrame = {
-    val stats = Fedex.statsDf(src, Seq(Fedex.Attr(attrB, numeric = true))).get
-    val base = src.crossJoin(broadcast(stats))
-      .select(col(labelCol).cast("string").as("label"),
-        col(attrA).cast("string").as("val_a"),
-        Fedex.binExpr(col(attrB), col(s"lo_$attrB"), col(s"hi_$attrB"), nb).cast("string").as("val_b"))
-      .filter(col("val_a").isNotNull && col("val_b").isNotNull)
-    val lc = base.groupBy("label", "val_a", "val_b").agg(count(lit(1)).as("n_match"))
+  /** Length-K conjunction rules (reference max_explanation_length, default
+    * 3): one condition per attribute in `attrs` (categorical value or
+    * binned numeric), scored with the same coverage/separation metrics.
+    * ALL co-occurrence counts come from ONE groupBy over
+    * (label, v1..vK) — never a pairwise join; the count-table size is
+    * bounded by the product of attribute cardinalities actually present,
+    * not by the corpus. */
+  def explainConj(src: DataFrame, labelCol: String, attrs: Seq[Fedex.Attr],
+                  covTh: Double = 0.7, sepTh: Double = 0.3, nb: Int = 10,
+                  binningMethod: String = "equal_width"): DataFrame = {
+    val vcols = attrs.indices.map(i => s"val_${('a' + i).toChar}")
+    val base = conjBase(src, labelCol, attrs, nb, binningMethod, vcols)
+    val lc = base.groupBy("label", vcols: _*).agg(count(lit(1)).as("n_match"))
     val lt = base.groupBy("label").agg(count(lit(1)).as("n_label"))
-    val ct = base.groupBy("val_a", "val_b").agg(count(lit(1)).as("n_cond"))
-    lc.join(lt, Seq("label")).join(ct, Seq("val_a", "val_b"))
+    val ct = base.groupBy(vcols.head, vcols.tail: _*).agg(count(lit(1)).as("n_cond"))
+    lc.join(lt, Seq("label")).join(ct, vcols)
+      .select((col("label") +: vcols.map(col)) ++ Seq(col("n_match"),
+        graft.util.D.r(col("n_match").cast("double") / col("n_label"), 6).as("coverage"),
+        graft.util.D.r((col("n_cond") - col("n_match")).cast("double") / col("n_cond"), 6).as("separation_err")): _*)
+      .withColumn("passes", (col("coverage") >= covTh && col("separation_err") <= sepTh).cast("int"))
+      .orderBy(col("label") +: vcols.map(col): _*)
+  }
+
+  /** Back-compat form: length-2 conjunction over (cat attrA, numeric
+    * attrB). */
+  def explainConj(src: DataFrame, labelCol: String, attrA: String, attrB: String,
+                  covTh: Double, sepTh: Double, nb: Int): DataFrame =
+    explainConj(src, labelCol,
+      Seq(Fedex.Attr(attrA, numeric = false), Fedex.Attr(attrB, numeric = true)),
+      covTh, sepTh, nb)
+
+  def explainConj(src: DataFrame, labelCol: String, attrA: String, attrB: String): DataFrame =
+    explainConj(src, labelCol, attrA, attrB, 0.2, 0.8, 10)
+
+  /** (label, v1..vK) projection shared by conj/disj paths. */
+  private def conjBase(src: DataFrame, labelCol: String, attrs: Seq[Fedex.Attr], nb: Int,
+                       binningMethod: String, vcols: Seq[String]): DataFrame = {
+    val nums = attrs.filter(_.numeric).map(_.name)
+    val valueExprs: Map[String, Column] = binningMethod match {
+      case "quantile" =>
+        val qb = quantileBins(src, nums, nb).map(b => b.name -> b.expr.cast("string")).toMap
+        attrs.map(a => a.name -> (if (a.numeric) qb(a.name) else col(a.name).cast("string"))).toMap
+      case _ =>
+        attrs.map(a => a.name -> (
+          if (a.numeric) Fedex.binExpr(col(a.name), col(s"lo_${a.name}"), col(s"hi_${a.name}"), nb).cast("string")
+          else col(a.name).cast("string"))).toMap
+    }
+    val stats = if (binningMethod == "quantile") None else Fedex.statsDf(src, attrs)
+    val base0 = stats.map(st => src.crossJoin(broadcast(st))).getOrElse(src)
+    base0.select(col(labelCol).cast("string").as("label") +:
+        attrs.zip(vcols).map { case (a, vc) => valueExprs(a.name).as(vc) }: _*)
+      .filter(vcols.map(c => col(c).isNotNull).reduce(_ && _) && col("label").isNotNull)
+  }
+
+  /** Pairwise DISJUNCTION rules (reference explanation_form='disj'):
+    * rule = (attrA = a ∨ attrB = b). Metrics by inclusion–exclusion over
+    * the same single-groupBy count table as the conjunctions:
+    *   |disj ∧ label| = nA + nB − nAB  (and likewise unconditioned),
+    * so no second scan of the source. */
+  def explainDisj(src: DataFrame, labelCol: String, attrA: String, attrB: String,
+                  covTh: Double = 0.7, sepTh: Double = 0.3, nb: Int = 10,
+                  binningMethod: String = "equal_width"): DataFrame = {
+    val attrs = Seq(Fedex.Attr(attrA, numeric = false), Fedex.Attr(attrB, numeric = true))
+    val base = conjBase(src, labelCol, attrs, nb, binningMethod, Seq("val_a", "val_b"))
+    // joint counts once; every marginal below derives from them
+    val joint = base.groupBy("label", "val_a", "val_b").agg(count(lit(1)).as("n"))
+    val la = joint.groupBy("label", "val_a").agg(sum("n").as("n_a"))
+    val lb = joint.groupBy("label", "val_b").agg(sum("n").as("n_b"))
+    val lt = joint.groupBy("label").agg(sum("n").as("n_label"))
+    val ca = joint.groupBy("val_a").agg(sum("n").as("c_a"))
+    val cb = joint.groupBy("val_b").agg(sum("n").as("c_b"))
+    val cab = joint.groupBy("val_a", "val_b").agg(sum("n").as("c_ab"))
+    val tot = joint.agg(sum("n").as("n_total"))
+    // candidate (label, a, b) triples = label × observed a × observed b
+    val cands = la.join(lb, Seq("label"))
+    val withJoint = cands.join(joint, Seq("label", "val_a", "val_b"), "left")
+      .na.fill(0L, Seq("n"))
+      .join(lt, Seq("label"))
+      .join(cab, Seq("val_a", "val_b"), "left").na.fill(0L, Seq("c_ab"))
+      .join(ca, Seq("val_a")).join(cb, Seq("val_b"))
+      .crossJoin(broadcast(tot))
+    withJoint
+      .withColumn("n_match", col("n_a") + col("n_b") - col("n"))
+      .withColumn("n_cond", col("c_a") + col("c_b") - col("c_ab"))
       .select(col("label"), col("val_a"), col("val_b"), col("n_match"),
         graft.util.D.r(col("n_match").cast("double") / col("n_label"), 6).as("coverage"),
         graft.util.D.r((col("n_cond") - col("n_match")).cast("double") / col("n_cond"), 6).as("separation_err"))
@@ -75,38 +235,94 @@ object ManyToOne {
       .orderBy("label", "val_a", "val_b")
   }
 
-  def conjSql(table: String, labelCol: String, attrA: String, attrB: String,
-              covTh: Double = 0.2, sepTh: Double = 0.8, nb: Int = 10): String =
+  // ---------------------------------------------------------------- SQL --
+
+  def disjSql(table: String, labelCol: String, attrA: String, attrB: String,
+              covTh: Double, sepTh: Double, nb: Int = 10): String =
     s"""WITH st AS (SELECT MIN($attrB) AS lo_$attrB, MAX($attrB) AS hi_$attrB FROM $table),
        |base AS (SELECT CAST($labelCol AS VARCHAR) AS label,
        |    CAST($attrA AS VARCHAR) AS val_a,
        |    CAST(${Fedex.binSql(attrB, s"lo_$attrB", s"hi_$attrB", nb)} AS VARCHAR) AS val_b
-       |  FROM $table, st WHERE $attrA IS NOT NULL AND $attrB IS NOT NULL),
-       |lc AS (SELECT label, val_a, val_b, COUNT(*) AS n_match FROM base GROUP BY 1, 2, 3),
-       |lt AS (SELECT label, COUNT(*) AS n_label FROM base GROUP BY 1),
-       |ct AS (SELECT val_a, val_b, COUNT(*) AS n_cond FROM base GROUP BY 1, 2)
-       |SELECT label, val_a, val_b, n_match, coverage, separation_err,
+       |  FROM $table, st
+       |  WHERE $attrA IS NOT NULL AND $attrB IS NOT NULL AND $labelCol IS NOT NULL),
+       |joint AS (SELECT label, val_a, val_b, COUNT(*) AS n FROM base GROUP BY 1, 2, 3),
+       |la AS (SELECT label, val_a, SUM(n) AS n_a FROM joint GROUP BY 1, 2),
+       |lb AS (SELECT label, val_b, SUM(n) AS n_b FROM joint GROUP BY 1, 2),
+       |lt AS (SELECT label, SUM(n) AS n_label FROM joint GROUP BY 1),
+       |ca AS (SELECT val_a, SUM(n) AS c_a FROM joint GROUP BY 1),
+       |cb AS (SELECT val_b, SUM(n) AS c_b FROM joint GROUP BY 1),
+       |cab AS (SELECT val_a, val_b, SUM(n) AS c_ab FROM joint GROUP BY 1, 2)
+       |SELECT label, val_a, val_b, CAST(n_match AS BIGINT) AS n_match, coverage, separation_err,
        |  CAST(CASE WHEN coverage >= $covTh AND separation_err <= $sepTh THEN 1 ELSE 0 END AS INT) AS passes
        |FROM (
-       |  SELECT lc.label, lc.val_a, lc.val_b, lc.n_match,
-       |    ROUND(CAST(lc.n_match AS DOUBLE) / lt.n_label * 1000000) / 1000000 AS coverage,
-       |    ROUND(CAST(ct.n_cond - lc.n_match AS DOUBLE) / ct.n_cond * 1000000) / 1000000 AS separation_err
-       |  FROM lc JOIN lt ON lc.label = lt.label
-       |  JOIN ct ON lc.val_a = ct.val_a AND lc.val_b = ct.val_b)
+       |  SELECT la.label, la.val_a, lb.val_b,
+       |    la.n_a + lb.n_b - COALESCE(j.n, 0) AS n_match,
+       |    ROUND(CAST(la.n_a + lb.n_b - COALESCE(j.n, 0) AS DOUBLE) / lt.n_label, 6) AS coverage,
+       |    ROUND(CAST((ca.c_a + cb.c_b - COALESCE(cab.c_ab, 0)) - (la.n_a + lb.n_b - COALESCE(j.n, 0)) AS DOUBLE)
+       |          / (ca.c_a + cb.c_b - COALESCE(cab.c_ab, 0)), 6) AS separation_err
+       |  FROM la JOIN lb ON la.label = lb.label
+       |  LEFT JOIN joint j ON j.label = la.label AND j.val_a = la.val_a AND j.val_b = lb.val_b
+       |  JOIN lt ON lt.label = la.label
+       |  LEFT JOIN cab ON cab.val_a = la.val_a AND cab.val_b = lb.val_b
+       |  JOIN ca ON ca.val_a = la.val_a
+       |  JOIN cb ON cb.val_b = lb.val_b)
        |ORDER BY label, val_a, val_b""".stripMargin
 
-  def sql(table: String, labelCol: String,
-          catAttrs: Seq[String], numAttrs: Seq[String],
-          covTh: Double = 0.3, sepTh: Double = 0.7, nb: Int = 10): String = {
+  /** DuckDB mirror of length-K [[explainConj]] (equal-width binning). */
+  def conjKSql(table: String, labelCol: String,
+               catAttrs: Seq[String], numAttrs: Seq[String],
+               covTh: Double, sepTh: Double, nb: Int = 10): String = {
+    val attrs = catAttrs.map(a => (a, false)) ++ numAttrs.map(a => (a, true))
+    val vcols = attrs.indices.map(i => s"val_${('a' + i).toChar}")
     val statCols = numAttrs.map(a => s"MIN($a) AS lo_$a, MAX($a) AS hi_$a").mkString(", ")
     val stTable = if (numAttrs.nonEmpty) s"$table, st" else table
+    val valExprs = attrs.zip(vcols).map { case ((a, numeric), vc) =>
+      if (numeric) s"CAST(${Fedex.binSql(a, s"lo_$a", s"hi_$a", nb)} AS VARCHAR) AS $vc"
+      else s"CAST($a AS VARCHAR) AS $vc" }
+    val notNull = attrs.map(_._1).map(a => s"$a IS NOT NULL").mkString(" AND ")
+    val st = if (numAttrs.nonEmpty) s"st AS (SELECT $statCols FROM $table),\n" else ""
+    val vlist = vcols.mkString(", ")
+    s"""WITH $st
+       |base AS (SELECT CAST($labelCol AS VARCHAR) AS label, ${valExprs.mkString(", ")}
+       |  FROM $stTable WHERE $notNull AND $labelCol IS NOT NULL),
+       |lc AS (SELECT label, $vlist, COUNT(*) AS n_match FROM base GROUP BY ALL),
+       |lt AS (SELECT label, COUNT(*) AS n_label FROM base GROUP BY 1),
+       |ct AS (SELECT $vlist, COUNT(*) AS n_cond FROM base GROUP BY ALL)
+       |SELECT label, $vlist, n_match, coverage, separation_err,
+       |  CAST(CASE WHEN coverage >= $covTh AND separation_err <= $sepTh THEN 1 ELSE 0 END AS INT) AS passes
+       |FROM (
+       |  SELECT lc.label, ${vcols.map(v => s"lc.$v").mkString(", ")}, lc.n_match,
+       |    ROUND(CAST(lc.n_match AS DOUBLE) / lt.n_label, 6) AS coverage,
+       |    ROUND(CAST(ct.n_cond - lc.n_match AS DOUBLE) / ct.n_cond, 6) AS separation_err
+       |  FROM lc JOIN lt ON lc.label = lt.label
+       |  JOIN ct ON ${vcols.map(v => s"lc.$v = ct.$v").mkString(" AND ")})
+       |ORDER BY label, $vlist""".stripMargin
+  }
+
+  def conjSql(table: String, labelCol: String, attrA: String, attrB: String,
+              covTh: Double = 0.2, sepTh: Double = 0.8, nb: Int = 10): String =
+    conjKSql(table, labelCol, Seq(attrA), Seq(attrB), covTh, sepTh, nb)
+
+  /** DuckDB mirror of [[explain]]. `binningMethod` 'quantile' uses
+    * ROUND(quantile_cont, 6) boundaries like the Spark side. */
+  def sql(table: String, labelCol: String,
+          catAttrs: Seq[String], numAttrs: Seq[String],
+          covTh: Double = 0.7, sepTh: Double = 0.3, nb: Int = 10,
+          binningMethod: String = "equal_width"): String = {
+    val statCols = numAttrs.map(a => s"MIN($a) AS lo_$a, MAX($a) AS hi_$a").mkString(", ")
+    val useSt = binningMethod != "quantile" && numAttrs.nonEmpty
+    val stTable = if (useSt) s"$table, st" else table
+    def numBin(a: String): String =
+      if (binningMethod == "quantile")
+        quantileBinSql(a, (1 until nb).map(_.toDouble / nb)).replace("FROM SRC", s"FROM $table")
+      else Fedex.binSql(a, s"lo_$a", s"hi_$a", nb)
     val branches =
       catAttrs.map(a =>
-        s"SELECT CAST($labelCol AS VARCHAR) AS label, '$a' AS attribute, CAST($a AS VARCHAR) AS val FROM $table WHERE $a IS NOT NULL") ++
+        s"SELECT CAST($labelCol AS VARCHAR) AS label, '$a' AS attribute, CAST($a AS VARCHAR) AS val FROM $table WHERE $a IS NOT NULL AND $labelCol IS NOT NULL") ++
       numAttrs.map(a =>
-        s"SELECT CAST($labelCol AS VARCHAR), '$a', CAST(${Fedex.binSql(a, s"lo_$a", s"hi_$a", nb)} AS VARCHAR) FROM $stTable WHERE $a IS NOT NULL")
+        s"SELECT CAST($labelCol AS VARCHAR), '$a', CAST(${numBin(a)} AS VARCHAR) FROM $stTable WHERE $a IS NOT NULL AND $labelCol IS NOT NULL")
     val headAttr = (catAttrs ++ numAttrs).head
-    val st = if (numAttrs.nonEmpty) s"st AS (SELECT $statCols FROM $table),\n" else ""
+    val st = if (useSt) s"st AS (SELECT $statCols FROM $table),\n" else ""
     s"""WITH $st
        |pairs AS (${branches.mkString("\nUNION ALL\n")}),
        |lc AS (SELECT label, attribute, val, COUNT(*) AS n_match FROM pairs GROUP BY 1,2,3),

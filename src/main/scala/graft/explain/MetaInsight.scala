@@ -105,9 +105,13 @@ object MetaInsight {
     up.unionByName(down).withColumn("breakdown", lit(breakdownName))
   }
 
-  /** Group scope patterns into scored MetaInsights. */
-  def mine(patterns: DataFrame): DataFrame =
-    patterns.groupBy("breakdown", "measure", "pattern")
+  /** Group scope patterns into scored MetaInsights. `extraKeys` joins the
+    * grouping when pattern tables from SEVERAL data scopes are unioned
+    * (auto-search adds `filter_dim` so commonness is computed within its
+    * own scope family, not across unrelated filter dimensions). */
+  def mine(patterns: DataFrame, extraKeys: Seq[String] = Nil): DataFrame = {
+    val keys = extraKeys ++ Seq("breakdown", "measure", "pattern")
+    patterns.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_subspaces"),
         sum(col("has_pat")).as("n_matching"),
         min(when(col("has_pat") === 1, concat_ws(":", col("subspace"), col("highlight"))))
@@ -116,11 +120,85 @@ object MetaInsight {
       .withColumn("commonness", graft.util.D.r(col("n_matching").cast(DoubleType) / col("n_subspaces"), 6))
       .withColumn("score", graft.util.D.r(col("n_matching").cast(DoubleType) / col("n_subspaces") -
         lit(0.1) * when(col("n_matching") === col("n_subspaces"), 1).otherwise(0), 6))
-      .select("breakdown", "measure", "pattern", "n_subspaces", "n_matching",
-        "commonness", "score", "example_highlight")
-      .orderBy("breakdown", "measure", "pattern")
+      .select((keys ++ Seq("n_subspaces", "n_matching", "commonness", "score", "example_highlight"))
+        .map(col): _*)
+      .orderBy(keys.map(col): _*)
+  }
+
+  /** Auto-search: evaluate every (filterDim, breakdown, measure) scope's
+    * categorical patterns in ONE job (union of per-scope pattern tables —
+    * each is one aggregation over its scope's cells, so the whole search
+    * is a handful of scans, not a per-scope driver loop) and rank
+    * MetaInsights by score. Mirrors the reference's auto enumeration
+    * (metainsight_explainer.py `max_filter_columns`/
+    * `max_aggregation_columns`); scope candidates are chosen by the
+    * caller (see ExplainFrame.explainMetaInsightAuto). */
+  def auto(src: DataFrame, scopes: Seq[(String, String, String)], topK: Int): DataFrame = {
+    require(scopes.nonEmpty, "metainsight auto-search needs at least one scope")
+    val tables = scopes.map { case (f, b, m) =>
+      catPatterns(src, f, b, m, s"${m}_mean").withColumn("filter_dim", lit(f)) }
+    mine(tables.reduce(_ unionByName _), Seq("filter_dim"))
+      .orderBy(col("score").desc, col("filter_dim"), col("breakdown"),
+        col("measure"), col("pattern"))
+      .limit(topK)
+  }
 
   // ---------------------------------------------------------------- SQL --
+
+  /** DuckDB mirror of the auto-search over explicit categorical scopes
+    * (filterDim, breakdown, measure): one pattern CTE chain per scope,
+    * unioned and mined with `filter_dim` in the grouping, ranked by
+    * score. Mirrors [[catPatterns]] + [[mine]](extraKeys=filter_dim). */
+  def autoSql(table: String, scopes: Seq[(String, String, String)], topK: Int): String = {
+    val parts = scopes.zipWithIndex.map { case ((f, b, m), i) =>
+      s"""c$i AS (SELECT CAST($f AS VARCHAR) AS subspace, $b AS b,
+         |    COUNT(*) AS cnt, SUM(CAST($m AS DECIMAL(25,6))) AS sm
+         |  FROM $table GROUP BY 1, 2),
+         |ca$i AS (SELECT * FROM c$i
+         |  UNION ALL SELECT '*' AS subspace, b, SUM(cnt) AS cnt, SUM(sm) AS sm FROM c$i GROUP BY b),
+         |m$i AS (SELECT subspace, CAST(b AS VARCHAR) AS b, '${m}_mean' AS measure,
+         |    ROUND(CAST(CAST(sm AS DECIMAL(25,6)) AS DOUBLE) / cnt, 6) AS v FROM ca$i
+         |  UNION ALL
+         |  SELECT subspace, CAST(b AS VARCHAR), 'row_count', CAST(cnt AS DOUBLE) FROM ca$i),
+         |s$i AS (SELECT subspace, measure, COUNT(*) AS k,
+         |    ${dvalSql("v")} AS sv, ${dbigSql("v * v")} AS svv
+         |  FROM m$i GROUP BY 1, 2),
+         |z$i AS (SELECT m.subspace, m.measure, m.b, m.v,
+         |    CASE WHEN ${sigmaSql("s.sv", "s.svv", "s.k")} > 1e-12
+         |         THEN ABS(m.v - s.sv / s.k) / ${sigmaSql("s.sv", "s.svv", "s.k")} ELSE 0.0 END AS zscore,
+         |    m.v / s.sv AS share
+         |  FROM m$i m JOIN s$i s ON m.subspace = s.subspace AND m.measure = s.measure),
+         |zz$i AS (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY subspace, measure ORDER BY zscore DESC, b) AS rn_z,
+         |    ROW_NUMBER() OVER (PARTITION BY subspace, measure ORDER BY share DESC, b) AS rn_s
+         |  FROM z$i),
+         |p$i AS (
+         |  SELECT subspace, measure, MAX(CASE WHEN zscore > 1.5 THEN 1 ELSE 0 END) AS has_pat,
+         |    MAX(CASE WHEN rn_z = 1 AND zscore > 1.5 THEN b END) AS highlight,
+         |    'outlier' AS pattern, '$b' AS breakdown, '$f' AS filter_dim
+         |  FROM zz$i GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT subspace, measure, MAX(CASE WHEN share >= 0.5 THEN 1 ELSE 0 END),
+         |    MAX(CASE WHEN rn_s = 1 AND share >= 0.5 THEN b END), 'dominance', '$b', '$f'
+         |  FROM zz$i GROUP BY 1, 2)""".stripMargin
+    }
+    val pats = scopes.indices.map(i => s"SELECT * FROM p$i").mkString("\nUNION ALL\n")
+    s"""WITH ${parts.mkString(",\n")},
+       |pats AS ($pats)
+       |SELECT filter_dim, breakdown, measure, pattern, n_subspaces, n_matching,
+       |  commonness, score, example_highlight
+       |FROM (
+       |  SELECT filter_dim, breakdown, measure, pattern, COUNT(*) AS n_subspaces,
+       |    CAST(SUM(has_pat) AS BIGINT) AS n_matching,
+       |    ROUND(CAST(SUM(has_pat) AS DOUBLE) / COUNT(*), 6) AS commonness,
+       |    ROUND(CAST(SUM(has_pat) AS DOUBLE) / COUNT(*) -
+       |      0.1 * CASE WHEN SUM(has_pat) = COUNT(*) THEN 1 ELSE 0 END, 6) AS score,
+       |    MIN(CASE WHEN has_pat = 1 THEN concat_ws(':', subspace, highlight) END) AS example_highlight
+       |  FROM pats GROUP BY 1, 2, 3, 4
+       |  HAVING SUM(has_pat) > 0)
+       |ORDER BY score DESC, filter_dim, breakdown, measure, pattern
+       |LIMIT $topK""".stripMargin
+  }
 
   /** Full DuckDB mirror for orders-style input: filterDim × (cat breakdown,
     * ordered month breakdown), measures mean(aggCol) + row count. */

@@ -165,6 +165,40 @@ object Relational extends QFamily {
         .orderBy("c_mktsegment")
     },
 
+    // merge(how='right') surface (reference explainable_data_frame.py:809)
+    q("q_right_join",
+      """SELECT c_mktsegment, COUNT(*) AS n_rows,
+        |  COUNT(o_orderkey) AS n_orders,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_orders"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0)).cast("long").as("n_unmatched"))
+        .orderBy("c_mktsegment")
+    },
+
+    // merge(how='outer') surface: per-customer order counts by status,
+    // full-outer joined so either side may be absent
+    q("q_outer_join",
+      """SELECT COALESCE(f.o_custkey, o.o_custkey) AS custkey, f.n_f, o.n_o
+        |FROM (SELECT o_custkey, COUNT(*) AS n_f FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) f
+        |FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_o FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) o
+        |ON f.o_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin) { (s, dir) =>
+      val ord = t(s, dir, "orders")
+      val f = ord.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("ck_f")).agg(count(lit(1)).as("n_f"))
+      val o = ord.filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey").as("ck_o")).agg(count(lit(1)).as("n_o"))
+      f.join(o, col("ck_f") === col("ck_o"), "full_outer")
+        .select(coalesce(col("ck_f"), col("ck_o")).as("custkey"), col("n_f"), col("n_o"))
+        .orderBy("custkey")
+    },
+
     q("q_semi_anti",
       """SELECT c_mktsegment, kind, COUNT(*) AS n FROM (
         |  SELECT c_mktsegment, 'with_orders' AS kind FROM customer
