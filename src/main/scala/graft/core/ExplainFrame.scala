@@ -51,6 +51,10 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
 
   def groupBy(cols: String*): ExplainGroupBy = new ExplainGroupBy(this, cols)
 
+  /** Column access as a provenance-carrying series (ExpSeries analog):
+    * `ef.series("l_quantity") >= 30` is a composable, explainable mask. */
+  def series(colName: String): ExplainSeries = ExplainSeries(this, colName)
+
   def join(other: ExplainFrame, on: Seq[String], how: String = "inner"): ExplainFrame = {
     val res = df.join(other.df, on, how)
     next(res, JoinOp(df, other.df, res, on, how))
@@ -379,5 +383,15 @@ final class ExplainGroupBy(parent: ExplainFrame, cols: Seq[String]) {
     val n = org.apache.spark.sql.functions.count(col(c))
     agg1(c, "var", D.r(D.varSamp(D.emit6(D.dsum(col(c))), D.dsumsq(col(c)), n)))
   }
+  /** Standard error of the mean (pandas GroupBy.sem, ddof=1). */
+  def sem(c: String): ExplainFrame = {
+    val n = org.apache.spark.sql.functions.count(col(c))
+    agg1(c, "sem", D.r(sqrt(D.varSamp(D.emit6(D.dsum(col(c))), D.dsumsq(col(c)), n) / n)))
+  }
+  /** Product of values (pandas GroupBy.prod) — double arithmetic; unlike
+    * the decimal-exact sums, products are not cross-engine reproducible
+    * and are test-covered rather than oracled. */
+  def prod(c: String): ExplainFrame =
+    agg1(c, "prod", product(col(c).cast(DoubleType)))
   def size(): ExplainFrame = count()
 }

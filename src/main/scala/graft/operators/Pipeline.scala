@@ -55,6 +55,11 @@ object Pipeline extends QFamily {
       Some(Ann.embeddingPairsSql("embeddings", 0.3)),
       (s, dir) => Ann.embeddingPairs(t(s, dir, "embeddings"), 0.3)),
 
+    // scale path: IVF-list blocking instead of unbounded label blocks
+    QDef("q_dedup_embedding_ivf",
+      Some(Ann.embeddingPairsIvfSql("embeddings", 0.3, 25, 7)),
+      (s, dir) => Ann.embeddingPairsIvf(t(s, dir, "embeddings"), 0.3, 25, 7)),
+
     // -------------------------------------------- similarity search ----
     QDef("q_ann_topk",
       Some(Ann.bruteTopKSql("embeddings", 40, 5)),

@@ -166,6 +166,57 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-list-blocked embedding near-dup pairs (cosine ≥ th): every
+    * vector is assigned to its max-cosine centroid (same max_by argmax as
+    * [[ivfTopK]]), and pairs are generated WITHIN a list only. This is
+    * the content-blocked scale path the label-blocked [[embeddingPairs]]
+    * lacks: label blocks are unbounded (one hot label → quadratic pairs
+    * on one reducer), whereas list sizes average N/K and the centroid
+    * count K grows with the corpus, keeping per-list work bounded; at
+    * cluster scale list_id doubles as the partition key. Near-identical
+    * vectors land in the same list by construction (their centroid
+    * cosines are near-identical), so near-dup recall matches
+    * label-blocking in practice. */
+  def embeddingPairsIvf(vecs: DataFrame, th: Double,
+                        centMod: Int, centOff: Int): DataFrame = {
+    val base = scaledBase(vecs)
+    val cents = base.filter(col("vec_id") % centMod === centOff)
+      .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
+    val assign = base.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("list_id"))
+    val m = base.join(assign, "vec_id")
+    val a = m.select(col("list_id"), col("vec_id").as("vec_a"),
+      col("fxe").as("ea"), col("nsq").as("na"))
+    val b = m.select(col("list_id"), col("vec_id").as("vec_b"),
+      col("fxe").as("eb"), col("nsq").as("nb"))
+    a.join(b, Seq("list_id")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        graft.util.D.r(cosExpr(FixedDot(col("ea"), col("eb")), col("na"), col("nb")), 6))
+      .filter(col("cosine") >= th)
+      .select(col("list_id"), col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy("list_id", "vec_a", "vec_b")
+  }
+
+  def embeddingPairsIvfSql(table: String, th: Double,
+                           centMod: Int, centOff: Int): String =
+    s"""WITH ${normSqSql(table)},
+       |base AS (SELECT e.vec_id, e.embedding, n.nsq FROM $table e JOIN norms n ON e.vec_id = n.vec_id),
+       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE vec_id % $centMod = $centOff),
+       |scored_c AS (SELECT b.vec_id, b.embedding, b.nsq, c.cid,
+       |    ${cosSql(dotFixSql("c.ce", "b.embedding"), "c.cn", "b.nsq")} AS ccos
+       |  FROM base b CROSS JOIN cents c),
+       |assign AS (SELECT vec_id, cid AS list_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored_c)
+       |  WHERE rn = 1),
+       |m AS (SELECT b.vec_id, b.embedding, b.nsq, a.list_id FROM base b JOIN assign a ON b.vec_id = a.vec_id)
+       |SELECT list_id, vec_a, vec_b, cosine FROM (
+       |  SELECT a.list_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ROUND(${cosSql(dotFixSql("a.embedding", "b.embedding"), "a.nsq", "b.nsq")}, 6) AS cosine
+       |  FROM m a JOIN m b ON a.list_id = b.list_id AND a.vec_id < b.vec_id)
+       |WHERE cosine >= $th ORDER BY list_id, vec_a, vec_b""".stripMargin
+
   /** Label-blocked embedding near-dup pairs (cosine ≥ th). */
   def embeddingPairs(vecs: DataFrame, th: Double): DataFrame = {
     val base = scaledBase(vecs, Seq("label"))

@@ -42,7 +42,7 @@ class ExplainFrameSpec extends AnyFunSuite {
     assert(mi.columns.contains("commonness"))
   }
 
-  test("join provenance + fedex on join") {
+  test("join provenance + fedex on join (consider left/right)") {
     val liK = li.select(col("l_orderkey"), col("l_quantity"), col("l_discount"),
       col("l_returnflag"))
     val oSmall = orders.filter(col("o_orderpriority") === "1-URGENT")
@@ -50,8 +50,65 @@ class ExplainFrameSpec extends AnyFunSuite {
     val j = liK.join(new ExplainFrame(oSmall.df.withColumnRenamed("o_orderkey", "l_orderkey"),
       None, "orders"), Seq("l_orderkey"))
     assert(j.op.get.describe.startsWith("join["))
-    val ex = j.explainFedex(topK = 2).collect()
+    // the right frame is key-only here, so the left side is explained
+    val ex = j.explainFedex(topK = 2, consider = "left").collect()
     assert(ex.length === 2)
+    intercept[IllegalArgumentException](j.explainFedex(consider = "both"))
+    // consider='right' (the reference default): right-side attributes
+    val o2 = orders.select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"),
+      col("o_orderpriority"))
+    val j2 = liK.join(new ExplainFrame(o2.df, None, "orders"), Seq("l_orderkey"))
+    val exR = j2.explainFedex(topK = 3).select("attribute").distinct()
+      .collect().map(_.getString(0))
+    assert(exR.forall(a => Set("o_totalprice", "o_orderpriority").contains(a)), exR.mkString(","))
+  }
+
+  test("sampled explanation agrees with full on the top attribute") {
+    val f = li.filter(col("l_quantity") >= 30)
+    val full = f.explainFedex(topK = 1).collect().head.getString(0)
+    val sampled = f.explainFedex(topK = 1, useSampling = true, sampleSize = 5000)
+      .collect().head.getString(0)
+    assert(full === sampled)
+    // the sample is deterministic: same call, same result
+    val again = f.explainFedex(topK = 1, useSampling = true, sampleSize = 5000)
+      .collect().head.getString(0)
+    assert(sampled === again)
+  }
+
+  test("series masks compose with provenance (ExpSeries analog)") {
+    val m1 = li.series("l_quantity") >= 30
+    val m2 = li.series("l_discount") < 0.05
+    val both = m1 && m2
+    assert(both.desc === "(l_quantity >= 30) & (l_discount < 0.05)")
+    val f = both()
+    assert(f.op.get.describe.contains("l_quantity >= 30"))
+    val n = f.df.count()
+    val expect = li.df.filter(col("l_quantity") >= 30 && col("l_discount") < 0.05).count()
+    assert(n === expect)
+    val ex = both.explain(topK = 2).collect()
+    assert(ex.length === 2)
+    val or = (m1 || m2)().df.count()
+    assert(or >= n)
+    intercept[IllegalArgumentException](li.series("l_quantity")())
+  }
+
+  test("groupBy sem and prod aggregates") {
+    val s = orders.groupBy("o_orderpriority").sem("o_totalprice").df
+    assert(s.columns.contains("o_totalprice_sem"))
+    assert(s.collect().forall(r => r.getDouble(1) > 0))
+    val p = li.filter(col("l_quantity") <= 2)
+      .groupBy("l_returnflag").prod("l_quantity").df.collect()
+    assert(p.nonEmpty && p.forall(r => r.getDouble(1) > 0))
+  }
+
+  test("metainsight auto-search derives scopes from the schema") {
+    val auto = orders.explainMetaInsightAuto(topK = 5)
+    assert(auto.columns.contains("filter_dim"))
+    val rows = auto.collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    // scores are sorted non-increasing
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
   test("correlation pruning removes correlated attributes") {
