@@ -69,6 +69,37 @@ object Probe {
     time("ngram full") {
       graft.dedup.Dedup.ngramJaccard(docs, "source", 0.02).count()
     }
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    println(s"[probe] lineitem=${li.count()}")
+    time("plain double sums x5") {
+      li.agg(sum("l_quantity"), sum("l_extendedprice"), sum("l_discount"),
+        sum("l_tax"), count(lit(1))).collect()
+    }
+    time("dec25 sums x5") {
+      li.agg(sum(col("l_quantity").cast(graft.util.D.dec25)),
+        sum(col("l_extendedprice").cast(graft.util.D.dec25)),
+        sum(col("l_discount").cast(graft.util.D.dec25)),
+        sum(col("l_tax").cast(graft.util.D.dec25)), count(lit(1))).collect()
+    }
+    time("dec30 product sums x3") {
+      li.agg(
+        sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(30, 6))),
+        sum((col("l_quantity") * col("l_discount")).cast(DecimalType(30, 6))),
+        sum((col("l_extendedprice") * col("l_discount")).cast(DecimalType(30, 6)))).collect()
+    }
+    time("pearson 3 pairs") {
+      graft.explain.Correlation.pearson(li, Seq(
+        ("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount"))).collect()
+    }
+    time("metainsight cat+trend") {
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      val cat = graft.explain.MetaInsight.catPatterns(o, "o_orderpriority", "o_orderstatus",
+        "o_totalprice", "totalprice_mean")
+      val tr = graft.explain.MetaInsight.trendPatterns(o, "o_orderpriority", month(col("o_orderdate")),
+        "month", "o_totalprice", "totalprice_mean")
+      graft.explain.MetaInsight.mine(cat.unionByName(tr)).collect()
+    }
     spark.stop()
   }
 }

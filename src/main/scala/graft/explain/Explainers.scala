@@ -204,10 +204,17 @@ object Explainers extends QFamily {
         "o_orderdate", "o_totalprice", "totalprice_mean")),
       (s, dir) => {
         val o = t(s, dir, "orders")
-        val cat = MetaInsight.catPatterns(o, "o_orderpriority", "o_orderstatus",
-          "o_totalprice", "totalprice_mean")
-        val tr = MetaInsight.trendPatterns(o, "o_orderpriority", month(col("o_orderdate")),
-          "month", "o_totalprice", "totalprice_mean")
+        // ONE scan: both breakdowns re-aggregate from the same
+        // (subspace, status, month) cube (decimal sums are exact, so the
+        // re-aggregation is bit-identical to a direct per-breakdown scan)
+        val cube = MetaInsight.cube2(o, "o_orderpriority", "o_totalprice",
+          col("o_orderstatus"), month(col("o_orderdate"))).persist()
+        val cat = MetaInsight.catPatternsFromCells(
+          MetaInsight.cellsFrom(cube.withColumnRenamed("b1", "b"), "b"),
+          "o_orderstatus", "totalprice_mean")
+        val tr = MetaInsight.trendPatternsFromCells(
+          MetaInsight.cellsFrom(cube.withColumnRenamed("b2", "b"), "b"),
+          "month", "totalprice_mean")
         MetaInsight.mine(cat.unionByName(tr))
       }),
 

@@ -52,10 +52,44 @@ object MetaInsight {
         lit("row_count").as("measure"), col("cnt").cast(DoubleType).as("v")))
   }
 
+  /** One-scan base for evaluating TWO breakdowns of the same
+    * (filterDim, measure) scope: a (subspace, b1, b2) cube whose decimal
+    * sums re-aggregate exactly into either breakdown's cells — the
+    * second corpus scan the naive cat+trend pairing would do becomes a
+    * ~hundreds-of-rows re-aggregation. */
+  def cube2(src: DataFrame, filterDim: String, aggCol: String,
+            b1: Column, b2: Column): DataFrame =
+    src.groupBy(col(filterDim).cast("string").as("subspace"), b1.as("b1"), b2.as("b2"))
+      .agg(count(lit(1)).as("cnt"), sum(col(aggCol).cast(D.dec25)).as("sm"))
+
+  /** Cells of one breakdown re-aggregated from [[cube2]] (+ '*'). */
+  def cellsFrom(cube: DataFrame, bCol: String): DataFrame = {
+    val c0 = cube.groupBy(col("subspace"), col(bCol).as("b"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sm")).as("sm"))
+    val cStar = c0.groupBy("b")
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sm")).as("sm"))
+      .withColumn("subspace", lit("*"))
+      .select("subspace", "b", "cnt", "sm")
+    c0.unionByName(cStar)
+  }
+
+  /** Categorical patterns from a prebuilt cells table. */
+  def catPatternsFromCells(cellsDf: DataFrame, breakdownName: String, meanName: String): DataFrame =
+    catPatternsImpl(melt(cellsDf, meanName), breakdownName)
+
+  /** Trend patterns from a prebuilt cells table (integer breakdown). */
+  def trendPatternsFromCells(cellsDf: DataFrame, breakdownName: String, meanName: String): DataFrame =
+    trendPatternsImpl(melt(cellsDf, meanName).withColumn("x", col("b").cast(IntegerType)),
+      breakdownName)
+
   /** Categorical-breakdown patterns: outlier + dominance per scope. */
   def catPatterns(src: DataFrame, filterDim: String, breakdown: String,
-                  aggCol: String, meanName: String): DataFrame = {
-    val m = melt(cells(src.withColumn("v0", col(aggCol)), filterDim, col(breakdown)), meanName)
+                  aggCol: String, meanName: String): DataFrame =
+    catPatternsImpl(
+      melt(cells(src.withColumn("v0", col(aggCol)), filterDim, col(breakdown)), meanName),
+      breakdown)
+
+  private def catPatternsImpl(m: DataFrame, breakdown: String): DataFrame = {
     val s = m.groupBy("subspace", "measure")
       .agg(count(lit(1)).as("k"),
         sum(col("v").cast(dval)).cast(DoubleType).as("sv"),
@@ -82,9 +116,13 @@ object MetaInsight {
   /** Ordered-breakdown patterns: trend_up / trend_down per scope.
     * Breakdown must be an integer index column (e.g. month). */
   def trendPatterns(src: DataFrame, filterDim: String, breakdownIdx: Column,
-                    breakdownName: String, aggCol: String, meanName: String): DataFrame = {
-    val m = melt(cells(src.withColumn("v0", col(aggCol)), filterDim, breakdownIdx), meanName)
-      .withColumn("x", col("b").cast(IntegerType))
+                    breakdownName: String, aggCol: String, meanName: String): DataFrame =
+    trendPatternsImpl(
+      melt(cells(src.withColumn("v0", col(aggCol)), filterDim, breakdownIdx), meanName)
+        .withColumn("x", col("b").cast(IntegerType)),
+      breakdownName)
+
+  private def trendPatternsImpl(m: DataFrame, breakdownName: String): DataFrame = {
     val s = m.groupBy("subspace", "measure")
       .agg(count(lit(1)).as("k"),
         sum(col("x")).as("sx"),
