@@ -368,6 +368,36 @@ final class ExplainGroupBy(parent: ExplainFrame, cols: Seq[String]) {
     new ExplainFrame(res, Some(GroupByOp(parent.df, res, cols, aggCol, fn)), parent.name)
   }
 
+  private def aggExpr(c: String, fn: String): Column = {
+    val n = org.apache.spark.sql.functions.count(col(c))
+    fn match {
+      case "count" => org.apache.spark.sql.functions.count(lit(1))
+      case "mean" | "avg" => D.r(D.emit6(D.dsum(col(c))) / n)
+      case "sum" => D.dsumd(col(c))
+      case "min" => org.apache.spark.sql.functions.min(col(c))
+      case "max" => org.apache.spark.sql.functions.max(col(c))
+      case "nunique" => countDistinct(col(c))
+      case "median" => D.r(percentile(col(c), lit(0.5)), 4)
+      case "std" => D.r(sqrt(D.varSamp(D.emit6(D.dsum(col(c))), D.dsumsq(col(c)), n)))
+      case "var" => D.r(D.varSamp(D.emit6(D.dsum(col(c))), D.dsumsq(col(c)), n))
+      case "sem" => D.r(sqrt(D.varSamp(D.emit6(D.dsum(col(c))), D.dsumsq(col(c)), n) / n))
+      case "prod" => product(col(c).cast(DoubleType))
+      case other => throw new IllegalArgumentException(s"Unknown aggregate: $other")
+    }
+  }
+
+  /** Multi-aggregate, the reference's `groupby().agg({'col': 'fn'})`
+    * dict surface: one groupBy computing every (col, fn) pair.
+    * Provenance records the FIRST pair — the reference likewise explains
+    * one measure of a multi-agg at a time. */
+  def agg(aggs: (String, String)*): ExplainFrame = {
+    require(aggs.nonEmpty, "agg requires at least one (column, function) pair")
+    val exprs = aggs.map { case (c, fn) => aggExpr(c, fn).as(s"${c}_$fn") }
+    val res = parent.df.groupBy(cols.map(col): _*).agg(exprs.head, exprs.tail: _*)
+    new ExplainFrame(res,
+      Some(GroupByOp(parent.df, res, cols, aggs.head._1, aggs.head._2)), parent.name)
+  }
+
   def count(): ExplainFrame = agg1(cols.head, "count", org.apache.spark.sql.functions.count(lit(1)))
   def mean(c: String): ExplainFrame = agg1(c, "mean", D.r(D.emit6(D.dsum(col(c))) / org.apache.spark.sql.functions.count(col(c))))
   def sum(c: String): ExplainFrame = agg1(c, "sum", D.dsumd(col(c)))

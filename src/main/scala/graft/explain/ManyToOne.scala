@@ -73,16 +73,26 @@ object ManyToOne {
                   binningMethod: String = "quantile"): Column = {
     val numeric = src.schema(labelCol).dataType.isInstanceOf[NumericType]
     if (!numeric) return col(labelCol).cast("string")
-    val distinct = src.agg(countDistinct(col(labelCol))).head().getLong(0)
-    if (distinct <= numBins) return col(labelCol).cast("string")
-    val bin = binningMethod match {
-      case "quantile" => quantileBins(src, Seq(labelCol), numBins).head.expr
-      case "uniform" =>
-        val r = src.agg(min(col(labelCol)).as("lo"), max(col(labelCol)).as("hi")).head()
-        Fedex.binExpr(col(labelCol), lit(r.get(0)), lit(r.get(1)), numBins)
-      case other => throw new IllegalArgumentException(
+    if (binningMethod != "quantile" && binningMethod != "uniform")
+      throw new IllegalArgumentException(
         "The binning method must be either 'uniform' or 'quantile'.")
-    }
+    // ONE aggregation pass computes the distinct count AND the bin
+    // boundaries; the boundaries are simply unused when no binning is
+    // needed
+    val ps = (1 until numBins).map(_.toDouble / numBins)
+    val boundAggs =
+      if (binningMethod == "quantile")
+        ps.zipWithIndex.map { case (p, i) =>
+          graft.util.D.r(percentile(col(labelCol), lit(p)), 6).as(s"q$i") }
+      else Seq(min(col(labelCol)).cast("double").as("lo"), max(col(labelCol)).cast("double").as("hi"))
+    val aggs = countDistinct(col(labelCol)).as("nd") +: boundAggs
+    val row = src.agg(aggs.head, aggs.tail: _*).head()
+    if (row.getLong(0) <= numBins) return col(labelCol).cast("string")
+    val bin =
+      if (binningMethod == "quantile")
+        NumBin(labelCol, ps.indices.map(i => row.getDouble(row.fieldIndex(s"q$i")))).expr
+      else Fedex.binExpr(col(labelCol),
+        lit(row.getDouble(row.fieldIndex("lo"))), lit(row.getDouble(row.fieldIndex("hi"))), numBins)
     concat(lit("bin_"), bin.cast("string"))
   }
 

@@ -177,15 +177,25 @@ object Ann {
     * vectors land in the same list by construction (their centroid
     * cosines are near-identical), so near-dup recall matches
     * label-blocking in practice. */
-  def embeddingPairsIvf(vecs: DataFrame, th: Double,
-                        centMod: Int, centOff: Int): DataFrame = {
+  /** Nearest-centroid list assignment (vec_id → list_id): the max_by
+    * argmax over broadcast centroids, no window, no sort shuffle. This
+    * is also the partitioning function for a list-partitioned layout —
+    * writing the corpus `partitionBy("list_id")` lets a probe prune to
+    * its nprobe lists at the scan (asserted in ScaleSpec). */
+  def assignLists(vecs: DataFrame, centMod: Int, centOff: Int): DataFrame = {
     val base = scaledBase(vecs)
     val cents = base.filter(col("vec_id") % centMod === centOff)
       .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
-    val assign = base.crossJoin(broadcast(cents))
+    base.crossJoin(broadcast(cents))
       .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
       .groupBy("vec_id")
       .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("list_id"))
+  }
+
+  def embeddingPairsIvf(vecs: DataFrame, th: Double,
+                        centMod: Int, centOff: Int): DataFrame = {
+    val base = scaledBase(vecs)
+    val assign = assignLists(vecs, centMod, centOff)
     val m = base.join(assign, "vec_id")
     val a = m.select(col("list_id"), col("vec_id").as("vec_a"),
       col("fxe").as("ea"), col("nsq").as("na"))

@@ -34,6 +34,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("IVF: list-partitioned layout prunes probe scans; assignment has no window") {
+    import graft.sim.Ann
+    val e = graft.util.D.t(spark, sf, "embeddings")
+    // assignment is a max_by aggregation — a window here would
+    // sort-shuffle the full N×K scored table
+    val assign = Ann.assignLists(e, 25, 7)
+    assert(!assign.queryExecution.executedPlan.toString.contains("Window"),
+      "IVF assignment should be an aggregation, not a window")
+    // write the corpus partitioned by list id; a probe of nprobe lists
+    // must prune at the scan (PartitionFilters), the physical analog of
+    // IVF probing on a cluster
+    val path = "/tmp/graft_ivf_lists"
+    e.join(assign, "vec_id").write.mode("overwrite").partitionBy("list_id").parquet(path)
+    val probeLists = assign.select("list_id").distinct().orderBy("list_id")
+      .limit(3).collect().map(_.getLong(0))
+    val probed = spark.read.parquet(path).filter(col("list_id").isin(probeLists: _*))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(probeLists.head.toString),
+      s"probe not pruned:\n${plan.take(1200)}")
+    val total = e.count()
+    val scanned = probed.count()
+    assert(scanned > 0 && scanned < total, s"pruning scanned $scanned of $total")
+  }
+
+  test("groupBy multi-agg dict surface") {
+    import graft.core.ExplainFrame
+    val o = ExplainFrame(graft.util.D.t(spark, sf, "orders"), "orders")
+    val g = o.groupBy("o_orderpriority").agg("o_totalprice" -> "mean", "o_totalprice" -> "sum")
+    assert(g.df.columns.toSet === Set("o_orderpriority", "o_totalprice_mean", "o_totalprice_sum"))
+    // provenance records the first pair, so explanation dispatch works
+    assert(g.explainFedex(topK = 2).count() === 2)
+    intercept[IllegalArgumentException](
+      o.groupBy("o_orderpriority").agg("o_totalprice" -> "mode"))
+  }
+
   test("salted sum equals direct sum") {
     val li = graft.util.D.t(spark, sf, "lineitem")
     val direct = li.groupBy("l_returnflag")
