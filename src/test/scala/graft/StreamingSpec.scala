@@ -5,6 +5,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+final case class DocEvent(ts: java.sql.Timestamp, doc_id: Long, text: String)
+
 /** Streaming sessionization under MemoryStream: the streamed (closed)
   * sessions must be exactly a subset of the batch sessions, and sessions
   * whose gap elapsed before the final watermark must all be emitted. */
@@ -65,6 +67,35 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData(a); q.processAllAvailable()
       mem.addData(b); q.processAllAvailable()
       assert(spark.table("win_out").count() > 0)
+    } finally q.stop()
+  }
+
+  test("streaming dedup suppresses within-watermark duplicates, state bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    // doc ids 1..3 unique texts; 4,5 duplicate doc 1's text within the
+    // horizon; 6 duplicates it again in a later batch (still within)
+    val batch1 = Seq(
+      DocEvent(at(0), 1, "alpha beta"), DocEvent(at(1), 2, "gamma"),
+      DocEvent(at(2), 3, "delta"), DocEvent(at(3), 4, "alpha beta"),
+      DocEvent(at(4), 5, "alpha beta"))
+    val batch2 = Seq(DocEvent(at(30), 6, "alpha beta"), DocEvent(at(31), 7, "epsilon"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocEvent]
+    val q = graft.streaming.StreamDedup.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+      val kept = spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
+      // one survivor per distinct text: docs 4,5,6 suppressed
+      assert(kept === Set(1L, 2L, 3L, 7L), s"kept=$kept")
+      // batch parity: same number of keeps as batch exact dedup
+      val batchKeeps = graft.dedup.Dedup.exactGroups(
+        (batch1 ++ batch2).toDF("ts", "doc_id", "text"),
+        md5(col("text").cast(org.apache.spark.sql.types.BinaryType))).count()
+      assert(kept.size.toLong === batchKeeps)
     } finally q.stop()
   }
 
