@@ -16,16 +16,20 @@ object Bench {
     SparkEntry.entry(spark).count()
     // deterministic order: map iteration order varies across JVMs and
     // would shuffle which queries absorb residual warmup
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable =>
                  System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      // library-internal persists (e.g. minhash signature reuse) are
-      // scoped to one query here — drop them so successive queries don't
-      // accumulate cached partitions
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // cleanup OUTSIDE the timed window: drop library-internal persists
+      // (minhash signatures etc.), and periodically nudge a GC —
+      // ContextCleaner reclaims broadcast/shuffle state only after a JVM
+      // GC, so without one, late queries pay for sixty queries of
+      // accumulated state
       spark.catalog.clearCache()
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      if (i % 8 == 7) System.gc()
+      (name, elapsed, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

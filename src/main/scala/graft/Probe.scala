@@ -87,6 +87,12 @@ object Probe {
         sum((col("l_quantity") * col("l_discount")).cast(DecimalType(30, 6))),
         sum((col("l_extendedprice") * col("l_discount")).cast(DecimalType(30, 6)))).collect()
     }
+    time("q_correlation full") {
+      SparkEntry.queries("q_correlation")(spark, sfDir).count()
+    }
+    time("q_metainsight full") {
+      SparkEntry.queries("q_metainsight")(spark, sfDir).count()
+    }
     time("pearson 3 pairs") {
       graft.explain.Correlation.pearson(li, Seq(
         ("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
