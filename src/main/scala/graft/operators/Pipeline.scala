@@ -163,6 +163,52 @@ object Pipeline extends QFamily {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
         .orderBy("fingerprint")),
 
+    // content-defined chunking: duplicated passages surface as shared
+    // chunk hashes regardless of their offset in the document
+    QDef("q_text_cdc",
+      Some(graft.text.Cdc.dupChunksSql("documents")),
+      (s, dir) => graft.text.Cdc.dupChunks(s, t(s, dir, "documents"))),
+
+    // end-to-end corpus prep: quality-filter -> exact-dedup keeps ->
+    // per-language token totals (the composition a real pipeline runs)
+    QDef("q_pipeline_e2e", {
+      val toks = TextOps.tokensSql("text")
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id, lang, text,
+              |    ROUND(0.3 * LEAST(CAST(len($toks) AS BIGINT) / 100.0, 1.0)
+              |      + 0.4 * (1.0 - ROUND(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 6))
+              |      + 0.3 * LEAST(ROUND(CAST(${TextOps.langHitsSql(toks, "en")} AS DOUBLE) / len($toks), 6) * 5.0, 1.0), 6) AS quality
+              |  FROM documents),
+              |kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+              |dedup AS (SELECT MIN(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+              |    arg_min(text, doc_id) AS text
+              |  FROM kept GROUP BY md5(text))
+              |SELECT lang, COUNT(*) AS n_docs,
+              |  CAST(SUM(len($toks)) AS BIGINT) AS total_tokens,
+              |  CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+              |FROM dedup GROUP BY lang ORDER BY lang""".stripMargin)
+    }, (s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val nTok = size(toks)
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"),
+        graft.util.D.r(lit(0.3) * least(nTok.cast(LongType) / 100.0, lit(1.0)) +
+          lit(0.4) * (lit(1.0) - graft.util.D.r((length(col("text")) -
+            length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast(DoubleType) / length(col("text")), 6)) +
+          lit(0.3) * least(graft.util.D.r(TextOps.langHits(toks, "en").cast(DoubleType) / nTok, 6) * 5.0, lit(1.0)), 6)
+          .as("quality"))
+      val kept = scored.filter(col("quality") >= 0.5)
+      // min_by keeps the min-doc_id survivor's payload deterministically
+      val dedup = kept.groupBy(md5(col("text").cast(BinaryType)).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("lang"), col("doc_id")).as("lang"),
+          min_by(col("text"), col("doc_id")).as("text"))
+      dedup.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text")))).cast(LongType).as("total_tokens"),
+          min(col("doc_id")).cast(LongType).as("min_doc_id"))
+        .orderBy("lang")
+    }),
+
     // --------------------------------------------------- multimodal ----
     QDef("q_multimodal_meta",
       Some(Multimodal.decodeMetaSql("documents")),
