@@ -54,6 +54,27 @@ class PipelineSpec extends AnyFunSuite {
       fast.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
   }
 
+  test("CDC chunking is offset-invariant on shared passages") {
+    import graft.text.Cdc
+    // the defining CDC property: a shared substring produces the same
+    // interior chunks regardless of what precedes it
+    val shared = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 8)
+    val a = "PREFIX-A 123 " + shared
+    val b = "a completely different and much longer prefix text here " + shared
+    val ca = Cdc.chunks(a)
+    val cb = Cdc.chunks(b)
+    // interior chunks (drop the first chunk of each, which spans the
+    // differing prefix, and the tail) must coincide
+    val ia = ca.drop(1).dropRight(1)
+    val ib = cb.drop(1).dropRight(1)
+    assert(ia.nonEmpty, s"no interior chunks (a=${ca.length} chunks)")
+    assert(ib.containsSlice(ia) || ia.containsSlice(ib),
+      s"shared passage chunked differently: ${ia.length} vs ${ib.length}")
+    // chunks reassemble the document exactly
+    assert(ca.mkString === a && cb.mkString === b)
+    assert(Cdc.chunks("") === Seq.empty && Cdc.chunks("short") === Seq("short"))
+  }
+
   test("multimodal stub decode is deterministic and typed") {
     val m = graft.multimodal.Multimodal.decodeMeta(spark, docs)
     assert(m.schema.fieldNames.toSeq ===
