@@ -33,13 +33,46 @@ object Correlation {
   private val ChunkBits = 21
   private val ChunkMask = (1L << ChunkBits) - 1
 
+  /** Scale-6 quantization f = halfup(exact(x)·1e6) as a long, with a
+    * codegen'd double fast path: y = x·1e6 differs from the exact
+    * product by ≤ ulp(y)/2 ≈ |y|·2⁻⁵³, so whenever y's fractional part
+    * is farther than |y|·1.8·10⁻¹⁵ + 10⁻¹² (a 16× ulp margin) from the
+    * .5 rounding boundary, floor(y + 0.5) provably equals the decimal
+    * cast — no BigDecimal per row. Near the boundary, or once |y| grows
+    * past ~2.8·10¹⁴ (where the margin exceeds 0.5 and the guard is
+    * always false), every row falls back to the exact decimal cast —
+    * the fast path can never produce a different value, only skip. */
+  private def quantize6(c: Column): Column = {
+    val y = c.cast(DoubleType) * 1e6
+    val d = y - floor(y)
+    when(abs(d - 0.5) > abs(y) * 1.8e-15 + 1e-12, floor(y + 0.5))
+      .otherwise((c.cast(DecimalType(30, 6)) * 1000000).cast(LongType))
+  }
+
   /** Exact Σ of the scale-6 quantization of `c`, as unscaled DECIMAL(38,0). */
   private def unscaled6(c: Column): Column = {
-    val f = (c.cast(DecimalType(30, 6)) * 1000000).cast(LongType)
+    val f = quantize6(c)
     val d = DecimalType(38, 0)
     sum(shiftright(f, 2 * ChunkBits)).cast(d) * lit(1L << (2 * ChunkBits)) +
       sum(shiftright(f, ChunkBits).bitwiseAND(lit(ChunkMask))).cast(d) * lit(1L << ChunkBits) +
       sum(f.bitwiseAND(lit(ChunkMask))).cast(d)
+  }
+
+  /** Chunk sums over a PRE-QUANTIZED long attribute `name` (the
+    * quantizer must run in a projection below the aggregate, so it
+    * evaluates once per row — embedded in each of the three chunk sums
+    * it would run three times: aggregate update expressions are not
+    * subexpression-eliminated across functions). */
+  private def chunkAggs(name: String): Seq[Column] = Seq(
+    sum(shiftright(col(name), 2 * ChunkBits)).as(s"${name}__h"),
+    sum(shiftright(col(name), ChunkBits).bitwiseAND(lit(ChunkMask))).as(s"${name}__m"),
+    sum(col(name).bitwiseAND(lit(ChunkMask))).as(s"${name}__l"))
+
+  private def recombine(name: String): Column = {
+    val d = DecimalType(38, 0)
+    col(s"${name}__h").cast(d) * lit(1L << (2 * ChunkBits)) +
+      col(s"${name}__m").cast(d) * lit(1L << ChunkBits) +
+      col(s"${name}__l").cast(d)
   }
 
   /** value = unscaled / 1e6, exact (decimal × decimal, scale 6). */
@@ -48,17 +81,33 @@ object Correlation {
   private def dsum(c: Column) = value6(unscaled6(c)).cast(D.dec25).cast(DoubleType)
   private def dsumBig(c: Column) = value6(unscaled6(c)).cast(DecimalType(38, 0)).cast(DoubleType)
 
+  /** One-row moment table (s_c, ss_c, sp_x__y, n) with all quantizers in
+    * a single projection pass under one aggregate. Values identical to
+    * the dsum/dsumBig forms. */
+  private def momentAgg(df: DataFrame, cols: Seq[String],
+                        pairs: Seq[(String, String)]): DataFrame = {
+    val sNames = cols.map(c => s"fs_$c")
+    val ssNames = cols.map(c => s"fss_$c")
+    val spNames = pairs.map(p => s"fsp_${p._1}__${p._2}")
+    val proj = df.select(
+      cols.map(c => quantize6(col(c)).as(s"fs_$c")) ++
+        cols.map(c => quantize6(col(c) * col(c)).as(s"fss_$c")) ++
+        pairs.map(p => quantize6(col(p._1) * col(p._2)).as(s"fsp_${p._1}__${p._2}")): _*)
+    val aggs = (sNames ++ ssNames ++ spNames).flatMap(chunkAggs) :+ count(lit(1)).as("n")
+    proj.agg(aggs.head, aggs.tail: _*)
+      .select(cols.map(c => value6(recombine(s"fs_$c")).cast(D.dec25).cast(DoubleType).as(s"s_$c")) ++
+        cols.map(c => value6(recombine(s"fss_$c")).cast(DecimalType(38, 0)).cast(DoubleType).as(s"ss_$c")) ++
+        pairs.map(p => value6(recombine(s"fsp_${p._1}__${p._2}")).cast(DecimalType(38, 0)).cast(DoubleType).as(s"sp_${p._1}__${p._2}")) :+
+        col("n"): _*)
+  }
+
   private def dsumSql(c: String) = s"CAST(ROUND(SUM(CAST($c AS DECIMAL(25,6))), 6) AS DOUBLE)"
   private def dsumBigSql(c: String) = s"CAST(ROUND(SUM(CAST($c AS DECIMAL(30,6))), 0) AS DOUBLE)"
 
   /** Pearson r for each (x, y) pair, one scan for all pairs. */
   def pearson(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
     val cols = pairs.flatMap(p => Seq(p._1, p._2)).distinct
-    val aggs = cols.flatMap(c => Seq(
-      dsum(col(c)).as(s"s_$c"), dsumBig(col(c) * col(c)).as(s"ss_$c"))) ++
-      pairs.map(p => dsumBig(col(p._1) * col(p._2)).as(s"sp_${p._1}__${p._2}")) :+
-      count(lit(1)).as("n")
-    val a = df.agg(aggs.head, aggs.tail: _*)
+    val a = momentAgg(df, cols, pairs)
     val rows = pairs.map { case (x, y) =>
       val n = col("n")
       val num = n * col(s"sp_${x}__$y") - col(s"s_$x") * col(s"s_$y")
@@ -80,6 +129,65 @@ object Correlation {
          |  ROUND(CASE WHEN $den > 1e-9 THEN $num / $den ELSE 0.0 END, 6) AS value
          |FROM $table""".stripMargin
     }.mkString("\nUNION ALL\n")
+
+  /** The full correlation suite — Pearson over `pairs`, η(cat → num),
+    * Cramér's V(cat, cat2) — in TWO scans instead of one per statistic:
+    *  1. one global moment aggregation (the Pearson sums already contain
+    *     η's totals n, Σnum, Σnum² whenever `num` appears in a pair);
+    *  2. one (cat, cat2) cells aggregation carrying counts AND the
+    *     per-cell exact-decimal Σnum — Cramér's contingency table and
+    *     η's per-group sums re-aggregate from the same cells (decimal
+    *     partial sums are exact, so per-group totals are bit-identical
+    *     to a direct per-group scan).
+    * Output matches pearson ∪ eta ∪ cramersV exactly. */
+  def suite(df: DataFrame, pairs: Seq[(String, String)],
+            cat: String, num: String, cat2: String): DataFrame = {
+    require(pairs.exists(p => p._1 == num || p._2 == num),
+      s"suite requires $num to appear in a pearson pair (its moments are shared)")
+    val cols = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val a = momentAgg(df, cols, pairs)
+    val pearsonRows = pairs.map { case (x, y) =>
+      val n = col("n")
+      val numr = n * col(s"sp_${x}__$y") - col(s"s_$x") * col(s"s_$y")
+      val den = sqrt(greatest(n * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x"), lit(0.0))) *
+        sqrt(greatest(n * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y"), lit(0.0)))
+      struct(lit("pearson").as("stat"), lit(x).as("col_x"), lit(y).as("col_y"),
+        graft.util.D.r(when(den > 1e-9, numr / den).otherwise(lit(0.0)), 6).as("value"))
+    }
+    val pearsonDf = a.select(explode(array(pearsonRows: _*)).as("r")).select("r.*")
+
+    // shared cells: contingency counts + exact decimal partial Σnum
+    val cells = df.groupBy(col(cat).as("ca"), col(cat2).as("cb"))
+      .agg(count(lit(1)).as("o"), sum(col(num).cast(D.dec25)).as("psum"))
+      .persist()
+
+    // η from re-aggregated cells + the global moment row
+    val g = cells.groupBy("ca")
+      .agg(sum(col("o")).as("ng"),
+        sum(col("psum")).cast(D.dec25).cast(DoubleType).as("sg"))
+    val tot = a.select(col("n").cast(DoubleType).as("n"),
+      col(s"s_$num").as("s"), col(s"ss_$num").as("ss"))
+    val mean = col("s") / col("n")
+    val etaDf = g.crossJoin(broadcast(tot))
+      .select((col("ng") * (col("sg") / col("ng") - mean) * (col("sg") / col("ng") - mean)).cast(dval).as("t"),
+        col("n"), col("s"), col("ss"))
+      .groupBy("n", "s", "ss").agg(sum(col("t")).cast(DoubleType).as("ssb"))
+      .select(lit("eta").as("stat"), lit(cat).as("col_x"), lit(num).as("col_y"),
+        graft.util.D.r(sqrt(col("ssb") / greatest(col("ss") - col("n") * (col("s") / col("n")) * (col("s") / col("n")), lit(1e-9))), 6).as("value"))
+
+    // Cramér's V from the same cells
+    val ra = cells.groupBy("ca").agg(sum("o").as("rn"))
+    val cb = cells.groupBy("cb").agg(sum("o").as("cn"))
+    val nrk = cells.agg(sum("o").as("n"), countDistinct(col("ca")).as("r"), countDistinct(col("cb")).as("k"))
+    val e = col("rn") * col("cn") / col("n")
+    val chi = cells.join(ra, Seq("ca")).join(cb, Seq("cb")).crossJoin(broadcast(nrk))
+      .select((((col("o") - e) * (col("o") - e) / e)).cast(dval).as("t"), col("n"), col("r"), col("k"))
+      .groupBy("n", "r", "k").agg(sum(col("t")).cast(DoubleType).as("chi2"))
+    val cramersDf = chi.select(lit("cramers_v").as("stat"), lit(cat).as("col_x"), lit(cat2).as("col_y"),
+      graft.util.D.r(sqrt(col("chi2") / (col("n") * greatest(least(col("r"), col("k")) - 1, lit(1)))), 6).as("value"))
+
+    pearsonDf.unionByName(etaDf).unionByName(cramersDf)
+  }
 
   /** Correlation ratio η: categorical `cat` → numeric `num`. */
   def eta(df: DataFrame, cat: String, num: String): DataFrame = {

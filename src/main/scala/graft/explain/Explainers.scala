@@ -253,14 +253,13 @@ object Explainers extends QFamily {
         Correlation.etaSql("lineitem", "l_returnflag", "l_quantity"),
         Correlation.cramersVSql("lineitem", "l_returnflag", "l_linestatus")
       ).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY stat, col_x, col_y")),
-      (s, dir) => {
-        val li = t(s, dir, "lineitem")
-        Correlation.pearson(li, Seq(
-            ("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
-            ("l_extendedprice", "l_discount")))
-          .unionByName(Correlation.eta(li, "l_returnflag", "l_quantity"))
-          .unionByName(Correlation.cramersV(li, "l_returnflag", "l_linestatus"))
-          .orderBy("stat", "col_x", "col_y")
-      })
+      // two-scan suite: η reuses the Pearson moment row and the Cramér's
+      // contingency cells (exact-decimal partials re-aggregate
+      // bit-identically), instead of one scan per statistic
+      (s, dir) => Correlation.suite(t(s, dir, "lineitem"),
+          Seq(("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+            ("l_extendedprice", "l_discount")),
+          "l_returnflag", "l_quantity", "l_linestatus")
+        .orderBy("stat", "col_x", "col_y"))
   )
 }
