@@ -60,6 +60,12 @@ object Pipeline extends QFamily {
       Some(Ann.embeddingPairsIvfSql("embeddings", 0.3, 25, 7)),
       (s, dir) => Ann.embeddingPairsIvf(t(s, dir, "embeddings"), 0.3, 25, 7)),
 
+    // alternative scale path: hyperplane-LSH buckets — scan-local (no
+    // centroid table), fixed 2^bits bucket count
+    QDef("q_dedup_embedding_lsh",
+      Some(Ann.lshPairsSql("embeddings", 0.3)),
+      (s, dir) => Ann.lshPairs(t(s, dir, "embeddings"), 0.3)),
+
     // -------------------------------------------- similarity search ----
     QDef("q_ann_topk",
       Some(Ann.bruteTopKSql("embeddings", 40, 5)),

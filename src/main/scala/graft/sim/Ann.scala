@@ -227,6 +227,70 @@ object Ann {
        |  FROM m a JOIN m b ON a.list_id = b.list_id AND a.vec_id < b.vec_id)
        |WHERE cosine >= $th ORDER BY list_id, vec_a, vec_b""".stripMargin
 
+  // ------------------------------------------ hyperplane LSH bucketing --
+
+  /** Number of sign bits / hyperplanes for [[lshPairs]] (2^8 buckets at
+    * bench scale; raise to shrink buckets as the corpus grows). */
+  val LshBits = 8
+
+  /** Embedding dimensionality the hyperplane matrix is generated for. */
+  val LshDim = 64
+
+  /** Deterministic ±1 hyperplane matrix (LshBits × LshDim) from a
+    * documented xorshift64 seed — both engines embed the SAME literal
+    * signs, so bucket ids are reproducible everywhere (same idiom as
+    * Dedup.Seeds). Random ±1 hyperplanes are the classic random-
+    * projection LSH family for cosine similarity (sign of ⟨v, r⟩). */
+  lazy val LshPlanes: IndexedSeq[IndexedSeq[Long]] = {
+    var s = 0x9E3779B97F4A7C15L
+    def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
+    IndexedSeq.fill(LshBits)(IndexedSeq.fill(LshDim)(if ((next() & 1L) == 0L) 1L else -1L))
+  }
+
+  /** Hyperplane-LSH-bucketed embedding near-dup pairs (cosine ≥ th):
+    * bucket = the LshBits sign bits of ⟨v, r_k⟩ over the fixed ±1
+    * hyperplanes (exact fixed-point dots — ties at 0 break identically
+    * in both engines). Near-identical vectors agree on every sign bit
+    * with high probability, so they collide.
+    *
+    * Scale shape vs [[embeddingPairsIvf]]: bucketing is SCAN-LOCAL — no
+    * centroid table to train or broadcast, the bucket id is a pure
+    * per-row expression — and the bucket count is a config (2^bits),
+    * not data-dependent; the one shuffle keys on bucket id. */
+  def lshPairs(vecs: DataFrame, th: Double): DataFrame = {
+    val base = scaledBase(vecs)
+    val bucketExpr = (0 until LshBits).map { k =>
+      when(FixedDot(col("fxe"), typedlit(LshPlanes(k))) >= 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val b = base.withColumn("bucket", bucketExpr)
+    val a1 = b.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("fxe").as("ea"), col("nsq").as("na"))
+    val b1 = b.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("fxe").as("eb"), col("nsq").as("nb"))
+    a1.join(b1, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        graft.util.D.r(cosExpr(FixedDot(col("ea"), col("eb")), col("na"), col("nb")), 6))
+      .filter(col("cosine") >= th)
+      .select(col("bucket"), col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy("bucket", "vec_a", "vec_b")
+  }
+
+  def lshPairsSql(table: String, th: Double): String = {
+    val fx = "CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 100000000) AS BIGINT)"
+    val bucket = (0 until LshBits).map { k =>
+      val planes = LshPlanes(k).mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, ${LshDim + 1}), i -> $fx * ($planes)[i])) >= 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH ${normSqSql(table)},
+       |base AS (SELECT e.vec_id, e.embedding, n.nsq, CAST(($bucket) AS BIGINT) AS bucket
+       |  FROM $table e JOIN norms n ON e.vec_id = n.vec_id)
+       |SELECT bucket, vec_a, vec_b, cosine FROM (
+       |  SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ROUND(${cosSql(dotFixSql("a.embedding", "b.embedding"), "a.nsq", "b.nsq")}, 6) AS cosine
+       |  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |WHERE cosine >= $th ORDER BY bucket, vec_a, vec_b""".stripMargin
+  }
+
   /** Label-blocked embedding near-dup pairs (cosine ≥ th). */
   def embeddingPairs(vecs: DataFrame, th: Double): DataFrame = {
     val base = scaledBase(vecs, Seq("label"))
