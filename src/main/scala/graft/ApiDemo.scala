@@ -27,6 +27,19 @@ object ApiDemo {
         .select("l_quantity", "l_extendedprice", "l_discount", "l_returnflag"), "lineitem"),
       iterations = 2)
       .foreach(s => println(s"[${s.iteration}] ${s.query} score=${s.score}"))
+    println("== composable series masks (ExpSeries idiom) ==")
+    val mask = (li.series("l_quantity") >= 30) && (li.series("l_discount") < 0.05)
+    println(s"mask: ${mask.desc} -> ${mask().df.count()} rows")
+    mask.explain(topK = 2).show(false)
+    println("== metainsight auto-search over orders ==")
+    val orders = ExplainFrame(util.D.t(spark, "/root/testdata/sf0.001", "orders"), "orders")
+    orders.explainMetaInsightAuto(topK = 3).show(false)
+    println("== many-to-one with quantile binning (reference defaults relaxed) ==")
+    val cust = ExplainFrame(util.D.t(spark, "/root/testdata/sf0.001", "customer"), "customer")
+    cust.explain("many_to_one", labelCol = "c_mktsegment",
+        catAttrs = Seq("c_nationkey"), numAttrs = Seq("c_acctbal"),
+        coverageThreshold = 0.3, separationThreshold = 0.7)
+      .filter(col("passes") === 1).show(5, false)
     spark.stop()
   }
 }
