@@ -42,7 +42,7 @@ object Correlation {
     * past ~2.8·10¹⁴ (where the margin exceeds 0.5 and the guard is
     * always false), every row falls back to the exact decimal cast —
     * the fast path can never produce a different value, only skip. */
-  private def quantize6(c: Column): Column = {
+  private[graft] def quantize6(c: Column): Column = {
     val y = c.cast(DoubleType) * 1e6
     val d = y - floor(y)
     when(abs(d - 0.5) > abs(y) * 1.8e-15 + 1e-12, floor(y + 0.5))
@@ -50,7 +50,7 @@ object Correlation {
   }
 
   /** Exact Σ of the scale-6 quantization of `c`, as unscaled DECIMAL(38,0). */
-  private def unscaled6(c: Column): Column = {
+  private[graft] def unscaled6(c: Column): Column = {
     val f = quantize6(c)
     val d = DecimalType(38, 0)
     sum(shiftright(f, 2 * ChunkBits)).cast(d) * lit(1L << (2 * ChunkBits)) +
@@ -76,7 +76,7 @@ object Correlation {
   }
 
   /** value = unscaled / 1e6, exact (decimal × decimal, scale 6). */
-  private def value6(u: Column): Column = u * lit(new java.math.BigDecimal("0.000001"))
+  private[graft] def value6(u: Column): Column = u * lit(new java.math.BigDecimal("0.000001"))
 
   private def dsum(c: Column) = value6(unscaled6(c)).cast(D.dec25).cast(DoubleType)
   private def dsumBig(c: Column) = value6(unscaled6(c)).cast(DecimalType(38, 0)).cast(DoubleType)

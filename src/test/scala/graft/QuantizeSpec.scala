@@ -1,0 +1,60 @@
+package graft
+
+import graft.explain.Correlation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The chunked-long exact summation (Correlation.quantize6/unscaled6)
+  * must agree with the plain DECIMAL sum on EVERY input — including
+  * exact .5 rounding ties, values straddling the fast-path guard
+  * cut-off (~2.8·10¹⁴ in y = x·10⁶, where it self-disables), negatives,
+  * and adversarial magnitudes. This property is what makes the fast
+  * path safe to ship against the DuckDB oracle. */
+class QuantizeSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def refSum(vals: Seq[Double]): Double = {
+    import spark.implicits._
+    vals.toDF("v")
+      .agg(sum(col("v").cast(DecimalType(30, 6))).cast(DecimalType(38, 6)).cast(DoubleType))
+      .head().getDouble(0)
+  }
+
+  private def fastSum(vals: Seq[Double]): Double = {
+    import spark.implicits._
+    vals.toDF("v")
+      .agg(Correlation.value6(Correlation.unscaled6(col("v")))
+        .cast(DecimalType(38, 6)).cast(DoubleType))
+      .head().getDouble(0)
+  }
+
+  test("chunked-long sum equals decimal sum on adversarial values") {
+    val cases = Seq(
+      Seq(0.0000005, -0.0000005, 1.0000005),            // exact scale-6 ties
+      Seq(0.1, 0.2, 0.3, -0.7),                         // classic binary-fraction values
+      Seq(1.0 / 128, 3.0 / 128, -5.0 / 128),            // dyadic .5-at-scale-6 ties
+      Seq(2.8e8, -2.9e8, 1.234567e8),                   // y ≈ the fast-path guard cut-off
+      Seq(1.2e10, -1.2e10, 9.87654321e9),               // large magnitudes, decimal fallback
+      Seq(123456.654321, -0.000001, 0.000001),
+      (1 to 200).map(i => i * 0.015625),                // exact dyadics
+      (1 to 200).map(i => math.sin(i.toDouble) * 1e7))
+    cases.foreach { vs =>
+      assert(fastSum(vs) === refSum(vs), s"mismatch on ${vs.take(5)}...")
+    }
+  }
+
+  test("chunked-long sum equals decimal sum on seeded random batches") {
+    val rng = new scala.util.Random(42)
+    (1 to 20).foreach { round =>
+      // mixed magnitudes: uniform in ±10^k for k drawn per batch,
+      // including near-tie dyadics
+      val k = rng.nextInt(12) - 2
+      val vs = Seq.fill(64) {
+        val base = (rng.nextDouble() * 2 - 1) * math.pow(10, k.toDouble)
+        if (rng.nextBoolean()) base else math.rint(base * 128) / 128
+      }
+      assert(fastSum(vs) === refSum(vs), s"round $round (k=$k): ${vs.take(4)}")
+    }
+  }
+}
