@@ -33,29 +33,48 @@ object Correlation {
   private val ChunkBits = 21
   private val ChunkMask = (1L << ChunkBits) - 1
 
-  /** Scale-6 quantization f = halfup(exact(x)·1e6) as a long, with a
-    * codegen'd double fast path: y = x·1e6 differs from the exact
-    * product by ≤ ulp(y)/2 ≈ |y|·2⁻⁵³, so whenever y's fractional part
-    * is farther than |y|·1.8·10⁻¹⁵ + 10⁻¹² (a 16× ulp margin) from the
-    * .5 rounding boundary, floor(y + 0.5) provably equals the decimal
-    * cast — no BigDecimal per row. Near the boundary, or once |y| grows
-    * past ~2.8·10¹⁴ (where the margin exceeds 0.5 and the guard is
-    * always false), every row falls back to the exact decimal cast —
-    * the fast path can never produce a different value, only skip. */
-  private[graft] def quantize6(c: Column): Column = {
+  /** Per-row pair for the exact sum: (fast long f, overflow side term).
+    *
+    * f = halfup(exact(x)·1e6) as a long, with a codegen'd double fast
+    * path: y = x·1e6 differs from the exact product by ≤ ulp(y)/2 ≈
+    * |y|·2⁻⁵³, so whenever y's fractional part is farther than
+    * |y|·1.8·10⁻¹⁵ + 10⁻¹² (a 16× ulp margin) from the .5 rounding
+    * boundary, floor(y + 0.5) provably equals the decimal cast — no
+    * BigDecimal per row. Near the boundary, or once |y| grows past
+    * ~2.8·10¹⁴ (where the margin exceeds 0.5 and the guard goes always-
+    * false), the row takes the exact decimal cast — the fast path can
+    * never produce a different value, only skip.
+    *
+    * Values whose unscaled form does not fit a long at all (|y| ≥ 9e18
+    * — Spark 4's ANSI decimal→long cast would throw CAST_OVERFLOW) are
+    * routed to the decimal `side` term instead, so any magnitude the
+    * plain DECIMAL(38,6) sum accepted still sums exactly. */
+  private def quantCols(c: Column): (Column, Column) = {
     val y = c.cast(DoubleType) * 1e6
     val d = y - floor(y)
-    when(abs(d - 0.5) > abs(y) * 1.8e-15 + 1e-12, floor(y + 0.5))
-      .otherwise((c.cast(DecimalType(30, 6)) * 1000000).cast(LongType))
+    val inRange = abs(y) < 9.0e18
+    val f = when(inRange,
+      when(abs(d - 0.5) > abs(y) * 1.8e-15 + 1e-12, floor(y + 0.5))
+        .otherwise((c.cast(DecimalType(30, 6)) * 1000000).cast(LongType)))
+    val side = when(c.isNotNull && !inRange,
+      (c.cast(DecimalType(38, 6)) * 1000000).cast(DecimalType(38, 0)))
+    (f, side)
   }
 
-  /** Exact Σ of the scale-6 quantization of `c`, as unscaled DECIMAL(38,0). */
+  /** Exact Σ of the scale-6 quantization of `c`, as unscaled DECIMAL(38,0):
+    * chunked-long sums for in-range rows + a decimal side sum for
+    * overflow-range rows (null-skipped, so the decimal accumulator is
+    * touched only when such rows exist); NULL when no non-null input,
+    * matching SUM semantics. */
   private[graft] def unscaled6(c: Column): Column = {
-    val f = quantize6(c)
+    val (f, side) = quantCols(c)
     val d = DecimalType(38, 0)
-    sum(shiftright(f, 2 * ChunkBits)).cast(d) * lit(1L << (2 * ChunkBits)) +
+    val chunked = sum(shiftright(f, 2 * ChunkBits)).cast(d) * lit(1L << (2 * ChunkBits)) +
       sum(shiftright(f, ChunkBits).bitwiseAND(lit(ChunkMask))).cast(d) * lit(1L << ChunkBits) +
       sum(f.bitwiseAND(lit(ChunkMask))).cast(d)
+    val sideSum = sum(side).cast(d)
+    when(chunked.isNull && sideSum.isNull, lit(null).cast(d))
+      .otherwise(coalesce(chunked, lit(0).cast(d)) + coalesce(sideSum, lit(0).cast(d)))
   }
 
   /** Chunk sums over a PRE-QUANTIZED long attribute `name` (the
@@ -70,9 +89,12 @@ object Correlation {
 
   private def recombine(name: String): Column = {
     val d = DecimalType(38, 0)
-    col(s"${name}__h").cast(d) * lit(1L << (2 * ChunkBits)) +
+    val chunked = col(s"${name}__h").cast(d) * lit(1L << (2 * ChunkBits)) +
       col(s"${name}__m").cast(d) * lit(1L << ChunkBits) +
       col(s"${name}__l").cast(d)
+    val side = col(s"${name}__side").cast(d)
+    when(chunked.isNull && side.isNull, lit(null).cast(d))
+      .otherwise(coalesce(chunked, lit(0).cast(d)) + coalesce(side, lit(0).cast(d)))
   }
 
   /** value = unscaled / 1e6, exact (decimal × decimal, scale 6). */
@@ -86,14 +108,15 @@ object Correlation {
     * the dsum/dsumBig forms. */
   private def momentAgg(df: DataFrame, cols: Seq[String],
                         pairs: Seq[(String, String)]): DataFrame = {
-    val sNames = cols.map(c => s"fs_$c")
-    val ssNames = cols.map(c => s"fss_$c")
-    val spNames = pairs.map(p => s"fsp_${p._1}__${p._2}")
-    val proj = df.select(
-      cols.map(c => quantize6(col(c)).as(s"fs_$c")) ++
-        cols.map(c => quantize6(col(c) * col(c)).as(s"fss_$c")) ++
-        pairs.map(p => quantize6(col(p._1) * col(p._2)).as(s"fsp_${p._1}__${p._2}")): _*)
-    val aggs = (sNames ++ ssNames ++ spNames).flatMap(chunkAggs) :+ count(lit(1)).as("n")
+    val moments: Seq[(String, Column)] =
+      cols.map(c => s"fs_$c" -> col(c)) ++
+        cols.map(c => s"fss_$c" -> (col(c) * col(c))) ++
+        pairs.map(p => s"fsp_${p._1}__${p._2}" -> (col(p._1) * col(p._2)))
+    val proj = df.select(moments.flatMap { case (n, e) =>
+      val (f, s) = quantCols(e); Seq(f.as(n), s.as(s"${n}__sv")) }: _*)
+    val aggs = moments.map(_._1).flatMap(chunkAggs) ++
+      moments.map { case (n, _) => sum(col(s"${n}__sv")).as(s"${n}__side") } :+
+      count(lit(1)).as("n")
     proj.agg(aggs.head, aggs.tail: _*)
       .select(cols.map(c => value6(recombine(s"fs_$c")).cast(D.dec25).cast(DoubleType).as(s"s_$c")) ++
         cols.map(c => value6(recombine(s"fss_$c")).cast(DecimalType(38, 0)).cast(DoubleType).as(s"ss_$c")) ++

@@ -38,7 +38,11 @@ class QuantizeSpec extends AnyFunSuite {
       Seq(1.2e10, -1.2e10, 9.87654321e9),               // large magnitudes, decimal fallback
       Seq(123456.654321, -0.000001, 0.000001),
       (1 to 200).map(i => i * 0.015625),                // exact dyadics
-      (1 to 200).map(i => math.sin(i.toDouble) * 1e7))
+      (1 to 200).map(i => math.sin(i.toDouble) * 1e7),
+      // beyond long-unscaled range (|x·1e6| ≥ 9e18): decimal side path
+      // (ANSI would throw CAST_OVERFLOW if these hit the long cast)
+      Seq(1.5e13, -2.25e13, 4.0e16, 123.456789),
+      Seq(9.25e12, 8.9e12, -9.3e12))                    // straddling the range cut
     cases.foreach { vs =>
       assert(fastSum(vs) === refSum(vs), s"mismatch on ${vs.take(5)}...")
     }
