@@ -451,6 +451,46 @@ object Relational extends QFamily {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // KMV (k-minimum-values) distinct sketch: unlike HLL the sketch
+    // state is DETERMINISTIC — the k smallest 60-bit md5 hashes are the
+    // same in every engine — so the approximate estimate itself is
+    // oracle-checkable bit-for-bit. est = (k−1)·2^60 / kth_min once ≥ k
+    // distinct hashes are seen, else the exact distinct count. The same
+    // shape merges across partitions/streams at scale: state per group
+    // is k longs, union = k smallest of the concatenation.
+    q("q_approx_kmv",
+      s"""WITH h AS (SELECT DISTINCT l_returnflag,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, h,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        |  FROM h)
+        |SELECT l_returnflag, nd_exact,
+        |  CAST(CASE WHEN nd_exact >= 256
+        |       THEN CAST(ROUND(255.0 * 1152921504606846976.0 / kth) AS BIGINT)
+        |       ELSE nd_exact END AS BIGINT) AS nd_est
+        |FROM (SELECT l_returnflag, COUNT(*) AS nd_exact,
+        |    MAX(CASE WHEN rn = 256 THEN h END) AS kth
+        |  FROM r GROUP BY 1)
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val k = 256
+      val h = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          conv(substring(md5(col("l_partkey").cast("string").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      val w = Window.partitionBy("l_returnflag").orderBy("h")
+      h.withColumn("rn", row_number().over(w))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("nd_exact"),
+          max(when(col("rn") === k, col("h"))).as("kth"))
+        .select(col("l_returnflag"), col("nd_exact"),
+          when(col("nd_exact") >= k,
+            round(lit((k - 1).toDouble) * lit(1152921504606846976.0) / col("kth"), 0).cast("long"))
+            .otherwise(col("nd_exact")).cast("long").as("nd_est"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- deterministic sampling ----------------------------------------
     q("q_sample_det",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
