@@ -169,6 +169,60 @@ object Pipeline extends QFamily {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
         .orderBy("fingerprint")),
 
+    // corpus-level contamination check (train/test overlap): estimated
+    // shingle-set Jaccard between SOURCES via KMV union sketches — the
+    // k smallest hashes per source are deterministic, so the estimate
+    // hash-matches the oracle. Per-source state is k longs; sketches
+    // union by keeping the k smallest of a concatenation, so corpus
+    // pairs never touch the raw shingle sets again at scale.
+    QDef("q_corpus_jaccard", {
+      val k = 128
+      Some(s"""WITH h AS (SELECT DISTINCT source,
+              |    ('0x' || substr(md5(sh0), 1, 15))::BIGINT AS h
+              |  FROM (SELECT source, unnest(${TextOps.shinglesSql("text")}) AS sh0 FROM documents)),
+              |sk AS (SELECT source, h FROM (
+              |    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM h)
+              |  WHERE rn <= $k),
+              |prs AS (SELECT a.source AS src_a, b.source AS src_b
+              |  FROM (SELECT DISTINCT source FROM sk) a
+              |  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+              |u AS (SELECT p.src_a, p.src_b, s.h,
+              |    MAX(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+              |    MAX(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+              |  FROM prs p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+              |  GROUP BY 1, 2, 3),
+              |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn FROM u)
+              |SELECT src_a, src_b,
+              |  CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+              |  ROUND(CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS DOUBLE) / $k, 6) AS jaccard_est
+              |FROM r WHERE rn <= $k GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin)
+    }, (s, dir) => {
+      val k = 128
+      val h = t(s, dir, "documents").withColumn("w", TextOps.tokens(col("text")))
+        .select(col("source"), explode(TextOps.shinglesOf(col("w"))).as("sh0"))
+        .select(col("source"),
+          conv(substring(md5(col("sh0").cast(BinaryType)), 1, 15), 16, 10).cast(LongType).as("h"))
+        .distinct()
+      val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("h")
+      val sk = h.withColumn("rn", org.apache.spark.sql.functions.row_number().over(wSrc))
+        .filter(col("rn") <= k).select("source", "h").persist()
+      val srcs = sk.select("source").distinct()
+      val prs = srcs.select(col("source").as("src_a"))
+        .join(srcs.select(col("source").as("src_b")), col("src_a") < col("src_b"))
+      val u = prs.join(sk, col("source") === col("src_a") || col("source") === col("src_b"))
+        .groupBy("src_a", "src_b", "h")
+        .agg(max(when(col("source") === col("src_a"), 1).otherwise(0)).as("in_a"),
+          max(when(col("source") === col("src_b"), 1).otherwise(0)).as("in_b"))
+      val wPair = org.apache.spark.sql.expressions.Window.partitionBy("src_a", "src_b").orderBy("h")
+      u.withColumn("rn", org.apache.spark.sql.functions.row_number().over(wPair))
+        .filter(col("rn") <= k)
+        .groupBy("src_a", "src_b")
+        .agg(sum(when(col("in_a") === 1 && col("in_b") === 1, 1).otherwise(0)).cast(LongType).as("n_shared"),
+          graft.util.D.r(sum(when(col("in_a") === 1 && col("in_b") === 1, 1).otherwise(0))
+            .cast(DoubleType) / k, 6).as("jaccard_est"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // content-defined chunking: duplicated passages surface as shared
     // chunk hashes regardless of their offset in the document
     QDef("q_text_cdc",
