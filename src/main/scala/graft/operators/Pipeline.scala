@@ -177,6 +177,12 @@ object Pipeline extends QFamily {
     // pairs never touch the raw shingle sets again at scale.
     QDef("q_corpus_jaccard", {
       val k = 128
+      // the rank window sorts the full distinct hash set here — at bench
+      // scale that is cheaper than any pre-filter (a count-based
+      // threshold pre-filter was measured SLOWER: its extra
+      // materialization outweighs the saved sort). At corpus scale,
+      // pre-filter with h < (2^60 div nd)·16k (deterministic integer
+      // math) before ranking — the k-min set is provably unchanged.
       Some(s"""WITH h AS (SELECT DISTINCT source,
               |    ('0x' || substr(md5(sh0), 1, 15))::BIGINT AS h
               |  FROM (SELECT source, unnest(${TextOps.shinglesSql("text")}) AS sh0 FROM documents)),
