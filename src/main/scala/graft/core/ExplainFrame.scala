@@ -132,7 +132,10 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
               catAttrs: Seq[String] = Nil, numAttrs: Seq[String] = Nil,
               filterDim: String = null, breakdown: String = null,
               aggCol: String = null,
-              useSampling: Boolean = true, sampleSize: Int = 5000): DataFrame = explainer match {
+              useSampling: Boolean = true, sampleSize: Int = 5000,
+              binningMethod: String = "equal_width",
+              binNumericLabel: Boolean = false, numLabelBins: Int = 10,
+              pruneIfTooManyLabels: Boolean = true, maxLabels: Int = 10): DataFrame = explainer match {
     case "fedex" => explainFedex(attributes, topK,
       useSampling = useSampling, sampleSize = sampleSize)
     case "shapley" => op match {
@@ -176,7 +179,10 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
         if (catAttrs.nonEmpty) catAttrs else Nil,
         if (numAttrs.nonEmpty) numAttrs
         else defaultAttrs(base, Set(label)).filter(_.numeric).map(_.name),
-        coverageThreshold, separationThreshold)
+        coverageThreshold, separationThreshold,
+        binningMethod = binningMethod,
+        binNumericLabel = binNumericLabel, numLabelBins = numLabelBins,
+        pruneIfTooManyLabels = pruneIfTooManyLabels, maxLabels = maxLabels)
     case "metainsight" =>
       if (filterDim == null || breakdown == null || aggCol == null)
         return explainMetaInsightAuto(topK)

@@ -111,6 +111,8 @@ object ManyToOne {
               binningMethod: String = "equal_width",
               binNumericLabel: Boolean = false, numLabelBins: Int = 10,
               pruneIfTooManyLabels: Boolean = true, maxLabels: Int = 10): DataFrame = {
+    require(Seq("equal_width", "uniform", "quantile").contains(binningMethod),
+      "The binning method must be either 'uniform' or 'quantile'.")
     val attrs = catAttrs.map(Fedex.Attr(_, numeric = false)) ++ numAttrs.map(Fedex.Attr(_, numeric = true))
     val structs = binningMethod match {
       case "quantile" =>

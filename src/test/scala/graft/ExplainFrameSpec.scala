@@ -138,6 +138,16 @@ class ExplainFrameSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](f.explain("outlier", target = "R", dir = "high"))
     intercept[IllegalArgumentException](g.explain("many_to_one", coverageThreshold = 1.5))
     intercept[IllegalArgumentException](li.explain("many_to_one"))
+    // reference kwargs thread through the dispatcher: numeric-label
+    // binning + quantile attribute binning + pruning knobs
+    val binned = li.explain("many_to_one", labelCol = "l_quantity",
+      catAttrs = Seq("l_returnflag"), binNumericLabel = true, numLabelBins = 5,
+      coverageThreshold = 0.05, separationThreshold = 0.95, useSampling = false)
+    assert(binned.select("label").distinct().count() <= 5)
+    assert(binned.select("label").head().getString(0).startsWith("bin_"))
+    intercept[IllegalArgumentException](
+      li.explain("many_to_one", labelCol = "l_returnflag",
+        numAttrs = Seq("l_quantity"), binningMethod = "nope"))
   }
 
   test("relational helpers") {
