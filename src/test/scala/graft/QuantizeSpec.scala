@@ -48,6 +48,27 @@ class QuantizeSpec extends AnyFunSuite {
     }
   }
 
+  test("correlation suite equals the individually-computed statistics") {
+    val li = graft.util.D.t(spark, sf, "lineitem")
+    val pairs = Seq(("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"))
+    val suite = Correlation.suite(li, pairs, "l_returnflag", "l_quantity", "l_linestatus")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getDouble(3)).toMap
+    val solo = (Correlation.pearson(li, pairs)
+        .unionByName(Correlation.eta(li, "l_returnflag", "l_quantity"))
+        .unionByName(Correlation.cramersV(li, "l_returnflag", "l_linestatus")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getDouble(3)).toMap
+    assert(suite === solo, "suite re-derivation diverged from direct statistics")
+  }
+
+  test("LSH buckets: identical vectors collide, bucket is stable") {
+    import graft.sim.Ann
+    val e = graft.util.D.t(spark, sf, "embeddings").limit(50)
+    val doubled = e.unionByName(e.withColumn("vec_id", col("vec_id") + 1000000L))
+    val pairs = Ann.lshPairs(doubled, 0.999999)
+    // every vector and its exact copy share a bucket and cosine 1
+    assert(pairs.filter(col("vec_b") === col("vec_a") + 1000000L).count() === 50)
+  }
+
   test("chunked-long sum equals decimal sum on seeded random batches") {
     val rng = new scala.util.Random(42)
     (1 to 20).foreach { round =>
