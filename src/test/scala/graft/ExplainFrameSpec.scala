@@ -150,6 +150,20 @@ class ExplainFrameSpec extends AnyFunSuite {
         numAttrs = Seq("l_quantity"), binningMethod = "nope"))
   }
 
+  test("illegal columns fail fast (reference *_illegal_column parity)") {
+    // the reference raises on unknown columns in filter/groupby/agg
+    // (test_exp_data_frame.py *_illegal_column_should_fail family);
+    // Spark's eager analysis gives the same fail-fast surface
+    intercept[org.apache.spark.sql.AnalysisException](
+      orders.groupBy("nope").count())
+    intercept[org.apache.spark.sql.AnalysisException](
+      orders.groupBy("o_orderpriority").mean("nope"))
+    intercept[org.apache.spark.sql.AnalysisException](
+      li.filter(col("nope") > 1).df.collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      li.select(col("nope")))
+  }
+
   test("relational helpers") {
     val vc = li.valueCounts("l_returnflag").collect()
     assert(vc.length === 3 && math.abs(vc.map(_.getDouble(2)).sum - 1.0) < 0.01)
