@@ -30,4 +30,14 @@ object IO {
 
   def readJsonl(spark: SparkSession, path: String, schemaOf: DataFrame): DataFrame =
     spark.read.schema(schemaOf.schema).json(path)
+
+  /** ORC round-trip (the other columnar interchange format warehouses
+    * emit; same pushdown/pruning behavior as parquet in Spark). */
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -24,6 +24,18 @@ class IoSpec extends AnyFunSuite {
     assert(pq.count() === base.count())
   }
 
+  test("orc round-trip preserves data and prunes partitions") {
+    import graft.sources.IO
+    val base = graft.util.D.t(spark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    IO.writeOrc(base, "/tmp/graft_orc", partitionBy = Seq("o_orderstatus"))
+    val back = IO.readOrc(spark, "/tmp/graft_orc")
+    assert(back.count() === base.count())
+    val pruned = back.filter(col("o_orderstatus") === "F")
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(pruned.count() === base.filter(col("o_orderstatus") === "F").count())
+  }
+
   test("native functions usable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     graft.util.D.t(spark, sf, "embeddings").createOrReplaceTempView("emb")
