@@ -171,18 +171,18 @@ object Pipeline extends QFamily {
 
     // corpus-level contamination check (train/test overlap): estimated
     // shingle-set Jaccard between SOURCES via KMV union sketches — the
-    // k smallest hashes per source are deterministic, so the estimate
-    // hash-matches the oracle. Per-source state is k longs; sketches
-    // union by keeping the k smallest of a concatenation, so corpus
-    // pairs never touch the raw shingle sets again at scale.
+    // k smallest DISTINCT hashes per source are deterministic, so the
+    // estimate hash-matches the oracle. Spark side: ONE scan feeding a
+    // bounded-state k-min TypedImperativeAggregate (functions.KMinAgg —
+    // k longs per source, map-side combined, dedup inherent in the
+    // sorted-set buffer): no distinct() pre-shuffle and no row_number()
+    // sort of the corpus's distinct hash set (the round-2 scale-killer).
+    // The per-pair union/intersection math then runs on the tiny
+    // (source, sketch) table with plain array functions. Estimator
+    // divides by |k-min(A∪B)| = LEAST(k, |A∪B|), not constant k, so
+    // sources with < k distinct shingles are not deflated.
     QDef("q_corpus_jaccard", {
       val k = 128
-      // the rank window sorts the full distinct hash set here — at bench
-      // scale that is cheaper than any pre-filter (a count-based
-      // threshold pre-filter was measured SLOWER: its extra
-      // materialization outweighs the saved sort). At corpus scale,
-      // pre-filter with h < (2^60 div nd)·16k (deterministic integer
-      // math) before ranking — the k-min set is provably unchanged.
       Some(s"""WITH h AS (SELECT DISTINCT source,
               |    ('0x' || substr(md5(sh0), 1, 15))::BIGINT AS h
               |  FROM (SELECT source, unnest(${TextOps.shinglesSql("text")}) AS sh0 FROM documents)),
@@ -200,7 +200,7 @@ object Pipeline extends QFamily {
               |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn FROM u)
               |SELECT src_a, src_b,
               |  CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-              |  ROUND(CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS DOUBLE) / $k, 6) AS jaccard_est
+              |  ROUND(CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS jaccard_est
               |FROM r WHERE rn <= $k GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin)
     }, (s, dir) => {
       val k = 128
@@ -208,24 +208,21 @@ object Pipeline extends QFamily {
         .select(col("source"), explode(TextOps.shinglesOf(col("w"))).as("sh0"))
         .select(col("source"),
           conv(substring(md5(col("sh0").cast(BinaryType)), 1, 15), 16, 10).cast(LongType).as("h"))
-        .distinct()
-      val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("h")
-      val sk = h.withColumn("rn", org.apache.spark.sql.functions.row_number().over(wSrc))
-        .filter(col("rn") <= k).select("source", "h").persist()
-      val srcs = sk.select("source").distinct()
-      val prs = srcs.select(col("source").as("src_a"))
-        .join(srcs.select(col("source").as("src_b")), col("src_a") < col("src_b"))
-      val u = prs.join(sk, col("source") === col("src_a") || col("source") === col("src_b"))
-        .groupBy("src_a", "src_b", "h")
-        .agg(max(when(col("source") === col("src_a"), 1).otherwise(0)).as("in_a"),
-          max(when(col("source") === col("src_b"), 1).otherwise(0)).as("in_b"))
-      val wPair = org.apache.spark.sql.expressions.Window.partitionBy("src_a", "src_b").orderBy("h")
-      u.withColumn("rn", org.apache.spark.sql.functions.row_number().over(wPair))
-        .filter(col("rn") <= k)
-        .groupBy("src_a", "src_b")
-        .agg(sum(when(col("in_a") === 1 && col("in_b") === 1, 1).otherwise(0)).cast(LongType).as("n_shared"),
-          graft.util.D.r(sum(when(col("in_a") === 1 && col("in_b") === 1, 1).otherwise(0))
-            .cast(DoubleType) / k, 6).as("jaccard_est"))
+      val sk = h.groupBy("source").agg(graft.functions.KMinAgg.kmin(col("h"), k).as("hs"))
+      // sketches are KB-sized (one row per source): gather them into one
+      // row and explode both pair sides from it, so the corpus scan runs
+      // exactly once with NO self-join subplan reuse and NO persist
+      val prs = sk.agg(collect_list(struct(col("source"), col("hs"))).as("all"))
+        .select(explode(col("all")).as("a"), col("all"))
+        .select(col("a.source").as("src_a"), col("a.hs").as("ha"), explode(col("all")).as("b"))
+        .filter(col("src_a") < col("b.source"))
+        .select(col("src_a"), col("b.source").as("src_b"), col("ha"), col("b.hs").as("hb"))
+      val un = slice(array_sort(array_distinct(concat(col("ha"), col("hb")))), 1, k)
+      prs.select(col("src_a"), col("src_b"),
+          size(array_intersect(un, array_intersect(col("ha"), col("hb")))).cast(LongType).as("n_shared"),
+          size(un).as("n_union"))
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          graft.util.D.r(col("n_shared").cast(DoubleType) / col("n_union"), 6).as("jaccard_est"))
         .orderBy("src_a", "src_b")
     }),
 

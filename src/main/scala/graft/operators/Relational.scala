@@ -474,19 +474,21 @@ object Relational extends QFamily {
         |  FROM r GROUP BY 1)
         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       val k = 256
+      // bounded-state sketch aggregate (KMinAgg: k longs, map-side
+      // combined, dedup inherent) — no distinct() pre-shuffle and no
+      // row_number() sort of the distinct hash set. countDistinct rides
+      // the same aggregation for the exact count the query also reports.
       val h = t(s, dir, "lineitem")
         .select(col("l_returnflag"),
           conv(substring(md5(col("l_partkey").cast("string").cast("binary")), 1, 15), 16, 10)
             .cast("long").as("h"))
-        .distinct()
-      val w = Window.partitionBy("l_returnflag").orderBy("h")
-      h.withColumn("rn", row_number().over(w))
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("nd_exact"),
-          max(when(col("rn") === k, col("h"))).as("kth"))
+      h.groupBy("l_returnflag")
+        .agg(countDistinct(col("h")).as("nd_exact"),
+          graft.functions.KMinAgg.kmin(col("h"), k).as("hs"))
         .select(col("l_returnflag"), col("nd_exact"),
           when(col("nd_exact") >= k,
-            round(lit((k - 1).toDouble) * lit(1152921504606846976.0) / col("kth"), 0).cast("long"))
+            round(lit((k - 1).toDouble) * lit(1152921504606846976.0) / get(col("hs"), lit(k - 1)), 0)
+              .cast("long"))
             .otherwise(col("nd_exact")).cast("long").as("nd_est"))
         .orderBy("l_returnflag")
     },
