@@ -220,6 +220,15 @@ object Dedup {
     * shuffle key instead of a string (cheaper network + compare; hash
     * collisions are deterministic and mirrored by the oracle).
     *
+    * RECALL CONTRACT: a pair is emitted only if it shares at least one
+    * RARE shingle (within-block document frequency 2 ≤ df ≤ `dfCap`).
+    * Pairs whose every shared shingle is more frequent than `dfCap`
+    * return no row — by design: near-dup pairs share rare shingles
+    * essentially by definition, and a pair sharing only ubiquitous
+    * shingles has near-zero Jaccard. Raise `dfCap` (at quadratic
+    * candidate cost in the hottest shingle) if exact recall over
+    * high-frequency-only overlaps matters.
+    *
     * Candidate generation is bounded by rare-shingle blocking: only
     * shingles whose within-block document frequency df satisfies
     * 2 ≤ df ≤ dfCap emit pairs. A raw (blk, sh) self-join emits
@@ -246,27 +255,38 @@ object Dedup {
           .as("shs"))
       .withColumn("sz", size(col("shs")).cast(LongType))
       .persist()
-    // document frequency per (block, shingle): the ONE corpus-sized
-    // shuffle in the plan (map-side combined)
+    // ONE corpus-sized shuffle: group shingle occurrences by (block,
+    // shingle), keeping AT MOST dfCap+1 doc ids per key via the bounded
+    // k-min aggregate (state ≤ dfCap+1 longs per key, map-side combined
+    // — a plain collect_list would accumulate unbounded state on hot
+    // shingles like "of the and"). Keys where the bound overflowed
+    // (size = dfCap+1 ⇒ df > dfCap) or df < 2 are discarded — exactly
+    // the rare-shingle rule, with no df-count join-back against the
+    // exploded corpus (the round-2 form shuffled the shingle table a
+    // second time for that join).
     val sh = arr.select(col("doc_id"), col("blk"), explode(col("shs")).as("sh"))
-    val dfs = sh.groupBy("blk", "sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= dfCap)
-      .select("blk", "sh")
-    // rare-shingle rows are a small fraction of the corpus → broadcast
-    // the qualifying keys; the self-join then shuffles only rare rows
-    val rare = sh.join(broadcast(dfs), Seq("blk", "sh"))
-    val cand = rare.alias("a").join(rare.alias("b"),
-        col("a.blk") === col("b.blk") && col("a.sh") === col("b.sh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val grouped = sh.groupBy("blk", "sh")
+      .agg(graft.functions.KMinAgg.kmin(col("doc_id"), dfCap + 1).as("ids"))
+      .filter(size(col("ids")).between(2, dfCap))
+    // ids are sorted ascending, so (ids[i], ids[j]) with j > i already
+    // satisfies doc_a < doc_b; ≤ dfCap²/2 pairs per key keeps the
+    // explode linear overall (see bound above)
+    val pairsArr = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
+    val cand = grouped.select(explode(pairsArr).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    // exact Jaccard per candidate pair from the array table. broadcast is
-    // right at bench scale; at cluster scale this becomes two shuffle
-    // joins on doc id — cand is linear in corpus size (see bound above),
-    // so both joins stay linear too.
+    // exact Jaccard per candidate pair from the array table. The per-doc
+    // shingle-array table is CORPUS-sized — never broadcast-hint it (a
+    // hard hint would ship the whole corpus to the driver and every
+    // executor). These are plain joins on doc id: AQE converts them to
+    // broadcast when the measured size is small (bench scale), and at
+    // cluster scale they become the two shuffle joins we want — cand is
+    // linear in corpus size (see bound above), so both stay linear.
     val aTab = arr.select(col("doc_id").as("doc_a"), col("shs").as("sa"), col("sz").as("sza"))
     val bTab = arr.select(col("doc_id").as("doc_b"), col("shs").as("sb"), col("sz").as("szb"))
-    cand.join(broadcast(aTab), "doc_a").join(broadcast(bTab), "doc_b")
+    cand.join(aTab, "doc_a").join(bTab, "doc_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast(LongType))
       .withColumn("jaccard",
         graft.util.D.r(col("inter").cast(DoubleType) / (col("sza") + col("szb") - col("inter")), 6))

@@ -79,6 +79,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted === direct)
   }
 
+  test("ngramJaccard verification joins have no forced broadcast") {
+    // a broadcast() HINT on the corpus-sized shingle-array table would
+    // ship it to the driver at any size — with the hint absent, shrinking
+    // autoBroadcastJoinThreshold must turn every join in the plan into a
+    // shuffle join (AQE may still convert small sides at runtime, which
+    // is the wanted behavior; the HINT would make it unconditional)
+    val docs = graft.util.D.t(spark, sf, "documents")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                "spark.sql.adaptive.enabled" -> "false") {
+      val q = graft.dedup.Dedup.ngramJaccard(docs, "source", 0.02)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"forced broadcast survives threshold=-1:\n${plan.take(1500)}")
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; f }
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("auto-exploration produces a deterministic drill-down") {
     import graft.core.{AutoExplore, ExplainFrame}
     val li = ExplainFrame(
