@@ -135,7 +135,8 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
               useSampling: Boolean = true, sampleSize: Int = 5000,
               binningMethod: String = "equal_width",
               binNumericLabel: Boolean = false, numLabelBins: Int = 10,
-              pruneIfTooManyLabels: Boolean = true, maxLabels: Int = 10): DataFrame = explainer match {
+              pruneIfTooManyLabels: Boolean = true, maxLabels: Int = 10,
+              pruningMethod: String = "largest"): DataFrame = explainer match {
     case "fedex" => explainFedex(attributes, topK,
       useSampling = useSampling, sampleSize = sampleSize)
     case "shapley" => op match {
@@ -182,7 +183,8 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
         coverageThreshold, separationThreshold,
         binningMethod = binningMethod,
         binNumericLabel = binNumericLabel, numLabelBins = numLabelBins,
-        pruneIfTooManyLabels = pruneIfTooManyLabels, maxLabels = maxLabels)
+        pruneIfTooManyLabels = pruneIfTooManyLabels, maxLabels = maxLabels,
+        pruningMethod = pruningMethod)
     case "metainsight" =>
       if (filterDim == null || breakdown == null || aggCol == null)
         return explainMetaInsightAuto(topK)

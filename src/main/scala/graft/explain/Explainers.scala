@@ -199,6 +199,58 @@ object Explainers extends QFamily {
       (s, dir) => ManyToOne.explain(t(s, dir, "customer"), "c_nationkey",
         Seq("c_mktsegment"), Nil, covTh = 0.05, sepTh = 0.95)),
 
+    // explain_errors (reference default True, threshold 0.05): per
+    // passing rule, which OTHER groups the separation error comes from —
+    // structured form of the reference's error-explanation text
+    QDef("q_many_to_one_errors",
+      Some(ManyToOne.errorsSql("customer", "c_mktsegment", Seq("c_nationkey"),
+        covTh = 0.05, sepTh = 0.95)),
+      (s, dir) => ManyToOne.explainErrors(t(s, dir, "customer"), "c_mktsegment",
+        Seq("c_nationkey"), Nil, covTh = 0.05, sepTh = 0.95)),
+
+    // pruning_method='smallest': keep the 10 LEAST frequent labels
+    // (count asc, label asc tie-break)
+    QDef("q_many_to_one_pruned_smallest",
+      Some(s"""WITH pairs AS (SELECT CAST(c_nationkey AS VARCHAR) AS label,
+              |    'c_mktsegment' AS attribute, CAST(c_mktsegment AS VARCHAR) AS val
+              |  FROM customer WHERE c_mktsegment IS NOT NULL),
+              |keep AS (SELECT label FROM pairs GROUP BY 1
+              |  ORDER BY COUNT(*) ASC, label LIMIT 10),
+              |kept AS (SELECT p.* FROM pairs p JOIN keep k ON p.label = k.label),
+              |lc AS (SELECT label, attribute, val, COUNT(*) AS n_match FROM kept GROUP BY 1,2,3),
+              |lt AS (SELECT label, COUNT(*) AS n_label FROM kept GROUP BY 1),
+              |ct AS (SELECT attribute, val, COUNT(*) AS n_cond FROM kept GROUP BY 1,2)
+              |SELECT label, attribute, val, n_match, coverage, separation_err,
+              |  CAST(CASE WHEN coverage >= 0.05 AND separation_err <= 0.95
+              |       THEN 1 ELSE 0 END AS INT) AS passes
+              |FROM (
+              |  SELECT lc.label, lc.attribute, lc.val, lc.n_match,
+              |    ROUND(CAST(lc.n_match AS DOUBLE) / lt.n_label, 6) AS coverage,
+              |    ROUND(CAST(ct.n_cond - lc.n_match AS DOUBLE) / ct.n_cond, 6) AS separation_err
+              |  FROM lc JOIN lt ON lc.label = lt.label
+              |  JOIN ct ON lc.attribute = ct.attribute AND lc.val = ct.val)
+              |ORDER BY label, attribute, val""".stripMargin),
+      (s, dir) => ManyToOne.explain(t(s, dir, "customer"), "c_nationkey",
+        Seq("c_mktsegment"), Nil, covTh = 0.05, sepTh = 0.95,
+        pruningMethod = "smallest")),
+
+    // pruning_method='max_dist'/'min_dist': rank labels by mean euclidean
+    // distance between per-label centroids (deterministic re-expression
+    // of the reference's PCA+euclidean ranking — see ManyToOne.distLabels)
+    QDef("q_many_to_one_pruned_maxdist",
+      Some(ManyToOne.distPrunedSql("customer", "c_nationkey", "c_acctbal",
+        covTh = 0.05, sepTh = 0.95, maxLabels = 10, maxDist = true)),
+      (s, dir) => ManyToOne.explain(t(s, dir, "customer"), "c_nationkey",
+        Nil, Seq("c_acctbal"), covTh = 0.05, sepTh = 0.95,
+        pruningMethod = "max_dist")),
+
+    QDef("q_many_to_one_pruned_mindist",
+      Some(ManyToOne.distPrunedSql("customer", "c_nationkey", "c_acctbal",
+        covTh = 0.05, sepTh = 0.95, maxLabels = 10, maxDist = false)),
+      (s, dir) => ManyToOne.explain(t(s, dir, "customer"), "c_nationkey",
+        Nil, Seq("c_acctbal"), covTh = 0.05, sepTh = 0.95,
+        pruningMethod = "min_dist")),
+
     QDef("q_metainsight",
       Some(MetaInsight.sql("orders", "o_orderpriority", "o_orderstatus",
         "o_orderdate", "o_totalprice", "totalprice_mean")),

@@ -45,8 +45,12 @@ object ManyToOne {
     * rounded to 6dp (bin = number of boundaries strictly below x), both
     * mirrored by the oracle. */
   final case class NumBin(name: String, boundaries: Seq[Double]) {
-    def expr: Column =
-      boundaries.foldLeft(lit(0))((acc, b) => acc + when(col(name) > b, 1).otherwise(0))
+    // NULL input must yield a NULL bin (not bin 0): pandas cut/qcut
+    // excludes NaN and the SQL mirrors filter attr IS NOT NULL before
+    // binning, so an unguarded fold would silently land NULL rows in a
+    // real bin on the Spark side only
+    def expr: Column = when(col(name).isNotNull,
+      boundaries.foldLeft(lit(0))((acc, b) => acc + when(col(name) > b, 1).otherwise(0)))
   }
 
   /** Quantile boundaries for the given numeric attrs (ONE aggregation). */
@@ -91,18 +95,79 @@ object ManyToOne {
     val bin =
       if (binningMethod == "quantile")
         NumBin(labelCol, ps.indices.map(i => row.getDouble(row.fieldIndex(s"q$i")))).expr
-      else Fedex.binExpr(col(labelCol),
-        lit(row.getDouble(row.fieldIndex("lo"))), lit(row.getDouble(row.fieldIndex("hi"))), numBins)
+      else when(col(labelCol).isNotNull, Fedex.binExpr(col(labelCol),
+        lit(row.getDouble(row.fieldIndex("lo"))), lit(row.getDouble(row.fieldIndex("hi"))), numBins))
+    // concat propagates the NULL bin, so NULL labels stay NULL and are
+    // dropped by the downstream label IS NOT NULL filter
     concat(lit("bin_"), bin.cast("string"))
   }
 
-  /** pruning_method='largest': the `maxLabels` most frequent label values
-    * (count desc, label asc). Returns None when no pruning is needed. */
-  def topLabels(pairs: DataFrame, maxLabels: Int): Option[Seq[String]] = {
-    val counts = pairs.groupBy("label").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("label")).limit(maxLabels + 1).collect()
+  /** pruning_method='largest'|'smallest': the `maxLabels` most/least
+    * frequent label values (count desc/asc, label asc tie-break).
+    * Frequencies are SOURCE-ROW counts (the reference ranks labels by row
+    * frequency) — ranking over the exploded (label, attribute, val) pairs
+    * would weight each label by its per-attribute non-null counts and
+    * could keep a different label set when null rates differ across
+    * attributes. Returns None when no pruning is needed. */
+  def topLabels(labels: DataFrame, maxLabels: Int,
+                smallest: Boolean = false): Option[Seq[String]] = {
+    val ord = if (smallest) col("n").asc else col("n").desc
+    val counts = labels.groupBy("label").agg(count(lit(1)).as("n"))
+      .orderBy(ord, col("label")).limit(maxLabels + 1).collect()
     if (counts.length <= maxLabels) None
     else Some(counts.take(maxLabels).map(_.getString(0)).toSeq)
+  }
+
+  /** pruning_method='max_dist'|'min_dist', re-expressed deterministically:
+    * the reference ranks labels by the mean euclidean distance between
+    * per-label centroids of a PCA-reduced one-hot feature matrix
+    * (many_to_one_explainer.py:263-282). PCA there is a speed device, not
+    * semantics; here centroids are per-label means of the explanation's
+    * numeric attributes (6dp-rounded exact-decimal means), pairwise
+    * distances are 6dp-rounded, and the per-label average distance is a
+    * decimal-exact sum — every step is mirrored bit-for-bit by the
+    * oracle SQL. Label count is bounded by definition, so the centroid
+    * table is KB-sized and the ranking runs on the driver. */
+  def distLabels(src: DataFrame, labelExpr: Column, numAttrs: Seq[String],
+                 maxLabels: Int, maxDist: Boolean): Option[Seq[String]] = {
+    require(numAttrs.nonEmpty, "dist pruning requires numeric attributes")
+    val meanCols = numAttrs.map(a => graft.util.D.r(
+      graft.util.D.emit6(sum(col(a).cast(graft.util.D.dec25))) / count(col(a)), 6).as(s"m_$a"))
+    val rows = src.filter(labelExpr.isNotNull)
+      .groupBy(labelExpr.as("label")).agg(meanCols.head, meanCols.tail: _*).collect()
+    if (rows.length <= maxLabels) return None
+    val labs = rows.map(_.getString(0))
+    val ms = rows.map(r => numAttrs.indices.map(i => r.getDouble(i + 1)).toArray)
+    def round6(x: Double): Double = math.round(x * 1e6) / 1e6
+    val ranked = labs.indices.map { i =>
+      // Σ of 6dp distances in integer micros == the oracle's
+      // SUM(CAST(ROUND(d, 6) AS DECIMAL)) — associative, order-free
+      var micros = 0L
+      for (j <- labs.indices if j != i) {
+        var d2 = 0.0
+        for (a <- numAttrs.indices) { val t = ms(i)(a) - ms(j)(a); d2 += t * t }
+        micros += math.round(math.sqrt(d2) * 1e6)
+      }
+      labs(i) -> round6((micros / 1e6) / (labs.length - 1))
+    }
+    val sorted =
+      if (maxDist) ranked.sortBy { case (l, d) => (-d, l) }
+      else ranked.sortBy { case (l, d) => (d, l) }
+    Some(sorted.take(maxLabels).map(_._1))
+  }
+
+  /** Dispatch over the supported pruning_method values. */
+  def selectLabels(src: DataFrame, labelExpr: Column, numAttrs: Seq[String],
+                   method: String, maxLabels: Int): Option[Seq[String]] = {
+    val labels = src.select(labelExpr.as("label")).filter(col("label").isNotNull)
+    method match {
+      case "largest" => topLabels(labels, maxLabels)
+      case "smallest" => topLabels(labels, maxLabels, smallest = true)
+      case "max_dist" => distLabels(src, labelExpr, numAttrs, maxLabels, maxDist = true)
+      case "min_dist" => distLabels(src, labelExpr, numAttrs, maxLabels, maxDist = false)
+      case other => throw new IllegalArgumentException(
+        s"Unsupported pruning_method: $other (supported: largest, smallest, max_dist, min_dist)")
+    }
   }
 
   def explain(src: DataFrame, labelCol: String,
@@ -110,38 +175,22 @@ object ManyToOne {
               covTh: Double = 0.7, sepTh: Double = 0.3, nb: Int = 10,
               binningMethod: String = "equal_width",
               binNumericLabel: Boolean = false, numLabelBins: Int = 10,
-              pruneIfTooManyLabels: Boolean = true, maxLabels: Int = 10): DataFrame = {
+              pruneIfTooManyLabels: Boolean = true, maxLabels: Int = 10,
+              pruningMethod: String = "largest"): DataFrame = {
     require(Seq("equal_width", "uniform", "quantile").contains(binningMethod),
       "The binning method must be either 'uniform' or 'quantile'.")
     val attrs = catAttrs.map(Fedex.Attr(_, numeric = false)) ++ numAttrs.map(Fedex.Attr(_, numeric = true))
-    val structs = binningMethod match {
-      case "quantile" =>
-        val qb = quantileBins(src, numAttrs, nb).map(b => b.name -> b).toMap
-        attrs.map { a =>
-          val v = if (a.numeric) qb(a.name).expr.cast("string") else col(a.name).cast("string")
-          struct(lit(a.name).as("attribute"), v.as("val"))
-        }
-      case _ =>
-        attrs.map { a =>
-          val v =
-            if (a.numeric) Fedex.binExpr(col(a.name), col(s"lo_${a.name}"), col(s"hi_${a.name}"), nb).cast("string")
-            else col(a.name).cast("string")
-          struct(lit(a.name).as("attribute"), v.as("val"))
-        }
-    }
-    val stats = if (binningMethod == "quantile") None else Fedex.statsDf(src, attrs)
-    val base = stats.map(st => src.crossJoin(broadcast(st))).getOrElse(src)
     val labelExpr =
       if (binNumericLabel) binnedLabel(src, labelCol, numLabelBins)
       else col(labelCol).cast("string")
-    val pairs0 = base
-      .select(labelExpr.as("label"), explode(array(structs: _*)).as("av"))
-      .select(col("label"), col("av.attribute").as("attribute"), col("av.val").as("val"))
-      .filter(col("val").isNotNull && col("label").isNotNull)
-    val pairs = (if (pruneIfTooManyLabels) topLabels(pairs0, maxLabels) else None) match {
-      case Some(keep) => pairs0.filter(col("label").isin(keep: _*))
-      case None => pairs0
-    }
+    // prune FIRST (reference flow: _prune_labels runs before attribute
+    // binning, so bin boundaries come from the kept rows only); ranking
+    // reads source rows, not the exploded pair table
+    val keep =
+      if (pruneIfTooManyLabels) selectLabels(src, labelExpr, numAttrs, pruningMethod, maxLabels)
+      else None
+    val srcP = keep.map(ks => src.filter(labelExpr.isin(ks: _*))).getOrElse(src)
+    val pairs = explodedPairs(srcP, labelExpr, attrs, nb, binningMethod)
 
     val lc = pairs.groupBy("label", "attribute", "val").agg(count(lit(1)).as("n_match"))
     val lt = pairs.filter(col("attribute") === attrs.head.name)
@@ -154,6 +203,125 @@ object ManyToOne {
         graft.util.D.r((col("n_cond") - col("n_match")).cast("double") / col("n_cond"), 6).as("separation_err"))
       .withColumn("passes", (col("coverage") >= covTh && col("separation_err") <= sepTh).cast("int"))
       .orderBy("label", "attribute", "val")
+  }
+
+  /** Exploded (label, attribute, val) pairs with binning applied — the
+    * count-table input shared by [[explain]] and [[explainErrors]]. */
+  private def explodedPairs(src: DataFrame, labelExpr: Column, attrs: Seq[Fedex.Attr],
+                            nb: Int, binningMethod: String): DataFrame = {
+    val numAttrs = attrs.filter(_.numeric).map(_.name)
+    val structs = binningMethod match {
+      case "quantile" =>
+        val qb = quantileBins(src, numAttrs, nb).map(b => b.name -> b).toMap
+        attrs.map { a =>
+          val v = if (a.numeric) qb(a.name).expr.cast("string") else col(a.name).cast("string")
+          struct(lit(a.name).as("attribute"), v.as("val"))
+        }
+      case _ =>
+        attrs.map { a =>
+          // NULL guard: Spark's least() inside binExpr skips nulls, so an
+          // unguarded NULL would land in bin nb-1 instead of dropping out
+          val v =
+            if (a.numeric) when(col(a.name).isNotNull,
+              Fedex.binExpr(col(a.name), col(s"lo_${a.name}"), col(s"hi_${a.name}"), nb)).cast("string")
+            else col(a.name).cast("string")
+          struct(lit(a.name).as("attribute"), v.as("val"))
+        }
+    }
+    val stats = if (binningMethod == "quantile") None else Fedex.statsDf(src, attrs)
+    val base = stats.map(st => src.crossJoin(broadcast(st))).getOrElse(src)
+    base
+      .select(labelExpr.as("label"), explode(array(structs: _*)).as("av"))
+      .select(col("label"), col("av.attribute").as("attribute"), col("av.val").as("val"))
+      .filter(col("val").isNotNull && col("label").isNotNull)
+  }
+
+  /** Separation-error attribution (reference explain_errors=True,
+    * error_explanation_threshold default 0.05 —
+    * many_to_one_explainer.py:471-542): for each PASSING rule with
+    * nonzero separation error, the rows matching the condition but
+    * belonging to OTHER labels are grouped by that other label; groups
+    * contributing more than `errTh` of the error are emitted
+    * individually (fraction desc, label asc), the rest aggregate into
+    * one 'other' row. The reference renders this as text; here it is the
+    * structured (rule, err_label, n_err, err_frac) table the text is
+    * generated from. Everything derives from the SAME (label, attribute,
+    * val) count table as the rules — no extra scan of the source. */
+  def explainErrors(src: DataFrame, labelCol: String,
+                    catAttrs: Seq[String], numAttrs: Seq[String],
+                    covTh: Double = 0.7, sepTh: Double = 0.3, nb: Int = 10,
+                    binningMethod: String = "equal_width",
+                    errTh: Double = 0.05): DataFrame = {
+    val attrs = catAttrs.map(Fedex.Attr(_, numeric = false)) ++ numAttrs.map(Fedex.Attr(_, numeric = true))
+    val pairs = explodedPairs(src, col(labelCol).cast("string"), attrs, nb, binningMethod)
+    val lc = pairs.groupBy("label", "attribute", "val").agg(count(lit(1)).as("n_match"))
+    val lt = pairs.filter(col("attribute") === attrs.head.name)
+      .groupBy("label").agg(count(lit(1)).as("n_label"))
+    val ct = pairs.groupBy("attribute", "val").agg(count(lit(1)).as("n_cond"))
+    val rules = lc.join(lt, Seq("label")).join(ct, Seq("attribute", "val"))
+      .withColumn("coverage", graft.util.D.r(col("n_match").cast("double") / col("n_label"), 6))
+      .withColumn("separation_err",
+        graft.util.D.r((col("n_cond") - col("n_match")).cast("double") / col("n_cond"), 6))
+      .filter(col("coverage") >= covTh && col("separation_err") <= sepTh &&
+        col("n_cond") > col("n_match"))
+      .select(col("label"), col("attribute"), col("val"))
+    // err rows of rule (L, A, v) grouped by their actual label M are
+    // exactly the lc counts at (M, A, v), M != L
+    val contrib = rules.join(
+        lc.select(col("label").as("err_label"), col("attribute"), col("val"),
+          col("n_match").as("n_err")),
+        Seq("attribute", "val"))
+      .filter(col("err_label") =!= col("label"))
+    val tot = contrib.groupBy("label", "attribute", "val")
+      .agg(sum("n_err").as("err_total"))
+    val withFrac = contrib.join(tot, Seq("label", "attribute", "val"))
+      .withColumn("err_frac", graft.util.D.r(col("n_err").cast("double") / col("err_total"), 6))
+    val high = withFrac.filter(col("err_frac") > errTh)
+      .select(col("label"), col("attribute"), col("val"),
+        col("err_label"), col("n_err"), col("err_frac"))
+    val low = withFrac.filter(col("err_frac") <= errTh)
+      .groupBy("label", "attribute", "val")
+      .agg(sum("n_err").as("n_err"), max("err_total").as("err_total"))
+      .select(col("label"), col("attribute"), col("val"), lit("other").as("err_label"),
+        col("n_err"),
+        graft.util.D.r(col("n_err").cast("double") / col("err_total"), 6).as("err_frac"))
+    high.unionByName(low)
+      .orderBy("label", "attribute", "val", "err_label")
+  }
+
+  /** DuckDB mirror of [[explainErrors]] (categorical attributes). */
+  def errorsSql(table: String, labelCol: String, catAttrs: Seq[String],
+                covTh: Double, sepTh: Double, errTh: Double = 0.05): String = {
+    val branches = catAttrs.map(a =>
+      s"SELECT CAST($labelCol AS VARCHAR) AS label, '$a' AS attribute, CAST($a AS VARCHAR) AS val FROM $table WHERE $a IS NOT NULL AND $labelCol IS NOT NULL")
+    s"""WITH pairs AS (${branches.mkString("\nUNION ALL\n")}),
+       |lc AS (SELECT label, attribute, val, COUNT(*) AS n_match FROM pairs GROUP BY 1,2,3),
+       |lt AS (SELECT label, COUNT(*) AS n_label FROM pairs WHERE attribute = '${catAttrs.head}' GROUP BY 1),
+       |ct AS (SELECT attribute, val, COUNT(*) AS n_cond FROM pairs GROUP BY 1,2),
+       |rules AS (
+       |  SELECT lc.label, lc.attribute, lc.val
+       |  FROM lc JOIN lt ON lc.label = lt.label
+       |  JOIN ct ON lc.attribute = ct.attribute AND lc.val = ct.val
+       |  WHERE ROUND(CAST(lc.n_match AS DOUBLE) / lt.n_label, 6) >= $covTh
+       |    AND ROUND(CAST(ct.n_cond - lc.n_match AS DOUBLE) / ct.n_cond, 6) <= $sepTh
+       |    AND ct.n_cond > lc.n_match),
+       |contrib AS (
+       |  SELECT r.label, r.attribute, r.val, o.label AS err_label, o.n_match AS n_err
+       |  FROM rules r JOIN lc o ON o.attribute = r.attribute AND o.val = r.val
+       |    AND o.label <> r.label),
+       |tot AS (SELECT label, attribute, val, SUM(n_err) AS err_total
+       |  FROM contrib GROUP BY 1,2,3),
+       |f AS (SELECT c.label, c.attribute, c.val, c.err_label, c.n_err,
+       |    ROUND(CAST(c.n_err AS DOUBLE) / t.err_total, 6) AS err_frac, t.err_total
+       |  FROM contrib c JOIN tot t
+       |    ON c.label = t.label AND c.attribute = t.attribute AND c.val = t.val)
+       |SELECT label, attribute, val, err_label, CAST(n_err AS BIGINT) AS n_err, err_frac
+       |FROM f WHERE err_frac > $errTh
+       |UNION ALL
+       |SELECT label, attribute, val, 'other', CAST(SUM(n_err) AS BIGINT),
+       |  ROUND(CAST(SUM(n_err) AS DOUBLE) / MAX(err_total), 6)
+       |FROM f WHERE err_frac <= $errTh GROUP BY 1, 2, 3
+       |ORDER BY label, attribute, val, err_label""".stripMargin
   }
 
   /** Length-K conjunction rules (reference max_explanation_length, default
@@ -248,6 +416,46 @@ object ManyToOne {
   }
 
   // ---------------------------------------------------------------- SQL --
+
+  /** DuckDB mirror of [[explain]] with pruning_method='max_dist'/'min_dist'
+    * over ONE numeric attribute: per-label 6dp exact-decimal means,
+    * 6dp pairwise distances, decimal-exact average distance ranking, then
+    * the standard rule mining over the kept rows (bin stats from KEPT
+    * rows, mirroring the prune-then-bin flow). */
+  def distPrunedSql(table: String, labelCol: String, attr: String,
+                    covTh: Double, sepTh: Double, maxLabels: Int,
+                    maxDist: Boolean, nb: Int = 10): String = {
+    val ord = if (maxDist) "DESC" else "ASC"
+    s"""WITH labs AS (SELECT CAST($labelCol AS VARCHAR) AS label, $attr
+       |  FROM $table WHERE $labelCol IS NOT NULL),
+       |means AS (SELECT label,
+       |    ROUND(CAST(SUM(CAST($attr AS DECIMAL(25,6))) AS DOUBLE) / COUNT($attr), 6) AS m
+       |  FROM labs GROUP BY 1),
+       |dists AS (SELECT a.label, ROUND(sqrt((a.m - b.m) * (a.m - b.m)), 6) AS d
+       |  FROM means a JOIN means b ON a.label <> b.label),
+       |avgd AS (SELECT label,
+       |    ROUND(CAST(SUM(CAST(d AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS avg_d
+       |  FROM dists GROUP BY 1),
+       |keep AS (SELECT label FROM avgd ORDER BY avg_d $ord, label LIMIT $maxLabels),
+       |kept AS (SELECT l.* FROM labs l JOIN keep k ON l.label = k.label),
+       |st AS (SELECT MIN($attr) AS lo_$attr, MAX($attr) AS hi_$attr FROM kept),
+       |pairs AS (SELECT label, '$attr' AS attribute,
+       |    CAST(${Fedex.binSql(attr, s"lo_$attr", s"hi_$attr", nb)} AS VARCHAR) AS val
+       |  FROM kept, st WHERE $attr IS NOT NULL),
+       |lc AS (SELECT label, attribute, val, COUNT(*) AS n_match FROM pairs GROUP BY 1,2,3),
+       |lt AS (SELECT label, COUNT(*) AS n_label FROM pairs GROUP BY 1),
+       |ct AS (SELECT attribute, val, COUNT(*) AS n_cond FROM pairs GROUP BY 1,2)
+       |SELECT label, attribute, val, n_match, coverage, separation_err,
+       |  CAST(CASE WHEN coverage >= $covTh AND separation_err <= $sepTh
+       |       THEN 1 ELSE 0 END AS INT) AS passes
+       |FROM (
+       |  SELECT lc.label, lc.attribute, lc.val, lc.n_match,
+       |    ROUND(CAST(lc.n_match AS DOUBLE) / lt.n_label, 6) AS coverage,
+       |    ROUND(CAST(ct.n_cond - lc.n_match AS DOUBLE) / ct.n_cond, 6) AS separation_err
+       |  FROM lc JOIN lt ON lc.label = lt.label
+       |  JOIN ct ON lc.attribute = ct.attribute AND lc.val = ct.val)
+       |ORDER BY label, attribute, val""".stripMargin
+  }
 
   def disjSql(table: String, labelCol: String, attrA: String, attrB: String,
               covTh: Double, sepTh: Double, nb: Int = 10): String =

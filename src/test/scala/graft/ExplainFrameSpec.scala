@@ -164,6 +164,32 @@ class ExplainFrameSpec extends AnyFunSuite {
       li.select(col("nope")))
   }
 
+  test("many-to-one excludes NULL numeric attribute rows from binning") {
+    import spark.implicits._
+    // 6 labeled rows; two have a NULL numeric attr — pandas cut/qcut
+    // drops NaN, so the rule counts must come from the 4 non-null rows
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("b", Some(9.0)),
+      ("b", None), ("a", None), ("b", Some(8.0)))
+      .toDF("lab", "x")
+    for (method <- Seq("equal_width", "quantile")) {
+      val out = graft.explain.ManyToOne.explain(df, "lab", Nil, Seq("x"),
+        covTh = 0.1, sepTh = 0.9, nb = 2, binningMethod = method).collect()
+      // coverage denominators = per-label NON-NULL row counts (2 each)
+      assert(out.map(_.getAs[Long]("n_match")).sum === 4, s"$method: NULLs binned")
+      assert(out.forall(r => r.getAs[String]("val") != null))
+    }
+    // NULL numeric LABELS drop out of label binning the same way
+    val df2 = Seq((Some(1.0), "u"), (Some(2.0), "v"), (None, "w"),
+      (Some(3.0), "u"), (Some(4.0), "v"), (Some(5.0), "u"),
+      (Some(6.0), "v"), (Some(7.0), "u"), (Some(8.0), "v"),
+      (Some(9.0), "u"), (Some(10.0), "v"), (Some(11.0), "u"))
+      .toDF("y", "c")
+    val out2 = graft.explain.ManyToOne.explain(df2, "y", Seq("c"), Nil,
+      covTh = 0.0, sepTh = 1.0, nb = 2, binNumericLabel = true, numLabelBins = 2)
+      .collect()
+    assert(out2.map(_.getAs[Long]("n_match")).sum === 11, "NULL label kept")
+  }
+
   test("relational helpers") {
     val vc = li.valueCounts("l_returnflag").collect()
     assert(vc.length === 3 && math.abs(vc.map(_.getDouble(2)).sum - 1.0) < 0.01)
