@@ -4,7 +4,7 @@ import graft.explain._
 import graft.util.D
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, StringType}
+import org.apache.spark.sql.types.{DateType, DoubleType, LongType, NumericType, StringType, TimestampNTZType, TimestampType}
 
 /** Provenance of the last query operation on an [[ExplainFrame]] — the
   * Spark-native equivalent of pd-explain's `operation` field on
@@ -309,9 +309,16 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
   def explainManyToOne(labelCol: String, catAttrs: Seq[String], numAttrs: Seq[String]): DataFrame =
     ManyToOne.explain(df, labelCol, catAttrs, numAttrs)
 
-  /** MetaInsight pattern mining over a filter dimension + breakdown. */
-  def explainMetaInsight(filterDim: String, breakdown: String, aggCol: String): DataFrame =
-    MetaInsight.mine(MetaInsight.catPatterns(df, filterDim, breakdown, aggCol, s"${aggCol}_mean"))
+  /** MetaInsight pattern mining over a filter dimension + breakdown.
+    * Reference defaults: min_commonness 0.5, no_exception_penalty 0.1,
+    * balance_factor 1. */
+  def explainMetaInsight(filterDim: String, breakdown: String, aggCol: String,
+                         minCommonness: Double = 0.5,
+                         noExceptionPenaltyWeight: Double = 0.1,
+                         balanceFactor: Double = 1.0): DataFrame =
+    MetaInsight.mine(MetaInsight.catPatterns(df, filterDim, breakdown, aggCol, s"${aggCol}_mean"),
+      minCommonness = minCommonness, noExceptionPenaltyWeight = noExceptionPenaltyWeight,
+      balanceFactor = balanceFactor)
 
   /** MetaInsight AUTO-search (the reference's default mode when no
     * explicit scope is given): enumerate filterDim × breakdown × measure
@@ -349,7 +356,16 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
         }.take(maxAggregationColumns)
       }
     val scopes = for (f <- fs; b <- bs if f != b; m <- ms) yield (f, b, m)
-    MetaInsight.auto(df, scopes, topK)
+    // ordered breakdowns: date/timestamp columns enter auto-search as
+    // month-trend scopes (reference auto mode enumerates trend breakdowns
+    // over its groupby_columns alongside the categorical ones)
+    val dateCols = df.schema.fields
+      .filter(f => f.dataType == DateType || f.dataType == TimestampType ||
+        f.dataType == TimestampNTZType)
+      .map(_.name).take(maxFilterColumns).toSeq
+    val trendScopes = for (f <- fs; d <- dateCols; m <- ms)
+      yield (f, org.apache.spark.sql.functions.month(col(d)), "month", m)
+    MetaInsight.auto(df, scopes, topK, trendScopes)
   }
 
   /** Textual description of the top explanation, mirroring the reference's

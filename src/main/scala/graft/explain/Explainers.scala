@@ -251,9 +251,12 @@ object Explainers extends QFamily {
         Nil, Seq("c_acctbal"), covTh = 0.05, sepTh = 0.95,
         pruningMethod = "min_dist")),
 
+    // library default min_commonness is the reference's 0.5; the demo
+    // passes a relaxed 0.15 explicitly (uniform synthetic data surfaces
+    // no >=0.5-common pattern in this scope) — both engines mirror it
     QDef("q_metainsight",
       Some(MetaInsight.sql("orders", "o_orderpriority", "o_orderstatus",
-        "o_orderdate", "o_totalprice", "totalprice_mean")),
+        "o_orderdate", "o_totalprice", "totalprice_mean", minCommonness = 0.15)),
       // two direct scans here: at bench scale the source is small enough
       // that a shared (subspace, status, month) cube costs MORE (extra
       // materialization job + shuffle level) than the scan it saves —
@@ -265,7 +268,7 @@ object Explainers extends QFamily {
           "o_totalprice", "totalprice_mean")
         val tr = MetaInsight.trendPatterns(o, "o_orderpriority", month(col("o_orderdate")),
           "month", "o_totalprice", "totalprice_mean")
-        MetaInsight.mine(cat.unionByName(tr))
+        MetaInsight.mine(cat.unionByName(tr), minCommonness = 0.15)
       }),
 
     // MetaInsight auto-search: explicit candidate lists here so the
@@ -275,7 +278,13 @@ object Explainers extends QFamily {
       val scopes = Seq(
         ("o_orderpriority", "o_orderstatus", "o_totalprice"),
         ("o_orderstatus", "o_orderpriority", "o_totalprice"))
-      Some(MetaInsight.autoSql("orders", scopes, 5))
+      // trend scopes: auto-search derives month(o_orderdate) breakdowns
+      // for each filter dim (reference auto enumeration includes ordered
+      // breakdowns); the oracle enumerates the identical scope set
+      val trendScopes = Seq(
+        ("o_orderpriority", "o_orderdate", "o_totalprice"),
+        ("o_orderstatus", "o_orderdate", "o_totalprice"))
+      Some(MetaInsight.autoSql("orders", scopes, 5, trendScopes))
     }, (s, dir) => graft.core.ExplainFrame(t(s, dir, "orders"), "orders")
       .explainMetaInsightAuto(topK = 5,
         filterDims = Seq("o_orderpriority", "o_orderstatus"),

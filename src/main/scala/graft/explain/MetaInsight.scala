@@ -146,18 +146,38 @@ object MetaInsight {
   /** Group scope patterns into scored MetaInsights. `extraKeys` joins the
     * grouping when pattern tables from SEVERAL data scopes are unioned
     * (auto-search adds `filter_dim` so commonness is computed within its
-    * own scope family, not across unrelated filter dimensions). */
-  def mine(patterns: DataFrame, extraKeys: Seq[String] = Nil): DataFrame = {
+    * own scope family, not across unrelated filter dimensions).
+    *
+    * Reference-default parity (metainsight_explainer.py:45-46):
+    *  - `minCommonness` (default 0.5): a pattern is kept only when
+    *    commonness ≥ min_commonness — NOT merely > 0.
+    *  - `balanceFactor` (default 1): weight of exceptions relative to
+    *    common patterns in the score. The external miner's exact formula
+    *    is not published; re-expressed deterministically as
+    *      score = (n_matching − balance·n_exceptions)/n_subspaces
+    *              − penalty·[no exceptions]
+    *    where exceptions are the evaluated subspaces the pattern does not
+    *    hold in, and `noExceptionPenaltyWeight` (default 0.1) is the
+    *    reference's actionability regularizer.
+    */
+  def mine(patterns: DataFrame, extraKeys: Seq[String] = Nil,
+           minCommonness: Double = 0.5,
+           noExceptionPenaltyWeight: Double = 0.1,
+           balanceFactor: Double = 1.0): DataFrame = {
+    require(minCommonness > 0 && minCommonness <= 1,
+      "min_commonness must be in the range (0, 1]")
     val keys = extraKeys ++ Seq("breakdown", "measure", "pattern")
     patterns.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_subspaces"),
         sum(col("has_pat")).as("n_matching"),
         min(when(col("has_pat") === 1, concat_ws(":", col("subspace"), col("highlight"))))
           .as("example_highlight"))
-      .filter(col("n_matching") > 0)
       .withColumn("commonness", graft.util.D.r(col("n_matching").cast(DoubleType) / col("n_subspaces"), 6))
-      .withColumn("score", graft.util.D.r(col("n_matching").cast(DoubleType) / col("n_subspaces") -
-        lit(0.1) * when(col("n_matching") === col("n_subspaces"), 1).otherwise(0), 6))
+      .filter(col("n_matching") > 0 && col("commonness") >= minCommonness)
+      .withColumn("score", graft.util.D.r(
+        (col("n_matching").cast(DoubleType) -
+          lit(balanceFactor) * (col("n_subspaces") - col("n_matching"))) / col("n_subspaces") -
+        lit(noExceptionPenaltyWeight) * when(col("n_matching") === col("n_subspaces"), 1).otherwise(0), 6))
       .select((keys ++ Seq("n_subspaces", "n_matching", "commonness", "score", "example_highlight"))
         .map(col): _*)
       .orderBy(keys.map(col): _*)
@@ -171,11 +191,22 @@ object MetaInsight {
     * (metainsight_explainer.py `max_filter_columns`/
     * `max_aggregation_columns`); scope candidates are chosen by the
     * caller (see ExplainFrame.explainMetaInsightAuto). */
-  def auto(src: DataFrame, scopes: Seq[(String, String, String)], topK: Int): DataFrame = {
-    require(scopes.nonEmpty, "metainsight auto-search needs at least one scope")
-    val tables = scopes.map { case (f, b, m) =>
+  def auto(src: DataFrame, scopes: Seq[(String, String, String)], topK: Int,
+           trendScopes: Seq[(String, Column, String, String)] = Nil,
+           minCommonness: Double = 0.5,
+           noExceptionPenaltyWeight: Double = 0.1,
+           balanceFactor: Double = 1.0): DataFrame = {
+    require(scopes.nonEmpty || trendScopes.nonEmpty,
+      "metainsight auto-search needs at least one scope")
+    val catTables = scopes.map { case (f, b, m) =>
       catPatterns(src, f, b, m, s"${m}_mean").withColumn("filter_dim", lit(f)) }
-    mine(tables.reduce(_ unionByName _), Seq("filter_dim"))
+    // ordered/trend breakdowns ride the same enumeration (reference auto
+    // mode includes trend scopes over its groupby_columns): each tuple is
+    // (filterDim, breakdown index column, breakdown name, measure)
+    val trendTables = trendScopes.map { case (f, bIdx, bName, m) =>
+      trendPatterns(src, f, bIdx, bName, m, s"${m}_mean").withColumn("filter_dim", lit(f)) }
+    mine((catTables ++ trendTables).reduce(_ unionByName _), Seq("filter_dim"),
+        minCommonness, noExceptionPenaltyWeight, balanceFactor)
       .orderBy(col("score").desc, col("filter_dim"), col("breakdown"),
         col("measure"), col("pattern"))
       .limit(topK)
@@ -187,7 +218,11 @@ object MetaInsight {
     * (filterDim, breakdown, measure): one pattern CTE chain per scope,
     * unioned and mined with `filter_dim` in the grouping, ranked by
     * score. Mirrors [[catPatterns]] + [[mine]](extraKeys=filter_dim). */
-  def autoSql(table: String, scopes: Seq[(String, String, String)], topK: Int): String = {
+  def autoSql(table: String, scopes: Seq[(String, String, String)], topK: Int,
+              trendScopes: Seq[(String, String, String)] = Nil,
+              minCommonness: Double = 0.5,
+              noExceptionPenaltyWeight: Double = 0.1,
+              balanceFactor: Double = 1.0): String = {
     val parts = scopes.zipWithIndex.map { case ((f, b, m), i) =>
       s"""c$i AS (SELECT CAST($f AS VARCHAR) AS subspace, $b AS b,
          |    COUNT(*) AS cnt, SUM(CAST($m AS DECIMAL(25,6))) AS sm
@@ -220,8 +255,42 @@ object MetaInsight {
          |    MAX(CASE WHEN rn_s = 1 AND share >= 0.5 THEN b END), 'dominance', '$b', '$f'
          |  FROM zz$i GROUP BY 1, 2)""".stripMargin
     }
-    val pats = scopes.indices.map(i => s"SELECT * FROM p$i").mkString("\nUNION ALL\n")
-    s"""WITH ${parts.mkString(",\n")},
+    // trend scopes: (filterDim, monthCol, measure) with breakdown name
+    // 'month' — mirrors trendPatterns over month(monthCol)
+    val trendParts = trendScopes.zipWithIndex.map { case ((f, mc, m), i) =>
+      s"""tc$i AS (SELECT CAST($f AS VARCHAR) AS subspace, month($mc) AS b,
+         |    COUNT(*) AS cnt, SUM(CAST($m AS DECIMAL(25,6))) AS sm
+         |  FROM $table GROUP BY 1, 2),
+         |tca$i AS (SELECT * FROM tc$i
+         |  UNION ALL SELECT '*' AS subspace, b, SUM(cnt) AS cnt, SUM(sm) AS sm FROM tc$i GROUP BY b),
+         |tm$i AS (SELECT *, CAST(b AS INT) AS x FROM (
+         |  SELECT subspace, CAST(b AS VARCHAR) AS b, '${m}_mean' AS measure,
+         |    ROUND(CAST(CAST(sm AS DECIMAL(25,6)) AS DOUBLE) / cnt, 6) AS v FROM tca$i
+         |  UNION ALL
+         |  SELECT subspace, CAST(b AS VARCHAR), 'row_count', CAST(cnt AS DOUBLE) FROM tca$i)),
+         |ts$i AS (SELECT subspace, measure, COUNT(*) AS k, SUM(x) AS sx,
+         |    SUM(CAST(x * x AS BIGINT)) AS sxx,
+         |    ${dvalSql("v")} AS sv, ${dbigSql("v * v")} AS svv, ${dvalSql("x * v")} AS sxv
+         |  FROM tm$i GROUP BY 1, 2),
+         |tr$i AS (SELECT subspace, measure,
+         |    CASE WHEN SQRT(CAST(k * sxx - sx * sx AS DOUBLE)) * SQRT(GREATEST(k * svv - sv * sv, 0)) > 1e-9
+         |         THEN (k * sxv - sx * sv) /
+         |              (SQRT(CAST(k * sxx - sx * sx AS DOUBLE)) * SQRT(GREATEST(k * svv - sv * sv, 0)))
+         |         ELSE 0.0 END AS r_xy
+         |  FROM ts$i),
+         |tp$i AS (
+         |  SELECT subspace, measure, CASE WHEN r_xy >= 0.5 THEN 1 ELSE 0 END AS has_pat,
+         |    CASE WHEN r_xy >= 0.5 THEN 'up' END AS highlight,
+         |    'trend_up' AS pattern, 'month' AS breakdown, '$f' AS filter_dim
+         |  FROM tr$i
+         |  UNION ALL
+         |  SELECT subspace, measure, CASE WHEN r_xy <= -0.5 THEN 1 ELSE 0 END,
+         |    CASE WHEN r_xy <= -0.5 THEN 'down' END, 'trend_down', 'month', '$f'
+         |  FROM tr$i)""".stripMargin
+    }
+    val pats = (scopes.indices.map(i => s"SELECT * FROM p$i") ++
+      trendScopes.indices.map(i => s"SELECT * FROM tp$i")).mkString("\nUNION ALL\n")
+    s"""WITH ${(parts ++ trendParts).mkString(",\n")},
        |pats AS ($pats)
        |SELECT filter_dim, breakdown, measure, pattern, n_subspaces, n_matching,
        |  commonness, score, example_highlight
@@ -229,11 +298,12 @@ object MetaInsight {
        |  SELECT filter_dim, breakdown, measure, pattern, COUNT(*) AS n_subspaces,
        |    CAST(SUM(has_pat) AS BIGINT) AS n_matching,
        |    ROUND(CAST(SUM(has_pat) AS DOUBLE) / COUNT(*), 6) AS commonness,
-       |    ROUND(CAST(SUM(has_pat) AS DOUBLE) / COUNT(*) -
-       |      0.1 * CASE WHEN SUM(has_pat) = COUNT(*) THEN 1 ELSE 0 END, 6) AS score,
+       |    ROUND((CAST(SUM(has_pat) AS DOUBLE) - $balanceFactor * (COUNT(*) - SUM(has_pat))) / COUNT(*) -
+       |      $noExceptionPenaltyWeight * CASE WHEN SUM(has_pat) = COUNT(*) THEN 1 ELSE 0 END, 6) AS score,
        |    MIN(CASE WHEN has_pat = 1 THEN concat_ws(':', subspace, highlight) END) AS example_highlight
        |  FROM pats GROUP BY 1, 2, 3, 4
        |  HAVING SUM(has_pat) > 0)
+       |WHERE commonness >= $minCommonness
        |ORDER BY score DESC, filter_dim, breakdown, measure, pattern
        |LIMIT $topK""".stripMargin
   }
@@ -241,7 +311,10 @@ object MetaInsight {
   /** Full DuckDB mirror for orders-style input: filterDim × (cat breakdown,
     * ordered month breakdown), measures mean(aggCol) + row count. */
   def sql(table: String, filterDim: String, catBreakdown: String,
-          monthCol: String, aggCol: String, meanName: String): String = {
+          monthCol: String, aggCol: String, meanName: String,
+          minCommonness: Double = 0.5,
+          noExceptionPenaltyWeight: Double = 0.1,
+          balanceFactor: Double = 1.0): String = {
     def cellsSql(bexpr: String): String =
       s"""SELECT CAST($filterDim AS VARCHAR) AS subspace, $bexpr AS b,
          |  COUNT(*) AS cnt, SUM(CAST($aggCol AS DECIMAL(25,6))) AS sm
@@ -299,14 +372,18 @@ object MetaInsight {
        |    CASE WHEN r_xy <= -0.5 THEN 'down' END, 'trend_down', 'month'
        |  FROM rr),
        |pats AS (SELECT * FROM pat_cat UNION ALL SELECT * FROM pat_tr)
-       |SELECT breakdown, measure, pattern, COUNT(*) AS n_subspaces,
-       |  CAST(SUM(has_pat) AS BIGINT) AS n_matching,
-       |  ROUND(CAST(SUM(has_pat) AS DOUBLE) / COUNT(*), 6) AS commonness,
-       |  ROUND(CAST(SUM(has_pat) AS DOUBLE) / COUNT(*) -
-       |    0.1 * CASE WHEN SUM(has_pat) = COUNT(*) THEN 1 ELSE 0 END, 6) AS score,
-       |  MIN(CASE WHEN has_pat = 1 THEN concat_ws(':', subspace, highlight) END) AS example_highlight
-       |FROM pats GROUP BY 1, 2, 3
-       |HAVING SUM(has_pat) > 0
+       |SELECT breakdown, measure, pattern, n_subspaces, n_matching,
+       |  commonness, score, example_highlight
+       |FROM (
+       |  SELECT breakdown, measure, pattern, COUNT(*) AS n_subspaces,
+       |    CAST(SUM(has_pat) AS BIGINT) AS n_matching,
+       |    ROUND(CAST(SUM(has_pat) AS DOUBLE) / COUNT(*), 6) AS commonness,
+       |    ROUND((CAST(SUM(has_pat) AS DOUBLE) - $balanceFactor * (COUNT(*) - SUM(has_pat))) / COUNT(*) -
+       |      $noExceptionPenaltyWeight * CASE WHEN SUM(has_pat) = COUNT(*) THEN 1 ELSE 0 END, 6) AS score,
+       |    MIN(CASE WHEN has_pat = 1 THEN concat_ws(':', subspace, highlight) END) AS example_highlight
+       |  FROM pats GROUP BY 1, 2, 3
+       |  HAVING SUM(has_pat) > 0)
+       |WHERE commonness >= $minCommonness
        |ORDER BY breakdown, measure, pattern""".stripMargin
   }
 }

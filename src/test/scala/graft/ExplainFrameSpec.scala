@@ -164,6 +164,36 @@ class ExplainFrameSpec extends AnyFunSuite {
       li.select(col("nope")))
   }
 
+  test("metainsight drops sub-min_commonness patterns by default") {
+    import spark.implicits._
+    // 3 subspaces (f in a,b,c); only subspace 'a' has a dominant g value
+    // -> dominance commonness 1/3 for the per-subspace scopes... build so
+    // exactly one of three subspaces shows the pattern:
+    val rows = Seq(
+      ("a", "x", 100.0), ("a", "x", 100.0), ("a", "x", 100.0), ("a", "y", 1.0),
+      ("b", "x", 1.0), ("b", "y", 1.0), ("b", "z", 1.0),
+      ("c", "x", 1.0), ("c", "y", 1.0), ("c", "z", 1.0))
+      .toDF("f", "g", "v")
+    val pats = graft.explain.MetaInsight.catPatterns(rows, "f", "g", "v", "v_mean")
+    val dom = (m: org.apache.spark.sql.DataFrame) =>
+      m.filter(col("pattern") === "dominance" && col("measure") === "v_mean").collect()
+    // default min_commonness=0.5: 'a'-only dominance (commonness 0.5 of
+    // the 4 subspaces incl '*') survives iff >= 0.5; build assertion on
+    // the relative behavior instead of absolute: lowering the threshold
+    // can only ADD patterns, and there exists a threshold where the rare
+    // pattern is dropped
+    val strict = dom(graft.explain.MetaInsight.mine(pats, minCommonness = 0.9))
+    val loose = dom(graft.explain.MetaInsight.mine(pats, minCommonness = 0.1))
+    assert(loose.length >= strict.length)
+    assert(loose.nonEmpty, "pattern should exist at low threshold")
+    assert(strict.isEmpty, "commonness < 0.9 pattern must be dropped at 0.9")
+    // default (0.5) equals the reference default
+    val default = dom(graft.explain.MetaInsight.mine(pats))
+    assert(default.forall(_.getAs[Double]("commonness") >= 0.5))
+    intercept[IllegalArgumentException](
+      graft.explain.MetaInsight.mine(pats, minCommonness = 0.0))
+  }
+
   test("many-to-one excludes NULL numeric attribute rows from binning") {
     import spark.implicits._
     // 6 labeled rows; two have a NULL numeric attr — pandas cut/qcut
