@@ -135,7 +135,27 @@ object Dedup {
 
   // ------------------------------------------------------------ SimHash --
 
-  val SimBits = 32
+  /** 60 bits (15 md5 hex digits — the same 60-bit prefix the MinHash
+    * path uses; 16 digits would overflow a signed BIGINT cast in both
+    * engines). */
+  val SimBits = 60
+
+  /** Band layout: 4 bands × 15 bits ⇒ 2^15 = 32768 buckets PER BAND.
+    * Bucket-count bound matters at corpus scale: with only 256 buckets
+    * per band (the old 32-bit/8-bit layout) every bucket holds ~N/256
+    * documents at N in the billions and the within-bucket self-join goes
+    * quadratic; 15-bit bands push the same blowup out by 128× and keep
+    * near-dup buckets sparse because 15 matching bits at 60-bit hash
+    * length is a strong similarity signal. */
+  val SimBands = 4
+  val SimBandBits: Int = SimBits / SimBands
+
+  /** Hamming radius kept by [[simhashPairs]]. RECALL CONTRACT: with 4
+    * bands, the pigeonhole principle guarantees a band collision only
+    * for hamming ≤ 3; pairs at hamming 4-6 are found only when their
+    * differing bits happen to concentrate in ≤ 3 bands (partial recall,
+    * same trade as the reference's banded LSH). */
+  val SimHammingMax = 6
 
   /** DuckDB mirror of [[simhashDf]]. */
   def simhashSql(table: String): String = {
@@ -150,22 +170,21 @@ object Dedup {
        |  FROM bitsum GROUP BY 1)""".stripMargin
   }
 
-  /** 32-bit SimHash over word occurrences: bit j of word-hash taken from
+  /** 60-bit SimHash over word occurrences: bit j of word-hash taken from
     * md5 hex nibbles; simhash bit j = sign of Σ cnt_w · (2·bit_j(w) − 1).
     * Returns (doc_id, simhash BIGINT).
     *
-    * The first 8 md5 hex digits form a 32-bit word hash wh with
-    * bit j = (wh >> (31−j)) & 1 — identical to the oracle's nibble form,
-    * since hex digit j/4 occupies bits [31−4·(j/4)−3, 31−4·(j/4)].
-    * ONE token explode feeds ONE map-side-combined groupBy carrying 32
+    * The first 15 md5 hex digits form a 60-bit word hash wh with
+    * bit j = (wh >> (59−j)) & 1 — identical to the oracle's nibble form,
+    * since hex digit j/4 occupies bits [59−4·(j/4)−3, 59−4·(j/4)].
+    * ONE token explode feeds ONE map-side-combined groupBy carrying 60
     * codegen'd ±1 SUM aggregates (Σ over occurrences ≡ Σ cnt_w·±1) —
-    * no 32× row blowup (the old explode(sequence(0,31)) shuffled 32× the
-    * word-count table), and no interpreted higher-order functions in the
+    * no 60× row blowup, and no interpreted higher-order functions in the
     * hot path. */
   def simhashDf(docs: DataFrame): DataFrame = {
     val occ = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
       .select(col("doc_id"),
-        conv(substring(md5(col("w").cast(BinaryType)), 1, 8), 16, 10).cast(LongType).as("wh"))
+        conv(substring(md5(col("w").cast(BinaryType)), 1, 15), 16, 10).cast(LongType).as("wh"))
     val sums = (0 until SimBits).map { j =>
       sum(shiftright(col("wh"), SimBits - 1 - j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j") }
     val agg = occ.groupBy("doc_id").agg(sums.head, sums.tail: _*)
@@ -175,13 +194,15 @@ object Dedup {
     agg.select(col("doc_id"), sim.cast(LongType).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: 4 byte-bands, keep hamming ≤ 6. */
+  /** SimHash near-dup pairs: 4 bands × 15 bits, keep hamming ≤
+    * [[SimHammingMax]] (see the recall contract there). */
   def simhashPairs(docs: DataFrame): DataFrame = {
     // the signature table feeds both sides of the band self-join —
     // persist so the corpus scan + hashing runs once
     val sh = simhashDf(docs).persist()
-    val bandStructs = (0 until 4).map(k =>
-      struct(lit(k).as("k"), shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L)).as("band")))
+    val mask = (1L << SimBandBits) - 1
+    val bandStructs = (0 until SimBands).map(k =>
+      struct(lit(k).as("k"), shiftright(col("simhash"), SimBandBits * k).bitwiseAND(lit(mask)).as("band")))
     val bs = sh.select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.k").as("k"), col("b.band").as("band"))
     val cand = bs.alias("a").join(bs.alias("b"),
@@ -191,21 +212,22 @@ object Dedup {
         col("a.simhash").as("sa"), col("b.simhash").as("sb"))
       .distinct()
     cand.withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast(LongType))
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= SimHammingMax)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
 
   def simhashPairsSql(table: String): String = {
-    val bandBranches = (0 until 4).map(k =>
-      s"SELECT doc_id, simhash, $k AS k, (simhash >> ${8 * k}) & 255 AS band FROM sh")
+    val mask = (1L << SimBandBits) - 1
+    val bandBranches = (0 until SimBands).map(k =>
+      s"SELECT doc_id, simhash, $k AS k, (simhash >> ${SimBandBits * k}) & $mask AS band FROM sh")
     s"""WITH ${simhashSql(table)},
        |bands AS (${bandBranches.mkString("\nUNION ALL\n")}),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    a.simhash AS sa, b.simhash AS sb
        |  FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-       |FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= $SimHammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

@@ -51,6 +51,9 @@ object Pipeline extends QFamily {
       Some(Dedup.ngramJaccardSql("documents", "source", 0.02)),
       (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"), "source", 0.02)),
 
+    // label blocks sub-blocked by mirrored LSH sign bits — bounded block
+    // size (label_size / 2^bits); the unbounded pure-label form is
+    // test-only (Ann.embeddingPairs(bits = 0))
     QDef("q_dedup_embedding",
       Some(Ann.embeddingPairsSql("embeddings", 0.3)),
       (s, dir) => Ann.embeddingPairs(t(s, dir, "embeddings"), 0.3)),

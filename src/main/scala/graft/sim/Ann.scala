@@ -291,26 +291,59 @@ object Ann {
        |WHERE cosine >= $th ORDER BY bucket, vec_a, vec_b""".stripMargin
   }
 
-  /** Label-blocked embedding near-dup pairs (cosine ≥ th). */
-  def embeddingPairs(vecs: DataFrame, th: Double): DataFrame = {
+  /** Label-blocked embedding near-dup pairs (cosine ≥ th), with each
+    * label block SUB-BLOCKED by `bits` hyperplane-LSH sign bits (the
+    * mirrored [[LshPlanes]]): the pair join keys on (label, bucket), so
+    * block size is bounded by label_size / 2^bits in expectation — a
+    * label block is never self-joined whole (the round-2 unbounded
+    * form). The sub-blocking is similarity-preserving (near-identical
+    * vectors agree on sign bits with high probability), not a random
+    * salt, so recall loss is principled: a pair is missed only when its
+    * vectors disagree on one of the `bits` signs.
+    *
+    * `bits = 0` restores the exact unbounded label-block form —
+    * test/demo only; every oracled query uses the bounded default. */
+  /** Sub-block sign-bit count for [[embeddingPairs]]: 2^4 = 16 sub-
+    * buckets per label caps the self-join block at label_size/16 in
+    * expectation while keeping ~(1−θ/π)^4 recall per pair (≈ 2/3 at
+    * cosine 0.95). Raise as label blocks grow; the low-threshold
+    * scale path is [[embeddingPairsIvf]]. */
+  val SubBlockBits = 4
+
+  def embeddingPairs(vecs: DataFrame, th: Double, bits: Int = SubBlockBits): DataFrame = {
     val base = scaledBase(vecs, Seq("label"))
-    val a = base.select(col("label").as("lbl"), col("vec_id").as("vec_a"),
+    val bucketExpr =
+      if (bits == 0) lit(0L)
+      else (0 until bits).map { k =>
+        when(FixedDot(col("fxe"), typedlit(LshPlanes(k))) >= 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val withB = base.withColumn("bkt", bucketExpr)
+    val a = withB.select(col("label").as("lbl"), col("bkt"), col("vec_id").as("vec_a"),
       col("fxe").as("ea"), col("nsq").as("na"))
-    val b = base.select(col("label").as("lbl"), col("vec_id").as("vec_b"),
+    val b = withB.select(col("label").as("lbl"), col("bkt"), col("vec_id").as("vec_b"),
       col("fxe").as("eb"), col("nsq").as("nb"))
-    a.join(b, Seq("lbl")).filter(col("vec_a") < col("vec_b"))
+    a.join(b, Seq("lbl", "bkt")).filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine", graft.util.D.r(cosExpr(FixedDot(col("ea"), col("eb")), col("na"), col("nb")), 6))
       .filter(col("cosine") >= th)
       .select(col("lbl").as("label"), col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy("label", "vec_a", "vec_b")
   }
 
-  def embeddingPairsSql(table: String, th: Double): String =
+  def embeddingPairsSql(table: String, th: Double, bits: Int = SubBlockBits): String = {
+    val fx = "CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 100000000) AS BIGINT)"
+    val bucket =
+      if (bits == 0) "0"
+      else (0 until bits).map { k =>
+        val planes = LshPlanes(k).mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(range(1, ${LshDim + 1}), i -> $fx * ($planes)[i])) >= 0 THEN ${1L << k} ELSE 0 END)"
+      }.mkString(" + ")
     s"""WITH ${normSqSql(table)},
-       |base AS (SELECT e.vec_id, e.label, e.embedding, n.nsq FROM $table e JOIN norms n ON e.vec_id = n.vec_id)
+       |base AS (SELECT e.vec_id, e.label, e.embedding, n.nsq, CAST(($bucket) AS BIGINT) AS bkt
+       |  FROM $table e JOIN norms n ON e.vec_id = n.vec_id)
        |SELECT label, vec_a, vec_b, cosine FROM (
        |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    ROUND(${cosSql(dotFixSql("a.embedding", "b.embedding"), "a.nsq", "b.nsq")}, 6) AS cosine
-       |  FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |  FROM base a JOIN base b ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
        |WHERE cosine >= $th ORDER BY label, vec_a, vec_b""".stripMargin
+  }
 }

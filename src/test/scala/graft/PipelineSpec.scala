@@ -54,6 +54,16 @@ class PipelineSpec extends AnyFunSuite {
       fast.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
   }
 
+  test("bounded embedding pairs are a subset of the unbounded label-block form") {
+    val e = graft.util.D.t(spark, sf, "embeddings")
+    val key = (r: org.apache.spark.sql.Row) => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+    val unbounded = graft.sim.Ann.embeddingPairs(e, 0.3, bits = 0).collect().map(key).toSet
+    val bounded = graft.sim.Ann.embeddingPairs(e, 0.3).collect().map(key).toSet
+    assert(bounded.subsetOf(unbounded),
+      "LSH sub-blocking must only DROP pairs, never invent them")
+    assert(bounded.nonEmpty, "bounded form found nothing at sf0.001")
+  }
+
   test("CDC chunking is offset-invariant on shared passages") {
     import graft.text.Cdc
     // the defining CDC property: a shared substring produces the same
