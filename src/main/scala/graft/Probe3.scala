@@ -12,9 +12,11 @@ object Probe3 {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val qs = SparkEntry.queries
     for (name <- args) {
-      val df = qs(name)(spark, sfDir)
-      if (sys.env.contains("PROBE_EXPLAIN")) df.explain("formatted")
+      if (sys.env.contains("PROBE_EXPLAIN")) qs(name)(spark, sfDir).explain("formatted")
       for (i <- 1 to 2) {
+        // fresh build per rep — matches Bench's measurement (a reused
+        // DataFrame re-executes a stale AQE plan after clearCache)
+        val df = qs(name)(spark, sfDir)
         val t0 = System.nanoTime()
         df.count()
         println(f"[probe3] $name rep$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")

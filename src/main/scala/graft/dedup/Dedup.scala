@@ -96,9 +96,10 @@ object Dedup {
     * matching signature positions / 16. */
   def minhashPairs(docs: DataFrame): DataFrame = {
     // the signature table is referenced three times below (bands + both
-    // pair sides); persist it — at corpus scale signatures are a
-    // materialized table, not a recomputed subplan
-    val sig = minhashSig(docs).persist()
+    // pair sides); it ends in an aggregation, so all three consumers
+    // read ONE ReusedExchange — no persist, nothing for the caller to
+    // clean up (library calls leave no cached partitions behind)
+    val sig = minhashSig(docs)
     val bs = bands(sig)
     val cand = bs.alias("a").join(bs.alias("b"),
         col("a.j") === col("b.j") && col("a.bk") === col("b.bk") &&
@@ -197,9 +198,10 @@ object Dedup {
   /** SimHash near-dup pairs: 4 bands × 15 bits, keep hamming ≤
     * [[SimHammingMax]] (see the recall contract there). */
   def simhashPairs(docs: DataFrame): DataFrame = {
-    // the signature table feeds both sides of the band self-join —
-    // persist so the corpus scan + hashing runs once
-    val sh = simhashDf(docs).persist()
+    // the signature table feeds both sides of the band self-join; its
+    // final aggregation becomes a ReusedExchange for both consumers —
+    // the corpus scan + hashing runs once with no persist
+    val sh = simhashDf(docs)
     val mask = (1L << SimBandBits) - 1
     val bandStructs = (0 until SimBands).map(k =>
       struct(lit(k).as("k"), shiftright(col("simhash"), SimBandBits * k).bitwiseAND(lit(mask)).as("band")))
@@ -264,19 +266,27 @@ object Dedup {
     * ubiquitous shingles has near-zero Jaccard anyway). The oracle
     * mirrors the same candidate rule. */
   def ngramJaccard(docs: DataFrame, blockCol: String, th: Double,
-                   dfCap: Int = NgramDfCap): DataFrame = {
+                   dfCap: Int = NgramDfCap, cache: Boolean = true): DataFrame = {
     // Per-doc DISTINCT hashed shingle ARRAY, built entirely per-row (one
     // scan, zero shuffle) and reused by every stage — candidate docs are
     // few, so intersections run as size(array_intersect(...)) on the
     // candidate pair rows instead of re-exploding the corpus into
     // (pair, shingle) rows and shuffling them.
-    val arr = docs.withColumn("w", TextOps.tokens(col("text")))
+    val arr0 = docs.withColumn("w", TextOps.tokens(col("text")))
       .select(col("doc_id"), col(blockCol).as("blk"),
         array_sort(array_distinct(transform(TextOps.shinglesOf(col("w")),
           s => conv(substring(md5(s.cast(BinaryType)), 1, 15), 16, 10).cast(LongType))))
           .as("shs"))
       .withColumn("sz", size(col("shs")).cast(LongType))
-      .persist()
+    // CACHE OWNERSHIP: with cache=true (default) the per-doc array table
+    // is persist()ed — it feeds three differently-pruned consumers, so
+    // exchange reuse cannot deduplicate it (unlike the sig tables above)
+    // and an uncached plan re-hashes every shingle three times (~2.5x
+    // slower measured). The cached partitions belong to the returned
+    // plan; callers running many queries in one session should
+    // spark.catalog.clearCache() between them (Bench/Verify do) or pass
+    // cache=false for a persist-free plan.
+    val arr = if (cache) arr0.persist() else arr0
     // ONE corpus-sized shuffle: group shingle occurrences by (block,
     // shingle), keeping AT MOST dfCap+1 doc ids per key via the bounded
     // k-min aggregate (state ≤ dfCap+1 longs per key, map-side combined

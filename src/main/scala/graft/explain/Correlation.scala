@@ -180,9 +180,11 @@ object Correlation {
     val pearsonDf = a.select(explode(array(pearsonRows: _*)).as("r")).select("r.*")
 
     // shared cells: contingency counts + exact decimal partial Σnum
+    // five consumers below re-aggregate these cells; the aggregation's
+    // exchange is reused across all of them (no persist — library calls
+    // leave no cached partitions)
     val cells = df.groupBy(col(cat).as("ca"), col(cat2).as("cb"))
       .agg(count(lit(1)).as("o"), sum(col(num).cast(D.dec25)).as("psum"))
-      .persist()
 
     // η from re-aggregated cells + the global moment row
     val g = cells.groupBy("ca")

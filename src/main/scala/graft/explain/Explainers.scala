@@ -21,11 +21,10 @@ object Explainers extends QFamily {
 
   private def filterCounts(s: SparkSession, dir: String) = {
     val li = t(s, dir, "lineitem")
-    // KB-sized count table reused by deviation + influence — persist so
-    // the base-table scan runs once; the filtered fast path counts both
-    // sides in ONE scan (conditional count) instead of scanning source
-    // and result separately
-    Fedex.binCountsFiltered(li, col("l_quantity") >= 30, filterAttrs).persist()
+    // KB-sized count table reused by deviation + influence; its
+    // aggregation exchange is reused by every consumer (no persist —
+    // the filtered fast path still counts both sides in ONE scan)
+    Fedex.binCountsFiltered(li, col("l_quantity") >= 30, filterAttrs)
   }
 
   private def filterCountsSqlPrefix =

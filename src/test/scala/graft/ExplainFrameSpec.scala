@@ -164,6 +164,20 @@ class ExplainFrameSpec extends AnyFunSuite {
       li.select(col("nope")))
   }
 
+  test("library calls leave no persisted RDDs behind") {
+    spark.catalog.clearCache()
+    val docs = graft.util.D.t(spark, sf, "documents")
+    val liDf = graft.util.D.t(spark, sf, "lineitem")
+    graft.dedup.Dedup.minhashPairs(docs).count()
+    graft.dedup.Dedup.simhashPairs(docs).count()
+    graft.dedup.Dedup.ngramJaccard(docs, "source", 0.02, cache = false).count()
+    graft.explain.Correlation.suite(liDf,
+      Seq(("l_quantity", "l_extendedprice")), "l_returnflag", "l_quantity", "l_linestatus").count()
+    li.filter(col("l_quantity") >= 30).explainFedex(topK = 2).count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked cached RDDs: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
   test("metainsight drops sub-min_commonness patterns by default") {
     import spark.implicits._
     // 3 subspaces (f in a,b,c); only subspace 'a' has a dominant g value
