@@ -1,9 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query seconds at
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Each query runs TWO in-process repetitions (fresh DataFrame build per
+  * rep — a reused plan re-executes a stale AQE plan after clearCache and
+  * measures the wrong thing). The reported per-query number is the WARM
+  * (second) rep: steady-state throughput, reproducible to VM noise. The
+  * cold pass (first reps, including residual JIT) is reported alongside
+  * as `cold_total` so a fresh rerun can be compared against the right
+  * figure — a single-pass artifact cost a round of misdiagnosis when one
+  * anomalous cold run doubled every number.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,26 +31,37 @@ object Bench {
     // deterministic order: map iteration order varies across JVMs and
     // would shuffle which queries absorb residual warmup
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case e: Throwable =>
-                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // cleanup OUTSIDE the timed window: drop library-internal persists
-      // (minhash signatures etc.), and periodically nudge a GC —
-      // ContextCleaner reclaims broadcast/shuffle state only after a JVM
-      // GC, so without one, late queries pay for sixty queries of
-      // accumulated state
-      spark.catalog.clearCache()
+      val times = (1 to reps).map { _ =>
+        val t = try {
+          val df = fn(spark, sfDir) // fresh build per rep
+          val t0 = System.nanoTime()
+          df.count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
+        }
+        // cleanup OUTSIDE the timed window: drop library-internal
+        // persists (the ngram array cache), and periodically nudge a GC —
+        // ContextCleaner reclaims broadcast/shuffle state only after a
+        // JVM GC, so without one, late queries pay for sixty queries of
+        // accumulated state
+        spark.catalog.clearCache()
+        t
+      }
       if (i % 8 == 7) System.gc()
-      (name, elapsed, ok)
+      (name, times)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    def j(d: Double): String = if (d < 0) "-1" else f"$d%.4f"
+    val ok = results.filter(_._2.forall(_ >= 0))
+    val failed = results.filter(_._2.exists(_ < 0)).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val qs = ok.map { case (k, ts) => "\"" + k + "\":" + j(ts.last) }
+      .mkString("{", ",", "}")
+    val cold = ok.map(_._2.head).sum
+    val warm = ok.map(_._2.last).sum
+    println(s"""{"metric":"total","value":${j(warm)},"unit":"sec","queries":$qs,""" +
+      s""""cold_total":${j(cold)},"warm_total":${j(warm)},"reps":$reps,""" +
+      s""""failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
