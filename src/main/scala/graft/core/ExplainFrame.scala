@@ -136,16 +136,55 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
               binningMethod: String = "equal_width",
               binNumericLabel: Boolean = false, numLabelBins: Int = 10,
               pruneIfTooManyLabels: Boolean = true, maxLabels: Int = 10,
-              pruningMethod: String = "largest"): DataFrame = explainer match {
+              pruningMethod: String = "largest",
+              schema: Map[String, String] = Map.empty,
+              ignore: Seq[String] = Nil,
+              pValue: Int = 1, maxExplanationLength: Int = 3): DataFrame = {
+    if (pValue < 0)
+      throw new IllegalArgumentException("p_value must be a non-negative number")
+    applySchema(dispatch(explainer, target, dir, labelCol, attributes, topK,
+      coverageThreshold, separationThreshold, catAttrs, numAttrs, filterDim,
+      breakdown, aggCol, useSampling, sampleSize, binningMethod,
+      binNumericLabel, numLabelBins, pruneIfTooManyLabels, maxLabels,
+      pruningMethod, ignore, pValue, maxExplanationLength), schema)
+  }
+
+  /** `schema` kwarg parity (explainable_data_frame.py:1085): a rename map
+    * applied to the attribute names appearing IN the explanation output
+    * (the reference renames for display). Other columns pass through. */
+  private def applySchema(res: DataFrame, schema: Map[String, String]): DataFrame =
+    if (schema.isEmpty || !res.columns.contains("attribute")) res
+    else {
+      val renamed = schema.foldLeft(col("attribute")) { case (acc, (from, to)) =>
+        when(col("attribute") === from, lit(to)).otherwise(acc) }
+      res.withColumn("attribute", renamed)
+    }
+
+  private def dispatch(explainer: String,
+              target: String, dir: String,
+              labelCol: String,
+              attributes: Seq[String], topK: Int,
+              coverageThreshold: Double, separationThreshold: Double,
+              catAttrs: Seq[String], numAttrs: Seq[String],
+              filterDim: String, breakdown: String,
+              aggCol: String,
+              useSampling: Boolean, sampleSize: Int,
+              binningMethod: String,
+              binNumericLabel: Boolean, numLabelBins: Int,
+              pruneIfTooManyLabels: Boolean, maxLabels: Int,
+              pruningMethod: String,
+              ignore: Seq[String],
+              pValue: Int, maxExplanationLength: Int): DataFrame = explainer match {
     case "fedex" => explainFedex(attributes, topK,
-      useSampling = useSampling, sampleSize = sampleSize)
+      useSampling = useSampling, sampleSize = sampleSize, ignore = ignore)
     case "shapley" => op match {
       case Some(FilterOp(src, res, _, condCol)) =>
         val attrs =
           if (attributes.nonEmpty) {
             val byName = src.schema.fields.map(f => f.name -> f).toMap
-            attributes.map(a => Fedex.Attr(a, byName(a).dataType.isInstanceOf[NumericType]))
-          } else defaultAttrs(src, Set.empty)
+            attributes.filterNot(ignore.contains)
+              .map(a => Fedex.Attr(a, byName(a).dataType.isInstanceOf[NumericType]))
+          } else defaultAttrs(src, ignore.toSet)
         val mod = if (useSampling) sampleMod(src.count(), sampleSize) else 1L
         val s2 = hashSample(src, src.columns.toSeq, mod)
         val counts = condCol match {
@@ -176,10 +215,14 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
       val base =
         if (useSampling) hashSample(base0, base0.columns.toSeq, sampleMod(base0.count(), sampleSize))
         else base0
+      // p_value parity (explainable_data_frame.py:1096): auto-derived
+      // attribute candidates are capped at max_explanation_length *
+      // p_value — a runtime/accuracy knob, higher = more candidates
       ManyToOne.explain(base, label,
-        if (catAttrs.nonEmpty) catAttrs else Nil,
-        if (numAttrs.nonEmpty) numAttrs
-        else defaultAttrs(base, Set(label)).filter(_.numeric).map(_.name),
+        if (catAttrs.nonEmpty) catAttrs.filterNot(ignore.contains) else Nil,
+        (if (numAttrs.nonEmpty) numAttrs.filterNot(ignore.contains)
+         else defaultAttrs(base, Set(label) ++ ignore).filter(_.numeric).map(_.name)
+           .take(maxExplanationLength * pValue)),
         coverageThreshold, separationThreshold,
         binningMethod = binningMethod,
         binNumericLabel = binNumericLabel, numLabelBins = numLabelBins,
@@ -229,13 +272,15 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
   def explainFedex(attributes: Seq[String] = Nil, topK: Int = 3,
                    pruneCorrelatedTo: Option[String] = None, corrTH: Double = 0.7,
                    consider: String = "right",
-                   useSampling: Boolean = false, sampleSize: Int = 5000): DataFrame = op match {
+                   useSampling: Boolean = false, sampleSize: Int = 5000,
+                   ignore: Seq[String] = Nil): DataFrame = op match {
     case Some(FilterOp(src, res, _, condCol)) =>
       val pruned = pruneCorrelatedTo.map { to =>
         correlatedAttributes(to, corrTH)
           .filter(col("dropped") === 1).collect().map(_.getString(0)).toSet + to
       }.getOrElse(Set.empty[String])
-      val attrs = resolveAttrs(src, attributes, pruned)
+      val attrs = resolveAttrs(src, attributes.filterNot(ignore.contains),
+        pruned ++ ignore)
       val mod = if (useSampling) sampleMod(src.count(), sampleSize) else 1L
       val s2 = hashSample(src, src.columns.toSeq, mod)
       val counts = condCol match {
@@ -248,7 +293,8 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
         throw new IllegalArgumentException("consider must be either 'left' or 'right'")
       val side = if (consider == "left") left else right
       val sideCols = side.columns.toSeq
-      val attrs = resolveAttrs(side, attributes, on.toSet)
+      val attrs = resolveAttrs(side, attributes.filterNot(ignore.contains),
+        on.toSet ++ ignore)
       val mod = if (useSampling) sampleMod(side.count(), sampleSize) else 1L
       val counts = Fedex.binCounts(
         hashSample(side, sideCols, mod),

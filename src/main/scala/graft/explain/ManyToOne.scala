@@ -2,7 +2,7 @@ package graft.explain
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.NumericType
+import org.apache.spark.sql.types._
 
 /** Many-to-one (cluster-explorer style) rule explanations (reference:
   * /root/reference/src/pd_explain/explainers/many_to_one_explainer.py).
@@ -180,6 +180,17 @@ object ManyToOne {
     require(Seq("equal_width", "uniform", "quantile").contains(binningMethod),
       "The binning method must be either 'uniform' or 'quantile'.")
     val attrs = catAttrs.map(Fedex.Attr(_, numeric = false)) ++ numAttrs.map(Fedex.Attr(_, numeric = true))
+    if (attrs.isEmpty) {
+      // zero candidate attributes (e.g. p_value = 0) -> empty rule set
+      // with the standard schema
+      val sch = StructType(Seq(
+        StructField("label", StringType), StructField("attribute", StringType),
+        StructField("val", StringType), StructField("n_match", LongType),
+        StructField("coverage", DoubleType), StructField("separation_err", DoubleType),
+        StructField("passes", IntegerType)))
+      return src.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), sch)
+    }
     val labelExpr =
       if (binNumericLabel) binnedLabel(src, labelCol, numLabelBins)
       else col(labelCol).cast("string")

@@ -164,6 +164,34 @@ class ExplainFrameSpec extends AnyFunSuite {
       li.select(col("nope")))
   }
 
+  test("schema / ignore / p_value kwargs (reference explain() parity)") {
+    val f = li.filter(col("l_quantity") >= 30)
+    // ignore: excluded columns never appear as explanation attributes
+    val attrs = f.explain(explainer = "fedex", topK = 5,
+        ignore = Seq("l_extendedprice"), useSampling = false)
+      .select("attribute").collect().map(_.getString(0)).toSet
+    assert(!attrs.contains("l_extendedprice"))
+    // schema: attribute names are renamed in the output
+    val renamed = f.explain(explainer = "fedex", topK = 5,
+        schema = Map("l_discount" -> "discount_pct"), useSampling = false)
+      .select("attribute").collect().map(_.getString(0)).toSet
+    assert(!renamed.contains("l_discount"))
+    assert(renamed.contains("discount_pct") ||
+      !attrs.contains("l_discount")) // renamed iff it was an attribute
+    // p_value scales the auto-derived candidate count; 0 keeps none
+    val none = li.df.limit(100)
+    val ef = ExplainFrame(graft.util.D.t(spark, sf, "customer"), "customer")
+    val m1 = ef.explain(explainer = "many_to_one", labelCol = "c_mktsegment",
+      coverageThreshold = 0.01, separationThreshold = 0.99, useSampling = false)
+    val m0 = ef.explain(explainer = "many_to_one", labelCol = "c_mktsegment",
+      coverageThreshold = 0.01, separationThreshold = 0.99, useSampling = false,
+      pValue = 0)
+    assert(m1.select("attribute").distinct().count() >
+      m0.select("attribute").distinct().count())
+    intercept[IllegalArgumentException](
+      ef.explain(explainer = "many_to_one", labelCol = "c_mktsegment", pValue = -1))
+  }
+
   test("library calls leave no persisted RDDs behind") {
     spark.catalog.clearCache()
     val docs = graft.util.D.t(spark, sf, "documents")
