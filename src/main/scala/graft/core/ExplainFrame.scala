@@ -139,14 +139,15 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
               pruningMethod: String = "largest",
               schema: Map[String, String] = Map.empty,
               ignore: Seq[String] = Nil,
-              pValue: Int = 1, maxExplanationLength: Int = 3): DataFrame = {
+              pValue: Int = 1, maxExplanationLength: Int = 3,
+              explainErrorsFlag: Boolean = true): DataFrame = {
     if (pValue < 0)
       throw new IllegalArgumentException("p_value must be a non-negative number")
     applySchema(dispatch(explainer, target, dir, labelCol, attributes, topK,
       coverageThreshold, separationThreshold, catAttrs, numAttrs, filterDim,
       breakdown, aggCol, useSampling, sampleSize, binningMethod,
       binNumericLabel, numLabelBins, pruneIfTooManyLabels, maxLabels,
-      pruningMethod, ignore, pValue, maxExplanationLength), schema)
+      pruningMethod, ignore, pValue, maxExplanationLength, explainErrorsFlag), schema)
   }
 
   /** `schema` kwarg parity (explainable_data_frame.py:1085): a rename map
@@ -174,7 +175,8 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
               pruneIfTooManyLabels: Boolean, maxLabels: Int,
               pruningMethod: String,
               ignore: Seq[String],
-              pValue: Int, maxExplanationLength: Int): DataFrame = explainer match {
+              pValue: Int, maxExplanationLength: Int,
+              explainErrorsFlag: Boolean): DataFrame = explainer match {
     case "fedex" => explainFedex(attributes, topK,
       useSampling = useSampling, sampleSize = sampleSize, ignore = ignore)
     case "shapley" => op match {
@@ -218,16 +220,35 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
       // p_value parity (explainable_data_frame.py:1096): auto-derived
       // attribute candidates are capped at max_explanation_length *
       // p_value — a runtime/accuracy knob, higher = more candidates
-      ManyToOne.explain(base, label,
-        if (catAttrs.nonEmpty) catAttrs.filterNot(ignore.contains) else Nil,
-        (if (numAttrs.nonEmpty) numAttrs.filterNot(ignore.contains)
-         else defaultAttrs(base, Set(label) ++ ignore).filter(_.numeric).map(_.name)
-           .take(maxExplanationLength * pValue)),
+      val cats = if (catAttrs.nonEmpty) catAttrs.filterNot(ignore.contains) else Nil
+      val nums =
+        if (numAttrs.nonEmpty) numAttrs.filterNot(ignore.contains)
+        else defaultAttrs(base, Set(label) ++ ignore).filter(_.numeric).map(_.name)
+          .take(maxExplanationLength * pValue)
+      val rules = ManyToOne.explain(base, label, cats, nums,
         coverageThreshold, separationThreshold,
         binningMethod = binningMethod,
         binNumericLabel = binNumericLabel, numLabelBins = numLabelBins,
         pruneIfTooManyLabels = pruneIfTooManyLabels, maxLabels = maxLabels,
         pruningMethod = pruningMethod)
+      // explain_errors=True (reference default): attach the textual
+      // error attribution per rule. Rules with zero separation error get
+      // the reference's fixed sentence; non-passing rules stay NULL.
+      // Skipped under label binning/pruning (the error table keys on the
+      // raw label) — matching attribution there would need the same
+      // transformed labels, a wiring kept out of scope like the
+      // reference's own binned-label error path.
+      if (!explainErrorsFlag || binNumericLabel || (cats ++ nums).isEmpty) rules
+      else {
+        val txt = ManyToOne.errorText(ManyToOne.explainErrors(base, label, cats, nums,
+          coverageThreshold, separationThreshold, binningMethod = binningMethod))
+        rules.join(txt, Seq("label", "attribute", "val"), "left")
+          .withColumn("error_explanation",
+            when(col("passes") === 1 && col("separation_err") === 0.0,
+              lit("Rule has no separation error."))
+            .otherwise(col("error_explanation")))
+          .orderBy("label", "attribute", "val")
+      }
     case "metainsight" =>
       if (filterDim == null || breakdown == null || aggCol == null)
         return explainMetaInsightAuto(topK)

@@ -289,15 +289,35 @@ object ManyToOne {
       .withColumn("err_frac", graft.util.D.r(col("n_err").cast("double") / col("err_total"), 6))
     val high = withFrac.filter(col("err_frac") > errTh)
       .select(col("label"), col("attribute"), col("val"),
-        col("err_label"), col("n_err"), col("err_frac"))
+        col("err_label"), lit(1L).as("n_groups"), col("n_err"), col("err_frac"))
     val low = withFrac.filter(col("err_frac") <= errTh)
       .groupBy("label", "attribute", "val")
-      .agg(sum("n_err").as("n_err"), max("err_total").as("err_total"))
+      .agg(count(lit(1)).as("n_groups"), sum("n_err").as("n_err"),
+        max("err_total").as("err_total"))
       .select(col("label"), col("attribute"), col("val"), lit("other").as("err_label"),
-        col("n_err"),
+        col("n_groups"), col("n_err"),
         graft.util.D.r(col("n_err").cast("double") / col("err_total"), 6).as("err_frac"))
     high.unionByName(low)
       .orderBy("label", "attribute", "val", "err_label")
+  }
+
+  /** Render [[explainErrors]] rows as the reference's error-explanation
+    * text (many_to_one_explainer.py:471-497): contributors sorted by
+    * fraction desc, 'other' rollup last — "x% from group y, z% from
+    * other group(s), each individually causing less than 5.00% of the
+    * error". One row per rule, column `error_explanation`. */
+  def errorText(errors: DataFrame, errTh: Double = 0.05): DataFrame = {
+    val part = struct(
+      when(col("err_label") === "other", 1).otherwise(0).as("is_other"),
+      (lit(1.0) - col("err_frac")).as("inv"), // asc sort == fraction desc
+      col("err_label").as("g"), col("err_frac").as("f"), col("n_groups").as("ng"))
+    errors.groupBy("label", "attribute", "val")
+      .agg(concat_ws(", ", transform(sort_array(collect_list(part)), p =>
+        when(p.getField("is_other") === 1,
+          format_string("%.2f%% from %d other group(s), each individually causing less than " +
+            f"${errTh * 100}%.2f%%%% of the error", p.getField("f") * 100, p.getField("ng")))
+          .otherwise(format_string("%.2f%% from group %s", p.getField("f") * 100, p.getField("g")))))
+        .as("error_explanation"))
   }
 
   /** DuckDB mirror of [[explainErrors]] (categorical attributes). */
@@ -326,10 +346,12 @@ object ManyToOne {
        |    ROUND(CAST(c.n_err AS DOUBLE) / t.err_total, 6) AS err_frac, t.err_total
        |  FROM contrib c JOIN tot t
        |    ON c.label = t.label AND c.attribute = t.attribute AND c.val = t.val)
-       |SELECT label, attribute, val, err_label, CAST(n_err AS BIGINT) AS n_err, err_frac
+       |SELECT label, attribute, val, err_label, CAST(1 AS BIGINT) AS n_groups,
+       |  CAST(n_err AS BIGINT) AS n_err, err_frac
        |FROM f WHERE err_frac > $errTh
        |UNION ALL
-       |SELECT label, attribute, val, 'other', CAST(SUM(n_err) AS BIGINT),
+       |SELECT label, attribute, val, 'other', CAST(COUNT(*) AS BIGINT),
+       |  CAST(SUM(n_err) AS BIGINT),
        |  ROUND(CAST(SUM(n_err) AS DOUBLE) / MAX(err_total), 6)
        |FROM f WHERE err_frac <= $errTh GROUP BY 1, 2, 3
        |ORDER BY label, attribute, val, err_label""".stripMargin

@@ -192,6 +192,27 @@ class ExplainFrameSpec extends AnyFunSuite {
       ef.explain(explainer = "many_to_one", labelCol = "c_mktsegment", pValue = -1))
   }
 
+  test("many_to_one explain() attaches error attribution by default") {
+    val ef = ExplainFrame(graft.util.D.t(spark, sf, "customer"), "customer")
+    val out = ef.explain(explainer = "many_to_one", labelCol = "c_mktsegment",
+      catAttrs = Seq("c_nationkey"), coverageThreshold = 0.05,
+      separationThreshold = 0.95, useSampling = false)
+    assert(out.columns.contains("error_explanation"))
+    val passing = out.filter(col("passes") === 1)
+    assert(passing.count() > 0)
+    // every passing rule with nonzero error names its top contributor
+    val withErr = passing.filter(col("separation_err") > 0).collect()
+    assert(withErr.forall(r => {
+      val t = r.getAs[String]("error_explanation")
+      t != null && t.contains("% from")
+    }))
+    // flag off restores the plain rule table
+    val off = ef.explain(explainer = "many_to_one", labelCol = "c_mktsegment",
+      catAttrs = Seq("c_nationkey"), coverageThreshold = 0.05,
+      separationThreshold = 0.95, useSampling = false, explainErrorsFlag = false)
+    assert(!off.columns.contains("error_explanation"))
+  }
+
   test("library calls leave no persisted RDDs behind") {
     spark.catalog.clearCache()
     val docs = graft.util.D.t(spark, sf, "documents")
