@@ -400,7 +400,9 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
                              measures: Seq[String] = Nil,
                              maxFilterColumns: Int = 3,
                              maxAggregationColumns: Int = 2,
-                             corrTH: Double = 0.95): DataFrame = {
+                             corrTH: Double = 0.95,
+                             useAllGroupbyCombinations: Boolean = false,
+                             minCommonness: Double = 0.5): DataFrame = {
     val skip = Seq("key", "_id", "date", "comment", "name", "phone", "address")
     val strCols = df.schema.fields
       .filter(_.dataType == StringType).map(_.name)
@@ -432,7 +434,29 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
       .map(_.name).take(maxFilterColumns).toSeq
     val trendScopes = for (f <- fs; d <- dateCols; m <- ms)
       yield (f, org.apache.spark.sql.functions.month(col(d)), "month", m)
-    MetaInsight.auto(df, scopes, topK, trendScopes)
+    val catTables = scopes.map { case (f, b, m) =>
+      MetaInsight.catPatterns(df, f, b, m, s"${m}_mean")
+        .withColumn("filter_dim", lit(f)) }
+    val trendTables = trendScopes.map { case (f, bIdx, bName, m) =>
+      MetaInsight.trendPatterns(df, f, bIdx, bName, m, s"${m}_mean")
+        .withColumn("filter_dim", lit(f)) }
+    // use_all_groupby_combinations (reference
+    // metainsight_explainer.py:301-308): breakdowns [A, B] additionally
+    // enumerate the combination [A, B] — a composite breakdown whose
+    // value is the '|'-joined tuple (pairs only: the reference's full
+    // powerset is exponential; the pairwise slice covers its documented
+    // example and keeps the scope count quadratic)
+    val comboTables =
+      if (!useAllGroupbyCombinations) Nil
+      else for {
+        pair <- bs.combinations(2).toSeq
+        f <- fs if !pair.contains(f)
+        m <- ms
+      } yield MetaInsight.catPatternsExpr(df, f,
+        concat_ws("|", pair.map(col): _*), pair.mkString("+"), m, s"${m}_mean")
+        .withColumn("filter_dim", lit(f))
+    MetaInsight.rank(catTables ++ trendTables ++ comboTables, topK,
+      minCommonness = minCommonness)
   }
 
   /** Textual description of the top explanation, mirroring the reference's

@@ -89,6 +89,17 @@ object MetaInsight {
       melt(cells(src.withColumn("v0", col(aggCol)), filterDim, col(breakdown)), meanName),
       breakdown)
 
+  /** Categorical patterns over an ARBITRARY breakdown expression — the
+    * entry point for multi-column breakdowns (reference
+    * use_all_groupby_combinations: groupby columns [A, B] enumerate
+    * breakdowns [A], [B], [A, B]; a combination's value is the tuple,
+    * expressed here as a '|'-joined composite). */
+  def catPatternsExpr(src: DataFrame, filterDim: String, breakdownCol: Column,
+                      breakdownName: String, aggCol: String, meanName: String): DataFrame =
+    catPatternsImpl(
+      melt(cells(src.withColumn("v0", col(aggCol)), filterDim, breakdownCol), meanName),
+      breakdownName)
+
   private def catPatternsImpl(m: DataFrame, breakdown: String): DataFrame = {
     val s = m.groupBy("subspace", "measure")
       .agg(count(lit(1)).as("k"),
@@ -205,7 +216,20 @@ object MetaInsight {
     // (filterDim, breakdown index column, breakdown name, measure)
     val trendTables = trendScopes.map { case (f, bIdx, bName, m) =>
       trendPatterns(src, f, bIdx, bName, m, s"${m}_mean").withColumn("filter_dim", lit(f)) }
-    mine((catTables ++ trendTables).reduce(_ unionByName _), Seq("filter_dim"),
+    rank(catTables ++ trendTables, topK,
+      minCommonness, noExceptionPenaltyWeight, balanceFactor)
+  }
+
+  /** Mine + score-rank prebuilt per-scope pattern tables (each tagged
+    * with a `filter_dim` column) — the shared tail of [[auto]], public so
+    * callers can append scopes auto() cannot express (e.g. composite
+    * breakdowns from [[catPatternsExpr]]). */
+  def rank(tables: Seq[DataFrame], topK: Int,
+           minCommonness: Double = 0.5,
+           noExceptionPenaltyWeight: Double = 0.1,
+           balanceFactor: Double = 1.0): DataFrame = {
+    require(tables.nonEmpty, "metainsight rank needs at least one pattern table")
+    mine(tables.reduce(_ unionByName _), Seq("filter_dim"),
         minCommonness, noExceptionPenaltyWeight, balanceFactor)
       .orderBy(col("score").desc, col("filter_dim"), col("breakdown"),
         col("measure"), col("pattern"))

@@ -192,6 +192,26 @@ class ExplainFrameSpec extends AnyFunSuite {
       ef.explain(explainer = "many_to_one", labelCol = "c_mktsegment", pValue = -1))
   }
 
+  test("metainsight auto enumerates groupby combinations when asked") {
+    val o = ExplainFrame(graft.util.D.t(spark, sf, "orders")
+      .withColumn("o_year", year(col("o_orderdate")).cast("string")), "orders")
+    val out = o.explainMetaInsightAuto(topK = 50,
+      filterDims = Seq("o_orderstatus"),
+      breakdowns = Seq("o_orderpriority", "o_year"),
+      measures = Seq("o_totalprice"),
+      useAllGroupbyCombinations = true, minCommonness = 0.01)
+    val breakdowns = out.select("breakdown").distinct().collect().map(_.getString(0)).toSet
+    assert(breakdowns.contains("o_orderpriority+o_year"),
+      s"composite breakdown missing: $breakdowns")
+    // flag off: no composite breakdowns
+    val plain = o.explainMetaInsightAuto(topK = 50,
+      filterDims = Seq("o_orderstatus"),
+      breakdowns = Seq("o_orderpriority", "o_year"),
+      measures = Seq("o_totalprice"), minCommonness = 0.01)
+    assert(!plain.select("breakdown").distinct().collect()
+      .map(_.getString(0)).exists(_.contains("+")))
+  }
+
   test("many_to_one explain() attaches error attribution by default") {
     val ef = ExplainFrame(graft.util.D.t(spark, sf, "customer"), "customer")
     val out = ef.explain(explainer = "many_to_one", labelCol = "c_mktsegment",
