@@ -99,6 +99,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("KMV sketch aggregate runs under streaming and matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the sketch's bounded state (k longs) must serialize through the
+    // state store and merge incrementally: the estimate after streaming
+    // N micro-batches equals the batch estimate over the union
+    val docs = graft.util.D.t(spark, sf, "documents")
+      .select(col("lang"), xxhash64(col("text")).as("h"))
+      .as[(String, Long)].collect().toSeq
+    val batchSketch = graft.util.D.t(spark, sf, "documents")
+      .select(col("lang"), xxhash64(col("text")).as("h"))
+      .groupBy("lang").agg(graft.functions.KMinAgg.kmin(col("h"), 64).as("hs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val mem = MemoryStream[(String, Long)]
+    val q = mem.toDS().toDF("lang", "h")
+      .groupBy("lang").agg(graft.functions.KMinAgg.kmin(col("h"), 64).as("hs"))
+      .writeStream.format("memory").queryName("kmv_out").outputMode("complete").start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val streamed = spark.table("kmv_out")
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(streamed.keySet === batchSketch.keySet)
+      streamed.foreach { case (k, v) =>
+        assert(v === batchSketch(k), s"sketch mismatch for $k") }
+    } finally q.stop()
+  }
+
   test("fold semantics: gap splits sessions") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
