@@ -17,7 +17,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -51,7 +51,10 @@ object Bench {
       if (i % 8 == 7) System.gc()
       (name, times)
     }
-    def j(d: Double): String = if (d < 0) "-1" else f"$d%.4f"
+    // Locale.ROOT: the f-interpolator uses the default locale, which
+    // emits comma decimal separators (invalid JSON) on e.g. de_DE JVMs
+    def j(d: Double): String =
+      if (d < 0) "-1" else String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val ok = results.filter(_._2.forall(_ >= 0))
     val failed = results.filter(_._2.exists(_ < 0)).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")

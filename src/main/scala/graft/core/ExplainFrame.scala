@@ -241,7 +241,9 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
       if (!explainErrorsFlag || binNumericLabel || (cats ++ nums).isEmpty) rules
       else {
         val txt = ManyToOne.errorText(ManyToOne.explainErrors(base, label, cats, nums,
-          coverageThreshold, separationThreshold, binningMethod = binningMethod))
+          coverageThreshold, separationThreshold, binningMethod = binningMethod,
+          pruneIfTooManyLabels = pruneIfTooManyLabels, maxLabels = maxLabels,
+          pruningMethod = pruningMethod))
         rules.join(txt, Seq("label", "attribute", "val"), "left")
           .withColumn("error_explanation",
             when(col("passes") === 1 && col("separation_err") === 0.0,
@@ -453,7 +455,11 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
         f <- fs if !pair.contains(f)
         m <- ms
       } yield MetaInsight.catPatternsExpr(df, f,
-        concat_ws("|", pair.map(col): _*), pair.mkString("+"), m, s"${m}_mean")
+        // coalesce before concat: concat_ws silently DROPS null
+        // components, which would collide ("x", NULL) with ("x", "")
+        // — the reference's tuple-valued groupby keeps them distinct
+        concat_ws("|", pair.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*),
+        pair.mkString("+"), m, s"${m}_mean")
         .withColumn("filter_dim", lit(f))
     MetaInsight.rank(catTables ++ trendTables ++ comboTables, topK,
       minCommonness = minCommonness)

@@ -178,8 +178,9 @@ object Explainers extends QFamily {
     QDef("q_many_to_one_pruned",
       Some(s"""WITH pairs AS (SELECT CAST(c_nationkey AS VARCHAR) AS label,
               |    'c_mktsegment' AS attribute, CAST(c_mktsegment AS VARCHAR) AS val
-              |  FROM customer WHERE c_mktsegment IS NOT NULL),
-              |keep AS (SELECT label FROM pairs GROUP BY 1
+              |  FROM customer WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL),
+              |keep AS (SELECT CAST(c_nationkey AS VARCHAR) AS label FROM customer
+              |  WHERE c_nationkey IS NOT NULL GROUP BY 1
               |  ORDER BY COUNT(*) DESC, label LIMIT 10),
               |kept AS (SELECT p.* FROM pairs p JOIN keep k ON p.label = k.label),
               |lc AS (SELECT label, attribute, val, COUNT(*) AS n_match FROM kept GROUP BY 1,2,3),
@@ -212,8 +213,9 @@ object Explainers extends QFamily {
     QDef("q_many_to_one_pruned_smallest",
       Some(s"""WITH pairs AS (SELECT CAST(c_nationkey AS VARCHAR) AS label,
               |    'c_mktsegment' AS attribute, CAST(c_mktsegment AS VARCHAR) AS val
-              |  FROM customer WHERE c_mktsegment IS NOT NULL),
-              |keep AS (SELECT label FROM pairs GROUP BY 1
+              |  FROM customer WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL),
+              |keep AS (SELECT CAST(c_nationkey AS VARCHAR) AS label FROM customer
+              |  WHERE c_nationkey IS NOT NULL GROUP BY 1
               |  ORDER BY COUNT(*) ASC, label LIMIT 10),
               |kept AS (SELECT p.* FROM pairs p JOIN keep k ON p.label = k.label),
               |lc AS (SELECT label, attribute, val, COUNT(*) AS n_match FROM kept GROUP BY 1,2,3),

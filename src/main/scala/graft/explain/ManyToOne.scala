@@ -133,9 +133,13 @@ object ManyToOne {
     require(numAttrs.nonEmpty, "dist pruning requires numeric attributes")
     val meanCols = numAttrs.map(a => graft.util.D.r(
       graft.util.D.emit6(sum(col(a).cast(graft.util.D.dec25))) / count(col(a)), 6).as(s"m_$a"))
-    val rows = src.filter(labelExpr.isNotNull)
+    val rowsAll = src.filter(labelExpr.isNotNull)
       .groupBy(labelExpr.as("label")).agg(meanCols.head, meanCols.tail: _*).collect()
-    if (rows.length <= maxLabels) return None
+    if (rowsAll.length <= maxLabels) return None
+    // a label whose numeric attribute is all-NULL has a NULL mean: no
+    // centroid exists, so it cannot be ranked — exclude it (it would NPE
+    // on unboxing otherwise); such labels are pruned away
+    val rows = rowsAll.filter(r => numAttrs.indices.forall(i => !r.isNullAt(i + 1)))
     val labs = rows.map(_.getString(0))
     val ms = rows.map(r => numAttrs.indices.map(i => r.getDouble(i + 1)).toArray)
     def round6(x: Double): Double = math.round(x * 1e6) / 1e6
@@ -262,9 +266,21 @@ object ManyToOne {
                     catAttrs: Seq[String], numAttrs: Seq[String],
                     covTh: Double = 0.7, sepTh: Double = 0.3, nb: Int = 10,
                     binningMethod: String = "equal_width",
-                    errTh: Double = 0.05): DataFrame = {
+                    errTh: Double = 0.05,
+                    pruneIfTooManyLabels: Boolean = true, maxLabels: Int = 10,
+                    pruningMethod: String = "largest"): DataFrame = {
     val attrs = catAttrs.map(Fedex.Attr(_, numeric = false)) ++ numAttrs.map(Fedex.Attr(_, numeric = true))
-    val pairs = explodedPairs(src, col(labelCol).cast("string"), attrs, nb, binningMethod)
+    // pruning MUST mirror explain()'s: the error table joins the rule
+    // table on (label, attribute, val), so it has to be mined over the
+    // same kept rows and the same bin boundaries — an unpruned error
+    // table against pruned rules would mis-key every numeric bin and
+    // count contributions from pruned-away labels
+    val labelExpr = col(labelCol).cast("string")
+    val keep =
+      if (pruneIfTooManyLabels) selectLabels(src, labelExpr, numAttrs, pruningMethod, maxLabels)
+      else None
+    val srcP = keep.map(ks => src.filter(labelExpr.isin(ks: _*))).getOrElse(src)
+    val pairs = explodedPairs(srcP, labelExpr, attrs, nb, binningMethod)
     val lc = pairs.groupBy("label", "attribute", "val").agg(count(lit(1)).as("n_match"))
     val lt = pairs.filter(col("attribute") === attrs.head.name)
       .groupBy("label").agg(count(lit(1)).as("n_label"))

@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, GraftShims}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -35,6 +36,13 @@ case class KMinAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
   with UnaryLike[Expression] {
+
+  // reject non-long inputs at analysis time — without this, a wrong-typed
+  // column would surface as a ClassCastException on executors mid-job
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmin requires BIGINT input, got ${child.dataType.simpleString}")
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()

@@ -305,9 +305,13 @@ object Ann {
     * test/demo only; every oracled query uses the bounded default. */
   /** Sub-block sign-bit count for [[embeddingPairs]]: 2^4 = 16 sub-
     * buckets per label caps the self-join block at label_size/16 in
-    * expectation while keeping ~(1−θ/π)^4 recall per pair (≈ 2/3 at
-    * cosine 0.95). Raise as label blocks grow; the low-threshold
-    * scale path is [[embeddingPairsIvf]]. */
+    * expectation. RECALL is (1−θ/π)^bits per qualifying pair and falls
+    * fast as the cosine threshold drops: ≈ 2/3 at cosine 0.95 (the
+    * near-dup use case) but only ≈ 13% at cosine 0.3 — at low
+    * thresholds this is a biased SAMPLE of qualifying pairs, by design
+    * (the oracle mirrors the same blocks). For exhaustive low-threshold
+    * similarity use [[embeddingPairsIvf]] (centroid blocks don't cut
+    * recall inside a list), or bits = 0 for the exact unbounded form. */
   val SubBlockBits = 4
 
   def embeddingPairs(vecs: DataFrame, th: Double, bits: Int = SubBlockBits): DataFrame = {
