@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.KMinAgg
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** KMinAgg must equal the naive "sorted distinct, take k" reference on
+  * every input — including duplicates, negatives, k larger than the
+  * distinct count, adversarial orderings, and multi-partition inputs
+  * (its merge path). This property is what makes the sketch safe as
+  * both a KMV estimator and a bounded collect. */
+class KMinAggSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def reference(vals: Seq[Long], k: Int): Seq[Long] =
+    vals.distinct.sorted.take(k)
+
+  private def viaAgg(vals: Seq[Long], k: Int, partitions: Int): Seq[Long] = {
+    import spark.implicits._
+    if (vals.isEmpty) {
+      spark.createDataset(Seq.empty[Long]).toDF("v")
+        .agg(KMinAgg.kmin(col("v"), k).as("hs")).head().getSeq[Long](0)
+    } else {
+      spark.createDataset(vals).repartition(partitions).toDF("v")
+        .agg(KMinAgg.kmin(col("v"), k).as("hs")).head().getSeq[Long](0)
+    }
+  }
+
+  test("matches sorted-distinct-take-k on seeded random batches incl. merge path") {
+    val rng = new scala.util.Random(7)
+    (1 to 25).foreach { round =>
+      val nDense = rng.nextInt(150)
+      val nWide = rng.nextInt(150)
+      val vals = Seq.fill(nDense)(rng.nextInt(101).toLong - 50) ++ // dense duplicates
+        Seq.fill(nWide)(rng.nextLong())                            // full range incl. negatives
+      val k = 1 + rng.nextInt(40)
+      val parts = 1 + rng.nextInt(4)
+      assert(viaAgg(vals, k, parts) === reference(vals, k),
+        s"round $round: n=${vals.size} k=$k parts=$parts")
+    }
+  }
+
+  test("empty input yields an empty sketch; k beyond distinct count keeps all") {
+    assert(viaAgg(Nil, 8, 1) === Nil)
+    assert(viaAgg(Seq(3L, 1L, 3L, 2L), 100, 2) === Seq(1L, 2L, 3L))
+  }
+
+  test("grouped sketches are per-group and dedup inherent") {
+    import spark.implicits._
+    val rows = Seq(("a", 5L), ("a", 5L), ("a", 1L), ("b", 9L), ("b", 3L), ("a", 7L))
+    val out = rows.toDF("g", "v").groupBy("g")
+      .agg(KMinAgg.kmin(col("v"), 2).as("hs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(out("a") === Seq(1L, 5L))
+    assert(out("b") === Seq(3L, 9L))
+  }
+
+  test("rejects non-BIGINT input at analysis time") {
+    import spark.implicits._
+    val err = intercept[Exception] {
+      Seq("x").toDF("s").agg(KMinAgg.kmin(col("s"), 4)).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("bigint") ||
+      err.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+}

@@ -79,6 +79,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted === direct)
   }
 
+  test("KMV sketch queries plan with no Window (regression vs global sort)") {
+    // the round-2 scale-killer: row_number() over every distinct shingle
+    // hash. The bounded k-min aggregate must keep Window out of these
+    // plans entirely, and the aggregation must have a partial (map-side)
+    // phase
+    for (name <- Seq("q_corpus_jaccard", "q_approx_kmv")) {
+      val df = graft.SparkEntry.queries(name)(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name still plans a Window:\n${plan.take(1200)}")
+      assert(plan.contains("partial_kmin") || plan.contains("partial_merge"),
+        s"$name kmin aggregation lost its map-side phase:\n${plan.take(1200)}")
+    }
+  }
+
   test("ngramJaccard verification joins have no forced broadcast") {
     // a broadcast() HINT on the corpus-sized shingle-array table would
     // ship it to the driver at any size — with the hint absent, shrinking
