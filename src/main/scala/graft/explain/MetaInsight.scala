@@ -110,17 +110,26 @@ object MetaInsight {
     val z = m.join(s, Seq("subspace", "measure"))
       .withColumn("zscore", when(sigma > 1e-12, abs(col("v") - mu) / sigma).otherwise(lit(0.0)))
       .withColumn("share", col("v") / col("sv"))
-    val wz = Window.partitionBy("subspace", "measure").orderBy(col("zscore").desc, col("b"))
-    val ws = Window.partitionBy("subspace", "measure").orderBy(col("share").desc, col("b"))
-    val z2 = z.withColumn("rn_z", row_number().over(wz)).withColumn("rn_s", row_number().over(ws))
-    val out = z2.groupBy("subspace", "measure")
-      .agg(max(when(col("zscore") > 1.5, 1).otherwise(0)).as("has_pat"),
-        max(when(col("rn_z") === 1 && col("zscore") > 1.5, col("b"))).as("highlight"))
-      .withColumn("pattern", lit("outlier"))
-    val dom = z2.groupBy("subspace", "measure")
-      .agg(max(when(col("share") >= 0.5, 1).otherwise(0)).as("has_pat"),
-        max(when(col("rn_s") === 1 && col("share") >= 0.5, col("b"))).as("highlight"))
-      .withColumn("pattern", lit("dominance"))
+    // the highlight is the top element by (metric desc, b asc) — a
+    // min_by over (−metric, b) picks it inside the SAME aggregation
+    // (map-side combinable; a row_number window here would sort-shuffle
+    // the cell table twice and double the compiled plan, which dominates
+    // the runtime of auto-search's many small scopes)
+    val agg0 = z.groupBy("subspace", "measure").agg(
+      max(when(col("zscore") > 1.5, 1).otherwise(0)).as("z_has"),
+      max(col("zscore")).as("z_max"),
+      min_by(col("b"), struct((-col("zscore")).as("o"), col("b"))).as("z_top"),
+      max(when(col("share") >= 0.5, 1).otherwise(0)).as("s_has"),
+      max(col("share")).as("s_max"),
+      min_by(col("b"), struct((-col("share")).as("o"), col("b"))).as("s_top"))
+    val out = agg0.select(col("subspace"), col("measure"),
+      col("z_has").as("has_pat"),
+      when(col("z_max") > 1.5, col("z_top")).as("highlight"),
+      lit("outlier").as("pattern"))
+    val dom = agg0.select(col("subspace"), col("measure"),
+      col("s_has").as("has_pat"),
+      when(col("s_max") >= 0.5, col("s_top")).as("highlight"),
+      lit("dominance").as("pattern"))
     out.unionByName(dom).withColumn("breakdown", lit(breakdown))
   }
 
