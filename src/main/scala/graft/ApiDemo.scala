@@ -39,7 +39,21 @@ object ApiDemo {
     cust.explain("many_to_one", labelCol = "c_mktsegment",
         catAttrs = Seq("c_nationkey"), numAttrs = Seq("c_acctbal"),
         coverageThreshold = 0.3, separationThreshold = 0.7)
-      .filter(col("passes") === 1).show(5, false)
+      .filter(col("passes") === 1)
+      .select("label", "attribute", "val", "coverage", "separation_err", "error_explanation")
+      .show(5, false)
+    println("== many-to-one: max_dist label pruning + schema rename ==")
+    cust.explain("many_to_one", labelCol = "c_nationkey",
+        numAttrs = Seq("c_acctbal"), coverageThreshold = 0.05,
+        separationThreshold = 0.95, pruningMethod = "max_dist",
+        schema = Map("c_acctbal" -> "account_balance"))
+      .filter(col("passes") === 1).show(3, false)
+    println("== kmin sketch from SQL after registration ==")
+    graft.functions.GraftFunctions.register(spark)
+    util.D.t(spark, "/root/testdata/sf0.001", "documents").createOrReplaceTempView("docs")
+    spark.sql(
+      """SELECT source, kmin(xxhash64(text), 8) AS sketch
+        |FROM docs GROUP BY source ORDER BY source LIMIT 3""".stripMargin).show(false)
     spark.stop()
   }
 }

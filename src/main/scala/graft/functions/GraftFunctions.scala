@@ -12,5 +12,16 @@ object GraftFunctions {
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     fr.createOrReplaceTempFunction("fixed_dot",
       exprs => FixedDot(exprs(0), exprs(1)), "built-in")
+    // kmin(col, k): bounded k-minimum-values sketch aggregate; k must be
+    // a foldable integer literal
+    fr.createOrReplaceTempFunction("kmin",
+      exprs => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"kmin(col, k): k must be an integer literal, got $other")
+        }
+        KMinAgg(exprs.head, k).toAggregateExpression()
+      }, "built-in")
   }
 }

@@ -45,6 +45,9 @@ class IoSpec extends AnyFunSuite {
         |                 transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 100000000) AS BIGINT))) AS d
         |FROM emb LIMIT 5""".stripMargin).collect()
     assert(r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-9 && row.getLong(1) > 0))
+    // the sketch aggregate too: kmin from pure SQL
+    val km = spark.sql("SELECT kmin(vec_id, 3) AS hs FROM emb").head().getSeq[Long](0)
+    assert(km === Seq(1L, 2L, 3L) || km.length === 3)
   }
 
   test("as-of join semantics on a constructed case") {
