@@ -3,7 +3,6 @@ package graft.explain
 import graft.util.D
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 /** MetaInsight pattern mining (reference:
@@ -118,10 +117,10 @@ object MetaInsight {
     val agg0 = z.groupBy("subspace", "measure").agg(
       max(when(col("zscore") > 1.5, 1).otherwise(0)).as("z_has"),
       max(col("zscore")).as("z_max"),
-      min_by(col("b"), struct((-col("zscore")).as("o"), col("b"))).as("z_top"),
+      min_by(col("b"), struct(coalesce(-col("zscore"), lit(Double.MaxValue)).as("o"), col("b"))).as("z_top"),
       max(when(col("share") >= 0.5, 1).otherwise(0)).as("s_has"),
       max(col("share")).as("s_max"),
-      min_by(col("b"), struct((-col("share")).as("o"), col("b"))).as("s_top"))
+      min_by(col("b"), struct(coalesce(-col("share"), lit(Double.MaxValue)).as("o"), col("b"))).as("s_top"))
     val out = agg0.select(col("subspace"), col("measure"),
       col("z_has").as("has_pat"),
       when(col("z_max") > 1.5, col("z_top")).as("highlight"),

@@ -13,13 +13,15 @@ object GraftFunctions {
     fr.createOrReplaceTempFunction("fixed_dot",
       exprs => FixedDot(exprs(0), exprs(1)), "built-in")
     // kmin(col, k): bounded k-minimum-values sketch aggregate; k must be
-    // a foldable integer literal
+    // a positive integer literal
     fr.createOrReplaceTempFunction("kmin",
       exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"kmin(col, k) takes exactly 2 arguments, got ${exprs.length}")
         val k = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) if v >= 1 => v
           case other => throw new IllegalArgumentException(
-            s"kmin(col, k): k must be an integer literal, got $other")
+            s"kmin(col, k): k must be a positive integer literal, got $other")
         }
         KMinAgg(exprs.head, k).toAggregateExpression()
       }, "built-in")

@@ -40,7 +40,9 @@ case class KMinAgg(
   // reject non-long inputs at analysis time — without this, a wrong-typed
   // column would surface as a ClassCastException on executors mid-job
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    if (k < 1) TypeCheckResult.TypeCheckFailure(
+      s"kmin requires k >= 1, got $k")
+    else if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"kmin requires BIGINT input, got ${child.dataType.simpleString}")
 

@@ -277,6 +277,24 @@ class ExplainFrameSpec extends AnyFunSuite {
       graft.explain.MetaInsight.mine(pats, minCommonness = 0.0))
   }
 
+  test("metainsight highlights skip cells whose metric is NULL") {
+    import spark.implicits._
+    // the 'nullcell' breakdown value has only NULL measures -> its mean,
+    // zscore and share are NULL; min_by over struct(-metric, b) would
+    // pick it (NULL struct field sorts smallest) unless NULLs are pushed
+    // last — the highlight must be the genuinely dominant cell
+    val rows = Seq(
+      ("s1", "dom", Some(90.0)), ("s1", "tiny", Some(10.0)),
+      ("s1", "nullcell", None: Option[Double]))
+      .toDF("f", "g", "v")
+    val pats = graft.explain.MetaInsight.catPatterns(rows, "f", "g", "v", "v_mean")
+      .filter(col("pattern") === "dominance" && col("has_pat") === 1)
+      .collect()
+    assert(pats.nonEmpty)
+    assert(pats.forall(_.getAs[String]("highlight") == "dom"),
+      s"NULL-metric cell stole the highlight: ${pats.mkString(";")}")
+  }
+
   test("many-to-one excludes NULL numeric attribute rows from binning") {
     import spark.implicits._
     // 6 labeled rows; two have a NULL numeric attr — pandas cut/qcut

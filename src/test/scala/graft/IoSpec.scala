@@ -45,9 +45,15 @@ class IoSpec extends AnyFunSuite {
         |                 transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 100000000) AS BIGINT))) AS d
         |FROM emb LIMIT 5""".stripMargin).collect()
     assert(r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-9 && row.getLong(1) > 0))
-    // the sketch aggregate too: kmin from pure SQL
+    // the sketch aggregate too: kmin from pure SQL, checked against the
+    // 3 smallest distinct vec_ids computed by a plain query
     val km = spark.sql("SELECT kmin(vec_id, 3) AS hs FROM emb").head().getSeq[Long](0)
-    assert(km === Seq(1L, 2L, 3L) || km.length === 3)
+    val expected = spark.sql("SELECT DISTINCT vec_id FROM emb ORDER BY vec_id LIMIT 3")
+      .collect().map(_.getLong(0)).toSeq
+    assert(km === expected)
+    // invalid arity / non-positive k fail fast instead of crashing executors
+    intercept[Exception](spark.sql("SELECT kmin(vec_id) FROM emb"))
+    intercept[Exception](spark.sql("SELECT kmin(vec_id, 0) FROM emb").collect())
   }
 
   test("as-of join semantics on a constructed case") {
