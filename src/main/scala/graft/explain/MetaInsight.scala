@@ -99,37 +99,47 @@ object MetaInsight {
       melt(cells(src.withColumn("v0", col(aggCol)), filterDim, breakdownCol), meanName),
       breakdownName)
 
-  private def catPatternsImpl(m: DataFrame, breakdown: String): DataFrame = {
-    val s = m.groupBy("subspace", "measure")
+  private def catPatternsImpl(m: DataFrame, breakdown: String): DataFrame =
+    catPatternsKeyed(m, Seq("subspace", "measure")).withColumn("breakdown", lit(breakdown))
+
+  /** Categorical-pattern evaluation over a melted cell table, grouped by
+    * `keys` (at least (subspace, measure); auto-search prepends its scope
+    * tags so MANY scopes evaluate in ONE aggregation chain instead of one
+    * chain per scope — the per-scope fixed stage cost, not the data,
+    * dominates auto's runtime). Per-group math is identical regardless of
+    * the extra keys, so results are bit-identical to per-scope runs. */
+  private def catPatternsKeyed(m: DataFrame, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val s = m.groupBy(kc: _*)
       .agg(count(lit(1)).as("k"),
         sum(col("v").cast(dval)).cast(DoubleType).as("sv"),
         sum((col("v") * col("v")).cast(dbig)).cast(DoubleType).as("svv"))
     val mu = col("sv") / col("k")
     val sigma = sigmaExpr(col("sv"), col("svv"), col("k"))
-    val z = m.join(s, Seq("subspace", "measure"))
+    val z = m.join(s, keys)
       .withColumn("zscore", when(sigma > 1e-12, abs(col("v") - mu) / sigma).otherwise(lit(0.0)))
       .withColumn("share", col("v") / col("sv"))
-    // the highlight is the top element by (metric desc, b asc) — a
-    // min_by over (−metric, b) picks it inside the SAME aggregation
-    // (map-side combinable; a row_number window here would sort-shuffle
-    // the cell table twice and double the compiled plan, which dominates
-    // the runtime of auto-search's many small scopes)
-    val agg0 = z.groupBy("subspace", "measure").agg(
+    // the highlight is the top element by (metric desc NULLS LAST, b asc)
+    // — a min_by over (coalesce(−metric, MaxValue), b) picks it inside
+    // the SAME aggregation (map-side combinable; a row_number window here
+    // would sort-shuffle the cell table twice and double the compiled
+    // plan, which dominates the runtime of auto-search's many scopes)
+    val agg0 = z.groupBy(kc: _*).agg(
       max(when(col("zscore") > 1.5, 1).otherwise(0)).as("z_has"),
       max(col("zscore")).as("z_max"),
       min_by(col("b"), struct(coalesce(-col("zscore"), lit(Double.MaxValue)).as("o"), col("b"))).as("z_top"),
       max(when(col("share") >= 0.5, 1).otherwise(0)).as("s_has"),
       max(col("share")).as("s_max"),
       min_by(col("b"), struct(coalesce(-col("share"), lit(Double.MaxValue)).as("o"), col("b"))).as("s_top"))
-    val out = agg0.select(col("subspace"), col("measure"),
-      col("z_has").as("has_pat"),
-      when(col("z_max") > 1.5, col("z_top")).as("highlight"),
-      lit("outlier").as("pattern"))
-    val dom = agg0.select(col("subspace"), col("measure"),
-      col("s_has").as("has_pat"),
-      when(col("s_max") >= 0.5, col("s_top")).as("highlight"),
-      lit("dominance").as("pattern"))
-    out.unionByName(dom).withColumn("breakdown", lit(breakdown))
+    val out = agg0.select(kc :+
+      col("z_has").as("has_pat") :+
+      when(col("z_max") > 1.5, col("z_top")).as("highlight") :+
+      lit("outlier").as("pattern"): _*)
+    val dom = agg0.select(kc :+
+      col("s_has").as("has_pat") :+
+      when(col("s_max") >= 0.5, col("s_top")).as("highlight") :+
+      lit("dominance").as("pattern"): _*)
+    out.unionByName(dom)
   }
 
   /** Ordered-breakdown patterns: trend_up / trend_down per scope.
@@ -141,8 +151,14 @@ object MetaInsight {
         .withColumn("x", col("b").cast(IntegerType)),
       breakdownName)
 
-  private def trendPatternsImpl(m: DataFrame, breakdownName: String): DataFrame = {
-    val s = m.groupBy("subspace", "measure")
+  private def trendPatternsImpl(m: DataFrame, breakdownName: String): DataFrame =
+    trendPatternsKeyed(m, Seq("subspace", "measure")).withColumn("breakdown", lit(breakdownName))
+
+  /** Trend-pattern analog of [[catPatternsKeyed]]: grouped by `keys` so
+    * auto-search evaluates all trend scopes in one aggregation. */
+  private def trendPatternsKeyed(m: DataFrame, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val s = m.groupBy(kc: _*)
       .agg(count(lit(1)).as("k"),
         sum(col("x")).as("sx"),
         sum((col("x") * col("x")).cast(LongType)).as("sxx"),
@@ -153,13 +169,13 @@ object MetaInsight {
     val den = sqrt((col("k") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)) *
       sqrt(greatest(col("k") * col("svv") - col("sv") * col("sv"), lit(0.0)))
     val withR = s.withColumn("r_xy", when(den > 1e-9, num / den).otherwise(lit(0.0)))
-    val up = withR.select(col("subspace"), col("measure"),
-      when(col("r_xy") >= 0.5, 1).otherwise(0).as("has_pat"),
-      when(col("r_xy") >= 0.5, lit("up")).as("highlight"), lit("trend_up").as("pattern"))
-    val down = withR.select(col("subspace"), col("measure"),
-      when(col("r_xy") <= -0.5, 1).otherwise(0).as("has_pat"),
-      when(col("r_xy") <= -0.5, lit("down")).as("highlight"), lit("trend_down").as("pattern"))
-    up.unionByName(down).withColumn("breakdown", lit(breakdownName))
+    val up = withR.select(kc :+
+      when(col("r_xy") >= 0.5, 1).otherwise(0).as("has_pat") :+
+      when(col("r_xy") >= 0.5, lit("up")).as("highlight") :+ lit("trend_up").as("pattern"): _*)
+    val down = withR.select(kc :+
+      when(col("r_xy") <= -0.5, 1).otherwise(0).as("has_pat") :+
+      when(col("r_xy") <= -0.5, lit("down")).as("highlight") :+ lit("trend_down").as("pattern"): _*)
+    up.unionByName(down)
   }
 
   /** Group scope patterns into scored MetaInsights. `extraKeys` joins the
@@ -217,14 +233,38 @@ object MetaInsight {
            balanceFactor: Double = 1.0): DataFrame = {
     require(scopes.nonEmpty || trendScopes.nonEmpty,
       "metainsight auto-search needs at least one scope")
-    val catTables = scopes.map { case (f, b, m) =>
-      catPatterns(src, f, b, m, s"${m}_mean").withColumn("filter_dim", lit(f)) }
+    // union the TAGGED melted cell tables first, then run ONE pattern
+    // aggregation chain for all cat scopes (and one for all trend
+    // scopes): per-scope cell aggregations still scan independently
+    // (different grouping columns) but the stats/join/highlight tail —
+    // 3 tiny exchanges per scope in the per-scope form — collapses to
+    // one, which is what dominates auto's wall clock (KB-sized data,
+    // per-stage fixed cost)
+    val tagKeys = Seq("filter_dim", "breakdown", "subspace", "measure")
+    // several measures over the same (filterDim, breakdown) share one
+    // row_count measure — emit it for the first such scope only, so the
+    // merged aggregation sees each cell exactly once
+    val seenCat = scala.collection.mutable.Set.empty[(String, String)]
+    val catMelts = scopes.map { case (f, b, m) =>
+      val full = melt(cells(src.withColumn("v0", col(m)), f, col(b)), s"${m}_mean")
+      val scoped = if (seenCat.add((f, b))) full
+        else full.filter(col("measure") =!= "row_count")
+      scoped.withColumn("filter_dim", lit(f)).withColumn("breakdown", lit(b)) }
+    val catTable = catMelts.reduceOption(_ unionByName _)
+      .map(catPatternsKeyed(_, tagKeys))
     // ordered/trend breakdowns ride the same enumeration (reference auto
     // mode includes trend scopes over its groupby_columns): each tuple is
     // (filterDim, breakdown index column, breakdown name, measure)
-    val trendTables = trendScopes.map { case (f, bIdx, bName, m) =>
-      trendPatterns(src, f, bIdx, bName, m, s"${m}_mean").withColumn("filter_dim", lit(f)) }
-    rank(catTables ++ trendTables, topK,
+    val seenTrend = scala.collection.mutable.Set.empty[(String, String)]
+    val trendMelts = trendScopes.map { case (f, bIdx, bName, m) =>
+      val full = melt(cells(src.withColumn("v0", col(m)), f, bIdx), s"${m}_mean")
+      val scoped = if (seenTrend.add((f, bName))) full
+        else full.filter(col("measure") =!= "row_count")
+      scoped.withColumn("x", col("b").cast(IntegerType))
+        .withColumn("filter_dim", lit(f)).withColumn("breakdown", lit(bName)) }
+    val trendTable = trendMelts.reduceOption(_ unionByName _)
+      .map(trendPatternsKeyed(_, tagKeys))
+    rank((catTable ++ trendTable).toSeq, topK,
       minCommonness, noExceptionPenaltyWeight, balanceFactor)
   }
 
