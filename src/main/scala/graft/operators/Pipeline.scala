@@ -275,6 +275,122 @@ object Pipeline extends QFamily {
         .orderBy("lang")
     }),
 
+    // benchmark decontamination: flag training docs sharing any word
+    // 3-gram with a held-out eval slice (doc_id % 97 == 0 stands in for
+    // the benchmark set). Per-row array_distinct dedups shingles BEFORE
+    // exploding (no global distinct shuffle of the shingle stream); the
+    // eval shingle set is tiny and AQE broadcasts it, so the corpus side
+    // never shuffles for the join — at 100 TB this is one scan + one
+    // broadcast-semi-join + one groupBy(doc_id) of only the HIT rows.
+    QDef("q_decontaminate", {
+      val sh = TextOps.shinglesSql("text")
+      Some(s"""WITH ev AS (SELECT DISTINCT sh FROM (
+              |    SELECT unnest(list_distinct($sh)) AS sh FROM documents WHERE doc_id % 97 = 0)),
+              |tr AS (SELECT doc_id, source, unnest(list_distinct($sh)) AS sh
+              |  FROM documents WHERE doc_id % 97 <> 0)
+              |SELECT tr.doc_id, tr.source, CAST(COUNT(*) AS BIGINT) AS n_shared
+              |FROM tr JOIN ev ON tr.sh = ev.sh
+              |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)
+    }, (s, dir) => {
+      val d = t(s, dir, "documents").withColumn("w", TextOps.tokens(col("text")))
+      val ev = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(explode(array_distinct(TextOps.shinglesOf(col("w")))).as("sh"))
+        .distinct()
+      val tr = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(TextOps.shinglesOf(col("w")))).as("sh"))
+      tr.join(ev, Seq("sh"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).cast(LongType).as("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition stats: entirely scan-local (array
+    // functions, no explode/shuffle — each doc's stats come from its own
+    // token array, so the operator is embarrassingly parallel at any
+    // scale). top_token_frac is O(tokens × distinct) per row — fine for
+    // document-sized arrays, stays inside whole-stage codegen.
+    QDef("q_text_repetition", {
+      val w = "string_split(text, ' ')"
+      val big = s"list_transform(range(1, len($w)), i -> $w[i] || ' ' || $w[i+1])"
+      Some(s"""SELECT doc_id, n_tokens, n_distinct, top_token_frac, dup_bigram_frac,
+              |  CAST(CASE WHEN top_token_frac > 0.2 OR dup_bigram_frac > 0.2
+              |       THEN 1 ELSE 0 END AS INT) AS flagged
+              |FROM (
+              |  SELECT doc_id, CAST(len($w) AS BIGINT) AS n_tokens,
+              |    CAST(len(list_distinct($w)) AS BIGINT) AS n_distinct,
+              |    ROUND(CAST(list_max(list_transform(list_distinct($w),
+              |        t -> len(list_filter($w, x -> x = t)))) AS DOUBLE) / len($w), 6) AS top_token_frac,
+              |    ROUND(CASE WHEN len($w) >= 2
+              |      THEN CAST(len($big) - len(list_distinct($big)) AS DOUBLE) / len($big)
+              |      ELSE 0.0 END, 6) AS dup_bigram_frac
+              |  FROM documents)
+              |ORDER BY doc_id""".stripMargin)
+    }, (s, dir) => {
+      val base = t(s, dir, "documents")
+        .withColumn("w", TextOps.tokens(col("text")))
+        .withColumn("big", when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+          .otherwise(array().cast(ArrayType(StringType))))
+      base.select(col("doc_id"),
+          size(col("w")).cast(LongType).as("n_tokens"),
+          size(array_distinct(col("w"))).cast(LongType).as("n_distinct"),
+          graft.util.D.r(array_max(transform(array_distinct(col("w")),
+            t => size(filter(col("w"), x => x === t)))).cast(DoubleType) / size(col("w")), 6)
+            .as("top_token_frac"),
+          when(size(col("w")) >= 2,
+            graft.util.D.r((size(col("big")) - size(array_distinct(col("big")))).cast(DoubleType) / size(col("big")), 6))
+            .otherwise(lit(0.0)).as("dup_bigram_frac"))
+        .withColumn("flagged",
+          when(col("top_token_frac") > 0.2 || col("dup_bigram_frac") > 0.2, 1).otherwise(0)
+            .cast(IntegerType))
+        .orderBy("doc_id")
+    }),
+
+    // domain/language mixing for a training run: given a per-language
+    // token budget, derive sampling rates from the actual totals and take
+    // a deterministic hash sample at that rate. The rate table is
+    // lang-cardinality-sized (broadcast joins back); the corpus side is
+    // two scans with map-side-combined aggs — no corpus shuffle at all.
+    QDef("q_domain_mix", {
+      val budget = "2000.0"
+      val ntok = s"CAST(len(string_split(text, ' ')) AS BIGINT)"
+      val hfrac = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) / 1152921504606846976.0"
+      Some(s"""WITH d AS (SELECT doc_id, lang, $ntok AS ntok, $hfrac AS hfrac FROM documents),
+              |tot AS (SELECT lang, CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+              |    ROUND(LEAST(1.0, $budget / CAST(SUM(ntok) AS DOUBLE)), 6) AS rate
+              |  FROM d GROUP BY lang),
+              |kept AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+              |    CAST(SUM(d.ntok) AS BIGINT) AS kept_tokens
+              |  FROM d JOIN tot ON d.lang = tot.lang WHERE d.hfrac < tot.rate
+              |  GROUP BY d.lang)
+              |SELECT tot.lang, total_tokens, rate,
+              |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+              |  CAST(COALESCE(kept_tokens, 0) AS BIGINT) AS kept_tokens
+              |FROM tot LEFT JOIN kept ON tot.lang = kept.lang
+              |ORDER BY tot.lang""".stripMargin)
+    }, (s, dir) => {
+      val budget = 2000.0
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast(LongType).as("ntok"),
+        (conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 15), 16, 10)
+          .cast(LongType).cast(DoubleType) / lit(1152921504606846976.0)).as("hfrac"))
+      val tot = d.groupBy("lang").agg(sum(col("ntok")).as("total_tokens"))
+        .withColumn("rate",
+          graft.util.D.r(least(lit(1.0), lit(budget) / col("total_tokens").cast(DoubleType)), 6))
+      val kept = d.join(tot.select("lang", "rate"), Seq("lang"))
+        .filter(col("hfrac") < col("rate"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast(LongType).as("n_kept"),
+          sum(col("ntok")).cast(LongType).as("kept_tokens"))
+      tot.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("total_tokens"), col("rate"),
+          coalesce(col("n_kept"), lit(0L)).cast(LongType).as("n_kept"),
+          coalesce(col("kept_tokens"), lit(0L)).cast(LongType).as("kept_tokens"))
+        .orderBy("lang")
+    }),
+
     // --------------------------------------------------- multimodal ----
     QDef("q_multimodal_meta",
       Some(Multimodal.decodeMetaSql("documents")),
