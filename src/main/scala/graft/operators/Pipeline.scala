@@ -291,19 +291,8 @@ object Pipeline extends QFamily {
               |SELECT tr.doc_id, tr.source, CAST(COUNT(*) AS BIGINT) AS n_shared
               |FROM tr JOIN ev ON tr.sh = ev.sh
               |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)
-    }, (s, dir) => {
-      val d = t(s, dir, "documents").withColumn("w", TextOps.tokens(col("text")))
-      val ev = d.filter(pmod(col("doc_id"), lit(97)) === 0)
-        .select(explode(array_distinct(TextOps.shinglesOf(col("w")))).as("sh"))
-        .distinct()
-      val tr = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-        .select(col("doc_id"), col("source"),
-          explode(array_distinct(TextOps.shinglesOf(col("w")))).as("sh"))
-      tr.join(ev, Seq("sh"))
-        .groupBy("doc_id", "source")
-        .agg(count(lit(1)).cast(LongType).as("n_shared"))
-        .orderBy("doc_id")
-    }),
+    }, (s, dir) => graft.text.Corpus.decontaminate(t(s, dir, "documents"),
+      pmod(col("doc_id"), lit(97)) === 0)),
 
     // Gopher-style repetition stats: entirely scan-local (array
     // functions, no explode/shuffle — each doc's stats come from its own
@@ -326,27 +315,7 @@ object Pipeline extends QFamily {
               |      ELSE 0.0 END, 6) AS dup_bigram_frac
               |  FROM documents)
               |ORDER BY doc_id""".stripMargin)
-    }, (s, dir) => {
-      val base = t(s, dir, "documents")
-        .withColumn("w", TextOps.tokens(col("text")))
-        .withColumn("big", when(size(col("w")) >= 2,
-          transform(sequence(lit(1), size(col("w")) - 1),
-            i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
-          .otherwise(array().cast(ArrayType(StringType))))
-      base.select(col("doc_id"),
-          size(col("w")).cast(LongType).as("n_tokens"),
-          size(array_distinct(col("w"))).cast(LongType).as("n_distinct"),
-          graft.util.D.r(array_max(transform(array_distinct(col("w")),
-            t => size(filter(col("w"), x => x === t)))).cast(DoubleType) / size(col("w")), 6)
-            .as("top_token_frac"),
-          when(size(col("w")) >= 2,
-            graft.util.D.r((size(col("big")) - size(array_distinct(col("big")))).cast(DoubleType) / size(col("big")), 6))
-            .otherwise(lit(0.0)).as("dup_bigram_frac"))
-        .withColumn("flagged",
-          when(col("top_token_frac") > 0.2 || col("dup_bigram_frac") > 0.2, 1).otherwise(0)
-            .cast(IntegerType))
-        .orderBy("doc_id")
-    }),
+    }, (s, dir) => graft.text.Corpus.repetitionStats(t(s, dir, "documents"))),
 
     // domain/language mixing for a training run: given a per-language
     // token budget, derive sampling rates from the actual totals and take
@@ -370,26 +339,7 @@ object Pipeline extends QFamily {
               |  CAST(COALESCE(kept_tokens, 0) AS BIGINT) AS kept_tokens
               |FROM tot LEFT JOIN kept ON tot.lang = kept.lang
               |ORDER BY tot.lang""".stripMargin)
-    }, (s, dir) => {
-      val budget = 2000.0
-      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
-        size(TextOps.tokens(col("text"))).cast(LongType).as("ntok"),
-        (conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 15), 16, 10)
-          .cast(LongType).cast(DoubleType) / lit(1152921504606846976.0)).as("hfrac"))
-      val tot = d.groupBy("lang").agg(sum(col("ntok")).as("total_tokens"))
-        .withColumn("rate",
-          graft.util.D.r(least(lit(1.0), lit(budget) / col("total_tokens").cast(DoubleType)), 6))
-      val kept = d.join(tot.select("lang", "rate"), Seq("lang"))
-        .filter(col("hfrac") < col("rate"))
-        .groupBy("lang")
-        .agg(count(lit(1)).cast(LongType).as("n_kept"),
-          sum(col("ntok")).cast(LongType).as("kept_tokens"))
-      tot.join(kept, Seq("lang"), "left")
-        .select(col("lang"), col("total_tokens"), col("rate"),
-          coalesce(col("n_kept"), lit(0L)).cast(LongType).as("n_kept"),
-          coalesce(col("kept_tokens"), lit(0L)).cast(LongType).as("kept_tokens"))
-        .orderBy("lang")
-    }),
+    }, (s, dir) => graft.text.Corpus.domainMix(t(s, dir, "documents"), 2000.0)),
 
     // --------------------------------------------------- multimodal ----
     QDef("q_multimodal_meta",

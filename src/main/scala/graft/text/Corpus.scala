@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-preparation operators for training-data pipelines:
+  * benchmark decontamination, repetition statistics, domain mixing.
+  * These complement the dedup family (graft.dedup.Dedup) — the
+  * remaining steps a large-scale pretraining pipeline runs between raw
+  * documents and a training mix.
+  *
+  * Scale notes (100 TB): decontaminate broadcasts only the eval shingle
+  * set (benchmark suites are MBs, corpora are TBs) and dedups shingles
+  * per-row before exploding, so the corpus side never globally
+  * shuffles; repetitionStats is pure array math inside whole-stage
+  * codegen (zero shuffles); domainMix moves only a
+  * language-cardinality rate table across the join.
+  */
+object Corpus {
+
+  /** Benchmark decontamination: for every training document (rows where
+    * `isEval` is false) count the DISTINCT word-3-gram shingles it
+    * shares with the eval slice (rows where `isEval` is true). Returns
+    * (doc_id, source, n_shared) for contaminated docs only — anti-join
+    * the result against the corpus to drop them. */
+  def decontaminate(docs: DataFrame, isEval: Column): DataFrame = {
+    val d = docs.withColumn("w", TextOps.tokens(col("text")))
+    val ev = d.filter(isEval)
+      .select(explode(array_distinct(TextOps.shinglesOf(col("w")))).as("sh"))
+      .distinct()
+    val tr = d.filter(!isEval)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(TextOps.shinglesOf(col("w")))).as("sh"))
+    tr.join(ev, Seq("sh"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).cast(LongType).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style per-document repetition statistics: token count,
+    * distinct-token count, most-frequent-token fraction, and
+    * duplicate-bigram fraction, plus a `flagged` bit at the given
+    * thresholds. Entirely scan-local (array functions; the top-token
+    * scan is O(tokens × distinct) per row — document-sized). */
+  def repetitionStats(docs: DataFrame,
+                      topTokenTh: Double = 0.2,
+                      dupBigramTh: Double = 0.2): DataFrame = {
+    val base = docs
+      .withColumn("w", TextOps.tokens(col("text")))
+      .withColumn("big", when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+        .otherwise(array().cast(ArrayType(StringType))))
+    base.select(col("doc_id"),
+        size(col("w")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("w"))).cast(LongType).as("n_distinct"),
+        graft.util.D.r(array_max(transform(array_distinct(col("w")),
+          t => size(filter(col("w"), x => x === t)))).cast(DoubleType) / size(col("w")), 6)
+          .as("top_token_frac"),
+        when(size(col("w")) >= 2,
+          graft.util.D.r((size(col("big")) - size(array_distinct(col("big")))).cast(DoubleType) / size(col("big")), 6))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+      .withColumn("flagged",
+        when(col("top_token_frac") > topTokenTh || col("dup_bigram_frac") > dupBigramTh, 1)
+          .otherwise(0).cast(IntegerType))
+      .orderBy("doc_id")
+  }
+
+  /** Training-mix sampling: derive a per-language sampling rate from a
+    * token budget (rate = min(1, budget / actual total tokens)) and
+    * take a deterministic md5-hash sample of documents at that rate.
+    * Returns (lang, total_tokens, rate, n_kept, kept_tokens). The
+    * kept-document SET is reproducible across runs and engines: a doc
+    * is kept iff its 60-bit md5(doc_id) fraction < rate. */
+  def domainMix(docs: DataFrame, budgetTokens: Double): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"),
+      size(TextOps.tokens(col("text"))).cast(LongType).as("ntok"),
+      (conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 15), 16, 10)
+        .cast(LongType).cast(DoubleType) / lit(1152921504606846976.0)).as("hfrac"))
+    val tot = d.groupBy("lang").agg(sum(col("ntok")).as("total_tokens"))
+      .withColumn("rate",
+        graft.util.D.r(least(lit(1.0), lit(budgetTokens) / col("total_tokens").cast(DoubleType)), 6))
+    val kept = d.join(tot.select("lang", "rate"), Seq("lang"))
+      .filter(col("hfrac") < col("rate"))
+      .groupBy("lang")
+      .agg(count(lit(1)).cast(LongType).as("n_kept"),
+        sum(col("ntok")).cast(LongType).as("kept_tokens"))
+    tot.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("total_tokens"), col("rate"),
+        coalesce(col("n_kept"), lit(0L)).cast(LongType).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).cast(LongType).as("kept_tokens"))
+      .orderBy("lang")
+  }
+}

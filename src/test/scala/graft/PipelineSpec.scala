@@ -85,6 +85,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(Cdc.chunks("") === Seq.empty && Cdc.chunks("short") === Seq("short"))
   }
 
+  test("decontaminate counts distinct shared shingles on a constructed case") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "eval",  "a b c d"),          // eval shingles: "a b c", "b c d"
+      (1L, "train", "x a b c y"),        // shares exactly "a b c"
+      (2L, "train", "p q r s t"),        // no overlap -> absent
+      (3L, "train", "a b c d a b c d")   // shares both (each counted once)
+    ).toDF("doc_id", "source", "text")
+    val out = graft.text.Corpus.decontaminate(d, col("doc_id") === 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out === Map(1L -> 1L, 3L -> 2L))
+  }
+
+  test("repetitionStats on degenerate and diverse docs") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a a a a"),       // 1 distinct, top 1.0, bigrams all "a a" -> dup 2/3
+      (1L, "a b c d e f"),   // all distinct, top 1/6, no dup bigrams
+      (2L, "x")              // single token: no bigrams, dup 0.0
+    ).toDF("doc_id", "text")
+    val rows = graft.text.Corpus.repetitionStats(d).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(0L).getLong(2) === 1L)                       // n_distinct
+    assert(byId(0L).getDouble(3) === 1.0)                    // top_token_frac
+    assert(byId(0L).getDouble(4) === 0.666667)               // dup_bigram_frac
+    assert(byId(0L).getInt(5) === 1)                         // flagged
+    assert(byId(1L).getDouble(3) === 0.166667 && byId(1L).getInt(5) === 0)
+    assert(byId(2L).getDouble(4) === 0.0 && byId(2L).getLong(1) === 1L)
+  }
+
+  test("domainMix keeps everything when the budget covers the totals") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "en", "one two three"), (1L, "en", "four five"),
+      (2L, "de", "eins zwei"))
+      .toDF("doc_id", "lang", "text")
+    val rows = graft.text.Corpus.domainMix(d, budgetTokens = 1e6)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // rate 1.0 -> every doc kept, kept_tokens == total_tokens
+    assert(rows("en") === ((5L, 1.0, 2L, 5L)))
+    assert(rows("de") === ((2L, 1.0, 1L, 2L)))
+    // a tiny budget keeps a strict subset with rate = budget/total
+    val tight = graft.text.Corpus.domainMix(d, budgetTokens = 1.0)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(tight("en") === 0.2 && tight("de") === 0.5)
+  }
+
   test("multimodal stub decode is deterministic and typed") {
     val m = graft.multimodal.Multimodal.decodeMeta(spark, docs)
     assert(m.schema.fieldNames.toSeq ===
