@@ -48,6 +48,11 @@ object ApiDemo {
         separationThreshold = 0.95, pruningMethod = "max_dist",
         schema = Map("c_acctbal" -> "account_balance"))
       .filter(col("passes") === 1).show(3, false)
+    println("== corpus prep: decontaminate / repetition / domain mix ==")
+    val docs = util.D.t(spark, "/root/testdata/sf0.001", "documents")
+    graft.text.Corpus.decontaminate(docs, pmod(col("doc_id"), lit(97)) === 0).show(3, false)
+    graft.text.Corpus.repetitionStats(docs).filter(col("flagged") === 1).show(3, false)
+    graft.text.Corpus.domainMix(docs, budgetTokens = 500.0).show(false)
     println("== kmin sketch from SQL after registration ==")
     graft.functions.GraftFunctions.register(spark)
     util.D.t(spark, "/root/testdata/sf0.001", "documents").createOrReplaceTempView("docs")

@@ -109,6 +109,25 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate broadcasts the eval shingle set, not the corpus") {
+    // the eval slice is benchmark-sized (small); the plan must broadcast
+    // THAT side so the corpus never shuffles for the contamination join
+    val docs = graft.util.D.t(spark, sf, "documents")
+    val q = graft.text.Corpus.decontaminate(docs, col("doc_id") % 97 === 0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"eval-side broadcast missing:\n${plan.take(1500)}")
+    // and no broadcast survives when broadcasting is disabled outright —
+    // i.e. the broadcast is the optimizer's size-based choice, not a hint
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                "spark.sql.adaptive.enabled" -> "false") {
+      val p2 = graft.text.Corpus.decontaminate(docs, col("doc_id") % 97 === 0)
+        .queryExecution.executedPlan.toString
+      assert(!p2.contains("BroadcastHashJoin"),
+        s"forced broadcast hint present:\n${p2.take(1500)}")
+    }
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; f }
