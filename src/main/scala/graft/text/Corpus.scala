@@ -38,6 +38,33 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Streaming-safe contamination filter: the documents that share at
+    * least one word-3-gram with `evalShingles` (a STATIC one-column
+    * DataFrame of shingles, e.g. [[evalShingleSet]] built once from the
+    * benchmark suite). The eval set is folded into a single array row
+    * and the check is a per-row `arrays_overlap` against it — fully
+    * STATELESS, so it works unchanged on a streaming `docs` (no
+    * watermark, no dedup state; each document is emitted at most once
+    * per arrival). The static side is benchmark-sized by contract
+    * (benchmark suites are MBs; corpora are the big side). Returns the
+    * contaminated documents with their original columns — anti-join
+    * the result (or negate with the same expression) to drop them. */
+  def contaminated(docs: DataFrame, evalShingles: DataFrame): DataFrame = {
+    val shCol = evalShingles.columns.head
+    val evalArr = evalShingles.agg(collect_set(col(shCol)).as("__ev"))
+    docs
+      .withColumn("__sh", array_distinct(TextOps.shinglesOf(TextOps.tokens(col("text")))))
+      .crossJoin(evalArr)
+      .filter(arrays_overlap(col("__sh"), col("__ev")))
+      .select(docs.columns.map(col): _*)
+  }
+
+  /** The eval-side shingle set for [[contaminated]]. */
+  def evalShingleSet(evalDocs: DataFrame): DataFrame =
+    evalDocs
+      .select(explode(array_distinct(TextOps.shinglesOf(TextOps.tokens(col("text"))))).as("sh"))
+      .distinct()
+
   /** Gopher-style per-document repetition statistics: token count,
     * distinct-token count, most-frequent-token fraction, and
     * duplicate-bigram fraction, plus a `flagged` bit at the given

@@ -128,6 +128,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateless contamination filter matches batch under streaming") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.util.D.t(spark, sf, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val evalSet = graft.text.Corpus.evalShingleSet(
+      graft.util.D.t(spark, sf, "documents").filter(pmod(col("doc_id"), lit(97)) === 0))
+    val batchIds = graft.text.Corpus.contaminated(
+        spark.createDataset(docs).toDF("doc_id", "text"), evalSet)
+      .collect().map(_.getLong(0)).toSet
+    assert(batchIds.nonEmpty, "constructed eval slice contaminates nothing")
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.text.Corpus.contaminated(mem.toDS().toDF("doc_id", "text"), evalSet)
+      .writeStream.format("memory").queryName("contam_out").outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val streamed = spark.table("contam_out").collect().map(_.getLong(0)).toSet
+      assert(streamed === batchIds,
+        s"stream/batch divergence: extra=${streamed.diff(batchIds).take(3)} missing=${batchIds.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("fold semantics: gap splits sessions") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
