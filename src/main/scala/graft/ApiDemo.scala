@@ -55,7 +55,7 @@ object ApiDemo {
     graft.text.Corpus.domainMix(docs, budgetTokens = 500.0).show(false)
     println("== kmin sketch from SQL after registration ==")
     graft.functions.GraftFunctions.register(spark)
-    util.D.t(spark, "/root/testdata/sf0.001", "documents").createOrReplaceTempView("docs")
+    docs.createOrReplaceTempView("docs")
     spark.sql(
       """SELECT source, kmin(xxhash64(text), 8) AS sketch
         |FROM docs GROUP BY source ORDER BY source LIMIT 3""".stripMargin).show(false)

@@ -435,13 +435,10 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
         f.dataType == TimestampNTZType)
       .map(_.name).take(maxFilterColumns).toSeq
     val trendScopes = for (f <- fs; d <- dateCols; m <- ms)
-      yield (f, org.apache.spark.sql.functions.month(col(d)), "month", m)
-    val catTables = scopes.map { case (f, b, m) =>
-      MetaInsight.catPatterns(df, f, b, m, s"${m}_mean")
-        .withColumn("filter_dim", lit(f)) }
-    val trendTables = trendScopes.map { case (f, bIdx, bName, m) =>
-      MetaInsight.trendPatterns(df, f, bIdx, bName, m, s"${m}_mean")
-        .withColumn("filter_dim", lit(f)) }
+      yield (f, org.apache.spark.sql.functions.month(col(d)), s"${d}_month", m)
+    // all cat scopes evaluate in ONE merged aggregation chain (and all
+    // trend scopes in another) — see MetaInsight.autoTables
+    val autoTables = MetaInsight.autoTables(df, scopes, trendScopes)
     // use_all_groupby_combinations (reference
     // metainsight_explainer.py:301-308): breakdowns [A, B] additionally
     // enumerate the combination [A, B] — a composite breakdown whose
@@ -461,7 +458,7 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
         concat_ws("|", pair.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*),
         pair.mkString("+"), m, s"${m}_mean")
         .withColumn("filter_dim", lit(f))
-    MetaInsight.rank(catTables ++ trendTables ++ comboTables, topK,
+    MetaInsight.rank(autoTables ++ comboTables, topK,
       minCommonness = minCommonness)
   }
 

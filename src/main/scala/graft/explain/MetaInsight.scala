@@ -31,24 +31,31 @@ object MetaInsight {
 
   import GroupByExplain._
 
-  /** Cells: (subspace, b, cnt, sm) for subspace ∈ filterDim values ∪ '*'. */
-  private def cells(src: DataFrame, filterDim: String, breakdown: Column): DataFrame = {
-    val c0 = src.groupBy(col(filterDim).cast("string").as("subspace"), breakdown.as("b"))
-      .agg(count(lit(1)).as("cnt"), sum(col("v0").cast(D.dec25)).as("sm"))
-    val cStar = c0.groupBy("b")
-      .agg(sum(col("cnt")).as("cnt"), sum(col("sm")).as("sm"))
-      .withColumn("subspace", lit("*"))
-      .select("subspace", "b", "cnt", "sm")
-    c0.unionByName(cStar)
-  }
+  /** Cells: (subspace, b, cnt, sm) for subspace ∈ filterDim values ∪ '*'.
+    * One grouping-sets aggregation computes the per-subspace groups AND
+    * the '*' rollup in a single pass (a union of the base groups with a
+    * re-aggregation would reference — and re-plan — the scan twice);
+    * the grouping flag distinguishes '*' rows from a genuine NULL
+    * subspace value. Decimal sums make the two levels exactly equal to
+    * the two-step form. */
+  private def cells(src: DataFrame, filterDim: String, breakdown: Column): DataFrame =
+    src.withColumn("__sub", col(filterDim).cast("string")).withColumn("__b", breakdown)
+      .groupingSets(Seq(Seq(col("__sub"), col("__b")), Seq(col("__b"))), col("__sub"), col("__b"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v0").cast(D.dec25)).as("sm"),
+        grouping(col("__sub")).as("__g"))
+      .select(when(col("__g") === 1, lit("*")).otherwise(col("__sub")).as("subspace"),
+        col("__b").as("b"), col("cnt"), col("sm"))
 
-  /** Melt cells into (subspace, b, measure, v): mean + row count. */
+  /** Melt cells into (subspace, b, measure, v): mean + row count — both
+    * rows exploded from the single cell (a two-branch union would
+    * recompute the cells aggregation twice). */
   private def melt(cells: DataFrame, meanName: String): DataFrame = {
     val vMean = graft.util.D.r(col("sm").cast(D.dec25).cast(DoubleType) / col("cnt"), 6)
     cells.select(col("subspace"), col("b").cast("string").as("b"),
-        lit(meanName).as("measure"), vMean.as("v"))
-      .unionByName(cells.select(col("subspace"), col("b").cast("string").as("b"),
-        lit("row_count").as("measure"), col("cnt").cast(DoubleType).as("v")))
+        explode(array(
+          struct(lit(meanName).as("measure"), vMean.as("v")),
+          struct(lit("row_count").as("measure"), col("cnt").cast(DoubleType).as("v")))).as("mv"))
+      .select(col("subspace"), col("b"), col("mv.measure").as("measure"), col("mv.v").as("v"))
   }
 
   /** One-scan base for evaluating TWO breakdowns of the same
@@ -105,41 +112,57 @@ object MetaInsight {
   /** Categorical-pattern evaluation over a melted cell table, grouped by
     * `keys` (at least (subspace, measure); auto-search prepends its scope
     * tags so MANY scopes evaluate in ONE aggregation chain instead of one
-    * chain per scope — the per-scope fixed stage cost, not the data,
-    * dominates auto's runtime). Per-group math is identical regardless of
-    * the extra keys, so results are bit-identical to per-scope runs. */
+    * chain per scope). Per-group math is identical regardless of the
+    * extra keys, so results are bit-identical to per-scope runs.
+    *
+    * The whole evaluation is ONE aggregation: the group's cells are
+    * gathered with collect_list and the z-score/share math runs as array
+    * expressions over them. The earlier two-pass form (stats aggregate
+    * joined back onto the cell table) referenced the melted subtree
+    * twice, which duplicated every upstream scan/aggregation in the
+    * compiled plan — for KB-sized cell groups the per-stage fixed cost
+    * of that duplication dominates, and a row_number window would
+    * sort-shuffle twice on top. Determinism: the per-group sums are
+    * decimal (exact, order-independent), per-cell terms are pure
+    * functions of (b, v, sums), and the highlight is the head of an
+    * array_sort by (−metric NULLS LAST, b) — none depend on
+    * collect_list's arrival order. */
   private def catPatternsKeyed(m: DataFrame, keys: Seq[String]): DataFrame = {
     val kc = keys.map(col)
-    val s = m.groupBy(kc: _*)
+    val g = m.groupBy(kc: _*)
       .agg(count(lit(1)).as("k"),
         sum(col("v").cast(dval)).cast(DoubleType).as("sv"),
-        sum((col("v") * col("v")).cast(dbig)).cast(DoubleType).as("svv"))
+        sum((col("v") * col("v")).cast(dbig)).cast(DoubleType).as("svv"),
+        collect_list(struct(col("b"), col("v"))).as("cells"))
     val mu = col("sv") / col("k")
     val sigma = sigmaExpr(col("sv"), col("svv"), col("k"))
-    val z = m.join(s, keys)
-      .withColumn("zscore", when(sigma > 1e-12, abs(col("v") - mu) / sigma).otherwise(lit(0.0)))
-      .withColumn("share", col("v") / col("sv"))
-    // the highlight is the top element by (metric desc NULLS LAST, b asc)
-    // — a min_by over (coalesce(−metric, MaxValue), b) picks it inside
-    // the SAME aggregation (map-side combinable; a row_number window here
-    // would sort-shuffle the cell table twice and double the compiled
-    // plan, which dominates the runtime of auto-search's many scopes)
-    val agg0 = z.groupBy(kc: _*).agg(
-      max(when(col("zscore") > 1.5, 1).otherwise(0)).as("z_has"),
-      max(col("zscore")).as("z_max"),
-      min_by(col("b"), struct(coalesce(-col("zscore"), lit(Double.MaxValue)).as("o"), col("b"))).as("z_top"),
-      max(when(col("share") >= 0.5, 1).otherwise(0)).as("s_has"),
-      max(col("share")).as("s_max"),
-      min_by(col("b"), struct(coalesce(-col("share"), lit(Double.MaxValue)).as("o"), col("b"))).as("s_top"))
-    val out = agg0.select(kc :+
-      col("z_has").as("has_pat") :+
-      when(col("z_max") > 1.5, col("z_top")).as("highlight") :+
-      lit("outlier").as("pattern"): _*)
-    val dom = agg0.select(kc :+
-      col("s_has").as("has_pat") :+
-      when(col("s_max") >= 0.5, col("s_top")).as("highlight") :+
-      lit("dominance").as("pattern"): _*)
-    out.unionByName(dom)
+    def zOf(c: Column) =
+      when(sigma > 1e-12, abs(c.getField("v") - mu) / sigma).otherwise(lit(0.0))
+    def shOf(c: Column) = c.getField("v") / col("sv")
+    // the highlight is the top cell by (metric desc NULLS LAST, b asc) =
+    // head of the ascending sort by (coalesce(−metric, MaxValue), b)
+    def topBy(metric: Column => Column) = element_at(array_sort(
+      transform(col("cells"), c => struct(
+        coalesce(-metric(c), lit(Double.MaxValue)).as("o"),
+        c.getField("b").as("b")))), 1).getField("b")
+    val scored = g.select(kc :+
+      array_max(transform(col("cells"), c => when(zOf(c) > 1.5, 1).otherwise(0))).as("z_has") :+
+      array_max(transform(col("cells"), c => zOf(c))).as("z_max") :+
+      topBy(zOf).as("z_top") :+
+      array_max(transform(col("cells"), c => when(shOf(c) >= 0.5, 1).otherwise(0))).as("s_has") :+
+      array_max(transform(col("cells"), c => shOf(c))).as("s_max") :+
+      topBy(shOf).as("s_top"): _*)
+    // both patterns from the single aggregated row via explode — a
+    // union of two selects over `scored` would re-reference (and thus
+    // recompute) the whole aggregation subtree
+    scored.select(kc :+ explode(array(
+        struct(col("z_has").as("has_pat"),
+          when(col("z_max") > 1.5, col("z_top")).as("highlight"),
+          lit("outlier").as("pattern")),
+        struct(col("s_has").as("has_pat"),
+          when(col("s_max") >= 0.5, col("s_top")).as("highlight"),
+          lit("dominance").as("pattern")))).as("p"): _*)
+      .select(kc :+ col("p.has_pat") :+ col("p.highlight") :+ col("p.pattern"): _*)
   }
 
   /** Ordered-breakdown patterns: trend_up / trend_down per scope.
@@ -169,13 +192,16 @@ object MetaInsight {
     val den = sqrt((col("k") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)) *
       sqrt(greatest(col("k") * col("svv") - col("sv") * col("sv"), lit(0.0)))
     val withR = s.withColumn("r_xy", when(den > 1e-9, num / den).otherwise(lit(0.0)))
-    val up = withR.select(kc :+
-      when(col("r_xy") >= 0.5, 1).otherwise(0).as("has_pat") :+
-      when(col("r_xy") >= 0.5, lit("up")).as("highlight") :+ lit("trend_up").as("pattern"): _*)
-    val down = withR.select(kc :+
-      when(col("r_xy") <= -0.5, 1).otherwise(0).as("has_pat") :+
-      when(col("r_xy") <= -0.5, lit("down")).as("highlight") :+ lit("trend_down").as("pattern"): _*)
-    up.unionByName(down)
+    // both trend directions from the single aggregated row via explode
+    // (a union of two selects would recompute the aggregation subtree)
+    withR.select(kc :+ explode(array(
+        struct(when(col("r_xy") >= 0.5, 1).otherwise(0).as("has_pat"),
+          when(col("r_xy") >= 0.5, lit("up")).as("highlight"),
+          lit("trend_up").as("pattern")),
+        struct(when(col("r_xy") <= -0.5, 1).otherwise(0).as("has_pat"),
+          when(col("r_xy") <= -0.5, lit("down")).as("highlight"),
+          lit("trend_down").as("pattern")))).as("p"): _*)
+      .select(kc :+ col("p.has_pat") :+ col("p.highlight") :+ col("p.pattern"): _*)
   }
 
   /** Group scope patterns into scored MetaInsights. `extraKeys` joins the
@@ -233,17 +259,30 @@ object MetaInsight {
            balanceFactor: Double = 1.0): DataFrame = {
     require(scopes.nonEmpty || trendScopes.nonEmpty,
       "metainsight auto-search needs at least one scope")
-    // union the TAGGED melted cell tables first, then run ONE pattern
-    // aggregation chain for all cat scopes (and one for all trend
-    // scopes): per-scope cell aggregations still scan independently
-    // (different grouping columns) but the stats/join/highlight tail —
-    // 3 tiny exchanges per scope in the per-scope form — collapses to
-    // one, which is what dominates auto's wall clock (KB-sized data,
-    // per-stage fixed cost)
+    rank(autoTables(src, scopes, trendScopes), topK,
+      minCommonness, noExceptionPenaltyWeight, balanceFactor)
+  }
+
+  /** The merged pattern tables of an auto-search scope set (0-2 tables:
+    * one for all categorical scopes, one for all trend scopes) —
+    * [[auto]] minus the ranking, public so callers with extra scope
+    * tables (e.g. composite breakdowns) can union before [[rank]].
+    *
+    * The TAGGED melted cell tables are unioned first and ONE pattern
+    * aggregation chain runs for all cat scopes (and one for all trend
+    * scopes), grouped by (filter_dim, breakdown, subspace, measure):
+    * per-scope cell aggregations still scan independently (different
+    * grouping columns) but the stats/join/highlight tail — 3 tiny
+    * exchanges per scope in the per-scope form — collapses to one,
+    * which is what dominates auto's wall clock (KB-sized data,
+    * per-stage fixed cost). */
+  def autoTables(src: DataFrame, scopes: Seq[(String, String, String)],
+                 trendScopes: Seq[(String, Column, String, String)] = Nil): Seq[DataFrame] = {
     val tagKeys = Seq("filter_dim", "breakdown", "subspace", "measure")
     // several measures over the same (filterDim, breakdown) share one
     // row_count measure — emit it for the first such scope only, so the
-    // merged aggregation sees each cell exactly once
+    // merged aggregation sees each cell exactly once (autoSql mirrors
+    // this rule)
     val seenCat = scala.collection.mutable.Set.empty[(String, String)]
     val catMelts = scopes.map { case (f, b, m) =>
       val full = melt(cells(src.withColumn("v0", col(m)), f, col(b)), s"${m}_mean")
@@ -264,8 +303,7 @@ object MetaInsight {
         .withColumn("filter_dim", lit(f)).withColumn("breakdown", lit(bName)) }
     val trendTable = trendMelts.reduceOption(_ unionByName _)
       .map(trendPatternsKeyed(_, tagKeys))
-    rank((catTable ++ trendTable).toSeq, topK,
-      minCommonness, noExceptionPenaltyWeight, balanceFactor)
+    (catTable ++ trendTable).toSeq
   }
 
   /** Mine + score-rank prebuilt per-scope pattern tables (each tagged
@@ -295,16 +333,23 @@ object MetaInsight {
               minCommonness: Double = 0.5,
               noExceptionPenaltyWeight: Double = 0.1,
               balanceFactor: Double = 1.0): String = {
+    // mirror autoTables' rule: several measures over the same
+    // (filterDim, breakdown) share one row_count measure — emitted for
+    // the first such scope only
+    val seenCat = scala.collection.mutable.Set.empty[(String, String)]
     val parts = scopes.zipWithIndex.map { case ((f, b, m), i) =>
+      val rcBranch = if (seenCat.add((f, b)))
+        s"""
+           |  UNION ALL
+           |  SELECT subspace, CAST(b AS VARCHAR), 'row_count', CAST(cnt AS DOUBLE) FROM ca$i""".stripMargin
+      else ""
       s"""c$i AS (SELECT CAST($f AS VARCHAR) AS subspace, $b AS b,
          |    COUNT(*) AS cnt, SUM(CAST($m AS DECIMAL(25,6))) AS sm
          |  FROM $table GROUP BY 1, 2),
          |ca$i AS (SELECT * FROM c$i
          |  UNION ALL SELECT '*' AS subspace, b, SUM(cnt) AS cnt, SUM(sm) AS sm FROM c$i GROUP BY b),
          |m$i AS (SELECT subspace, CAST(b AS VARCHAR) AS b, '${m}_mean' AS measure,
-         |    ROUND(CAST(CAST(sm AS DECIMAL(25,6)) AS DOUBLE) / cnt, 6) AS v FROM ca$i
-         |  UNION ALL
-         |  SELECT subspace, CAST(b AS VARCHAR), 'row_count', CAST(cnt AS DOUBLE) FROM ca$i),
+         |    ROUND(CAST(CAST(sm AS DECIMAL(25,6)) AS DOUBLE) / cnt, 6) AS v FROM ca$i$rcBranch),
          |s$i AS (SELECT subspace, measure, COUNT(*) AS k,
          |    ${dvalSql("v")} AS sv, ${dbigSql("v * v")} AS svv
          |  FROM m$i GROUP BY 1, 2),
@@ -329,7 +374,16 @@ object MetaInsight {
     }
     // trend scopes: (filterDim, monthCol, measure) with breakdown name
     // 'month' — mirrors trendPatterns over month(monthCol)
+    // breakdown tag is date-column-specific ("<col>_month"): two trend
+    // scopes over the same filter dim but DIFFERENT date columns are
+    // different breakdowns and must not share a mine() group
+    val seenTrend = scala.collection.mutable.Set.empty[(String, String)]
     val trendParts = trendScopes.zipWithIndex.map { case ((f, mc, m), i) =>
+      val rcBranch = if (seenTrend.add((f, mc)))
+        s"""
+           |  UNION ALL
+           |  SELECT subspace, CAST(b AS VARCHAR), 'row_count', CAST(cnt AS DOUBLE) FROM tca$i""".stripMargin
+      else ""
       s"""tc$i AS (SELECT CAST($f AS VARCHAR) AS subspace, month($mc) AS b,
          |    COUNT(*) AS cnt, SUM(CAST($m AS DECIMAL(25,6))) AS sm
          |  FROM $table GROUP BY 1, 2),
@@ -337,9 +391,7 @@ object MetaInsight {
          |  UNION ALL SELECT '*' AS subspace, b, SUM(cnt) AS cnt, SUM(sm) AS sm FROM tc$i GROUP BY b),
          |tm$i AS (SELECT *, CAST(b AS INT) AS x FROM (
          |  SELECT subspace, CAST(b AS VARCHAR) AS b, '${m}_mean' AS measure,
-         |    ROUND(CAST(CAST(sm AS DECIMAL(25,6)) AS DOUBLE) / cnt, 6) AS v FROM tca$i
-         |  UNION ALL
-         |  SELECT subspace, CAST(b AS VARCHAR), 'row_count', CAST(cnt AS DOUBLE) FROM tca$i)),
+         |    ROUND(CAST(CAST(sm AS DECIMAL(25,6)) AS DOUBLE) / cnt, 6) AS v FROM tca$i$rcBranch)),
          |ts$i AS (SELECT subspace, measure, COUNT(*) AS k, SUM(x) AS sx,
          |    SUM(CAST(x * x AS BIGINT)) AS sxx,
          |    ${dvalSql("v")} AS sv, ${dbigSql("v * v")} AS svv, ${dvalSql("x * v")} AS sxv
@@ -353,11 +405,11 @@ object MetaInsight {
          |tp$i AS (
          |  SELECT subspace, measure, CASE WHEN r_xy >= 0.5 THEN 1 ELSE 0 END AS has_pat,
          |    CASE WHEN r_xy >= 0.5 THEN 'up' END AS highlight,
-         |    'trend_up' AS pattern, 'month' AS breakdown, '$f' AS filter_dim
+         |    'trend_up' AS pattern, '${mc}_month' AS breakdown, '$f' AS filter_dim
          |  FROM tr$i
          |  UNION ALL
          |  SELECT subspace, measure, CASE WHEN r_xy <= -0.5 THEN 1 ELSE 0 END,
-         |    CASE WHEN r_xy <= -0.5 THEN 'down' END, 'trend_down', 'month', '$f'
+         |    CASE WHEN r_xy <= -0.5 THEN 'down' END, 'trend_down', '${mc}_month', '$f'
          |  FROM tr$i)""".stripMargin
     }
     val pats = (scopes.indices.map(i => s"SELECT * FROM p$i") ++

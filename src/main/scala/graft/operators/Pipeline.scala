@@ -292,7 +292,7 @@ object Pipeline extends QFamily {
               |FROM tr JOIN ev ON tr.sh = ev.sh
               |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin)
     }, (s, dir) => graft.text.Corpus.decontaminate(t(s, dir, "documents"),
-      pmod(col("doc_id"), lit(97)) === 0)),
+      pmod(col("doc_id"), lit(97)) === 0).orderBy("doc_id")),
 
     // Gopher-style repetition stats: entirely scan-local (array
     // functions, no explode/shuffle — each doc's stats come from its own
@@ -315,7 +315,7 @@ object Pipeline extends QFamily {
               |      ELSE 0.0 END, 6) AS dup_bigram_frac
               |  FROM documents)
               |ORDER BY doc_id""".stripMargin)
-    }, (s, dir) => graft.text.Corpus.repetitionStats(t(s, dir, "documents"))),
+    }, (s, dir) => graft.text.Corpus.repetitionStats(t(s, dir, "documents")).orderBy("doc_id")),
 
     // domain/language mixing for a training run: given a per-language
     // token budget, derive sampling rates from the actual totals and take

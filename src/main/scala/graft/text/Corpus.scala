@@ -35,7 +35,6 @@ object Corpus {
     tr.join(ev, Seq("sh"))
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).cast(LongType).as("n_shared"))
-      .orderBy("doc_id")
   }
 
   /** Streaming-safe contamination filter: the documents that share at
@@ -48,7 +47,13 @@ object Corpus {
     * per arrival). The static side is benchmark-sized by contract
     * (benchmark suites are MBs; corpora are the big side). Returns the
     * contaminated documents with their original columns — anti-join
-    * the result (or negate with the same expression) to drop them. */
+    * the result (or negate with the same expression) to drop them.
+    *
+    * Streaming callers should `persist()` `evalShingles` (typically the
+    * [[evalShingleSet]] output) for the query's lifetime: Spark
+    * re-executes the static subplan on every micro-batch, so an
+    * unpersisted eval side re-runs its explode+distinct each trigger.
+    * The library itself never persists (caller owns the lifetime). */
   def contaminated(docs: DataFrame, evalShingles: DataFrame): DataFrame = {
     val shCol = evalShingles.columns.head
     val evalArr = evalShingles.agg(collect_set(col(shCol)).as("__ev"))
@@ -91,7 +96,6 @@ object Corpus {
       .withColumn("flagged",
         when(col("top_token_frac") > topTokenTh || col("dup_bigram_frac") > dupBigramTh, 1)
           .otherwise(0).cast(IntegerType))
-      .orderBy("doc_id")
   }
 
   /** Training-mix sampling: derive a per-language sampling rate from a

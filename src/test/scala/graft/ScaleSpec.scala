@@ -111,12 +111,26 @@ class ScaleSpec extends AnyFunSuite {
 
   test("decontaminate broadcasts the eval shingle set, not the corpus") {
     // the eval slice is benchmark-sized (small); the plan must broadcast
-    // THAT side so the corpus never shuffles for the contamination join
+    // THAT side so the corpus never shuffles for the contamination join.
+    // Both join inputs scan `documents` at test scale, so asserting on
+    // the mere presence of a broadcast would pass even if the CORPUS
+    // side were broadcast — instead locate every BroadcastExchange and
+    // require its subtree to be the eval chain (distinguished by its
+    // distinct aggregation; the corpus side has no aggregate below the
+    // join)
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     val docs = graft.util.D.t(spark, sf, "documents")
-    val q = graft.text.Corpus.decontaminate(docs, col("doc_id") % 97 === 0)
-    val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
-      s"eval-side broadcast missing:\n${plan.take(1500)}")
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val p = graft.text.Corpus.decontaminate(docs, col("doc_id") % 97 === 0)
+        .queryExecution.executedPlan
+      val bcasts = p.collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.nonEmpty, s"eval-side broadcast missing:\n${p.toString.take(1500)}")
+      bcasts.foreach { b =>
+        assert(b.collect { case a: BaseAggregateExec => a }.nonEmpty,
+          s"broadcast subtree is not the eval aggregate:\n${b.toString.take(1500)}")
+      }
+    }
     // and no broadcast survives when broadcasting is disabled outright —
     // i.e. the broadcast is the optimizer's size-based choice, not a hint
     withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",

@@ -134,8 +134,11 @@ class StreamingSpec extends AnyFunSuite {
     val docs = graft.util.D.t(spark, sf, "documents")
       .filter(col("doc_id") < 200)
       .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    // persisted for the stream's lifetime — the static subplan re-runs
+    // every micro-batch (see Corpus.contaminated scaladoc)
     val evalSet = graft.text.Corpus.evalShingleSet(
       graft.util.D.t(spark, sf, "documents").filter(pmod(col("doc_id"), lit(97)) === 0))
+      .persist()
     val batchIds = graft.text.Corpus.contaminated(
         spark.createDataset(docs).toDF("doc_id", "text"), evalSet)
       .collect().map(_.getLong(0)).toSet
@@ -150,7 +153,7 @@ class StreamingSpec extends AnyFunSuite {
       val streamed = spark.table("contam_out").collect().map(_.getLong(0)).toSet
       assert(streamed === batchIds,
         s"stream/batch divergence: extra=${streamed.diff(batchIds).take(3)} missing=${batchIds.diff(streamed).take(3)}")
-    } finally q.stop()
+    } finally { q.stop(); evalSet.unpersist() }
   }
 
   test("fold semantics: gap splits sessions") {
