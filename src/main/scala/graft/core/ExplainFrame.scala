@@ -337,14 +337,16 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
       attributes.map(a => Fedex.Attr(a, byName(a).dataType.isInstanceOf[NumericType]))
     } else defaultAttrs(src, excludeExtra)
 
-  private def deviationTopK(counts: DataFrame, topK: Int): DataFrame = {
-    val dev = Fedex.filterDeviation(counts)
-    val infl = Fedex.binInfluence(counts)
-    dev.join(infl, Seq("attribute"))
-      .select(col("attribute"), col("kl_score"), col("bin"), col("ns"), col("nr"), col("influence"))
+  private def deviationTopK(counts: DataFrame, topK: Int): DataFrame =
+    // deviation + influence from Fedex's single attribute-level
+    // aggregation — a join of the two would re-plan the scan twice
+    Fedex.influenceCells(counts)
+      .select(col("attribute"), col("kl_score"), explode(col("infl")).as("p"))
+      .select(col("attribute"), col("kl_score"), col("p.bin").as("bin"),
+        col("p.ns").as("ns"), col("p.nr").as("nr"),
+        (col("kl_score") - col("p.score_excl")).as("influence"))
       .orderBy(col("kl_score").desc, col("influence").desc, col("attribute"), col("bin"))
       .limit(topK)
-  }
 
   private def meltGroupBy(g: GroupByOp): DataFrame = {
     val grouped = g.source.groupBy(g.groupCols.map(col): _*)

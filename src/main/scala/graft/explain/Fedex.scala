@@ -2,7 +2,6 @@ package graft.explain
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 /** FEDEx-style deviation/exceptionality explanations, Spark-first.
@@ -99,61 +98,90 @@ object Fedex {
       .agg(count(lit(1)).as("ns"), sum(col("inres")).as("nr"))
   }
 
-  /** Enrich counts with per-attribute totals (window over the tiny table). */
-  private def enriched(counts: DataFrame): DataFrame = {
-    val w = Window.partitionBy("attribute")
-    counts.filter(col("ns") > 0)
-      .withColumn("n_src", sum("ns").over(w))
-      .withColumn("n_res", sum("nr").over(w))
-      .withColumn("k", count(lit(1)).over(w))
-  }
-
   private def klTerm(nr: Column, ns: Column, nRes: Column, nSrc: Column, k: Column): Column = {
     val q = (nr + lit(0.5)) / (nRes + lit(0.5) * k)
     val p = (ns + lit(0.5)) / (nSrc + lit(0.5) * k)
     (q * log(q / p)).cast(termDec)
   }
 
+  /** ONE aggregation gathering each attribute's bins and totals; every
+    * downstream measure (deviation, Shapley, leave-one-out influence) is
+    * array math over the gathered cells. The earlier form enriched the
+    * count table with window totals and re-referenced it per measure
+    * (full score + both sides of the leave-one-out self-join), which
+    * re-planned the corpus scan per reference — the same duplicated-
+    * subtree cost the metainsight rewrite removed. Determinism: terms
+    * are DECIMAL(18,9) and decimal sums are exact and associative, so
+    * nothing depends on collect_list's arrival order. */
+  private def attrCells(counts: DataFrame): DataFrame =
+    counts.filter(col("ns") > 0)
+      .groupBy("attribute")
+      .agg(collect_list(struct(col("bin"), col("ns"), col("nr"))).as("cells"),
+        sum(col("ns")).as("n_src"), sum(col("nr")).as("n_res"), count(lit(1)).as("k"))
+
+  /** Exact Σ of klTerm over `cells`, accumulated as LONG nano-units:
+    * terms are DECIMAL(18,9), so term × 10⁹ is an exact integer
+    * (Decimal(18,9) × int literal stays at scale 9 — a LONG multiplier
+    * would widen past 38 digits and Spark truncates decimal additions
+    * and over-wide products to scale 8, silently losing the 9th
+    * decimal). Long addition is exact and associative, so the sum is
+    * order-independent and bit-equal to the oracle's decimal SUM;
+    * |term| ≤ ~40 and bin counts are bounded, so no overflow. */
+  private def klSumNanos(cells: Column, nRes: Column, nSrc: Column, k: Column): Column =
+    aggregate(cells, lit(0L),
+      (acc, c) => acc +
+        (klTerm(c.getField("nr"), c.getField("ns"), nRes, nSrc, k) * lit(1000000000)).cast(LongType))
+
+  /** nano-units → the same double the decimal-sum → double cast gave. */
+  private def nanosToDouble(nanos: Column): Column =
+    (nanos.cast(DecimalType(28, 0)) * lit(new java.math.BigDecimal("0.000000001")))
+      .cast(DoubleType)
+
+  private def klSum(cells: Column, nRes: Column, nSrc: Column, k: Column): Column =
+    nanosToDouble(klSumNanos(cells, nRes, nSrc, k))
+
   /** Per-attribute KL deviation: (attribute, n_bins, kl_score). */
   def filterDeviation(counts: DataFrame): DataFrame =
-    enriched(counts)
-      .withColumn("term", klTerm(col("nr"), col("ns"), col("n_res"), col("n_src"), col("k")))
-      .groupBy("attribute")
-      .agg(max(col("k")).as("n_bins"), sum(col("term")).cast(DoubleType).as("kl_score"))
+    attrCells(counts).select(col("attribute"), col("k").as("n_bins"),
+      klSum(col("cells"), col("n_res"), col("n_src"), col("k")).as("kl_score"))
 
   /** Shapley attribution per bin: the deviation measure is additive over
     * bins (score = Σ_b term_b), so the exact Shapley value of bin b IS its
     * own term — no sampling needed (reference explainer='shapley'). */
   def binShapley(counts: DataFrame): DataFrame =
-    enriched(counts)
-      .select(col("attribute"), col("bin"), col("ns"), col("nr"),
-        klTerm(col("nr"), col("ns"), col("n_res"), col("n_src"), col("k"))
-          .cast(DoubleType).as("shapley"))
+    attrCells(counts)
+      .select(col("attribute"), explode(transform(col("cells"), c => struct(
+        c.getField("bin").as("bin"), c.getField("ns").as("ns"), c.getField("nr").as("nr"),
+        klTerm(c.getField("nr"), c.getField("ns"), col("n_res"), col("n_src"), col("k"))
+          .cast(DoubleType).as("shapley")))).as("p"))
+      .select(col("attribute"), col("p.bin"), col("p.ns"), col("p.nr"), col("p.shapley"))
 
   def shapleySelectSql: String =
     s"""SELECT attribute, bin, ns, nr,
        |  CAST(${klTermSql("nr", "ns", "n_res", "n_src", "k")} AS DOUBLE) AS shapley
        |FROM en ORDER BY attribute, bin""".stripMargin
 
+  /** (attribute, kl_score, per-bin influence structs) from the single
+    * aggregation — the shared core of [[binInfluence]] and
+    * ExplainFrame's combined deviation+influence ranking. Leave-one-out
+    * is a nested array pass: for bin e, Σ over the other bins of the
+    * term with e's counts removed from the totals — O(k²) on
+    * bin-cardinality arrays, no self-join, no second scan. */
+  def influenceCells(counts: DataFrame): DataFrame =
+    attrCells(counts).select(col("attribute"),
+      klSum(col("cells"), col("n_res"), col("n_src"), col("k")).as("kl_score"),
+      transform(col("cells"), e => struct(
+        e.getField("bin").as("bin"), e.getField("ns").as("ns"), e.getField("nr").as("nr"),
+        klSum(filter(col("cells"), x => x.getField("bin") =!= e.getField("bin")),
+          col("n_res") - e.getField("nr"), col("n_src") - e.getField("ns"), col("k") - 1)
+          .as("score_excl"))).as("infl"))
+
   /** Leave-one-bin-out influence: (attribute, bin, ns, nr, influence). */
-  def binInfluence(counts: DataFrame): DataFrame = {
-    val en = enriched(counts)
-    val full = filterDeviation(counts).select(col("attribute"), col("kl_score"))
-    val e = en.select(col("attribute").as("attribute"), col("bin").as("bin0"),
-      col("ns").as("ns0"), col("nr").as("nr0"))
-    val excl = en.alias("x").join(e.alias("e"),
-        col("x.attribute") === col("e.attribute") && col("x.bin") =!= col("e.bin0"))
-      .select(col("x.attribute").as("attribute"), col("e.bin0").as("bin0"),
-        col("e.ns0").as("ns0"), col("e.nr0").as("nr0"),
-        klTerm(col("x.nr"), col("x.ns"),
-          col("x.n_res") - col("e.nr0"), col("x.n_src") - col("e.ns0"),
-          col("x.k") - 1).as("term"))
-      .groupBy("attribute", "bin0", "ns0", "nr0")
-      .agg(sum(col("term")).cast(DoubleType).as("score_excl"))
-    excl.join(full, Seq("attribute"))
-      .select(col("attribute"), col("bin0").as("bin"), col("ns0").as("ns"), col("nr0").as("nr"),
-        (col("kl_score") - col("score_excl")).as("influence"))
-  }
+  def binInfluence(counts: DataFrame): DataFrame =
+    influenceCells(counts)
+      .select(col("attribute"), col("kl_score"), explode(col("infl")).as("p"))
+      .select(col("attribute"), col("p.bin"), col("p.ns"), col("p.nr"),
+        (col("kl_score") - col("p.score_excl")).as("influence"))
 
   // ---------------------------------------------------------------- SQL --
 
