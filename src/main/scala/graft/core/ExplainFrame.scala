@@ -348,15 +348,18 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
       .orderBy(col("kl_score").desc, col("influence").desc, col("attribute"), col("bin"))
       .limit(topK)
 
-  private def meltGroupBy(g: GroupByOp): DataFrame = {
-    val grouped = g.source.groupBy(g.groupCols.map(col): _*)
+  private def meltGroupBy(g: GroupByOp): DataFrame =
+    // both measures exploded from the single aggregated row — a
+    // two-branch union would re-reference (re-plan) the source scan
+    g.source.groupBy(g.groupCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"), D.dsum(col(g.aggCol)).as("sm"))
       .select(concat_ws("|", g.groupCols.map(col): _*).as("grp"),
-        D.r(D.emit6(col("sm")) / col("cnt")).as("v_mean"),
-        col("cnt").cast(DoubleType).as("v_cnt"))
-    grouped.select(col("grp"), lit(s"${g.aggCol}_${g.aggFn}").as("measure"), col("v_mean").as("v"))
-      .unionByName(grouped.select(col("grp"), lit("row_count").as("measure"), col("v_cnt").as("v")))
-  }
+        explode(array(
+          struct(lit(s"${g.aggCol}_${g.aggFn}").as("measure"),
+            D.r(D.emit6(col("sm")) / col("cnt")).as("v")),
+          struct(lit("row_count").as("measure"),
+            col("cnt").cast(DoubleType).as("v")))).as("mv"))
+      .select(col("grp"), col("mv.measure").as("measure"), col("mv.v").as("v"))
 
   /** Scorpion-style outlier explanation for a groupBy result. */
   def explainOutlier(target: String, dir: String, attributes: Seq[String] = Nil,

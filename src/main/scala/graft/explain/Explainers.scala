@@ -32,14 +32,17 @@ object Explainers extends QFamily {
 
   // GroupBy operation explained: orders.groupby(o_orderpriority)
   //   .agg({'o_totalprice': 'mean'}) (+ group sizes)
-  private def gbMelt(s: SparkSession, dir: String): DataFrame = {
-    val g = t(s, dir, "orders").groupBy(col("o_orderpriority").as("grp"))
+  private def gbMelt(s: SparkSession, dir: String): DataFrame =
+    // both measures exploded from the single aggregated row (a union of
+    // two selects would re-plan the orders scan twice)
+    t(s, dir, "orders").groupBy(col("o_orderpriority").as("grp"))
       .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sm"))
-      .select(col("grp"), graft.util.D.r(emit6(col("sm")) / col("cnt"), 6).as("v_mean"),
-        col("cnt").cast(DoubleType).as("v_cnt"))
-    g.select(col("grp"), lit("totalprice_mean").as("measure"), col("v_mean").as("v"))
-      .unionByName(g.select(col("grp"), lit("row_count").as("measure"), col("v_cnt").as("v")))
-  }
+      .select(col("grp"), explode(array(
+        struct(lit("totalprice_mean").as("measure"),
+          graft.util.D.r(emit6(col("sm")) / col("cnt"), 6).as("v")),
+        struct(lit("row_count").as("measure"),
+          col("cnt").cast(DoubleType).as("v")))).as("mv"))
+      .select(col("grp"), col("mv.measure").as("measure"), col("mv.v").as("v"))
 
   private val gbMeltSql =
     """SELECT grp, 'totalprice_mean' AS measure, v_mean AS v FROM (

@@ -24,10 +24,12 @@ import org.apache.spark.sql.types._
   *   deviation.
   *
   * Scale: ONE scan of source + ONE of result produce the (attribute, bin)
-  * count table (exploded attr→bin pairs, map-side combined). Everything
-  * after operates on that KB-sized table; the leave-one-out is a self-join
-  * on it, never a rescan. Cross-engine float determinism: ln terms are
-  * rounded to DECIMAL(18,9) before the (exact) sum — see util.D.emit6.
+  * count table (exploded attr→bin pairs, map-side combined); a second
+  * aggregation gathers each attribute's bins into an array, and every
+  * measure — deviation, Shapley, leave-one-out influence — is array math
+  * over that single row (no self-join, no second reference to the scan).
+  * Cross-engine float determinism: ln terms are rounded to DECIMAL(18,9)
+  * and summed as exact long nano-units — see klSumNanos.
   */
 object Fedex {
 

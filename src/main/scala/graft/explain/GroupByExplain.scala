@@ -37,14 +37,25 @@ object GroupByExplain {
   def sigmaSql(sv: String, svv: String, k: String): String =
     s"SQRT(GREATEST($svv / $k - ($sv / $k) * ($sv / $k), 0))"
 
-  /** Standardized deviation per (measure, grp): z = |v − μ| / σ (0 when σ≈0). */
+  /** Standardized deviation per (measure, grp): z = |v − μ| / σ (0 when
+    * σ≈0). ONE aggregation gathers the per-measure groups and the z
+    * math runs as array expressions — joining the stats back onto the
+    * melt would reference (and re-plan) the source subtree twice.
+    * Decimal sums keep the stats order-independent. */
   def zdev(m: DataFrame): DataFrame = {
-    val s = measureStats(m)
+    val g = m.groupBy("measure")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("v").cast(dval)).cast(DoubleType).as("sv"),
+        sum((col("v") * col("v")).cast(dbig)).cast(DoubleType).as("svv"),
+        collect_list(struct(col("grp"), col("v"))).as("cells"))
     val mu = col("sv") / col("n_groups")
     val sigma = sigmaExpr(col("sv"), col("svv"), col("n_groups"))
-    m.join(s, Seq("measure"))
-      .select(col("measure"), col("grp"), col("v").as("value"), col("n_groups"),
-        when(sigma > 1e-12, graft.util.D.r(abs(col("v") - mu) / sigma, 6)).otherwise(lit(0.0)).as("zdev"))
+    g.select(col("measure"), col("n_groups"), explode(transform(col("cells"), c => struct(
+        c.getField("grp").as("grp"), c.getField("v").as("value"),
+        when(sigma > 1e-12, graft.util.D.r(abs(c.getField("v") - mu) / sigma, 6))
+          .otherwise(lit(0.0)).as("zdev")))).as("p"))
+      .select(col("measure"), col("p.grp").as("grp"), col("p.value").as("value"),
+        col("n_groups"), col("p.zdev").as("zdev"))
   }
 
   /** Exceptionality per measure = max standardized deviation. */
