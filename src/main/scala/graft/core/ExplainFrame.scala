@@ -93,16 +93,25 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
       .orderBy(col("cnt").desc, col(c))
   }
 
-  def describeStats(cols: Seq[String]): DataFrame =
-    cols.map { c =>
+  def describeStats(cols: Seq[String]): DataFrame = {
+    // ONE scan for all columns; per-column rows explode from the single
+    // aggregated row (per-column aggs unioned would scan once per column)
+    val aggs = cols.flatMap { c =>
       val n = count(col(c))
       val sm = D.emit6(D.dsum(col(c)))
       val sq = D.dsumsq(col(c))
-      df.agg(n.as("n"), D.r(sm / n).as("mean"),
-          D.r(sqrt(D.varSamp(sm, sq, n))).as("std"),
-          min(col(c)).as("min_v"), max(col(c)).as("max_v"))
-        .select(lit(c).as("col"), col("n"), col("mean"), col("std"), col("min_v"), col("max_v"))
-    }.reduce(_ unionByName _).orderBy("col")
+      Seq(n.as(s"${c}__n"), D.r(sm / n).as(s"${c}__mean"),
+        D.r(sqrt(D.varSamp(sm, sq, n))).as(s"${c}__std"),
+        min(col(c)).as(s"${c}__min_v"), max(col(c)).as(s"${c}__max_v"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(lit(c).as("col"),
+        col(s"${c}__n").as("n"), col(s"${c}__mean").as("mean"), col(s"${c}__std").as("std"),
+        col(s"${c}__min_v").as("min_v"), col(s"${c}__max_v").as("max_v"))): _*)).as("p"))
+      .select(col("p.col").as("col"), col("p.n").as("n"), col("p.mean").as("mean"),
+        col("p.std").as("std"), col("p.min_v").as("min_v"), col("p.max_v").as("max_v"))
+      .orderBy("col")
+  }
 
   // ------------------------------------------------------- explainers ---
 

@@ -207,10 +207,15 @@ object ManyToOne {
     val srcP = keep.map(ks => src.filter(labelExpr.isin(ks: _*))).getOrElse(src)
     val pairs = explodedPairs(srcP, labelExpr, attrs, nb, binningMethod)
 
+    // lt and ct are RE-AGGREGATIONS of lc, not separate passes over
+    // pairs: the three lc subtrees are then identical (same pruned
+    // columns), so the runtime exchange reuse collapses them to ONE
+    // pairs scan — aggregating pairs three ways directly pushes three
+    // different prunings below the exchanges and defeats the reuse
     val lc = pairs.groupBy("label", "attribute", "val").agg(count(lit(1)).as("n_match"))
-    val lt = pairs.filter(col("attribute") === attrs.head.name)
-      .groupBy("label").agg(count(lit(1)).as("n_label"))
-    val ct = pairs.groupBy("attribute", "val").agg(count(lit(1)).as("n_cond"))
+    val lt = lc.filter(col("attribute") === attrs.head.name)
+      .groupBy("label").agg(sum(col("n_match")).as("n_label"))
+    val ct = lc.groupBy("attribute", "val").agg(sum(col("n_match")).as("n_cond"))
 
     lc.join(lt, Seq("label")).join(ct, Seq("attribute", "val"))
       .select(col("label"), col("attribute"), col("val"), col("n_match"),
@@ -281,10 +286,12 @@ object ManyToOne {
       else None
     val srcP = keep.map(ks => src.filter(labelExpr.isin(ks: _*))).getOrElse(src)
     val pairs = explodedPairs(srcP, labelExpr, attrs, nb, binningMethod)
+    // lt/ct re-aggregate lc (identical subtrees → exchange reuse → one
+    // pairs scan), as in [[explain]]
     val lc = pairs.groupBy("label", "attribute", "val").agg(count(lit(1)).as("n_match"))
-    val lt = pairs.filter(col("attribute") === attrs.head.name)
-      .groupBy("label").agg(count(lit(1)).as("n_label"))
-    val ct = pairs.groupBy("attribute", "val").agg(count(lit(1)).as("n_cond"))
+    val lt = lc.filter(col("attribute") === attrs.head.name)
+      .groupBy("label").agg(sum(col("n_match")).as("n_label"))
+    val ct = lc.groupBy("attribute", "val").agg(sum(col("n_match")).as("n_cond"))
     val rules = lc.join(lt, Seq("label")).join(ct, Seq("attribute", "val"))
       .withColumn("coverage", graft.util.D.r(col("n_match").cast("double") / col("n_label"), 6))
       .withColumn("separation_err",
@@ -303,17 +310,18 @@ object ManyToOne {
       .agg(sum("n_err").as("err_total"))
     val withFrac = contrib.join(tot, Seq("label", "attribute", "val"))
       .withColumn("err_frac", graft.util.D.r(col("n_err").cast("double") / col("err_total"), 6))
-    val high = withFrac.filter(col("err_frac") > errTh)
-      .select(col("label"), col("attribute"), col("val"),
-        col("err_label"), lit(1L).as("n_groups"), col("n_err"), col("err_frac"))
-    val low = withFrac.filter(col("err_frac") <= errTh)
-      .groupBy("label", "attribute", "val")
+    // ONE groupBy covers both cases: >threshold contributors keep their
+    // err_label (singleton groups — n_groups 1, err_frac unchanged by
+    // the re-division), the rest collapse into 'other'. Splitting into
+    // filtered high/low branches would reference withFrac (and its
+    // whole upstream subtree) twice.
+    withFrac.groupBy(col("label"), col("attribute"), col("val"),
+        when(col("err_frac") > errTh, col("err_label")).otherwise(lit("other")).as("err_label"))
       .agg(count(lit(1)).as("n_groups"), sum("n_err").as("n_err"),
         max("err_total").as("err_total"))
-      .select(col("label"), col("attribute"), col("val"), lit("other").as("err_label"),
+      .select(col("label"), col("attribute"), col("val"), col("err_label"),
         col("n_groups"), col("n_err"),
         graft.util.D.r(col("n_err").cast("double") / col("err_total"), 6).as("err_frac"))
-    high.unionByName(low)
       .orderBy("label", "attribute", "val", "err_label")
   }
 

@@ -68,16 +68,17 @@ object MetaInsight {
     src.groupBy(col(filterDim).cast("string").as("subspace"), b1.as("b1"), b2.as("b2"))
       .agg(count(lit(1)).as("cnt"), sum(col(aggCol).cast(D.dec25)).as("sm"))
 
-  /** Cells of one breakdown re-aggregated from [[cube2]] (+ '*'). */
-  def cellsFrom(cube: DataFrame, bCol: String): DataFrame = {
-    val c0 = cube.groupBy(col("subspace"), col(bCol).as("b"))
-      .agg(sum(col("cnt")).as("cnt"), sum(col("sm")).as("sm"))
-    val cStar = c0.groupBy("b")
-      .agg(sum(col("cnt")).as("cnt"), sum(col("sm")).as("sm"))
-      .withColumn("subspace", lit("*"))
-      .select("subspace", "b", "cnt", "sm")
-    c0.unionByName(cStar)
-  }
+  /** Cells of one breakdown re-aggregated from [[cube2]] (+ '*') — one
+    * grouping-sets pass, so the cube subtree (and the corpus scan under
+    * it) is referenced exactly once; see [[cells]]. */
+  def cellsFrom(cube: DataFrame, bCol: String): DataFrame =
+    cube.withColumn("__b", col(bCol))
+      .groupingSets(Seq(Seq(col("subspace"), col("__b")), Seq(col("__b"))),
+        col("subspace"), col("__b"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sm")).as("sm"),
+        grouping(col("subspace")).as("__g"))
+      .select(when(col("__g") === 1, lit("*")).otherwise(col("subspace")).as("subspace"),
+        col("__b").as("b"), col("cnt"), col("sm"))
 
   /** Categorical patterns from a prebuilt cells table. */
   def catPatternsFromCells(cellsDf: DataFrame, breakdownName: String, meanName: String): DataFrame =

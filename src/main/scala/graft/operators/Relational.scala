@@ -303,21 +303,33 @@ object Relational extends QFamily {
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col")) { (s, dir) =>
       val li = t(s, dir, "lineitem")
-      Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+      // ONE scan computes every column's stats; the per-column rows
+      // explode from the single aggregated row (a union of per-column
+      // aggs would scan lineitem once per column)
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val aggs = cs.flatMap { c =>
         val n = count(col(c))
         val sm = dsumd(col(c))
         val sq = dsumsq(col(c))
-        li.agg(n.as("n"),
-          r(sm / n).as("mean"),
-          r(sqrt(varSamp(sm, sq, n))).as("std"),
-          min(col(c)).as("min_v"),
-          r(percentile(col(c), lit(0.25)), 4).as("q25"),
-          r(percentile(col(c), lit(0.5)), 4).as("q50"),
-          r(percentile(col(c), lit(0.75)), 4).as("q75"),
-          max(col(c)).as("max_v"))
-          .select(lit(c).as("col"), col("n"), col("mean"), col("std"), col("min_v"),
-            col("q25"), col("q50"), col("q75"), col("max_v"))
-      }.reduce(_ unionByName _).orderBy("col")
+        Seq(n.as(s"${c}__n"),
+          r(sm / n).as(s"${c}__mean"),
+          r(sqrt(varSamp(sm, sq, n))).as(s"${c}__std"),
+          min(col(c)).as(s"${c}__min_v"),
+          r(percentile(col(c), lit(0.25)), 4).as(s"${c}__q25"),
+          r(percentile(col(c), lit(0.5)), 4).as(s"${c}__q50"),
+          r(percentile(col(c), lit(0.75)), 4).as(s"${c}__q75"),
+          max(col(c)).as(s"${c}__max_v"))
+      }
+      li.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cs.map(c => struct(lit(c).as("col"),
+          col(s"${c}__n").as("n"), col(s"${c}__mean").as("mean"),
+          col(s"${c}__std").as("std"), col(s"${c}__min_v").as("min_v"),
+          col(s"${c}__q25").as("q25"), col(s"${c}__q50").as("q50"),
+          col(s"${c}__q75").as("q75"), col(s"${c}__max_v").as("max_v"))): _*)).as("p"))
+        .select(col("p.col").as("col"), col("p.n").as("n"), col("p.mean").as("mean"),
+          col("p.std").as("std"), col("p.min_v").as("min_v"), col("p.q25").as("q25"),
+          col("p.q50").as("q50"), col("p.q75").as("q75"), col("p.max_v").as("max_v"))
+        .orderBy("col")
     },
 
     // ---- window functions ----------------------------------------------
