@@ -86,9 +86,12 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
     math.max(1L, math.round(n.toDouble / sampleSize))
 
   def valueCounts(c: String): DataFrame = {
-    val total = df.agg(count(lit(1)).as("total"))
-    df.groupBy(c).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
+    // total re-sums the group counts: identical subtrees → one scan via
+    // exchange reuse (a direct df count would prune differently and
+    // scan again)
+    val grouped = df.groupBy(c).agg(count(lit(1)).as("cnt"))
+    val total = grouped.agg(sum(col("cnt")).as("total"))
+    grouped.crossJoin(broadcast(total))
       .select(col(c), col("cnt"), D.r(col("cnt").cast(DoubleType) / col("total")).as("share"))
       .orderBy(col("cnt").desc, col(c))
   }

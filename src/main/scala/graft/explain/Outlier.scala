@@ -44,9 +44,14 @@ object Outlier {
       .groupBy("grp", "attribute", "bin")
       .agg(count(lit(1)).as("cnt"), sum(col("y").cast(D.dec25)).as("sm"))
 
-    // per-group totals (tiny)
-    val tot = src.groupBy(col(groupCol).as("grp"))
-      .agg(count(lit(1)).as("cnt_g"), sum(col(aggCol).cast(D.dec25)).as("sm_g"))
+    // per-group totals (tiny) — RE-AGGREGATED from the cube over one
+    // attribute's bins rather than scanned from src again: the cube
+    // subtrees are then identical, so runtime exchange reuse collapses
+    // every consumer to ONE scan (decimal sums make the two-level total
+    // exactly equal to a direct one)
+    val tot = cube.filter(col("attribute") === attrs.head)
+      .groupBy("grp")
+      .agg(sum(col("cnt")).as("cnt_g"), sum(col("sm")).as("sm_g"))
 
     def vCol(sm: Column, cnt: Column): Column = sm.cast(D.dec25).cast(DoubleType) / cnt
 

@@ -280,9 +280,11 @@ object Relational extends QFamily {
         |FROM lineitem GROUP BY l_returnflag ORDER BY cnt DESC, l_returnflag""".stripMargin) { (s, dir) =>
       val li = t(s, dir, "lineitem")
       // scalar total via broadcast cross join (NOT a global window, which
-      // would single-partition the data at scale)
-      val total = li.agg(count(lit(1)).as("total"))
-      li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+      // would single-partition the data at scale); the total re-sums the
+      // group counts so both subtrees share one scan via exchange reuse
+      val grouped = li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+      val total = grouped.agg(sum(col("cnt")).as("total"))
+      grouped
         .crossJoin(broadcast(total))
         .select(col("l_returnflag"), col("cnt"),
           r(col("cnt").cast("double") / col("total")).as("share"))
