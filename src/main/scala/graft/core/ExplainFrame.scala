@@ -98,19 +98,22 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
 
   def describeStats(cols: Seq[String]): DataFrame = {
     // ONE scan for all columns; per-column rows explode from the single
-    // aggregated row (per-column aggs unioned would scan once per column)
-    val aggs = cols.flatMap { c =>
+    // aggregated row (per-column aggs unioned would scan once per
+    // column). Aliases carry the column INDEX so a repeated column
+    // (legal in the pandas mirror) stays unambiguous and yields its
+    // duplicate row as before.
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       val n = count(col(c))
       val sm = D.emit6(D.dsum(col(c)))
       val sq = D.dsumsq(col(c))
-      Seq(n.as(s"${c}__n"), D.r(sm / n).as(s"${c}__mean"),
-        D.r(sqrt(D.varSamp(sm, sq, n))).as(s"${c}__std"),
-        min(col(c)).as(s"${c}__min_v"), max(col(c)).as(s"${c}__max_v"))
+      Seq(n.as(s"__${i}_n"), D.r(sm / n).as(s"__${i}_mean"),
+        D.r(sqrt(D.varSamp(sm, sq, n))).as(s"__${i}_std"),
+        min(col(c)).as(s"__${i}_min_v"), max(col(c)).as(s"__${i}_max_v"))
     }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(cols.map(c => struct(lit(c).as("col"),
-        col(s"${c}__n").as("n"), col(s"${c}__mean").as("mean"), col(s"${c}__std").as("std"),
-        col(s"${c}__min_v").as("min_v"), col(s"${c}__max_v").as("max_v"))): _*)).as("p"))
+      .select(explode(array(cols.zipWithIndex.map { case (c, i) => struct(lit(c).as("col"),
+        col(s"__${i}_n").as("n"), col(s"__${i}_mean").as("mean"), col(s"__${i}_std").as("std"),
+        col(s"__${i}_min_v").as("min_v"), col(s"__${i}_max_v").as("max_v")) }: _*)).as("p"))
       .select(col("p.col").as("col"), col("p.n").as("n"), col("p.mean").as("mean"),
         col("p.std").as("std"), col("p.min_v").as("min_v"), col("p.max_v").as("max_v"))
       .orderBy("col")

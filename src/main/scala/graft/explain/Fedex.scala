@@ -114,7 +114,14 @@ object Fedex {
     * re-planned the corpus scan per reference — the same duplicated-
     * subtree cost the metainsight rewrite removed. Determinism: terms
     * are DECIMAL(18,9) and decimal sums are exact and associative, so
-    * nothing depends on collect_list's arrival order. */
+    * nothing depends on collect_list's arrival order.
+    *
+    * Cardinality contract: one row holds ALL of an attribute's bins,
+    * and the leave-one-out is O(k²) within it — sized for explanation
+    * bins (numeric attrs have `nb` bins; categorical attrs are
+    * expected to be low-cardinality dimensions, as in the reference,
+    * whose per-value binning has the same contract). Do not feed
+    * ID-like categorical attributes. */
   private def attrCells(counts: DataFrame): DataFrame =
     counts.filter(col("ns") > 0)
       .groupBy("attribute")
@@ -170,7 +177,10 @@ object Fedex {
     * term with e's counts removed from the totals — O(k²) on
     * bin-cardinality arrays, no self-join, no second scan. */
   def influenceCells(counts: DataFrame): DataFrame =
-    attrCells(counts).select(col("attribute"),
+    // single-bin attributes have no leave-one-out (removing the only
+    // bin leaves nothing): dropped, matching the oracle's self-join on
+    // bin <> bin which produces no row for k = 1
+    attrCells(counts).filter(col("k") > 1).select(col("attribute"),
       klSum(col("cells"), col("n_res"), col("n_src"), col("k")).as("kl_score"),
       transform(col("cells"), e => struct(
         e.getField("bin").as("bin"), e.getField("ns").as("ns"), e.getField("nr").as("nr"),
@@ -215,7 +225,8 @@ object Fedex {
        |  FROM cnt WHERE ns > 0)""".stripMargin
   }
 
-  /** DuckDB CTE prefix producing the same `en` table as [[enriched]]. */
+  /** DuckDB CTE prefix producing the bin counts + per-attribute totals
+    * (`en`) that [[attrCells]] gathers on the Spark side. */
   def countsSql(table: String, srcWhere: String, resWhere: String,
                 num: Seq[String], cat: Seq[String], nb: Int = 10): String = {
     val statCols = num.map(a => s"MIN($a) AS lo_$a, MAX($a) AS hi_$a").mkString(", ")

@@ -23,14 +23,6 @@ object GroupByExplain {
   def dvalSql(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE)"
   def dbigSql(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(24,2))) AS DOUBLE)"
 
-  /** Given a melted (measure, grp, v) table, return per-measure stats:
-    * (measure, n_groups, sv, svv) with deterministic sums. */
-  def measureStats(m: DataFrame): DataFrame =
-    m.groupBy("measure")
-      .agg(count(lit(1)).as("n_groups"),
-        sum(col("v").cast(dval)).cast(DoubleType).as("sv"),
-        sum((col("v") * col("v")).cast(dbig)).cast(DoubleType).as("svv"))
-
   def sigmaExpr(sv: Column, svv: Column, k: Column): Column =
     sqrt(greatest(svv / k - (sv / k) * (sv / k), lit(0.0)))
 
@@ -41,7 +33,10 @@ object GroupByExplain {
     * σ≈0). ONE aggregation gathers the per-measure groups and the z
     * math runs as array expressions — joining the stats back onto the
     * melt would reference (and re-plan) the source subtree twice.
-    * Decimal sums keep the stats order-independent. */
+    * Decimal sums keep the stats order-independent. Cardinality
+    * contract: one row holds every group of a measure — sized for
+    * explanation-grade groupbys (the exceptionality measure itself is
+    * meaningless over ID-like grouping keys). */
   def zdev(m: DataFrame): DataFrame = {
     val g = m.groupBy("measure")
       .agg(count(lit(1)).as("n_groups"),

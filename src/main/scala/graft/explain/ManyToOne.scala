@@ -316,9 +316,13 @@ object ManyToOne {
     // filtered high/low branches would reference withFrac (and its
     // whole upstream subtree) twice.
     withFrac.groupBy(col("label"), col("attribute"), col("val"),
+        (col("err_frac") > errTh).as("is_high"),
         when(col("err_frac") > errTh, col("err_label")).otherwise(lit("other")).as("err_label"))
       .agg(count(lit(1)).as("n_groups"), sum("n_err").as("n_err"),
         max("err_total").as("err_total"))
+      // is_high stays in the grouping (then drops) so a genuine
+      // contributor literally labeled "other" keeps its own row apart
+      // from the below-threshold rollup, as in the two-branch form
       .select(col("label"), col("attribute"), col("val"), col("err_label"),
         col("n_groups"), col("n_err"),
         graft.util.D.r(col("n_err").cast("double") / col("err_total"), 6).as("err_frac"))

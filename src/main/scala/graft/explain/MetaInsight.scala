@@ -130,7 +130,11 @@ object MetaInsight {
     * collect_list's arrival order. */
   private def catPatternsKeyed(m: DataFrame, keys: Seq[String]): DataFrame = {
     val kc = keys.map(col)
-    val g = m.groupBy(kc: _*)
+    // NULL subspaces are excluded, as in the SQL mirrors (and the
+    // earlier stats join, whose NULL keys never matched); without this
+    // a NULL filter-dim value would add a subspace on the Spark side
+    // only and shift commonness
+    val g = m.filter(col("subspace").isNotNull).groupBy(kc: _*)
       .agg(count(lit(1)).as("k"),
         sum(col("v").cast(dval)).cast(DoubleType).as("sv"),
         sum((col("v") * col("v")).cast(dbig)).cast(DoubleType).as("svv"),

@@ -277,6 +277,35 @@ class ExplainFrameSpec extends AnyFunSuite {
       graft.explain.MetaInsight.mine(pats, minCommonness = 0.0))
   }
 
+  test("influence drops single-bin attributes, deviation keeps them") {
+    import spark.implicits._
+    // k=1 leave-one-out is undefined (removing the only bin leaves
+    // nothing); the SQL oracle's bin<>bin self-join emits no row, so
+    // the array path must drop it too — while plain deviation keeps it
+    val counts = Seq(
+      ("solo", "0", 10L, 5L),
+      ("multi", "a", 6L, 2L), ("multi", "b", 4L, 3L))
+      .toDF("attribute", "bin", "ns", "nr")
+    val infl = graft.explain.Fedex.binInfluence(counts).collect()
+    assert(infl.forall(_.getString(0) == "multi"), s"k=1 row leaked: ${infl.mkString(";")}")
+    assert(infl.length === 2)
+    val dev = graft.explain.Fedex.filterDeviation(counts).collect()
+    assert(dev.map(_.getString(0)).toSet === Set("solo", "multi"))
+  }
+
+  test("metainsight excludes NULL filter-dim subspaces") {
+    import spark.implicits._
+    // NULL subspace values must not become pattern scopes (the SQL
+    // mirrors' stats join drops them); '*' and real values remain
+    val rows = Seq(
+      (Some("a"), "x", 90.0), (Some("a"), "y", 10.0),
+      (None: Option[String], "x", 50.0))
+      .toDF("f", "g", "v")
+    val pats = graft.explain.MetaInsight.catPatterns(rows, "f", "g", "v", "v_mean")
+    val subs = pats.select("subspace").distinct().collect().map(_.getString(0)).toSet
+    assert(subs === Set("a", "*"), s"unexpected subspaces: $subs")
+  }
+
   test("metainsight highlights skip cells whose metric is NULL") {
     import spark.implicits._
     // the 'nullcell' breakdown value has only NULL measures -> its mean,
