@@ -142,6 +142,21 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("derived totals reuse the grouped exchange at runtime") {
+    // value_counts' total, many_to_one's lt/ct, and the outlier
+    // explainer's per-group totals are RE-AGGREGATIONS of the same
+    // aggregate (identical subtrees) precisely so the runtime exchange
+    // reuse collapses them to one scan — assert the final adaptive
+    // plan actually contains ReusedExchange nodes
+    for (name <- Seq("q_value_counts", "q_many_to_one", "q_outlier_explain")) {
+      val df = graft.SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"$name: no runtime exchange reuse — identical-subtree property regressed:\n${p.take(1200)}")
+    }
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; f }
