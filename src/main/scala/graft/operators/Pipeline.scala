@@ -294,6 +294,28 @@ object Pipeline extends QFamily {
     }, (s, dir) => graft.text.Corpus.decontaminate(t(s, dir, "documents"),
       pmod(col("doc_id"), lit(97)) === 0).orderBy("doc_id")),
 
+    // the boolean form of decontamination (the streaming-safe
+    // Corpus.contaminated operator): WHICH docs overlap the eval slice,
+    // not how much — stateless arrays_overlap against the folded eval
+    // shingle set, so the same plan runs on a stream
+    QDef("q_contaminated", {
+      val sh = TextOps.shinglesSql("text")
+      Some(s"""WITH ev AS (SELECT DISTINCT sh FROM (
+              |    SELECT unnest(list_distinct($sh)) AS sh FROM documents WHERE doc_id % 97 = 0)),
+              |tr AS (SELECT doc_id, source, unnest(list_distinct($sh)) AS sh
+              |  FROM documents WHERE doc_id % 97 <> 0)
+              |SELECT DISTINCT tr.doc_id, tr.source
+              |FROM tr JOIN ev ON tr.sh = ev.sh
+              |ORDER BY doc_id""".stripMargin)
+    }, (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Corpus.contaminated(
+          d.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+          graft.text.Corpus.evalShingleSet(d.filter(pmod(col("doc_id"), lit(97)) === 0)))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition stats: entirely scan-local (array
     // functions, no explode/shuffle — each doc's stats come from its own
     // token array, so the operator is embarrassingly parallel at any
