@@ -107,18 +107,22 @@ object Correlation {
     * a single projection pass under one aggregate. Values identical to
     * the dsum/dsumBig forms. */
   private def momentAgg(df: DataFrame, cols: Seq[String],
-                        pairs: Seq[(String, String)]): DataFrame = {
+                        pairs: Seq[(String, String)],
+                        groupCols: Seq[String] = Nil): DataFrame = {
     val moments: Seq[(String, Column)] =
       cols.map(c => s"fs_$c" -> col(c)) ++
         cols.map(c => s"fss_$c" -> (col(c) * col(c))) ++
         pairs.map(p => s"fsp_${p._1}__${p._2}" -> (col(p._1) * col(p._2)))
-    val proj = df.select(moments.flatMap { case (n, e) =>
+    val proj = df.select(groupCols.map(col) ++ moments.flatMap { case (n, e) =>
       val (f, s) = quantCols(e); Seq(f.as(n), s.as(s"${n}__sv")) }: _*)
     val aggs = moments.map(_._1).flatMap(chunkAggs) ++
       moments.map { case (n, _) => sum(col(s"${n}__sv")).as(s"${n}__side") } :+
       count(lit(1)).as("n")
-    proj.agg(aggs.head, aggs.tail: _*)
-      .select(cols.map(c => value6(recombine(s"fs_$c")).cast(D.dec25).cast(DoubleType).as(s"s_$c")) ++
+    val agged =
+      if (groupCols.isEmpty) proj.agg(aggs.head, aggs.tail: _*)
+      else proj.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    agged.select(groupCols.map(col) ++
+        cols.map(c => value6(recombine(s"fs_$c")).cast(D.dec25).cast(DoubleType).as(s"s_$c")) ++
         cols.map(c => value6(recombine(s"fss_$c")).cast(DecimalType(38, 0)).cast(DoubleType).as(s"ss_$c")) ++
         pairs.map(p => value6(recombine(s"fsp_${p._1}__${p._2}")).cast(DecimalType(38, 0)).cast(DoubleType).as(s"sp_${p._1}__${p._2}")) :+
         col("n"): _*)
@@ -140,6 +144,32 @@ object Correlation {
         graft.util.D.r(when(den > 1e-9, num / den).otherwise(lit(0.0)), 6).as("value"))
     }
     a.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** Per-group Pearson r (the pandas `groupby().corr()` analog for one
+    * pair): ONE scan, chunked-long exact moments per group, same
+    * formula and emission as [[pearson]]. */
+  def pearsonBy(df: DataFrame, groupCol: String, x: String, y: String): DataFrame = {
+    val a = momentAgg(df, Seq(x, y).distinct, Seq((x, y)), Seq(groupCol))
+    val n = col("n")
+    val num = n * col(s"sp_${x}__$y") - col(s"s_$x") * col(s"s_$y")
+    val den = sqrt(greatest(n * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x"), lit(0.0))) *
+      sqrt(greatest(n * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y"), lit(0.0)))
+    a.select(col(groupCol),
+        graft.util.D.r(when(den > 1e-9, num / den).otherwise(lit(0.0)), 6).as("pearson_r"),
+        col("n"))
+      .orderBy(groupCol)
+  }
+
+  def pearsonBySql(table: String, groupCol: String, x: String, y: String): String = {
+    val n = "CAST(COUNT(*) AS DOUBLE)"
+    val num = s"($n * ${dsumBigSql(s"$x * $y")} - ${dsumSql(x)} * ${dsumSql(y)})"
+    val den = s"(SQRT(GREATEST($n * ${dsumBigSql(s"$x * $x")} - ${dsumSql(x)} * ${dsumSql(x)}, 0)) * " +
+      s"SQRT(GREATEST($n * ${dsumBigSql(s"$y * $y")} - ${dsumSql(y)} * ${dsumSql(y)}, 0)))"
+    s"""SELECT $groupCol,
+       |  ROUND(CASE WHEN $den > 1e-9 THEN $num / $den ELSE 0.0 END, 6) AS pearson_r,
+       |  CAST(COUNT(*) AS BIGINT) AS n
+       |FROM $table GROUP BY $groupCol ORDER BY $groupCol""".stripMargin
   }
 
   def pearsonSql(table: String, pairs: Seq[(String, String)]): String =

@@ -310,6 +310,14 @@ object Explainers extends QFamily {
         .explainFedex(attributes = Seq("c_acctbal", "c_mktsegment"), topK = 10)
     }),
 
+    // per-group Pearson (pandas groupby().corr() single-pair analog):
+    // one scan, chunked-long exact moments per group
+    QDef("q_groupby_corr",
+      Some(Correlation.pearsonBySql("lineitem", "l_returnflag",
+        "l_quantity", "l_extendedprice")),
+      (s, dir) => Correlation.pearsonBy(t(s, dir, "lineitem"), "l_returnflag",
+        "l_quantity", "l_extendedprice")),
+
     QDef("q_correlation",
       Some(Seq(
         Correlation.pearsonSql("lineitem", Seq(
