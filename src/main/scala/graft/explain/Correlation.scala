@@ -136,36 +136,47 @@ object Correlation {
     val cols = pairs.flatMap(p => Seq(p._1, p._2)).distinct
     val a = momentAgg(df, cols, pairs)
     val rows = pairs.map { case (x, y) =>
-      val n = col("n")
-      val num = n * col(s"sp_${x}__$y") - col(s"s_$x") * col(s"s_$y")
-      val den = sqrt(greatest(n * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x"), lit(0.0))) *
-        sqrt(greatest(n * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y"), lit(0.0)))
       struct(lit("pearson").as("stat"), lit(x).as("col_x"), lit(y).as("col_y"),
-        graft.util.D.r(when(den > 1e-9, num / den).otherwise(lit(0.0)), 6).as("value"))
+        pearsonExpr(x, y).as("value"))
     }
     a.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 
-  /** Per-group Pearson r (the pandas `groupby().corr()` analog for one
-    * pair): ONE scan, chunked-long exact moments per group, same
-    * formula and emission as [[pearson]]. */
-  def pearsonBy(df: DataFrame, groupCol: String, x: String, y: String): DataFrame = {
-    val a = momentAgg(df, Seq(x, y).distinct, Seq((x, y)), Seq(groupCol))
+  /** The Pearson r expression over a momentAgg row — the ONE place the
+    * determinism-sensitive formula lives (used by [[pearson]],
+    * [[pearsonBy]], and [[suite]]). */
+  private def pearsonExpr(x: String, y: String): Column = {
     val n = col("n")
     val num = n * col(s"sp_${x}__$y") - col(s"s_$x") * col(s"s_$y")
     val den = sqrt(greatest(n * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x"), lit(0.0))) *
       sqrt(greatest(n * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y"), lit(0.0)))
-    a.select(col(groupCol),
-        graft.util.D.r(when(den > 1e-9, num / den).otherwise(lit(0.0)), 6).as("pearson_r"),
-        col("n"))
-      .orderBy(groupCol)
+    graft.util.D.r(when(den > 1e-9, num / den).otherwise(lit(0.0)), 6)
   }
 
-  def pearsonBySql(table: String, groupCol: String, x: String, y: String): String = {
+  /** SQL mirror of [[pearsonExpr]] as a (num, den) pair. */
+  private def pearsonExprSql(x: String, y: String): (String, String) = {
     val n = "CAST(COUNT(*) AS DOUBLE)"
     val num = s"($n * ${dsumBigSql(s"$x * $y")} - ${dsumSql(x)} * ${dsumSql(y)})"
     val den = s"(SQRT(GREATEST($n * ${dsumBigSql(s"$x * $x")} - ${dsumSql(x)} * ${dsumSql(x)}, 0)) * " +
       s"SQRT(GREATEST($n * ${dsumBigSql(s"$y * $y")} - ${dsumSql(y)} * ${dsumSql(y)}, 0)))"
+    (num, den)
+  }
+
+  /** Per-group Pearson r (the pandas `groupby().corr()` analog for one
+    * pair): ONE scan, chunked-long exact moments per group, same
+    * formula and emission as [[pearson]]. NULL groups sort last to
+    * match the DuckDB mirror's default ordering. */
+  def pearsonBy(df: DataFrame, groupCol: String, x: String, y: String): DataFrame = {
+    require(groupCol != "n" && !groupCol.contains("__") &&
+      !groupCol.startsWith("fs") && !groupCol.startsWith("s_") && !groupCol.startsWith("ss_"),
+      s"group column '$groupCol' collides with internal moment aliases")
+    val a = momentAgg(df, Seq(x, y).distinct, Seq((x, y)), Seq(groupCol))
+    a.select(col(groupCol), pearsonExpr(x, y).as("pearson_r"), col("n"))
+      .orderBy(col(groupCol).asc_nulls_last)
+  }
+
+  def pearsonBySql(table: String, groupCol: String, x: String, y: String): String = {
+    val (num, den) = pearsonExprSql(x, y)
     s"""SELECT $groupCol,
        |  ROUND(CASE WHEN $den > 1e-9 THEN $num / $den ELSE 0.0 END, 6) AS pearson_r,
        |  CAST(COUNT(*) AS BIGINT) AS n
@@ -174,10 +185,7 @@ object Correlation {
 
   def pearsonSql(table: String, pairs: Seq[(String, String)]): String =
     pairs.map { case (x, y) =>
-      val n = "CAST(COUNT(*) AS DOUBLE)"
-      val num = s"($n * ${dsumBigSql(s"$x * $y")} - ${dsumSql(x)} * ${dsumSql(y)})"
-      val den = s"(SQRT(GREATEST($n * ${dsumBigSql(s"$x * $x")} - ${dsumSql(x)} * ${dsumSql(x)}, 0)) * " +
-        s"SQRT(GREATEST($n * ${dsumBigSql(s"$y * $y")} - ${dsumSql(y)} * ${dsumSql(y)}, 0)))"
+      val (num, den) = pearsonExprSql(x, y)
       s"""SELECT 'pearson' AS stat, '$x' AS col_x, '$y' AS col_y,
          |  ROUND(CASE WHEN $den > 1e-9 THEN $num / $den ELSE 0.0 END, 6) AS value
          |FROM $table""".stripMargin
@@ -200,12 +208,8 @@ object Correlation {
     val cols = pairs.flatMap(p => Seq(p._1, p._2)).distinct
     val a = momentAgg(df, cols, pairs)
     val pearsonRows = pairs.map { case (x, y) =>
-      val n = col("n")
-      val numr = n * col(s"sp_${x}__$y") - col(s"s_$x") * col(s"s_$y")
-      val den = sqrt(greatest(n * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x"), lit(0.0))) *
-        sqrt(greatest(n * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y"), lit(0.0)))
       struct(lit("pearson").as("stat"), lit(x).as("col_x"), lit(y).as("col_y"),
-        graft.util.D.r(when(den > 1e-9, numr / den).otherwise(lit(0.0)), 6).as("value"))
+        pearsonExpr(x, y).as("value"))
     }
     val pearsonDf = a.select(explode(array(pearsonRows: _*)).as("r")).select("r.*")
 

@@ -294,10 +294,11 @@ object Pipeline extends QFamily {
     }, (s, dir) => graft.text.Corpus.decontaminate(t(s, dir, "documents"),
       pmod(col("doc_id"), lit(97)) === 0).orderBy("doc_id")),
 
-    // the boolean form of decontamination (the streaming-safe
-    // Corpus.contaminated operator): WHICH docs overlap the eval slice,
-    // not how much — stateless arrays_overlap against the folded eval
-    // shingle set, so the same plan runs on a stream
+    // the boolean form of decontamination (Corpus.contaminated): WHICH
+    // docs overlap the eval slice, not how much. On this batch input it
+    // plans the narrow explode + LEFT SEMI + id-join-back; the SAME
+    // operator on a stream plans the stateless arrays_overlap form
+    // (StreamingSpec asserts the two agree)
     QDef("q_contaminated", {
       val sh = TextOps.shinglesSql("text")
       Some(s"""WITH ev AS (SELECT DISTINCT sh FROM (

@@ -41,8 +41,10 @@ object Corpus {
     * word-3-gram with `evalShingles` (a STATIC one-column DataFrame of
     * shingles, e.g. [[evalShingleSet]] built once from the benchmark
     * suite). Returns the contaminated documents with their original
-    * columns — anti-join the result to drop them. The plan is chosen
-    * by mode, same semantics either way:
+    * columns — anti-join the result to drop them. `docs` must carry a
+    * unique, non-null `doc_id` column (the contract of every Corpus
+    * operator); under it the two plans below agree exactly, and
+    * StreamingSpec asserts the parity. The plan is chosen by mode:
     *
     *  - BATCH: per-row-distinct shingles explode into a LEFT SEMI join
     *    against the eval set (AQE broadcasts it) + a per-document
@@ -59,6 +61,8 @@ object Corpus {
     * explode+distinct each trigger. The library itself never persists
     * (caller owns the lifetime). */
   def contaminated(docs: DataFrame, evalShingles: DataFrame): DataFrame = {
+    require(docs.columns.contains("doc_id"),
+      "Corpus.contaminated requires a unique non-null doc_id column")
     val shCol = evalShingles.columns.head
     if (docs.isStreaming) {
       // stateless per-row check against the folded eval set — the only
