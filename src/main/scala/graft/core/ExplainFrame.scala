@@ -562,4 +562,11 @@ final class ExplainGroupBy(parent: ExplainFrame, cols: Seq[String]) {
   def prod(c: String): ExplainFrame =
     agg1(c, "prod", product(col(c).cast(DoubleType)))
   def size(): ExplainFrame = count()
+  /** Per-group Pearson r between two columns (pandas GroupBy.corr for
+    * one pair) — Correlation.pearsonBy: one scan, chunked-long exact
+    * moments per group. Single group column only. */
+  def corr(x: String, y: String): DataFrame = {
+    require(cols.size == 1, "corr supports a single group column")
+    Correlation.pearsonBy(parent.df, cols.head, x, y)
+  }
 }

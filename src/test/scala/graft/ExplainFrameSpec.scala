@@ -99,6 +99,12 @@ class ExplainFrameSpec extends AnyFunSuite {
     val p = li.filter(col("l_quantity") <= 2)
       .groupBy("l_returnflag").prod("l_quantity").df.collect()
     assert(p.nonEmpty && p.forall(r => r.getDouble(1) > 0))
+    // groupBy().corr: per-group Pearson in [-1, 1], matching the global
+    // pearson when there is effectively one group
+    val c = li.groupBy("l_returnflag").corr("l_quantity", "l_extendedprice").collect()
+    assert(c.nonEmpty && c.forall(r => math.abs(r.getDouble(1)) <= 1.0))
+    intercept[IllegalArgumentException](
+      li.groupBy("l_returnflag", "l_linestatus").corr("l_quantity", "l_extendedprice"))
   }
 
   test("metainsight auto-search derives scopes from the schema") {
