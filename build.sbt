@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through untouched: the bench driver
+// json-parses Bench's output line, and sbt's default LoggedOutput
+// strategy would prefix it with "[info] " (broke BENCH_r03 parsing).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop the trailing "[success] Total time" line so the JSON
+// stays the last line of stdout.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
