@@ -266,7 +266,7 @@ object Dedup {
     * ubiquitous shingles has near-zero Jaccard anyway). The oracle
     * mirrors the same candidate rule. */
   def ngramJaccard(docs: DataFrame, blockCol: String, th: Double,
-                   dfCap: Int = NgramDfCap, cache: Boolean = true): DataFrame = {
+                   dfCap: Int = NgramDfCap, cache: Boolean = false): DataFrame = {
     // Per-doc DISTINCT hashed shingle ARRAY, built entirely per-row (one
     // scan, zero shuffle) and reused by every stage — candidate docs are
     // few, so intersections run as size(array_intersect(...)) on the
@@ -278,14 +278,15 @@ object Dedup {
           s => conv(substring(md5(s.cast(BinaryType)), 1, 15), 16, 10).cast(LongType))))
           .as("shs"))
       .withColumn("sz", size(col("shs")).cast(LongType))
-    // CACHE OWNERSHIP: with cache=true (default) the per-doc array table
-    // is persist()ed — it feeds three differently-pruned consumers, so
-    // exchange reuse cannot deduplicate it (unlike the sig tables above)
-    // and an uncached plan re-hashes every shingle three times (~2.5x
-    // slower measured). The cached partitions belong to the returned
-    // plan; callers running many queries in one session should
-    // spark.catalog.clearCache() between them (Bench/Verify do) or pass
-    // cache=false for a persist-free plan.
+    // CACHE OWNERSHIP: the default (cache=false) is persist-free, like
+    // every other dedup entry point — a long-lived session calling the
+    // library repeatedly accumulates no cached RDDs. cache=true is an
+    // explicit opt-in for callers that own cleanup: the per-doc array
+    // table feeds three differently-pruned consumers, so exchange reuse
+    // cannot deduplicate it (unlike the sig tables above) and an
+    // uncached plan re-hashes every shingle three times (~2.5x slower
+    // measured). An opting-in caller must spark.catalog.clearCache() (or
+    // unpersist) after the action — Bench/Verify do, between queries.
     val arr = if (cache) arr0.persist() else arr0
     // ONE corpus-sized shuffle: group shingle occurrences by (block,
     // shingle), keeping AT MOST dfCap+1 doc ids per key via the bounded

@@ -121,12 +121,14 @@ object Fedex {
     * bins (numeric attrs have `nb` bins; categorical attrs are
     * expected to be low-cardinality dimensions, as in the reference,
     * whose per-value binning has the same contract). Do not feed
-    * ID-like categorical attributes. */
+    * ID-like categorical attributes — enforced fail-fast by
+    * [[graft.util.Guard.cellCap]]. */
   private def attrCells(counts: DataFrame): DataFrame =
     counts.filter(col("ns") > 0)
       .groupBy("attribute")
       .agg(collect_list(struct(col("bin"), col("ns"), col("nr"))).as("cells"),
         sum(col("ns")).as("n_src"), sum(col("nr")).as("n_res"), count(lit(1)).as("k"))
+      .withColumn("k", graft.util.Guard.cellCap(col("k"), col("k"), "Fedex.attrCells"))
 
   /** Exact Σ of klTerm over `cells`, accumulated as LONG nano-units:
     * terms are DECIMAL(18,9), so term × 10⁹ is an exact integer

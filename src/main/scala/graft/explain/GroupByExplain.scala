@@ -36,13 +36,16 @@ object GroupByExplain {
     * Decimal sums keep the stats order-independent. Cardinality
     * contract: one row holds every group of a measure — sized for
     * explanation-grade groupbys (the exceptionality measure itself is
-    * meaningless over ID-like grouping keys). */
+    * meaningless over ID-like grouping keys); enforced fail-fast by
+    * [[graft.util.Guard.cellCap]]. */
   def zdev(m: DataFrame): DataFrame = {
     val g = m.groupBy("measure")
       .agg(count(lit(1)).as("n_groups"),
         sum(col("v").cast(dval)).cast(DoubleType).as("sv"),
         sum((col("v") * col("v")).cast(dbig)).cast(DoubleType).as("svv"),
         collect_list(struct(col("grp"), col("v"))).as("cells"))
+      .withColumn("n_groups",
+        graft.util.Guard.cellCap(col("n_groups"), col("n_groups"), "GroupByExplain.zdev"))
     val mu = col("sv") / col("n_groups")
     val sigma = sigmaExpr(col("sv"), col("svv"), col("n_groups"))
     g.select(col("measure"), col("n_groups"), explode(transform(col("cells"), c => struct(

@@ -138,8 +138,16 @@ object ManyToOne {
     if (rowsAll.length <= maxLabels) return None
     // a label whose numeric attribute is all-NULL has a NULL mean: no
     // centroid exists, so it cannot be ranked — exclude it (it would NPE
-    // on unboxing otherwise); such labels are pruned away
+    // on unboxing otherwise); such labels are pruned away, and the SQL
+    // mirror excludes them identically (HAVING COUNT(attr) > 0), so
+    // ranking denominators agree between engines
     val rows = rowsAll.filter(r => numAttrs.indices.forall(i => !r.isNullAt(i + 1)))
+    // fewer than two rankable centroids -> pairwise distances don't
+    // exist (a 1-label "average" would be 0/0); fall back to frequency
+    // pruning rather than emit an arbitrary NaN-ranked order
+    if (rows.length < 2)
+      return topLabels(src.select(labelExpr.as("label"))
+        .filter(col("label").isNotNull), maxLabels)
     val labs = rows.map(_.getString(0))
     val ms = rows.map(r => numAttrs.indices.map(i => r.getDouble(i + 1)).toArray)
     def round6(x: Double): Double = math.round(x * 1e6) / 1e6
@@ -491,7 +499,7 @@ object ManyToOne {
        |  FROM $table WHERE $labelCol IS NOT NULL),
        |means AS (SELECT label,
        |    ROUND(CAST(SUM(CAST($attr AS DECIMAL(25,6))) AS DOUBLE) / COUNT($attr), 6) AS m
-       |  FROM labs GROUP BY 1),
+       |  FROM labs GROUP BY 1 HAVING COUNT($attr) > 0),
        |dists AS (SELECT a.label, ROUND(sqrt((a.m - b.m) * (a.m - b.m)), 6) AS d
        |  FROM means a JOIN means b ON a.label <> b.label),
        |avgd AS (SELECT label,

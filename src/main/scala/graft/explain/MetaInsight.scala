@@ -139,6 +139,8 @@ object MetaInsight {
         sum(col("v").cast(dval)).cast(DoubleType).as("sv"),
         sum((col("v") * col("v")).cast(dbig)).cast(DoubleType).as("svv"),
         collect_list(struct(col("b"), col("v"))).as("cells"))
+      .withColumn("k",
+        graft.util.Guard.cellCap(col("k"), col("k"), "MetaInsight.catPatternsKeyed"))
     val mu = col("sv") / col("k")
     val sigma = sigmaExpr(col("sv"), col("svv"), col("k"))
     def zOf(c: Column) =

@@ -13,15 +13,24 @@ object GraftFunctions {
     fr.createOrReplaceTempFunction("fixed_dot",
       exprs => FixedDot(exprs(0), exprs(1)), "built-in")
     // kmin(col, k): bounded k-minimum-values sketch aggregate; k must be
-    // a positive integer literal
+    // a constant (foldable) integral expression — INT or BIGINT literal,
+    // a CAST of one, etc. Positivity is validated in ONE place,
+    // KMinAgg.checkInputDataTypes, at analysis time.
     fr.createOrReplaceTempFunction("kmin",
       exprs => {
         if (exprs.length != 2) throw new IllegalArgumentException(
           s"kmin(col, k) takes exactly 2 arguments, got ${exprs.length}")
         val k = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) if v >= 1 => v
+          case e if e.foldable => e.eval() match {
+            case v: Int => v
+            case v: Long if v.isValidInt => v.toInt
+            case v: Short => v.toInt
+            case v: Byte => v.toInt
+            case other => throw new IllegalArgumentException(
+              s"kmin(col, k): k must be a constant integer (got $other)")
+          }
           case other => throw new IllegalArgumentException(
-            s"kmin(col, k): k must be a positive integer literal, got $other")
+            s"kmin(col, k): k must be a constant integer expression, got $other")
         }
         KMinAgg(exprs.head, k).toAggregateExpression()
       }, "built-in")

@@ -47,13 +47,17 @@ object Pipeline extends QFamily {
       Some(Dedup.simhashPairsSql("documents")),
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
 
+    // cache=true is safe here: the bench/verify harnesses clearCache()
+    // after every query action (the opt-in contract in ngramJaccard)
     QDef("q_dedup_ngram",
       Some(Dedup.ngramJaccardSql("documents", "source", 0.02)),
-      (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"), "source", 0.02)),
+      (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"), "source", 0.02,
+        cache = true)),
 
-    // label blocks sub-blocked by mirrored LSH sign bits — bounded block
-    // size (label_size / 2^bits); the unbounded pure-label form is
-    // test-only (Ann.embeddingPairs(bits = 0))
+    // exact label-block pair enumeration (the reference's semantics);
+    // label blocks are unbounded, so at corpus scale opt into LSH
+    // sub-blocking (bits = Ann.SubBlockBits) or use the IVF/LSH
+    // content-blocked variants below
     QDef("q_dedup_embedding",
       Some(Ann.embeddingPairsSql("embeddings", 0.3)),
       (s, dir) => Ann.embeddingPairs(t(s, dir, "embeddings"), 0.3)),

@@ -291,30 +291,34 @@ object Ann {
        |WHERE cosine >= $th ORDER BY bucket, vec_a, vec_b""".stripMargin
   }
 
-  /** Label-blocked embedding near-dup pairs (cosine ≥ th), with each
-    * label block SUB-BLOCKED by `bits` hyperplane-LSH sign bits (the
-    * mirrored [[LshPlanes]]): the pair join keys on (label, bucket), so
-    * block size is bounded by label_size / 2^bits in expectation — a
-    * label block is never self-joined whole (the round-2 unbounded
-    * form). The sub-blocking is similarity-preserving (near-identical
-    * vectors agree on sign bits with high probability), not a random
-    * salt, so recall loss is principled: a pair is missed only when its
-    * vectors disagree on one of the `bits` signs.
-    *
-    * `bits = 0` restores the exact unbounded label-block form —
-    * test/demo only; every oracled query uses the bounded default. */
-  /** Sub-block sign-bit count for [[embeddingPairs]]: 2^4 = 16 sub-
-    * buckets per label caps the self-join block at label_size/16 in
-    * expectation. RECALL is (1−θ/π)^bits per qualifying pair and falls
-    * fast as the cosine threshold drops: ≈ 2/3 at cosine 0.95 (the
-    * near-dup use case) but only ≈ 13% at cosine 0.3 — at low
-    * thresholds this is a biased SAMPLE of qualifying pairs, by design
-    * (the oracle mirrors the same blocks). For exhaustive low-threshold
-    * similarity use [[embeddingPairsIvf]] (centroid blocks don't cut
-    * recall inside a list), or bits = 0 for the exact unbounded form. */
+  /** Label-blocked embedding near-dup pairs (cosine ≥ th). Default
+    * bits = 0: EXACT pair enumeration within each label block (the
+    * reference's semantics). With bits > 0 each label block is
+    * SUB-BLOCKED by `bits` hyperplane-LSH sign bits (the mirrored
+    * [[LshPlanes]]): the pair join keys on (label, bucket), so block
+    * size is bounded by label_size / 2^bits in expectation — a label
+    * block is never self-joined whole. The sub-blocking is
+    * similarity-preserving (near-identical vectors agree on sign bits
+    * with high probability), not a random salt, so recall loss is
+    * principled — see [[SubBlockBits]] for the recall contract a
+    * caller accepts by opting in. */
+  /** Sub-block sign-bit count for the OPT-IN bounded form of
+    * [[embeddingPairs]]: 2^4 = 16 sub-buckets per label cap the
+    * self-join block at label_size/16 in expectation. RECALL is
+    * (1−θ/π)^bits per qualifying pair and falls fast as the cosine
+    * threshold drops: ≈ 2/3 at cosine 0.95 (the near-dup use case) but
+    * only ≈ 13% at cosine 0.3 — at low thresholds the bounded form is a
+    * biased SAMPLE of qualifying pairs. The DEFAULT is bits = 0: exact
+    * label-block pair enumeration, matching the reference's exact
+    * semantics (a caller gets every qualifying pair unless they opt
+    * into sub-blocking knowingly). Exact label blocks are unbounded —
+    * one hot label self-joins whole — so at corpus scale pass
+    * bits = SubBlockBits (high-threshold near-dup), or use
+    * [[embeddingPairsIvf]] / [[lshPairs]] (content-blocked, recall
+    * bounded per block, not per pair). */
   val SubBlockBits = 4
 
-  def embeddingPairs(vecs: DataFrame, th: Double, bits: Int = SubBlockBits): DataFrame = {
+  def embeddingPairs(vecs: DataFrame, th: Double, bits: Int = 0): DataFrame = {
     val base = scaledBase(vecs, Seq("label"))
     val bucketExpr =
       if (bits == 0) lit(0L)
@@ -333,7 +337,7 @@ object Ann {
       .orderBy("label", "vec_a", "vec_b")
   }
 
-  def embeddingPairsSql(table: String, th: Double, bits: Int = SubBlockBits): String = {
+  def embeddingPairsSql(table: String, th: Double, bits: Int = 0): String = {
     val fx = "CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 100000000) AS BIGINT)"
     val bucket =
       if (bits == 0) "0"

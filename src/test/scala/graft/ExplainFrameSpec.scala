@@ -356,6 +356,40 @@ class ExplainFrameSpec extends AnyFunSuite {
     assert(out2.map(_.getAs[Long]("n_match")).sum === 11, "NULL label kept")
   }
 
+  test("gathered-cell cardinality guard fails fast on ID-like keys") {
+    import spark.implicits._
+    val before = graft.util.Guard.MaxGatheredCells
+    try {
+      graft.util.Guard.MaxGatheredCells = 10L
+      // 20 groups for one measure > bound 10 -> diagnosable error, not OOM
+      val m = (1 to 20).map(i => ("m", s"g$i", i.toDouble)).toDF("measure", "grp", "v")
+      val e = intercept[Exception](graft.explain.GroupByExplain.zdev(m).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("ID-like")), s"wrong error: $e")
+      // under the bound the same plan runs (guard is transparent)
+      graft.util.Guard.MaxGatheredCells = 100L
+      assert(graft.explain.GroupByExplain.zdev(m).count() === 20)
+    } finally graft.util.Guard.MaxGatheredCells = before
+  }
+
+  test("dist pruning falls back to frequency with <2 rankable centroids") {
+    import spark.implicits._
+    // 4 labels but only one has a non-NULL numeric attr: pairwise
+    // centroid distances don't exist, so max_dist/min_dist must fall
+    // back to frequency pruning instead of ranking by NaN
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("b", None), ("b", None), ("c", None), ("d", None))
+      .toDF("lab", "x")
+    for (method <- Seq("max_dist", "min_dist")) {
+      val keep = graft.explain.ManyToOne.selectLabels(
+        df, org.apache.spark.sql.functions.col("lab").cast("string"),
+        Seq("x"), method, maxLabels = 2)
+      assert(keep.isDefined && keep.get.length === 2, s"$method: $keep")
+      assert(keep.get.contains("a"), s"$method kept $keep (a is most frequent)")
+    }
+  }
+
   test("relational helpers") {
     val vc = li.valueCounts("l_returnflag").collect()
     assert(vc.length === 3 && math.abs(vc.map(_.getDouble(2)).sum - 1.0) < 0.01)

@@ -54,6 +54,13 @@ class IoSpec extends AnyFunSuite {
     // invalid arity / non-positive k fail fast instead of crashing executors
     intercept[Exception](spark.sql("SELECT kmin(vec_id) FROM emb"))
     intercept[Exception](spark.sql("SELECT kmin(vec_id, 0) FROM emb").collect())
+    // k may be any constant integral expression, not just an INT literal
+    val kmLong = spark.sql("SELECT kmin(vec_id, CAST(3 AS BIGINT)) AS hs FROM emb")
+      .head().getSeq[Long](0)
+    assert(kmLong === expected)
+    val kmFold = spark.sql("SELECT kmin(vec_id, 1 + 2) AS hs FROM emb")
+      .head().getSeq[Long](0)
+    assert(kmFold === expected)
   }
 
   test("as-of join semantics on a constructed case") {
