@@ -249,16 +249,16 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
       // explain_errors=True (reference default): attach the textual
       // error attribution per rule. Rules with zero separation error get
       // the reference's fixed sentence; non-passing rules stay NULL.
-      // Skipped under label binning/pruning (the error table keys on the
-      // raw label) — matching attribution there would need the same
-      // transformed labels, a wiring kept out of scope like the
-      // reference's own binned-label error path.
-      if (!explainErrorsFlag || binNumericLabel || (cats ++ nums).isEmpty) rules
+      // Under label binning/pruning the error table keys on the SAME
+      // transformed label (explainErrors re-applies binnedLabel and the
+      // identical pruning), so attribution works there too.
+      if (!explainErrorsFlag || (cats ++ nums).isEmpty) rules
       else {
         val txt = ManyToOne.errorText(ManyToOne.explainErrors(base, label, cats, nums,
           coverageThreshold, separationThreshold, binningMethod = binningMethod,
           pruneIfTooManyLabels = pruneIfTooManyLabels, maxLabels = maxLabels,
-          pruningMethod = pruningMethod))
+          pruningMethod = pruningMethod,
+          binNumericLabel = binNumericLabel, numLabelBins = numLabelBins))
         rules.join(txt, Seq("label", "attribute", "val"), "left")
           .withColumn("error_explanation",
             when(col("passes") === 1 && col("separation_err") === 0.0,
@@ -564,9 +564,21 @@ final class ExplainGroupBy(parent: ExplainFrame, cols: Seq[String]) {
   def size(): ExplainFrame = count()
   /** Per-group Pearson r between two columns (pandas GroupBy.corr for
     * one pair) — Correlation.pearsonBy: one scan, chunked-long exact
-    * moments per group. Single group column only. */
-  def corr(x: String, y: String): DataFrame = {
-    require(cols.size == 1, "corr supports a single group column")
-    Correlation.pearsonBy(parent.df, cols.head, x, y)
+    * moments per group; any number of group columns. */
+  def corr(x: String, y: String): DataFrame =
+    Correlation.pearsonBy(parent.df, cols, x, y)
+
+  /** Full per-group Pearson matrix (the pandas `groupby().corr()`
+    * default): every unordered pair of the frame's numeric non-group
+    * columns (or of `numCols` when given), any number of group
+    * columns, ONE scan (reference:
+    * explainable_group_by_dataframe.py per-group corr matrix). */
+  def corr(numCols: Seq[String] = Nil): DataFrame = {
+    val targets =
+      if (numCols.nonEmpty) numCols
+      else parent.df.schema.fields
+        .filter(f => f.dataType.isInstanceOf[NumericType] && !cols.contains(f.name))
+        .map(_.name).toSeq
+    Correlation.pearsonMatrixBy(parent.df, cols, targets)
   }
 }

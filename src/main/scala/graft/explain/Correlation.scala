@@ -166,14 +166,57 @@ object Correlation {
     * pair): ONE scan, chunked-long exact moments per group, same
     * formula and emission as [[pearson]]. NULL groups sort last to
     * match the DuckDB mirror's default ordering. */
-  def pearsonBy(df: DataFrame, groupCol: String, x: String, y: String): DataFrame = {
+  def pearsonBy(df: DataFrame, groupCol: String, x: String, y: String): DataFrame =
+    pearsonBy(df, Seq(groupCol), x, y)
+
+  /** Multi-group-column form of [[pearsonBy]] (one pair). */
+  def pearsonBy(df: DataFrame, groupCols: Seq[String], x: String, y: String): DataFrame = {
+    require(groupCols.nonEmpty, "pearsonBy requires at least one group column")
+    groupCols.foreach(guardGroupCol)
+    val a = momentAgg(df, Seq(x, y).distinct, Seq((x, y)), groupCols)
+    a.select(groupCols.map(col) ++ Seq(pearsonExpr(x, y).as("pearson_r"), col("n")): _*)
+      .orderBy(groupCols.map(c => col(c).asc_nulls_last): _*)
+  }
+
+  /** Full per-group Pearson matrix (the pandas `groupby().corr()`
+    * analog): every unordered pair of `cols`, any number of group
+    * columns, ONE scan — a single momentAgg carries all pair moments
+    * per group and the pair rows explode from the aggregated row
+    * (reference: explainable_group_by_dataframe.py computes the
+    * all-numeric-pairs matrix per group). Output:
+    * (groupCols..., col_x, col_y, pearson_r, n). */
+  def pearsonMatrixBy(df: DataFrame, groupCols: Seq[String], cols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "pearsonMatrixBy requires at least one group column")
+    require(cols.size >= 2, "pearsonMatrixBy requires at least two numeric columns")
+    groupCols.foreach(guardGroupCol)
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size } yield (cols(i), cols(j))
+    val a = momentAgg(df, cols, pairs, groupCols)
+    val rows = pairs.map { case (x, y) =>
+      struct(lit(x).as("col_x"), lit(y).as("col_y"), pearsonExpr(x, y).as("pearson_r"))
+    }
+    a.select(groupCols.map(col) ++ Seq(col("n"), explode(array(rows: _*)).as("r")): _*)
+      .select(groupCols.map(col) ++ Seq(col("r.col_x").as("col_x"),
+        col("r.col_y").as("col_y"), col("r.pearson_r").as("pearson_r"), col("n")): _*)
+      .orderBy(groupCols.map(c => col(c).asc_nulls_last) ++
+        Seq(col("col_x"), col("col_y")): _*)
+  }
+
+  def pearsonMatrixBySql(table: String, groupCols: Seq[String], cols: Seq[String]): String = {
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size } yield (cols(i), cols(j))
+    val g = groupCols.mkString(", ")
+    pairs.map { case (x, y) =>
+      val (num, den) = pearsonExprSql(x, y)
+      s"""SELECT $g, '$x' AS col_x, '$y' AS col_y,
+         |  ROUND(CASE WHEN $den > 1e-9 THEN $num / $den ELSE 0.0 END, 6) AS pearson_r,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM $table GROUP BY $g""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", s"\n) ORDER BY $g, col_x, col_y")
+  }
+
+  private def guardGroupCol(groupCol: String): Unit =
     require(groupCol != "n" && !groupCol.contains("__") &&
       !groupCol.startsWith("fs") && !groupCol.startsWith("s_") && !groupCol.startsWith("ss_"),
       s"group column '$groupCol' collides with internal moment aliases")
-    val a = momentAgg(df, Seq(x, y).distinct, Seq((x, y)), Seq(groupCol))
-    a.select(col(groupCol), pearsonExpr(x, y).as("pearson_r"), col("n"))
-      .orderBy(col(groupCol).asc_nulls_last)
-  }
 
   def pearsonBySql(table: String, groupCol: String, x: String, y: String): String = {
     val (num, den) = pearsonExprSql(x, y)

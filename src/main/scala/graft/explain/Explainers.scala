@@ -211,6 +211,19 @@ object Explainers extends QFamily {
       (s, dir) => ManyToOne.explainErrors(t(s, dir, "customer"), "c_mktsegment",
         Seq("c_nationkey"), Nil, covTh = 0.05, sepTh = 0.95)),
 
+    // explain_errors under a BINNED numeric label: the error table keys
+    // on the same transformed 'bin_<i>' label as the rules (closes the
+    // reference's binned-label error path — previously skipped)
+    QDef("q_many_to_one_label_bin_errors", {
+      val bin = ManyToOne.quantileBinSql("c_acctbal", (1 until 10).map(_.toDouble / 10))
+        .replace("FROM SRC", "FROM customer")
+      Some(ManyToOne.errorsSql("customer", "c_acctbal", Seq("c_mktsegment"),
+        covTh = 0.05, sepTh = 0.95,
+        labelExprSql = Some(s"'bin_' || CAST($bin AS VARCHAR)")))
+    }, (s, dir) => ManyToOne.explainErrors(t(s, dir, "customer"), "c_acctbal",
+      Seq("c_mktsegment"), Nil, covTh = 0.05, sepTh = 0.95,
+      binNumericLabel = true)),
+
     // pruning_method='smallest': keep the 10 LEAST frequent labels
     // (count asc, label asc tie-break)
     QDef("q_many_to_one_pruned_smallest",
@@ -317,6 +330,17 @@ object Explainers extends QFamily {
         "l_quantity", "l_extendedprice")),
       (s, dir) => Correlation.pearsonBy(t(s, dir, "lineitem"), "l_returnflag",
         "l_quantity", "l_extendedprice")),
+
+    // full per-group Pearson matrix with a multi-column group key (the
+    // pandas groupby().corr() default): all pairs share ONE momentAgg
+    // scan; rows explode from the per-group aggregated row
+    QDef("q_groupby_corr_matrix",
+      Some(Correlation.pearsonMatrixBySql("lineitem",
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+      (s, dir) => graft.core.ExplainFrame(t(s, dir, "lineitem"), "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .corr(Seq("l_quantity", "l_extendedprice", "l_discount"))),
 
     QDef("q_correlation",
       Some(Seq(

@@ -281,14 +281,18 @@ object ManyToOne {
                     binningMethod: String = "equal_width",
                     errTh: Double = 0.05,
                     pruneIfTooManyLabels: Boolean = true, maxLabels: Int = 10,
-                    pruningMethod: String = "largest"): DataFrame = {
+                    pruningMethod: String = "largest",
+                    binNumericLabel: Boolean = false, numLabelBins: Int = 10): DataFrame = {
     val attrs = catAttrs.map(Fedex.Attr(_, numeric = false)) ++ numAttrs.map(Fedex.Attr(_, numeric = true))
-    // pruning MUST mirror explain()'s: the error table joins the rule
-    // table on (label, attribute, val), so it has to be mined over the
-    // same kept rows and the same bin boundaries — an unpruned error
-    // table against pruned rules would mis-key every numeric bin and
-    // count contributions from pruned-away labels
-    val labelExpr = col(labelCol).cast("string")
+    // pruning AND label binning MUST mirror explain()'s: the error table
+    // joins the rule table on (label, attribute, val), so it has to be
+    // mined over the same kept rows, the same bin boundaries, and the
+    // same transformed label — an unpruned/raw-label error table against
+    // pruned/binned rules would mis-key every row and count
+    // contributions from pruned-away labels
+    val labelExpr =
+      if (binNumericLabel) binnedLabel(src, labelCol, numLabelBins)
+      else col(labelCol).cast("string")
     val keep =
       if (pruneIfTooManyLabels) selectLabels(src, labelExpr, numAttrs, pruningMethod, maxLabels)
       else None
@@ -356,11 +360,15 @@ object ManyToOne {
         .as("error_explanation"))
   }
 
-  /** DuckDB mirror of [[explainErrors]] (categorical attributes). */
+  /** DuckDB mirror of [[explainErrors]] (categorical attributes).
+    * `labelExprSql` overrides the label expression (e.g. a binned-label
+    * `'bin_' || ...` form mirroring binNumericLabel=true). */
   def errorsSql(table: String, labelCol: String, catAttrs: Seq[String],
-                covTh: Double, sepTh: Double, errTh: Double = 0.05): String = {
+                covTh: Double, sepTh: Double, errTh: Double = 0.05,
+                labelExprSql: Option[String] = None): String = {
+    val lab = labelExprSql.getOrElse(s"CAST($labelCol AS VARCHAR)")
     val branches = catAttrs.map(a =>
-      s"SELECT CAST($labelCol AS VARCHAR) AS label, '$a' AS attribute, CAST($a AS VARCHAR) AS val FROM $table WHERE $a IS NOT NULL AND $labelCol IS NOT NULL")
+      s"SELECT $lab AS label, '$a' AS attribute, CAST($a AS VARCHAR) AS val FROM $table WHERE $a IS NOT NULL AND $labelCol IS NOT NULL")
     s"""WITH pairs AS (${branches.mkString("\nUNION ALL\n")}),
        |lc AS (SELECT label, attribute, val, COUNT(*) AS n_match FROM pairs GROUP BY 1,2,3),
        |lt AS (SELECT label, COUNT(*) AS n_label FROM pairs WHERE attribute = '${catAttrs.head}' GROUP BY 1),

@@ -103,8 +103,20 @@ class ExplainFrameSpec extends AnyFunSuite {
     // pearson when there is effectively one group
     val c = li.groupBy("l_returnflag").corr("l_quantity", "l_extendedprice").collect()
     assert(c.nonEmpty && c.forall(r => math.abs(r.getDouble(1)) <= 1.0))
-    intercept[IllegalArgumentException](
-      li.groupBy("l_returnflag", "l_linestatus").corr("l_quantity", "l_extendedprice"))
+    // multi-column group keys work (pandas groupby([a, b]).corr())
+    val c2 = li.groupBy("l_returnflag", "l_linestatus")
+      .corr("l_quantity", "l_extendedprice").collect()
+    assert(c2.nonEmpty && c2.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+    // full matrix: every unordered numeric pair per group, one scan
+    val m = li.groupBy("l_returnflag")
+      .corr(Seq("l_quantity", "l_extendedprice", "l_discount"))
+    assert(m.columns.toSeq == Seq("l_returnflag", "col_x", "col_y", "pearson_r", "n"))
+    val mRows = m.collect()
+    val nGroups = c.length
+    assert(mRows.length == nGroups * 3) // C(3,2) pairs per group
+    assert(mRows.forall(r => math.abs(r.getAs[Double]("pearson_r")) <= 1.0))
+    // default no-arg form: all numeric non-group columns
+    assert(li.groupBy("l_returnflag").corr().collect().nonEmpty)
   }
 
   test("metainsight auto-search derives scopes from the schema") {
@@ -237,6 +249,22 @@ class ExplainFrameSpec extends AnyFunSuite {
       catAttrs = Seq("c_nationkey"), coverageThreshold = 0.05,
       separationThreshold = 0.95, useSampling = false, explainErrorsFlag = false)
     assert(!off.columns.contains("error_explanation"))
+  }
+
+  test("many_to_one error attribution keys on the BINNED label") {
+    val ef = ExplainFrame(graft.util.D.t(spark, sf, "customer"), "customer")
+    // numeric label (c_acctbal) is quantile-binned into bin_<i> groups;
+    // the error table must key on the same transformed label
+    val out = ef.explain(explainer = "many_to_one", labelCol = "c_acctbal",
+      catAttrs = Seq("c_mktsegment"), coverageThreshold = 0.05,
+      separationThreshold = 0.95, binNumericLabel = true, useSampling = false)
+    assert(out.columns.contains("error_explanation"))
+    val withErr = out.filter(col("passes") === 1 && col("separation_err") > 0).collect()
+    assert(withErr.nonEmpty)
+    assert(withErr.forall(r => {
+      val t = r.getAs[String]("error_explanation")
+      t != null && t.contains("% from") && r.getAs[String]("label").startsWith("bin_")
+    }))
   }
 
   test("library calls leave no persisted RDDs behind") {
