@@ -85,6 +85,23 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
   private def sampleMod(n: Long, sampleSize: Int): Long =
     math.max(1L, math.round(n.toDouble / sampleSize))
 
+  /** Approximate row count WITHOUT running a job: Catalyst's plan
+    * statistics (CBO rowCount when available, else sizeInBytes over the
+    * schema's estimated row width). Used ONLY to derive the sampling
+    * hash-mod — the sample itself stays a deterministic content-hash
+    * filter; only its RATE comes from the estimate, so explain() no
+    * longer pays a full count() pre-scan of the source before the
+    * explain scan. Parquet sizeInBytes is the compressed size, so the
+    * estimate undershoots and the sample errs LARGER than sampleSize —
+    * more rows than requested, never a degraded explanation. */
+  private def approxRows(d: DataFrame): Long = {
+    val stats = d.queryExecution.optimizedPlan.stats
+    stats.rowCount.map(_.toLong).getOrElse {
+      val width = math.max(8, d.schema.fields.map(_.dataType.defaultSize).sum)
+      (stats.sizeInBytes / width).toLong.max(1L)
+    }
+  }
+
   def valueCounts(c: String): DataFrame = {
     // total re-sums the group counts: identical subtrees → one scan via
     // exchange reuse (a direct df count would prune differently and
@@ -202,7 +219,7 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
             attributes.filterNot(ignore.contains)
               .map(a => Fedex.Attr(a, byName(a).dataType.isInstanceOf[NumericType]))
           } else defaultAttrs(src, ignore.toSet)
-        val mod = if (useSampling) sampleMod(src.count(), sampleSize) else 1L
+        val mod = if (useSampling) sampleMod(approxRows(src), sampleSize) else 1L
         val s2 = hashSample(src, src.columns.toSeq, mod)
         val counts = condCol match {
           case Some(c) => Fedex.binCountsFiltered(s2, c, attrs)
@@ -230,7 +247,7 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
           "If this dataframe is not the result of a groupby operation, you must provide the labels."))
       val base0 = op.collect { case g: GroupByOp => g.source }.getOrElse(df)
       val base =
-        if (useSampling) hashSample(base0, base0.columns.toSeq, sampleMod(base0.count(), sampleSize))
+        if (useSampling) hashSample(base0, base0.columns.toSeq, sampleMod(approxRows(base0), sampleSize))
         else base0
       // p_value parity (explainable_data_frame.py:1096): auto-derived
       // attribute candidates are capped at max_explanation_length *
@@ -319,7 +336,7 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
       }.getOrElse(Set.empty[String])
       val attrs = resolveAttrs(src, attributes.filterNot(ignore.contains),
         pruned ++ ignore)
-      val mod = if (useSampling) sampleMod(src.count(), sampleSize) else 1L
+      val mod = if (useSampling) sampleMod(approxRows(src), sampleSize) else 1L
       val s2 = hashSample(src, src.columns.toSeq, mod)
       val counts = condCol match {
         case Some(c) => Fedex.binCountsFiltered(s2, c, attrs)
@@ -333,7 +350,7 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
       val sideCols = side.columns.toSeq
       val attrs = resolveAttrs(side, attributes.filterNot(ignore.contains),
         on.toSet ++ ignore)
-      val mod = if (useSampling) sampleMod(side.count(), sampleSize) else 1L
+      val mod = if (useSampling) sampleMod(approxRows(side), sampleSize) else 1L
       val counts = Fedex.binCounts(
         hashSample(side, sideCols, mod),
         hashSample(res.select(sideCols.map(col): _*), sideCols, mod), attrs)
@@ -387,7 +404,7 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
           else defaultAttrs(g.source, g.groupCols.toSet + g.aggCol).filter(_.numeric).map(_.name)
         val src =
           if (useSampling) hashSample(g.source, g.source.columns.toSeq,
-            sampleMod(g.source.count(), sampleSize))
+            sampleMod(approxRows(g.source), sampleSize))
           else g.source
         Outlier.explain(src, g.groupCols.head, g.aggCol, target, d, attrs)
           .orderBy(col("influence").desc, col("attribute"), col("bin"))

@@ -133,8 +133,19 @@ object ManyToOne {
     require(numAttrs.nonEmpty, "dist pruning requires numeric attributes")
     val meanCols = numAttrs.map(a => graft.util.D.r(
       graft.util.D.emit6(sum(col(a).cast(graft.util.D.dec25))) / count(col(a)), 6).as(s"m_$a"))
+    // the collect is limit()-bounded: at most cap+1 centroid rows ever
+    // reach the driver, and exceeding the cap fails fast instead of
+    // collecting one row per distinct label of an ID-like column
+    val cap = graft.util.Guard.MaxRankedLabels
     val rowsAll = src.filter(labelExpr.isNotNull)
-      .groupBy(labelExpr.as("label")).agg(meanCols.head, meanCols.tail: _*).collect()
+      .groupBy(labelExpr.as("label")).agg(meanCols.head, meanCols.tail: _*)
+      .limit(cap + 1).collect()
+    if (rowsAll.length > cap)
+      throw new IllegalArgumentException(
+        s"dist pruning found more than $cap distinct labels. The label column " +
+          "looks ID-like — many_to_one label ranking is sized for " +
+          "explanation-grade label cardinalities. Use a coarser label, or " +
+          "raise graft.util.Guard.MaxRankedLabels if the cardinality is intentional.")
     if (rowsAll.length <= maxLabels) return None
     // a label whose numeric attribute is all-NULL has a NULL mean: no
     // centroid exists, so it cannot be ranked — exclude it (it would NPE

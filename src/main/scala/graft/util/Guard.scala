@@ -25,6 +25,15 @@ object Guard {
     * wants huge groups can raise it knowingly. */
   @volatile var MaxGatheredCells: Long = 100000L
 
+  /** Max label centroids the many_to_one dist-pruning ranking may pull
+    * to the driver (ManyToOne.distLabels). The reference's semantics
+    * bound label cardinality at dozens; the cap turns an ID-like label
+    * column (which would otherwise collect one centroid row per
+    * distinct value, unboundedly) into an immediate, diagnosable error.
+    * The collect itself is limit()-bounded to cap+1 rows, so driver
+    * memory is protected even before the check fires. */
+  @volatile var MaxRankedLabels: Int = 1024
+
   /** Returns `value`, but evaluating it raises a diagnosable error when
     * `n` (the group's gathered cell count) exceeds [[MaxGatheredCells]].
     * Wrap a column the plan is guaranteed to evaluate (the count itself,

@@ -401,6 +401,21 @@ class ExplainFrameSpec extends AnyFunSuite {
     } finally graft.util.Guard.MaxGatheredCells = before
   }
 
+  test("dist pruning fails fast past the label-cardinality cap") {
+    // an ID-like label column must NOT collect one centroid per distinct
+    // value — the limit()-bounded collect trips the cap and raises a
+    // diagnosable error instead
+    val cust = graft.util.D.t(spark, sf, "customer")
+    val old = graft.util.Guard.MaxRankedLabels
+    graft.util.Guard.MaxRankedLabels = 100
+    try {
+      val e = intercept[IllegalArgumentException](
+        graft.explain.ManyToOne.explain(cust, "c_custkey", Nil, Seq("c_acctbal"),
+          covTh = 0.05, sepTh = 0.95, pruningMethod = "max_dist"))
+      assert(e.getMessage.contains("MaxRankedLabels"))
+    } finally graft.util.Guard.MaxRankedLabels = old
+  }
+
   test("dist pruning falls back to frequency with <2 rankable centroids") {
     import spark.implicits._
     // 4 labels but only one has a non-NULL numeric attr: pairwise
