@@ -26,7 +26,7 @@ object ApiDemo {
       ExplainFrame(util.D.t(spark, "/root/testdata/sf0.001", "lineitem")
         .select("l_quantity", "l_extendedprice", "l_discount", "l_returnflag"), "lineitem"),
       iterations = 2)
-      .foreach(s => println(s"[${s.iteration}] ${s.query} score=${s.score}"))
+      .steps.foreach(s => println(s"[${s.iteration}] ${s.kind}: ${s.query} score=${s.score}"))
     println("== composable series masks (ExpSeries idiom) ==")
     val mask = (li.series("l_quantity") >= 30) && (li.series("l_discount") < 0.05)
     println(s"mask: ${mask.desc} -> ${mask().df.count()} rows")

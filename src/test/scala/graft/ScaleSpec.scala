@@ -166,17 +166,43 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
-  test("auto-exploration produces a deterministic drill-down") {
+  test("auto-exploration produces a deterministic mixed-step report") {
+    import graft.core.{AutoExplore, ExplainFrame}
+    val li = ExplainFrame(
+      graft.util.D.t(spark, sf, "lineitem")
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_orderkey"),
+      "lineitem")
+    val orders = ExplainFrame(
+      graft.util.D.t(spark, sf, "orders").withColumnRenamed("o_orderkey", "l_orderkey"),
+      "orders")
+    val e = AutoExplore.explore(li, iterations = 4, aux = Map("orders" -> orders))
+    assert(e.steps.length === 4)
+    assert(e.steps.map(_.iteration) === Seq(1, 2, 3, 4))
+    assert(e.steps.forall(_.topExplanation.nonEmpty))
+    // the pool spans filter AND groupby candidates (joins compete too)
+    assert(e.steps.map(_.kind).distinct.size >= 2)
+    assert(e.finalReport.contains("lineitem"))
+    val again = AutoExplore.explore(li, iterations = 4, aux = Map("orders" -> orders))
+    assert(e.steps.map(s => (s.query, s.score)) === again.steps.map(s => (s.query, s.score)))
+  }
+
+  test("auto-exploration saves, reloads, and resumes identically") {
     import graft.core.{AutoExplore, ExplainFrame}
     val li = ExplainFrame(
       graft.util.D.t(spark, sf, "lineitem")
         .select("l_quantity", "l_extendedprice", "l_discount", "l_returnflag"),
       "lineitem")
-    val steps = AutoExplore.explore(li, iterations = 2)
-    assert(steps.length === 2)
-    assert(steps.map(_.iteration) === Seq(1, 2))
-    assert(steps.forall(_.topExplanation.nonEmpty))
-    val again = AutoExplore.explore(li, iterations = 2)
-    assert(steps.map(s => (s.query, s.score)) === again.map(s => (s.query, s.score)))
+    val full = AutoExplore.explore(li, iterations = 4)
+    val half = AutoExplore.explore(li, iterations = 2)
+    val path = java.nio.file.Files.createTempFile("explore", ".json").toString
+    AutoExplore.save(half, path)
+    val loaded = AutoExplore.load(path)
+    assert(loaded === half) // lossless JSON round-trip
+    // resuming the loaded exploration = running it straight through
+    val resumed = AutoExplore.resume(loaded, li, iterations = 2)
+    assert(resumed === full)
+    // follow-up seeds the report with the explanation description
+    val fu = AutoExplore.followUp(li, "quantity drop in returned items", iterations = 1)
+    assert(fu.finalReport.startsWith("Follow-up on: quantity drop"))
   }
 }
