@@ -441,7 +441,8 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
                              maxAggregationColumns: Int = 2,
                              corrTH: Double = 0.95,
                              useAllGroupbyCombinations: Boolean = false,
-                             minCommonness: Double = 0.5): DataFrame = {
+                             minCommonness: Double = 0.5,
+                             maxGroupbyCombinations: Int = 32): DataFrame = {
     val skip = Seq("key", "_id", "date", "comment", "name", "phone", "address")
     val strCols = df.schema.fields
       .filter(_.dataType == StringType).map(_.name)
@@ -477,23 +478,27 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
     // trend scopes in another) — see MetaInsight.autoTables
     val autoTables = MetaInsight.autoTables(df, scopes, trendScopes)
     // use_all_groupby_combinations (reference
-    // metainsight_explainer.py:301-308): breakdowns [A, B] additionally
-    // enumerate the combination [A, B] — a composite breakdown whose
-    // value is the '|'-joined tuple (pairs only: the reference's full
-    // powerset is exponential; the pairwise slice covers its documented
-    // example and keeps the scope count quadratic)
+    // metainsight_explainer.py:301-308): the FULL powerset of the
+    // breakdown columns (sizes 2..n; size-1 subsets are the plain
+    // scopes above) enters as composite breakdowns whose value is the
+    // '|'-joined tuple. The powerset is exponential in principle, so
+    // the combination count is bounded by `maxGroupbyCombinations`
+    // (smallest combinations first — larger tuples fragment groups
+    // toward all-singleton breakdowns that can't carry a pattern);
+    // exceeding the cap keeps the first bound-many deterministically.
     val comboTables =
       if (!useAllGroupbyCombinations) Nil
       else for {
-        pair <- bs.combinations(2).toSeq
-        f <- fs if !pair.contains(f)
+        combo <- (2 to bs.size).iterator.flatMap(k => bs.combinations(k))
+          .take(maxGroupbyCombinations).toSeq
+        f <- fs if !combo.contains(f)
         m <- ms
       } yield MetaInsight.catPatternsExpr(df, f,
         // coalesce before concat: concat_ws silently DROPS null
         // components, which would collide ("x", NULL) with ("x", "")
         // — the reference's tuple-valued groupby keeps them distinct
-        concat_ws("|", pair.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*),
-        pair.mkString("+"), m, s"${m}_mean")
+        concat_ws("|", combo.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*),
+        combo.mkString("+"), m, s"${m}_mean")
         .withColumn("filter_dim", lit(f))
     MetaInsight.rank(autoTables ++ comboTables, topK,
       minCommonness = minCommonness)

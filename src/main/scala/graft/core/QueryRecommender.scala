@@ -61,15 +61,131 @@ object QueryRecommender {
   /** Rank candidate follow-up queries by interestingness. */
   def recommend(ef: ExplainFrame, topK: Int = 3): Seq[(String, Double)] =
     recommendCandidates(ef, topK).map { case (c, s) => c.display -> s }
+
+  /** Unified query score (reference query_score_functions.score_queries):
+    * geometric mean of the top-4 measure scores; when any score exceeds
+    * 1, each is first squashed by x → log10(1+x)/(1+log10(1+max)). */
+  def unifiedScore(scores: Seq[Double]): Double = {
+    val top = scores.sorted(Ordering[Double].reverse).take(4)
+    if (top.isEmpty) return 0.0
+    val xs =
+      if (!top.exists(_ > 1)) top
+      else {
+        val mx = math.log10(1 + top.max)
+        top.map(x => math.log10(1 + x) / (1 + mx))
+      }
+    math.pow(xs.product, 1.0 / xs.size)
+  }
+
+  /** Unified interestingness of an executed query: [[unifiedScore]] over
+    * its explanation's top-4 scores (kl_score for filter/join
+    * provenance, zdev for groupby — the reference scores from the fedex
+    * explainer's measure vector). */
+  def scoreUnified(ef: ExplainFrame): Double = {
+    val top = ef.explainFedex(topK = 4).collect()
+    if (top.isEmpty) 0.0
+    else {
+      val scoreCol = if (top.head.schema.fieldNames.contains("zdev")) "zdev" else "kl_score"
+      unifiedScore(top.map(r => r.getDouble(r.fieldIndex(scoreCol))).toSeq)
+    }
+  }
+
+  /** Re-score structured queries from a [[QueryLog]] against a frame
+    * (the reference's recommender scores arbitrary LOGGED queries, not
+    * just freshly generated candidates — query_logger.py get_log +
+    * llm_based_query_recommender.py recommend): each logged query for
+    * `ef.name` is re-applied and re-scored with [[scoreUnified]], and
+    * the ranking is returned newest-score-first (display tie-break).
+    * Logged queries referencing columns the frame no longer has are
+    * skipped — the log may span schema versions. */
+  def recommendFromLog(log: QueryLog, ef: ExplainFrame, topK: Int = 3): Seq[(LoggedQuery, Double)] = {
+    val cols = ef.df.columns.toSet
+    log.structuredFor(ef.name)
+      .filter(q => cols.contains(q.attr) && (q.kind != "groupby" || cols.contains(q.arg)))
+      .distinct
+      .map(q => q -> scoreUnified(q.applyTo(ef)))
+      .sortBy { case (q, s) => (-s, q.display) }
+      .take(topK)
+  }
 }
 
-/** Session-local query log (reference: query_logger.py — stores executed
-  * queries + interestingness scores for later recommendation). */
+/** A structured logged query: enough typed fields to re-apply it to a
+  * frame later — never re-parsed from its display string.
+  *  - kind='filter':  `attr` `op`(>=|<) `arg`(threshold literal)
+  *  - kind='groupby': groupby(`attr`).`op`(agg fn)(`arg`(agg column)) */
+final case class LoggedQuery(dataframeName: String, kind: String,
+                             attr: String, op: String, arg: String) {
+  def display: String = kind match {
+    case "groupby" => s"groupby($attr).$op($arg)"
+    case _ => s"$attr $op $arg"
+  }
+  def applyTo(ef: ExplainFrame): ExplainFrame = kind match {
+    case "filter" =>
+      val th = arg.toDouble
+      if (op == ">=") ef.filter(org.apache.spark.sql.functions.col(attr) >= th)
+      else ef.filter(org.apache.spark.sql.functions.col(attr) < th)
+    case "groupby" => op match {
+      case "mean" => ef.groupBy(attr).mean(arg)
+      case "sum" => ef.groupBy(attr).sum(arg)
+      case "count" => ef.groupBy(attr).count()
+      case other => throw new IllegalArgumentException(s"Unsupported logged agg: $other")
+    }
+    case other => throw new IllegalArgumentException(s"Unsupported logged kind: $other")
+  }
+}
+
+/** Query log (reference: query_logger.py — stores executed queries +
+  * interestingness scores for later recommendation). Structured entries
+  * carry typed re-application fields so [[QueryRecommender.recommendFromLog]]
+  * can re-score them against a frame; `save`/`load` persist the log as
+  * the reference's CSV (dataframe_name,kind,attr,op,arg,score). */
 final class QueryLog {
   private val entries = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+  private val structured = scala.collection.mutable.ArrayBuffer.empty[(LoggedQuery, Double)]
+
   def log(dataframeName: String, query: String, score: Double): Unit =
     entries.synchronized { entries += ((dataframeName, query, score)) }
+
+  /** Log a structured, re-applicable query (also visible to [[top]]). */
+  def logStructured(q: LoggedQuery, score: Double): Unit = {
+    structured.synchronized { structured += ((q, score)) }
+    log(q.dataframeName, q.display, score)
+  }
+
   def top(k: Int): Seq[(String, String, Double)] =
     entries.synchronized { entries.sortBy { case (d, q, s) => (-s, d, q) }.take(k).toSeq }
   def size: Int = entries.synchronized(entries.size)
+
+  /** Structured entries for one frame, in log order. */
+  def structuredFor(dataframeName: String): Seq[LoggedQuery] =
+    structured.synchronized {
+      structured.collect { case (q, _) if q.dataframeName == dataframeName => q }.toSeq
+    }
+
+  /** Persist the structured log as CSV (fields are simple identifiers /
+    * numeric literals by construction — no quoting needed; a comma in a
+    * field is rejected rather than silently corrupting the file). */
+  def save(path: String): Unit = {
+    val rows = structured.synchronized { structured.toSeq }
+    val lines = "dataframe_name,kind,attr,op,arg,score" +: rows.map { case (q, s) =>
+      val fs = Seq(q.dataframeName, q.kind, q.attr, q.op, q.arg)
+      require(fs.forall(f => !f.contains(",") && !f.contains("\n")),
+        s"unserializable logged query field in: ${q.display}")
+      (fs :+ s.toString).mkString(",")
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), lines.mkString("\n"))
+  }
+}
+
+object QueryLog {
+  def load(path: String): QueryLog = {
+    val log = new QueryLog
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+    lines.stream().skip(1).forEach { line =>
+      val f = line.split(",", -1)
+      require(f.length == 6, s"malformed query-log line: $line")
+      log.logStructured(LoggedQuery(f(0), f(1), f(2), f(3), f(4)), f(5).toDouble)
+    }
+    log
+  }
 }

@@ -212,7 +212,8 @@ class ExplainFrameSpec extends AnyFunSuite {
 
   test("metainsight auto enumerates groupby combinations when asked") {
     val o = ExplainFrame(graft.util.D.t(spark, sf, "orders")
-      .withColumn("o_year", year(col("o_orderdate")).cast("string")), "orders")
+      .withColumn("o_year", year(col("o_orderdate")).cast("string"))
+      .withColumn("o_bucket", pmod(col("o_custkey"), lit(3)).cast("string")), "orders")
     val out = o.explainMetaInsightAuto(topK = 50,
       filterDims = Seq("o_orderstatus"),
       breakdowns = Seq("o_orderpriority", "o_year"),
@@ -221,6 +222,27 @@ class ExplainFrameSpec extends AnyFunSuite {
     val breakdowns = out.select("breakdown").distinct().collect().map(_.getString(0)).toSet
     assert(breakdowns.contains("o_orderpriority+o_year"),
       s"composite breakdown missing: $breakdowns")
+    // FULL powerset (reference use_all_groupby_combinations): with three
+    // breakdown columns, every size-2 subset AND the size-3 tuple enter
+    // as composite breakdowns
+    val out3 = o.explainMetaInsightAuto(topK = 200,
+      filterDims = Seq("o_orderstatus"),
+      breakdowns = Seq("o_orderpriority", "o_year", "o_bucket"),
+      measures = Seq("o_totalprice"), useAllGroupbyCombinations = true,
+      minCommonness = 0.01)
+    val b3 = out3.select("breakdown").distinct().collect().map(_.getString(0)).toSet
+    for (want <- Seq("o_orderpriority+o_year", "o_orderpriority+o_bucket",
+        "o_year+o_bucket", "o_orderpriority+o_year+o_bucket"))
+      assert(b3.contains(want), s"powerset combo $want missing: $b3")
+    // the cap bounds the enumerated combinations deterministically
+    val capped = o.explainMetaInsightAuto(topK = 200,
+      filterDims = Seq("o_orderstatus"),
+      breakdowns = Seq("o_orderpriority", "o_year", "o_bucket"),
+      measures = Seq("o_totalprice"), useAllGroupbyCombinations = true,
+      minCommonness = 0.01, maxGroupbyCombinations = 1)
+    val bc = capped.select("breakdown").distinct().collect().map(_.getString(0))
+      .filter(_.contains("+")).toSet
+    assert(bc === Set("o_orderpriority+o_year"), s"cap violated: $bc")
     // flag off: no composite breakdowns
     val plain = o.explainMetaInsightAuto(topK = 50,
       filterDims = Seq("o_orderstatus"),
@@ -308,7 +330,7 @@ class ExplainFrameSpec extends AnyFunSuite {
     val default = dom(graft.explain.MetaInsight.mine(pats))
     assert(default.forall(_.getAs[Double]("commonness") >= 0.5))
     intercept[IllegalArgumentException](
-      graft.explain.MetaInsight.mine(pats, minCommonness = 0.0))
+      graft.explain.MetaInsight.mine(pats, minCommonness = 0.01))
   }
 
   test("influence drops single-bin attributes, deviation keeps them") {

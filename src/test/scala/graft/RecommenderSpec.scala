@@ -26,4 +26,46 @@ class RecommenderSpec extends AnyFunSuite {
     assert(log.top(2).map(_._2) === Seq("q2", "q1"))
     assert(log.size === 3)
   }
+
+  test("unified score mirrors the reference's score_queries") {
+    // all scores <= 1: plain geometric mean of the top 4
+    val s1 = QueryRecommender.unifiedScore(Seq(0.5, 0.5))
+    assert(math.abs(s1 - 0.5) < 1e-12)
+    // any score > 1: log10 squash by the max before the mean
+    val s2 = QueryRecommender.unifiedScore(Seq(9.0, 99.0))
+    val mx = math.log10(100.0)
+    val expect = math.sqrt((math.log10(10.0) / (1 + mx)) * (mx / (1 + mx)))
+    assert(math.abs(s2 - expect) < 1e-12)
+    // only the top 4 scores participate
+    assert(QueryRecommender.unifiedScore(Seq(1.0, 1.0, 1.0, 1.0, 0.0)) === 1.0)
+    assert(QueryRecommender.unifiedScore(Nil) === 0.0)
+  }
+
+  test("logged queries re-score and rank against a frame") {
+    import graft.core.LoggedQuery
+    val li = ExplainFrame(
+      graft.util.D.t(spark, sf, "lineitem")
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_returnflag"),
+      "lineitem")
+    val log = new QueryLog
+    log.logStructured(LoggedQuery("lineitem", "filter", "l_quantity", ">=", "25.0"), 0.1)
+    log.logStructured(LoggedQuery("lineitem", "groupby", "l_returnflag", "mean", "l_extendedprice"), 0.2)
+    // a logged query whose column no longer exists is skipped, not fatal
+    log.logStructured(LoggedQuery("lineitem", "filter", "dropped_col", "<", "1.0"), 0.9)
+    // a different frame's queries never leak into this frame's ranking
+    log.logStructured(LoggedQuery("orders", "filter", "o_totalprice", ">=", "100.0"), 0.9)
+    val ranked = QueryRecommender.recommendFromLog(log, li, topK = 5)
+    assert(ranked.map(_._1.display).toSet ===
+      Set("l_quantity >= 25.0", "groupby(l_returnflag).mean(l_extendedprice)"))
+    assert(ranked.forall(_._2 >= 0.0))
+    assert(ranked.map(_._2) === ranked.map(_._2).sorted(Ordering[Double].reverse))
+    // deterministic
+    assert(ranked === QueryRecommender.recommendFromLog(log, li, topK = 5))
+    // CSV round-trip preserves the structured entries and their ranking
+    val path = java.nio.file.Files.createTempFile("qlog", ".csv").toString
+    log.save(path)
+    val loaded = QueryLog.load(path)
+    assert(loaded.structuredFor("lineitem") === log.structuredFor("lineitem"))
+    assert(QueryRecommender.recommendFromLog(loaded, li, topK = 5) === ranked)
+  }
 }
