@@ -30,7 +30,7 @@ object Bench {
     SparkEntry.entry(spark).count()
     // deterministic order: map iteration order varies across JVMs and
     // would shuffle which queries absorb residual warmup
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t = try {
           val df = fn(spark, sfDir) // fresh build per rep
@@ -41,14 +41,17 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
         }
         // cleanup OUTSIDE the timed window: drop library-internal
-        // persists (the ngram array cache), and periodically nudge a GC —
-        // ContextCleaner reclaims broadcast/shuffle state only after a
-        // JVM GC, so without one, late queries pay for sixty queries of
-        // accumulated state
+        // persists, and force a GC — ContextCleaner reclaims broadcast/
+        // shuffle state only after a JVM GC, so without one, later
+        // queries pay for the accumulated state of every query before
+        // them. At sf1 the every-8th-query cadence measurably corrupted
+        // neighbors (q_decontaminate benched 10.5 s vs 0.9 s in
+        // isolation); a per-query GC costs ~0.1 s outside the timed
+        // window and removes the cross-query interference.
         spark.catalog.clearCache()
+        System.gc()
         t
       }
-      if (i % 8 == 7) System.gc()
       (name, times)
     }
     // Locale.ROOT: the f-interpolator uses the default locale, which

@@ -77,6 +77,26 @@ object Correlation {
       .otherwise(coalesce(chunked, lit(0).cast(d)) + coalesce(sideSum, lit(0).cast(d)))
   }
 
+  // ---- all-long moment buffers -------------------------------------
+  // momentAgg keeps every aggregation-buffer slot a LONG: a decimal
+  // sum in a GROUPED hash-aggregate buffer measured ~4x slower than
+  // the all-long form (Spark's codegen'd decimal update path; even
+  // DECIMAL(18) pays it), which made groupby().corr() 29x its oracle.
+  // Unlike [[unscaled6]] (global sums, where one decimal side buffer
+  // is free), momentAgg has NO decimal side term: a moment whose
+  // scale-6 unscaled value exceeds the long range (|m·1e6| ≥ 2^63,
+  // i.e. |m| ≥ ~9.2·10^12) raises Spark's ANSI CAST_OVERFLOW instead
+  // of degrading — fail-loud, never silently wrong. That envelope is
+  // DOCUMENTED as the correlation contract: the SQL mirror's own
+  // per-moment DECIMAL(30,6) cast fails past |m| = 10^24 anyway, so
+  // cross-engine parity never existed beyond these magnitudes, and
+  // every realistic correlation input (prices, quantities, ratios,
+  // counts) sits orders of magnitude inside. Guarded side-value
+  // designs were tried and rejected: decimal side sums (4x slower
+  // grouped) and base-2^40 digit-sum sides (the extra decimal
+  // expressions pushed the projection out of whole-stage codegen —
+  // slower still, even with every side value null).
+
   /** Chunk sums over a PRE-QUANTIZED long attribute `name` (the
     * quantizer must run in a projection below the aggregate, so it
     * evaluates once per row — embedded in each of the three chunk sums
@@ -89,12 +109,9 @@ object Correlation {
 
   private def recombine(name: String): Column = {
     val d = DecimalType(38, 0)
-    val chunked = col(s"${name}__h").cast(d) * lit(1L << (2 * ChunkBits)) +
+    col(s"${name}__h").cast(d) * lit(1L << (2 * ChunkBits)) +
       col(s"${name}__m").cast(d) * lit(1L << ChunkBits) +
       col(s"${name}__l").cast(d)
-    val side = col(s"${name}__side").cast(d)
-    when(chunked.isNull && side.isNull, lit(null).cast(d))
-      .otherwise(coalesce(chunked, lit(0).cast(d)) + coalesce(side, lit(0).cast(d)))
   }
 
   /** value = unscaled / 1e6, exact (decimal × decimal, scale 6). */
@@ -103,9 +120,31 @@ object Correlation {
   private def dsum(c: Column) = value6(unscaled6(c)).cast(D.dec25).cast(DoubleType)
   private def dsumBig(c: Column) = value6(unscaled6(c)).cast(DecimalType(38, 0)).cast(DoubleType)
 
+  /** Scale-6 quantized long for a moment value: [[quantCols]]' fast
+    * path, except that an out-of-long-range value (|m·1e6| ≥ 2^63)
+    * raises ANSI CAST_OVERFLOW instead of routing to a decimal side
+    * term — see the all-long buffer note above. The outer range guard
+    * also shields the fast-path condition's floor() from overflow.
+    * The overflow branch is the plain double→long ANSI cast: every
+    * value reaching it is ≥ 2^63 in magnitude, so the cast ALWAYS
+    * raises — the branch never produces a value, and keeping it
+    * decimal-free matters: a DECIMAL(38,6) cast chain here (never
+    * executed!) measurably slowed the whole projection (2.5 s vs
+    * 0.7 s on the 9-moment matrix — the decimal expressions bloat the
+    * generated code past JIT-friendly size). NULL input falls through
+    * to the same branch and stays NULL, matching SUM's null-skip. */
+  private def momentQuant(c: Column): Column = {
+    val y = c.cast(DoubleType) * 1e6
+    val d = y - floor(y)
+    when(abs(y) < 9.0e18,
+      when(abs(d - 0.5) > abs(y) * 1.8e-15 + 1e-12, floor(y + 0.5))
+        .otherwise((c.cast(DecimalType(30, 6)) * 1000000).cast(LongType)))
+      .otherwise(y.cast(LongType))
+  }
+
   /** One-row moment table (s_c, ss_c, sp_x__y, n) with all quantizers in
     * a single projection pass under one aggregate. Values identical to
-    * the dsum/dsumBig forms. */
+    * the dsum/dsumBig forms (within the documented moment envelope). */
   private def momentAgg(df: DataFrame, cols: Seq[String],
                         pairs: Seq[(String, String)],
                         groupCols: Seq[String] = Nil): DataFrame = {
@@ -113,11 +152,9 @@ object Correlation {
       cols.map(c => s"fs_$c" -> col(c)) ++
         cols.map(c => s"fss_$c" -> (col(c) * col(c))) ++
         pairs.map(p => s"fsp_${p._1}__${p._2}" -> (col(p._1) * col(p._2)))
-    val proj = df.select(groupCols.map(col) ++ moments.flatMap { case (n, e) =>
-      val (f, s) = quantCols(e); Seq(f.as(n), s.as(s"${n}__sv")) }: _*)
-    val aggs = moments.map(_._1).flatMap(chunkAggs) ++
-      moments.map { case (n, _) => sum(col(s"${n}__sv")).as(s"${n}__side") } :+
-      count(lit(1)).as("n")
+    val proj = df.select(groupCols.map(col) ++ moments.map { case (n, e) =>
+      momentQuant(e).as(n) }: _*)
+    val aggs = moments.map(_._1).flatMap(chunkAggs) :+ count(lit(1)).as("n")
     val agged =
       if (groupCols.isEmpty) proj.agg(aggs.head, aggs.tail: _*)
       else proj.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)

@@ -330,7 +330,7 @@ class ExplainFrameSpec extends AnyFunSuite {
     val default = dom(graft.explain.MetaInsight.mine(pats))
     assert(default.forall(_.getAs[Double]("commonness") >= 0.5))
     intercept[IllegalArgumentException](
-      graft.explain.MetaInsight.mine(pats, minCommonness = 0.01))
+      graft.explain.MetaInsight.mine(pats, minCommonness = 0.0))
   }
 
   test("influence drops single-bin attributes, deviation keeps them") {

@@ -48,6 +48,35 @@ class QuantizeSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped moments match the SQL mirror inside the envelope; overflow is loud") {
+    import spark.implicits._
+    // the GROUPED moment aggregate is all-long (no decimal side term);
+    // within the documented envelope — every moment incl. squares and
+    // pairs satisfies |m·1e6| < 2^63 — it must agree bit-for-bit with
+    // the SQL mirror's plain decimal sums (run through Spark SQL here),
+    // including values near the fast-path guard cut-off and .5 ties
+    val vs = Seq(
+      ("a", 2.9e6, 2.0), ("a", -2.5e6, 3.0), ("a", 1.9e6, -1.0),
+      ("a", 123.456789, 0.5), ("b", 2.8e5, 1.0), ("b", 8.9e5, -2.0),
+      ("b", -9.3e5, 0.25), ("b", 0.1, 0.2), ("c", -2.9e6, 7.0),
+      ("c", 2.9e6, 7.0), ("c", 1.0 / 128, 3.0 / 128))
+    val df = vs.toDF("g", "x", "y")
+    df.createOrReplaceTempView("qgrp")
+    val got = Correlation.pearsonBy(df, "g", "x", "y").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val want = spark.sql(Correlation.pearsonBySql("qgrp", "g", "x", "y")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq === want.toSeq)
+    // out-of-envelope moments (here: x² past the long range) fail LOUD
+    // with Spark's ANSI overflow error, never silently wrong
+    val big = Seq(("a", 9.9e9, 1.0), ("a", 1.0e10, 2.0)).toDF("g", "x", "y")
+    val e = intercept[Throwable](
+      Correlation.pearsonBy(big, "g", "x", "y").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("CAST_OVERFLOW") || m.contains("overflow")), msgs(e))
+  }
+
   test("correlation suite equals the individually-computed statistics") {
     val li = graft.util.D.t(spark, sf, "lineitem")
     val pairs = Seq(("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"))
