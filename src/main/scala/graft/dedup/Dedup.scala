@@ -25,9 +25,9 @@ object Dedup {
       .orderBy("fingerprint")
 
   /** Normalization used by q_dedup_norm: lowercase, strip non [a-z0-9 ],
-    * squeeze runs of spaces, trim. */
-  def normText(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+    * squeeze runs of spaces, trim — as ONE native codegen pass
+    * (bit-identical to the regex chain; see [[graft.functions.AsciiNormalize]]). */
+  def normText(c: Column): Column = graft.functions.AsciiNormalize(c)
 
   def normTextSql(c: String): String =
     s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"

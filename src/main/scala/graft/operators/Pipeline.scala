@@ -142,7 +142,7 @@ object Pipeline extends QFamily {
       t(s, dir, "documents").select(
           col("doc_id"), nTok.cast(LongType).as("n_tokens"),
           graft.util.D.r((length(col("text")) - nTok + lit(1.0)) / nTok, 6).as("avg_token_len"),
-          graft.util.D.r((length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+          graft.util.D.r(graft.functions.StrippedCount(col("text"))
             .cast(DoubleType) / length(col("text")), 6).as("punct_ratio"),
           graft.util.D.r(TextOps.langHits(toks, "en").cast(DoubleType) / nTok, 6).as("stopword_ratio"))
         .withColumn("quality",
@@ -262,8 +262,8 @@ object Pipeline extends QFamily {
       val nTok = size(toks)
       val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"),
         graft.util.D.r(lit(0.3) * least(nTok.cast(LongType) / 100.0, lit(1.0)) +
-          lit(0.4) * (lit(1.0) - graft.util.D.r((length(col("text")) -
-            length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast(DoubleType) / length(col("text")), 6)) +
+          lit(0.4) * (lit(1.0) - graft.util.D.r(graft.functions.StrippedCount(col("text"))
+            .cast(DoubleType) / length(col("text")), 6)) +
           lit(0.3) * least(graft.util.D.r(TextOps.langHits(toks, "en").cast(DoubleType) / nTok, 6) * 5.0, lit(1.0)), 6)
           .as("quality"))
       val kept = scored.filter(col("quality") >= 0.5)

@@ -141,4 +141,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(fmts.subsetOf(Set("jpeg", "png", "webp")))
     assert(m.count() === docs.count())
   }
+
+  test("native AsciiNormalize/StrippedCount are bit-identical to the regex chains") {
+    import spark.implicits._
+    // adversarial inputs: case, digit, squeeze/trim shapes, tabs and
+    // control chars, empties — plus non-ASCII rows exercising the slow
+    // path (accents, the Turkish dotted İ whose string-lowercase expands
+    // to i + combining dot, CJK, an astral-plane emoji = surrogate pair)
+    val rows = Seq(
+      "Hello, World!  42", "  leading and trailing  ", "a  b   c",
+      "ALLCAPS", "...", "", " ", "\ttab\tand\ncontrol\rchars",
+      "MiXeD 123 cAsE!!", "double  space, comma",
+      "Café au lait", "İstanbul", "ÅNGSTRÖM Å", "你好 world 123",
+      "emoji 😀 here", "ß sharp", "näïve  Über",
+      "a!@#$%^&*()b", "0123456789", "    !!!   ") ++
+      (0 until 50).map(i => s"doc $i body ${"x" * (i % 7)} End${i}Z")
+    val df = rows.toDF("text")
+    val regexNorm = trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^a-z0-9 ]", ""), " +", " "))
+    val regexCnt = length(col("text")) -
+      length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
+    val bad = df.select(col("text"),
+        graft.functions.AsciiNormalize(col("text")).as("fast_n"), regexNorm.as("slow_n"),
+        graft.functions.StrippedCount(col("text")).as("fast_c"), regexCnt.as("slow_c"))
+      .filter(col("fast_n") =!= col("slow_n") || col("fast_c") =!= col("slow_c"))
+      .collect()
+    assert(bad.isEmpty, s"native/regex mismatch: ${bad.take(3).mkString("; ")}")
+    // real corpus: normText (now native) over every document equals the chain
+    val corpus = docs.select(col("text"),
+        Dedup.normText(col("text")).as("fast"), regexNorm.as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(corpus.count() === 0)
+    // NULL stays NULL
+    val nulls = Seq[Option[String]](None).toDF("text")
+      .select(graft.functions.AsciiNormalize(col("text")).as("n"),
+        graft.functions.StrippedCount(col("text")).as("c")).head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
 }

@@ -93,6 +93,34 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus normalization stays native and codegen'd (no regex chain)") {
+    // the regex chain (2 passes/doc) was q_dedup_norm's whole 100 TB
+    // constant; the native one-pass expression must stay in the plan —
+    // and inside a WholeStageCodegen span, not interpreted fallback
+    // q_text_quality's projection also carries the langHits higher-order
+    // lambda (CodegenFallback), so only the pure normalization query is
+    // held to the in-codegen-stage bar
+    for ((name, wantCodegen) <- Seq("q_dedup_norm" -> true, "q_text_quality" -> false)) {
+      val df = graft.SparkEntry.queries(name)(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("asciinormalize") || plan.contains("strippedcount"),
+        s"$name lost the native text expression:\n${plan.take(1200)}")
+      assert(!plan.contains("regexp_replace(lower("),
+        s"$name still plans the regex normalization chain:\n${plan.take(1200)}")
+      if (wantCodegen) {
+        // AQE shows codegen markers only in the executed final plan
+        // (collect executes THIS queryExecution; count() plans its own).
+        // Simple-format marks a whole-stage-codegen'd operator "*(stageId)"
+        df.collect()
+        val fin = df.queryExecution.executedPlan.toString
+        val nativeLine = fin.linesIterator
+          .find(l => l.contains("asciinormalize") || l.contains("strippedcount"))
+        assert(nativeLine.exists(_.contains("*(")),
+          s"$name native expression not inside a codegen stage:\n${fin.take(1200)}")
+      }
+    }
+  }
+
   test("ngramJaccard verification joins have no forced broadcast") {
     // a broadcast() HINT on the corpus-sized shingle-array table would
     // ship it to the driver at any size — with the hint absent, shrinking
