@@ -12,6 +12,11 @@ object GraftFunctions {
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     fr.createOrReplaceTempFunction("fixed_dot",
       exprs => FixedDot(exprs(0), exprs(1)), "built-in")
+    // one-pass corpus-prep text ops (bit-identical to their regex chains)
+    fr.createOrReplaceTempFunction("ascii_normalize",
+      exprs => AsciiNormalize(exprs(0)), "built-in")
+    fr.createOrReplaceTempFunction("stripped_count",
+      exprs => StrippedCount(exprs(0)), "built-in")
     // kmin(col, k): bounded k-minimum-values sketch aggregate; k must be
     // a constant (foldable) integral expression — INT or BIGINT literal,
     // a CAST of one, etc. Positivity is validated in ONE place,

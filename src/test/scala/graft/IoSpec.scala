@@ -61,6 +61,12 @@ class IoSpec extends AnyFunSuite {
     val kmFold = spark.sql("SELECT kmin(vec_id, 1 + 2) AS hs FROM emb")
       .head().getSeq[Long](0)
     assert(kmFold === expected)
+    // the text ops from pure SQL, against their regex-chain definitions
+    val txt = spark.sql(
+      """SELECT ascii_normalize('  Hello,  World! 42 ') AS n,
+        |       stripped_count('Hello, World! 42') AS c""".stripMargin).head()
+    // stripped: 'H', ',', 'W', '!' -> 4
+    assert(txt.getString(0) === "hello world 42" && txt.getInt(1) === 4)
   }
 
   test("as-of join semantics on a constructed case") {
