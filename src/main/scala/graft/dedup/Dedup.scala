@@ -39,8 +39,7 @@ object Dedup {
     * semantic effect. Set-semantics consumers (Jaccard) apply their own
     * distinct. */
   def shinglePairs(docs: DataFrame): DataFrame =
-    docs.withColumn("w", TextOps.tokens(col("text")))
-      .select(col("doc_id"), explode(TextOps.shinglesOf(col("w"))).as("sh"))
+    docs.select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("sh"))
 
   /** Distinct (doc_id, shingle) pairs — the set-semantics form. */
   def shingleSet(docs: DataFrame): DataFrame = shinglePairs(docs).distinct()
@@ -60,8 +59,10 @@ object Dedup {
     * exploded pairs (MIN ignores duplicates — no distinct, no extra
     * shuffle). */
   def minhashSig(docs: DataFrame): DataFrame = {
-    val base = conv(substring(md5(col("sh").cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
-    val withBase = shinglePairs(docs).withColumn("hb", base)
+    // fused native shingle→md5→prefix-long pass: the hash longs explode
+    // directly (the shingle string never materializes per row)
+    val withBase = docs.select(col("doc_id"),
+      explode(TextOps.shingleHashes(col("text"))).as("hb"))
     val aggs = Seeds.zipWithIndex.map { case (seed, i) =>
       min(col("hb").bitwiseXOR(lit(seed))).as(s"h$i") }
     withBase.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -272,11 +273,9 @@ object Dedup {
     // few, so intersections run as size(array_intersect(...)) on the
     // candidate pair rows instead of re-exploding the corpus into
     // (pair, shingle) rows and shuffling them.
-    val arr0 = docs.withColumn("w", TextOps.tokens(col("text")))
+    val arr0 = docs
       .select(col("doc_id"), col(blockCol).as("blk"),
-        array_sort(array_distinct(transform(TextOps.shinglesOf(col("w")),
-          s => conv(substring(md5(s.cast(BinaryType)), 1, 15), 16, 10).cast(LongType))))
-          .as("shs"))
+        array_sort(array_distinct(TextOps.shingleHashes(col("text")))).as("shs"))
       .withColumn("sz", size(col("shs")).cast(LongType))
     // CACHE OWNERSHIP: the default (cache=false) is persist-free, like
     // every other dedup entry point — a long-lived session calling the

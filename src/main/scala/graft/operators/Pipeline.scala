@@ -211,10 +211,8 @@ object Pipeline extends QFamily {
               |FROM r WHERE rn <= $k GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin)
     }, (s, dir) => {
       val k = 128
-      val h = t(s, dir, "documents").withColumn("w", TextOps.tokens(col("text")))
-        .select(col("source"), explode(TextOps.shinglesOf(col("w"))).as("sh0"))
-        .select(col("source"),
-          conv(substring(md5(col("sh0").cast(BinaryType)), 1, 15), 16, 10).cast(LongType).as("h"))
+      val h = t(s, dir, "documents")
+        .select(col("source"), explode(TextOps.shingleHashes(col("text"))).as("h"))
       val sk = h.groupBy("source").agg(graft.functions.KMinAgg.kmin(col("h"), k).as("hs"))
       // sketches are KB-sized (one row per source): gather them into one
       // row and explode both pair sides from it, so the corpus scan runs

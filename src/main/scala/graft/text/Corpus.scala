@@ -25,13 +25,12 @@ object Corpus {
     * (doc_id, source, n_shared) for contaminated docs only — anti-join
     * the result against the corpus to drop them. */
   def decontaminate(docs: DataFrame, isEval: Column): DataFrame = {
-    val d = docs.withColumn("w", TextOps.tokens(col("text")))
-    val ev = d.filter(isEval)
-      .select(explode(array_distinct(TextOps.shinglesOf(col("w")))).as("sh"))
+    val ev = docs.filter(isEval)
+      .select(explode(array_distinct(TextOps.shingles(col("text")))).as("sh"))
       .distinct()
-    val tr = d.filter(!isEval)
+    val tr = docs.filter(!isEval)
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(TextOps.shinglesOf(col("w")))).as("sh"))
+        explode(array_distinct(TextOps.shingles(col("text")))).as("sh"))
     tr.join(ev, Seq("sh"))
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).cast(LongType).as("n_shared"))
@@ -72,8 +71,7 @@ object Corpus {
       // on a corpus: every row re-probes the whole eval array).
       val evalArr = evalShingles.agg(collect_set(col(shCol)).as("__ev"))
       docs
-        .withColumn("__w", TextOps.tokens(col("text"))) // bind tokens ONCE (see shinglesOf scaladoc)
-        .withColumn("__sh", array_distinct(TextOps.shinglesOf(col("__w"))))
+        .withColumn("__sh", array_distinct(TextOps.shingles(col("text"))))
         .crossJoin(evalArr)
         .filter(arrays_overlap(col("__sh"), col("__ev")))
         .select(docs.columns.map(col): _*)
@@ -84,9 +82,8 @@ object Corpus {
       // the (broadcastable) eval set, then semi-join the contaminated
       // ids back onto the documents
       val hitIds = docs
-        .withColumn("__w", TextOps.tokens(col("text"))) // bind tokens ONCE (see shinglesOf scaladoc)
         .select(col("doc_id"),
-          explode(array_distinct(TextOps.shinglesOf(col("__w")))).as("__sh1"))
+          explode(array_distinct(TextOps.shingles(col("text")))).as("__sh1"))
         .join(evalShingles.select(col(shCol).as("__sh1")), Seq("__sh1"), "left_semi")
         .select("doc_id").distinct()
       docs.join(hitIds, Seq("doc_id"), "left_semi")
@@ -96,8 +93,7 @@ object Corpus {
   /** The eval-side shingle set for [[contaminated]]. */
   def evalShingleSet(evalDocs: DataFrame): DataFrame =
     evalDocs
-      .withColumn("__w", TextOps.tokens(col("text"))) // bind tokens ONCE (see shinglesOf scaladoc)
-      .select(explode(array_distinct(TextOps.shinglesOf(col("__w")))).as("sh"))
+      .select(explode(array_distinct(TextOps.shingles(col("text")))).as("sh"))
       .distinct()
 
   /** Gopher-style per-document repetition statistics: token count,

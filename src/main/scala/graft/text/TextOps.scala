@@ -28,9 +28,19 @@ object TextOps {
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
       .otherwise(array().cast(ArrayType(StringType)))
 
-  /** Convenience form over raw text — ONLY for row-at-a-time/test use;
-    * hot paths must pre-tokenize and call [[shinglesOf]] (see above). */
-  def shingles(c: Column): Column = shinglesOf(tokens(c))
+  /** Word 3-gram shingles straight from raw text — the native one-pass
+    * form ([[graft.functions.WordShingles]]), bit-identical to
+    * `shinglesOf(tokens(c))` but free of the interpreted HOF lambda.
+    * This is the hot-path form; [[shinglesOf]] remains for callers that
+    * already hold a token array. */
+  def shingles(c: Column): Column = graft.functions.WordShingles(c)
+
+  /** 60-bit md5-prefix hashes of the word-3-gram shingles, fused into
+    * one native pass ([[graft.functions.ShingleHashes]]) — bit-identical
+    * to `transform(shingles(c), s -> conv(substring(md5(s), 1, 15), 16,
+    * 10) :: long)`, the hashed-signature form every dedup/sketch
+    * consumer uses. */
+  def shingleHashes(c: Column): Column = graft.functions.ShingleHashes(c)
 
   def shinglesSql(c: String): String = {
     val w = s"string_split($c, ' ')"

@@ -142,6 +142,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.count() === docs.count())
   }
 
+  test("native WordShingles/ShingleHashes are bit-identical to the HOF chains") {
+    import spark.implicits._
+    import graft.text.TextOps
+    // adversarial token shapes: doubled/leading/trailing spaces produce
+    // EMPTY tokens that the HOF chain shingles through concat_ws — the
+    // native substring form must reproduce them byte-for-byte; plus
+    // unicode tokens (0x20 never appears inside a multi-byte sequence)
+    val rows = Seq(
+      "a b c", "a b c d e", "a  b c", " a b c", "a b c ", "  ", "",
+      "one", "one two", "a b  c  d", "héllo wörld 你好 ok",
+      "emoji 😀 mid 😀 end", "x " * 40)
+    val df = rows.toDF("text").withColumn("w", TextOps.tokens(col("text")))
+    val hofShingles = TextOps.shinglesOf(col("w"))
+    val hofHashes = transform(TextOps.shinglesOf(col("w")),
+      s => conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long"))
+    val bad = df.select(
+        TextOps.shingles(col("text")).as("ns"), hofShingles.as("hs"),
+        TextOps.shingleHashes(col("text")).as("nh"), hofHashes.as("hh"))
+      .filter(col("ns") =!= col("hs") || col("nh") =!= col("hh"))
+      .collect()
+    assert(bad.isEmpty, s"native/HOF shingle mismatch: ${bad.take(3).mkString("; ")}")
+    // the whole documents corpus, both forms
+    val corpus = docs
+      .withColumn("w", TextOps.tokens(col("text")))
+      .select(TextOps.shingles(col("text")).as("ns"), TextOps.shinglesOf(col("w")).as("hs"),
+        TextOps.shingleHashes(col("text")).as("nh"),
+        transform(TextOps.shinglesOf(col("w")),
+          s => conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")).as("hh"))
+      .filter(col("ns") =!= col("hs") || col("nh") =!= col("hh"))
+    assert(corpus.count() === 0)
+    // NULL stays NULL
+    val nulls = Seq[Option[String]](None).toDF("text")
+      .select(TextOps.shingles(col("text")).as("s"), TextOps.shingleHashes(col("text")).as("h"))
+      .head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("native AsciiNormalize/StrippedCount are bit-identical to the regex chains") {
     import spark.implicits._
     // adversarial inputs: case, digit, squeeze/trim shapes, tabs and
