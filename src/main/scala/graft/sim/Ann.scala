@@ -30,16 +30,22 @@ object Ann {
     * engines. Integer math also keeps the hot loop codegen-friendly. */
   private val Scale = 1e8
 
-  private def fx(x: Column): Column = round(x.cast(DoubleType) * Scale, 0).cast(LongType)
+  /** Scalar fixed-point quantizer — the reference form [[scaled]]'s
+    * native expression must match element-wise (kept for specs). */
+  private[graft] def fx(x: Column): Column = round(x.cast(DoubleType) * Scale, 0).cast(LongType)
 
   /** Pre-scaled long vector (compute once per vector; pairwise dots then
-    * run through the codegen'd [[FixedDot]]). */
-  def scaled(e: Column): Column = transform(e, x => fx(x))
+    * run through the codegen'd [[FixedDot]]) — the native one-pass
+    * [[graft.functions.FixedScale]], bit-identical to
+    * `transform(e, x -> round(x·1e8, 0)::long)` (see its tie-margin
+    * contract) without the interpreted HOF. */
+  def scaled(e: Column): Column = graft.functions.FixedScale(e)
 
-  /** Exact fixed-point dot product (raw scale 1e16), as long. Same value
-    * as FixedDot over [[scaled]] arrays (long addition is associative). */
+  /** Exact fixed-point dot product (raw scale 1e16), as long — FixedDot
+    * over the native [[scaled]] arrays (long addition is associative, so
+    * this equals the historical `aggregate(zip_with(...))` HOF form). */
   def dotFix(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => fx(x) * fx(y)), lit(0L), (acc, v) => acc + v)
+    graft.functions.FixedDot(scaled(a), scaled(b))
 
   def dotFixSql(a: String, b: String): String =
     s"""(SELECT CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT) * CAST(ROUND(CAST(y AS DOUBLE) * 100000000) AS BIGINT)) AS BIGINT)

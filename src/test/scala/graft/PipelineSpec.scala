@@ -142,6 +142,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.count() === docs.count())
   }
 
+  test("native FixedScale is bit-identical to the round-HOF quantizer") {
+    import spark.implicits._
+    // .5-boundary values at the 1e8 scale (1.5e-8 -> 1.5, -2.5e-8 ->
+    // -2.5: HALF_UP must round away from zero on the SHORTEST-DECIMAL
+    // rendering, the BigDecimal slow path both forms share), plus
+    // ordinary magnitudes and exact zeros
+    val samples = Seq(
+      Seq(1.5e-8f, -2.5e-8f, 0.5e-8f, -0.5e-8f),
+      Seq(0.123456789f, -0.987654321f, 1.0f, -1.0f),
+      Seq(0.0f, -0.0f, 3.4e-8f, 7.77e-3f),
+      Seq.empty[Float])
+    val df = samples.toDF("embedding")
+    val hof = transform(col("embedding"),
+      x => round(x.cast("double") * 1e8, 0).cast("long"))
+    val bad = df.select(graft.sim.Ann.scaled(col("embedding")).as("n"), hof.as("h"))
+      .filter(col("n") =!= col("h")).collect()
+    assert(bad.isEmpty, s"native/HOF scale mismatch: ${bad.take(3).mkString("; ")}")
+    // the whole embeddings corpus
+    val corpus = vecs.select(graft.sim.Ann.scaled(col("embedding")).as("n"), hof.as("h"))
+      .filter(col("n") =!= col("h"))
+    assert(corpus.count() === 0)
+  }
+
   test("native WordShingles/ShingleHashes are bit-identical to the HOF chains") {
     import spark.implicits._
     import graft.text.TextOps
