@@ -121,6 +121,33 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup signature scans plan the native shingle path (no HOF lambdas)") {
+    // the signature scans once paid an interpreted per-shingle lambda
+    // (HOFs are CodegenFallback) plus an interpreted md5 per element in
+    // the hashed form — the fused native expressions must stay in the
+    // plan and no lambdafunction may reappear below the first aggregate
+    for (name <- Seq("q_minhash_sig", "q_dedup_ngram", "q_corpus_jaccard")) {
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("shinglehashes"),
+        s"$name lost the fused shingle-hash expression:\n${plan.take(1200)}")
+    }
+    // the pure signature scan must be lambda-free end to end (the other
+    // two retain bounded post-aggregation HOFs: ngram's pair enumeration
+    // over ≤ dfCap-id bucket arrays and jaccard's array_sort comparator
+    // over k=128 sketches — KB-scale steps, not per-document scans)
+    val sigPlan = graft.SparkEntry.queries("q_minhash_sig")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!sigPlan.contains("lambdafunction"),
+      s"q_minhash_sig still plans an interpreted HOF lambda:\n${sigPlan.take(1600)}")
+    for (name <- Seq("q_decontaminate", "q_contaminated")) {
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("wordshingles"),
+        s"$name lost the native shingle expression:\n${plan.take(1200)}")
+    }
+  }
+
   test("ngramJaccard verification joins have no forced broadcast") {
     // a broadcast() HINT on the corpus-sized shingle-array table would
     // ship it to the driver at any size — with the hint absent, shrinking
