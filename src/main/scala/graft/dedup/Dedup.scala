@@ -179,30 +179,24 @@ object Dedup {
     * The first 15 md5 hex digits form a 60-bit word hash wh with
     * bit j = (wh >> (59−j)) & 1 — identical to the oracle's nibble form,
     * since hex digit j/4 occupies bits [59−4·(j/4)−3, 59−4·(j/4)].
-    * ONE token explode feeds ONE map-side-combined groupBy carrying 60
-    * codegen'd ±1 SUM aggregates (Σ over occurrences ≡ Σ cnt_w·±1) —
-    * no 60× row blowup, and no interpreted higher-order functions in the
-    * hot path. */
-  def simhashDf(docs: DataFrame): DataFrame = {
-    val occ = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("w").cast(BinaryType)), 1, 15), 16, 10).cast(LongType).as("wh"))
-    val sums = (0 until SimBits).map { j =>
-      sum(shiftright(col("wh"), SimBits - 1 - j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j") }
-    val agg = occ.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-    val sim = (0 until SimBits)
-      .map(j => when(col(s"s$j") > 0, lit(1L << (SimBits - 1 - j))).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col("doc_id"), sim.cast(LongType).as("simhash"))
-  }
+    * The whole signature is ONE native scan-local expression
+    * ([[graft.functions.SimHash60]] — tokenize, hash, ±1-accumulate and
+    * sign per document in a single pass): no explode, no aggregation,
+    * no shuffle. Replaced the former explode + 60-sum groupBy, which was
+    * itself bit-identical (PipelineSpec pins native-vs-aggregate parity). */
+  def simhashDf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), graft.functions.SimHash60(col("text")).as("simhash"))
 
   /** SimHash near-dup pairs: 4 bands × 15 bits, keep hamming ≤
     * [[SimHammingMax]] (see the recall contract there). */
   def simhashPairs(docs: DataFrame): DataFrame = {
-    // the signature table feeds both sides of the band self-join; its
-    // final aggregation becomes a ReusedExchange for both consumers —
-    // the corpus scan + hashing runs once with no persist
-    val sh = simhashDf(docs)
+    // the signature table feeds both sides of the band self-join; the
+    // explicit hash repartition materializes the (doc_id, simhash)
+    // rows — 16 bytes/doc, the ONLY shuffle of this phase — as an
+    // exchange both consumers reuse, so the corpus scan + hashing runs
+    // once with no persist (the scan-local signature expression has no
+    // aggregation exchange of its own to reuse)
+    val sh = simhashDf(docs).repartition(col("doc_id"))
     val mask = (1L << SimBandBits) - 1
     val bandStructs = (0 until SimBands).map(k =>
       struct(lit(k).as("k"), shiftright(col("simhash"), SimBandBits * k).bitwiseAND(lit(mask)).as("band")))

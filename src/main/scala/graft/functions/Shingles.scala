@@ -71,6 +71,8 @@ object ShingleHelper {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  private[functions] def md5(): java.security.MessageDigest = md5Local.get()
+
   /** Equivalent of transform(shingles3(s),
     * sh -> conv(substring(md5(sh), 1, 15), 16, 10) :: long). */
   def shingleHashes3(s: UTF8String): ArrayData = {
@@ -108,6 +110,72 @@ object ShingleHelper {
     }
     new GenericArrayData(out)
   }
+}
+
+/** Additions to [[ShingleHelper]]'s one-pass family: the 60-bit
+  * SimHash, computed per document with zero explode / zero shuffle. */
+object SimHashHelper {
+
+  private val Bits = 60
+
+  /** Equivalent of exploding split(text, " "), hashing each token
+    * (md5 top-60-bits, as [[ShingleHelper.shingleHashes3]]), summing
+    * per-bit ±1 contributions over ALL occurrences (empty tokens from
+    * doubled/leading/trailing spaces included — split emits them and
+    * both engines hash them), and setting bit j when its sum is
+    * strictly positive. */
+  def simhash60(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val acc = new Array[Int](Bits)
+    val md = ShingleHelper.md5()
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        md.reset()
+        md.update(bytes, start, i - start)
+        val d = md.digest()
+        val top = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+        var j = 0
+        while (j < Bits) {
+          acc(j) += ((top >>> (Bits - 1 - j)) & 1L).toInt * 2 - 1
+          j += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < Bits) {
+      if (acc(j) > 0) sim |= 1L << (Bits - 1 - j)
+      j += 1
+    }
+    sim
+  }
+}
+
+/** 60-bit SimHash of a document (see [[SimHashHelper]]). */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashHelper.simhash60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashHelper.simhash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash60 {
+  def apply(c: Column): Column = GraftShims.column(SimHash60(GraftShims.expression(c)))
 }
 
 /** array<string> of word-3-gram shingles (see [[ShingleHelper]]). */

@@ -202,6 +202,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("native SimHash60 is bit-identical to the explode+aggregate form") {
+    import spark.implicits._
+    import graft.dedup.Dedup.SimBits
+    // the historical form: explode tokens, hash, 60 grouped ±1 sums,
+    // sign — rebuilt here as the reference; the native expression must
+    // match on every document INCLUDING empty-token shapes (split emits
+    // empty strings for doubled/leading/trailing spaces, and both
+    // engines hash them) and unicode
+    def aggregateForm(d: org.apache.spark.sql.DataFrame) = {
+      val occ = d.select(col("doc_id"), explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10).cast("long").as("wh"))
+      val sums = (0 until SimBits).map { j =>
+        sum(shiftright(col("wh"), SimBits - 1 - j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j") }
+      val agg = occ.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      val sim = (0 until SimBits)
+        .map(j => when(col(s"s$j") > 0, lit(1L << (SimBits - 1 - j))).otherwise(lit(0L)))
+        .reduce(_ + _)
+      agg.select(col("doc_id"), sim.cast("long").as("ref_simhash"))
+    }
+    val extra = Seq((9001L, "a  b c "), (9002L, " leading"), (9003L, ""),
+      (9004L, "héllo wörld 你好"), (9005L, "x"), (9006L, "same same same diff"))
+      .toDF("doc_id", "text")
+    val d = docs.select("doc_id", "text").unionByName(extra)
+    val bad = graft.dedup.Dedup.simhashDf(d)
+      .join(aggregateForm(d), Seq("doc_id"))
+      .filter(col("simhash") =!= col("ref_simhash"))
+    assert(bad.count() === 0)
+  }
+
   test("native AsciiNormalize/StrippedCount are bit-identical to the regex chains") {
     import spark.implicits._
     // adversarial inputs: case, digit, squeeze/trim shapes, tabs and
