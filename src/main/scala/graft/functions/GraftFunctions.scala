@@ -17,6 +17,15 @@ object GraftFunctions {
       exprs => AsciiNormalize(exprs(0)), "built-in")
     fr.createOrReplaceTempFunction("stripped_count",
       exprs => StrippedCount(exprs(0)), "built-in")
+    // one-pass signature ops (bit-identical to their HOF chains)
+    fr.createOrReplaceTempFunction("word_shingles",
+      exprs => WordShingles(exprs(0)), "built-in")
+    fr.createOrReplaceTempFunction("shingle_hashes",
+      exprs => ShingleHashes(exprs(0)), "built-in")
+    fr.createOrReplaceTempFunction("simhash60",
+      exprs => SimHash60(exprs(0)), "built-in")
+    fr.createOrReplaceTempFunction("fixed_scale",
+      exprs => FixedScale(exprs(0)), "built-in")
     // kmin(col, k): bounded k-minimum-values sketch aggregate; k must be
     // a constant (foldable) integral expression — INT or BIGINT literal,
     // a CAST of one, etc. Positivity is validated in ONE place,

@@ -67,6 +67,18 @@ class IoSpec extends AnyFunSuite {
         |       stripped_count('Hello, World! 42') AS c""".stripMargin).head()
     // stripped: 'H', ',', 'W', '!' -> 4
     assert(txt.getString(0) === "hello world 42" && txt.getInt(1) === 4)
+    // the signature ops from pure SQL, against their builtin-chain forms
+    val sig = spark.sql(
+      """SELECT word_shingles('a b c d') AS ws,
+        |       shingle_hashes('a b c d') AS sh,
+        |       transform(array('a b c', 'b c d'),
+        |         s -> CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 15), 16, 10) AS BIGINT)) AS ref_sh,
+        |       simhash60('a b c d') AS s60,
+        |       fixed_scale(array(CAST(0.25 AS FLOAT), CAST(-1.0 AS FLOAT))) AS fs""".stripMargin).head()
+    assert(sig.getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(sig.getSeq[Long](1) === sig.getSeq[Long](2))
+    assert(sig.getLong(3) !== 0L)
+    assert(sig.getSeq[Long](4) === Seq(25000000L, -100000000L))
   }
 
   test("as-of join semantics on a constructed case") {
