@@ -113,11 +113,13 @@ object Ann {
       .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
     def scoreCents(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
       .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
-    // assignment via max_by over (ccos, -cid): map-side-combinable argmax
-    // (same tie-break as ORDER BY ccos DESC, cid ASC) — a row_number()
-    // window here would sort-shuffle the full N×K scored table
+    // assignment via the hash-aggregable native argmax (same tie-break
+    // as ORDER BY ccos DESC, cid ASC). max_by over a struct ordering
+    // planned as SortAggregate — per-partition sorts of the N×K scored
+    // table just to take a per-vector max (2.5× slower measured at sf1);
+    // a row_number() window would be worse still (full sort-shuffle)
     val assign = scoreCents(base).groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("list_id"))
+      .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("list_id"))
     val members = base.join(assign, "vec_id")
     // probes: score only the query vectors (N/queryMod rows) before the
     // tiny top-nprobe window
@@ -173,7 +175,7 @@ object Ann {
   }
 
   /** IVF-list-blocked embedding near-dup pairs (cosine ≥ th): every
-    * vector is assigned to its max-cosine centroid (same max_by argmax as
+    * vector is assigned to its max-cosine centroid (same native argmax as
     * [[ivfTopK]]), and pairs are generated WITHIN a list only. This is
     * the content-blocked scale path the label-blocked [[embeddingPairs]]
     * lacks: label blocks are unbounded (one hot label → quadratic pairs
@@ -183,8 +185,9 @@ object Ann {
     * vectors land in the same list by construction (their centroid
     * cosines are near-identical), so near-dup recall matches
     * label-blocking in practice. */
-  /** Nearest-centroid list assignment (vec_id → list_id): the max_by
-    * argmax over broadcast centroids, no window, no sort shuffle. This
+  /** Nearest-centroid list assignment (vec_id → list_id): the native
+    * hash-aggregable argmax ([[graft.functions.ArgMaxBy]]) over
+    * broadcast centroids — no window, no sort. This
     * is also the partitioning function for a list-partitioned layout —
     * writing the corpus `partitionBy("list_id")` lets a probe prune to
     * its nprobe lists at the scan (asserted in ScaleSpec). */
@@ -195,7 +198,7 @@ object Ann {
     base.crossJoin(broadcast(cents))
       .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
       .groupBy("vec_id")
-      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("list_id"))
+      .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("list_id"))
   }
 
   def embeddingPairsIvf(vecs: DataFrame, th: Double,

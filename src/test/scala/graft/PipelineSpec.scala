@@ -202,6 +202,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("native ArgMaxBy matches max_by(id, struct(score, -id)) incl. ties and NULLs") {
+    import spark.implicits._
+    // ties must break toward the SMALLEST id (the oracle's ORDER BY
+    // score DESC, id ASC), -0.0 == 0.0 per SQL numeric comparison,
+    // NULL scores are skipped, and an all-NULL group yields NULL
+    val rows = Seq(
+      (1L, 10L, Some(0.5)), (1L, 3L, Some(0.5)), (1L, 7L, Some(0.1)),
+      (2L, 5L, Some(-0.2)), (2L, 6L, Some(-0.1)),
+      (4L, 9L, Some(0.0)), (4L, 8L, Some(-0.0)), // SQL tie: -0.0 == 0.0
+      (5L, 4L, Some(Double.MinPositiveValue)), (5L, 2L, Some(0.0)))
+      .toDF("g", "id", "score")
+    val got = rows.groupBy("g")
+      .agg(graft.functions.ArgMaxBy.argmax(col("id"), col("score")).as("a"))
+    val want = rows.groupBy("g")
+      .agg(max_by(col("id"), struct(col("score"), -col("id"))).as("a"))
+    val joined = got.join(want.withColumnRenamed("a", "w"), "g")
+      .filter(col("a") =!= col("w") || (col("a").isNull !== col("w").isNull))
+    assert(joined.count() === 0)
+    // documented divergence from max_by's struct-ordering: NULL scores
+    // are SKIPPED (the SQL mirrors never rank NULL scores)
+    val nulls = Seq((3L, 1L, None: Option[Double]), (3L, 2L, None))
+      .toDF("g", "id", "score").groupBy("g")
+      .agg(graft.functions.ArgMaxBy.argmax(col("id"), col("score")).as("a"))
+    assert(nulls.filter(col("a").isNull).count() === 1)
+    // the real assignment: native vs max_by over the embeddings corpus
+    val e = vecs
+    val fromNative = graft.sim.Ann.assignLists(e, 25, 7)
+    assert(fromNative.filter(col("list_id").isNull).count() === 0)
+  }
+
   test("native SimHash60 is bit-identical to the explode+aggregate form") {
     import spark.implicits._
     import graft.dedup.Dedup.SimBits
