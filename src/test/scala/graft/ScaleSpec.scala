@@ -148,6 +148,20 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF centroid assignment aggregates hash-based (no SortAggregate)") {
+    // max_by(id, struct(...)) planned the N×K assignment as
+    // SortAggregate (per-partition sorts of the scored table); the
+    // native ArgMaxBy must keep it in ObjectHashAggregate
+    for (name <- Seq("q_ann_ivf", "q_dedup_embedding_ivf")) {
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("argmax_by"),
+        s"$name lost the native argmax aggregate:\n${plan.take(1200)}")
+      assert(!plan.contains("SortAggregate"),
+        s"$name plans a SortAggregate:\n${plan.take(1600)}")
+    }
+  }
+
   test("ngramJaccard verification joins have no forced broadcast") {
     // a broadcast() HINT on the corpus-sized shingle-array table would
     // ship it to the driver at any size — with the hint absent, shrinking
