@@ -88,6 +88,117 @@ object AsciiTextHelper {
   }
 }
 
+/** One-pass language-signal counters (the langid/quality scans'
+  * remaining interpreted steps): stopword hits ran as a
+  * `size(filter(toks, x -> array_contains(...)))` HOF lambda per row,
+  * and the CJK count as a full `regexp_replace` building a stripped
+  * copy of every document. Both are single passes here. */
+object LangSignalHelper {
+
+  private val wordBytes: Map[String, Array[Array[Byte]]] =
+    graft.text.TextOps.langWords.map { case (l, ws) =>
+      l -> ws.map(_.getBytes("UTF-8")).toArray
+    }
+
+  /** Count of tokens (split on single spaces, empties included — they
+    * match no stopword) byte-equal to any of `lang`'s stopwords. Equals
+    * size(filter(split(s, " "), x -> array_contains(words, x))). */
+  def stopHits(s: UTF8String, lang: String): Int = {
+    val words = wordBytes(lang)
+    val bytes = s.getBytes
+    val n = bytes.length
+    var cnt = 0
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        val len = i - start
+        var w = 0
+        var hit = false
+        while (!hit && w < words.length) {
+          val wb = words(w)
+          if (wb.length == len) {
+            var j = 0
+            while (j < len && bytes(start + j) == wb(j)) j += 1
+            hit = j == len
+          }
+          w += 1
+        }
+        if (hit) cnt += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    cnt
+  }
+
+  /** Count of codepoints in [U+4E00, U+9FFF]. Equals
+    * length(s) - length(regexp_replace(s, "[\\u4e00-\\u9fff]", "")). */
+  def cjkCount(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var ascii = true
+    var i = 0
+    while (ascii && i < n) { if (bytes(i) < 0) ascii = false; i += 1 }
+    if (ascii) return 0
+    val str = s.toString
+    var cnt = 0
+    i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (cp >= 0x4e00 && cp <= 0x9fff) cnt += 1
+      i += Character.charCount(cp)
+    }
+    cnt
+  }
+}
+
+/** Stopword-hit count for a language (see [[LangSignalHelper]]). */
+case class StopHits(child: Expression, lang: String) extends UnaryExpression {
+
+  require(graft.text.TextOps.langWords.contains(lang),
+    s"stop_hits: unknown language '$lang' (have ${graft.text.TextOps.langWords.keys.mkString(",")})")
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(input: Any): Any =
+    LangSignalHelper.stopHits(input.asInstanceOf[UTF8String], lang)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"""graft.functions.LangSignalHelper.stopHits($c, "$lang")""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "stop_hits"
+}
+
+/** CJK-codepoint count (see [[LangSignalHelper]]). */
+case class CjkCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(input: Any): Any =
+    LangSignalHelper.cjkCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LangSignalHelper.cjkCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "cjk_count"
+}
+
+object StopHits {
+  def apply(c: Column, lang: String): Column =
+    GraftShims.column(StopHits(GraftShims.expression(c), lang))
+}
+
+object CjkCount {
+  def apply(c: Column): Column = GraftShims.column(CjkCount(GraftShims.expression(c)))
+}
+
 /** Column form of [[AsciiTextHelper.norm]] — bit-identical replacement
   * for the `trim(regexp_replace(regexp_replace(lower(c), ...)))` chain. */
 case class AsciiNormalize(child: Expression) extends UnaryExpression {

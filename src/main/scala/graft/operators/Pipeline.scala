@@ -106,7 +106,7 @@ object Pipeline extends QFamily {
     }, (s, dir) => {
       val toks = TextOps.tokens(col("text"))
       val cols = Seq(col("doc_id"), col("lang"), size(toks).cast(LongType).as("n_tokens")) ++
-        langs.map(l => TextOps.langHits(toks, l).cast(LongType).as(s"${l}_hits")) :+
+        langs.map(l => TextOps.langHitsText(col("text"), l).cast(LongType).as(s"${l}_hits")) :+
         TextOps.cjkCount(col("text")).cast(LongType).as("zh_chars")
       val base = t(s, dir, "documents").select(cols: _*)
       val m = greatest(langs.map(l => col(s"${l}_hits")): _*)
@@ -144,7 +144,7 @@ object Pipeline extends QFamily {
           graft.util.D.r((length(col("text")) - nTok + lit(1.0)) / nTok, 6).as("avg_token_len"),
           graft.util.D.r(graft.functions.StrippedCount(col("text"))
             .cast(DoubleType) / length(col("text")), 6).as("punct_ratio"),
-          graft.util.D.r(TextOps.langHits(toks, "en").cast(DoubleType) / nTok, 6).as("stopword_ratio"))
+          graft.util.D.r(TextOps.langHitsText(col("text"), "en").cast(DoubleType) / nTok, 6).as("stopword_ratio"))
         .withColumn("quality",
           graft.util.D.r(lit(0.3) * least(col("n_tokens") / 100.0, lit(1.0)) +
             lit(0.4) * (lit(1.0) - col("punct_ratio")) +
@@ -262,7 +262,7 @@ object Pipeline extends QFamily {
         graft.util.D.r(lit(0.3) * least(nTok.cast(LongType) / 100.0, lit(1.0)) +
           lit(0.4) * (lit(1.0) - graft.util.D.r(graft.functions.StrippedCount(col("text"))
             .cast(DoubleType) / length(col("text")), 6)) +
-          lit(0.3) * least(graft.util.D.r(TextOps.langHits(toks, "en").cast(DoubleType) / nTok, 6) * 5.0, lit(1.0)), 6)
+          lit(0.3) * least(graft.util.D.r(TextOps.langHitsText(col("text"), "en").cast(DoubleType) / nTok, 6) * 5.0, lit(1.0)), 6)
           .as("quality"))
       val kept = scored.filter(col("quality") >= 0.5)
       // min_by keeps the min-doc_id survivor's payload deterministically

@@ -55,17 +55,26 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est", "pour", "dans", "un", "une", "sur"),
     "es" -> Seq("el", "los", "las", "y", "es", "para", "como", "un", "una", "con"))
 
+  /** HOF form over a token array — kept as the parity reference for
+    * [[langHitsText]]'s native expression. */
   def langHits(toks: Column, lang: String): Column =
     size(filter(toks, x => array_contains(array(langWords(lang).map(lit): _*), x)))
+
+  /** Stopword hits straight from raw text — the native one-pass form
+    * ([[graft.functions.StopHits]]), bit-identical to
+    * `langHits(tokens(c), lang)` without the interpreted HOF lambda. */
+  def langHitsText(c: Column, lang: String): Column =
+    graft.functions.StopHits(c, lang)
 
   def langHitsSql(toksExpr: String, lang: String): String = {
     val lst = langWords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter($toksExpr, x -> list_contains($lst, x)))"
   }
 
-  /** Count of CJK codepoints (zh signal). */
-  def cjkCount(c: Column): Column =
-    length(c) - length(regexp_replace(c, "[\\u4e00-\\u9fff]", ""))
+  /** Count of CJK codepoints (zh signal) — native one-pass
+    * ([[graft.functions.CjkCount]]), bit-identical to the former
+    * `length(c) - length(regexp_replace(c, "[\\u4e00-\\u9fff]", ""))`. */
+  def cjkCount(c: Column): Column = graft.functions.CjkCount(c)
 
   def cjkCountSql(c: String): String =
     s"len(regexp_extract_all($c, '[\\x{4e00}-\\x{9fff}]'))"

@@ -202,6 +202,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("native StopHits/CjkCount are bit-identical to the HOF/regex forms") {
+    import spark.implicits._
+    import graft.text.TextOps
+    val rows = Seq(
+      "the cat and the dog", "der und das", "le la les", "el y es",
+      "THE The the", "  the  ", "", "no stop words here at all xyz",
+      "你好 world the 世界", "mixed 中文 und deutsch", "emoji 😀 the end",
+      "athe thea the", "und, der!") ++
+      (0 until 30).map(i => s"doc $i the und le el ${"的" * (i % 3)}")
+    val df = rows.toDF("text").withColumn("w", TextOps.tokens(col("text")))
+    val langs = Seq("de", "en", "es", "fr")
+    val regexCjk = length(col("text")) -
+      length(regexp_replace(col("text"), "[\\u4e00-\\u9fff]", ""))
+    val checks = langs.map(l =>
+      (TextOps.langHitsText(col("text"), l) =!= TextOps.langHits(col("w"), l))) :+
+      (TextOps.cjkCount(col("text")) =!= regexCjk)
+    val bad = df.filter(checks.reduce(_ || _)).collect()
+    assert(bad.isEmpty, s"native/HOF lang-signal mismatch: ${bad.take(3).mkString("; ")}")
+    // the whole documents corpus
+    val corpusChecks = langs.map(l =>
+      (TextOps.langHitsText(col("text"), l) =!= TextOps.langHits(col("w"), l))) :+
+      (TextOps.cjkCount(col("text")) =!= regexCjk)
+    assert(docs.withColumn("w", TextOps.tokens(col("text")))
+      .filter(corpusChecks.reduce(_ || _)).count() === 0)
+    // unknown language fails fast at construction
+    intercept[IllegalArgumentException](TextOps.langHitsText(col("text"), "xx"))
+  }
+
   test("native ArgMaxBy matches max_by(id, struct(score, -id)) incl. ties and NULLs") {
     import spark.implicits._
     // ties must break toward the SMALLEST id (the oracle's ORDER BY
