@@ -65,9 +65,26 @@ object Bench {
       .mkString("{", ",", "}")
     val cold = ok.map(_._2.head).sum
     val warm = ok.map(_._2.last).sum
-    println(s"""{"metric":"total","value":${j(warm)},"unit":"sec","queries":$qs,""" +
+    val full = s"""{"metric":"total","value":${j(warm)},"unit":"sec","queries":$qs,""" +
       s""""cold_total":${j(cold)},"warm_total":${j(warm)},"reps":$reps,""" +
-      s""""failed":$failed,"sf":"$sfDir"}""")
+      s""""failed":$failed,"sf":"$sfDir"}"""
+    println(full)
+    // The full record is ~2.5 KB with 82 queries, which outruns a
+    // tail-windowed stdout capture (a harness reading only the last N
+    // bytes sees a mid-string fragment and parses null). Persist the full
+    // record to a file and ALSO print a compact totals-only line LAST, so
+    // any tail window ≥ ~200 bytes always contains one complete record.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, full + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${j(warm)},"unit":"sec",""" +
+      s""""warm_total":${j(warm)},"cold_total":${j(cold)},"reps":$reps,""" +
+      s""""n_queries":${ok.size},"failed":$failed,"sf":"$sfDir","full":"$outPath"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,41 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
-/** Scratch profiling main (not part of the library surface). */
+/** Parameterized perf diagnostic (dev tooling, not library surface).
+  *
+  * Usage: `runMain graft.Probe [--reps N] [--plan] [--sf DIR] [query...]`
+  *  - times each named `SparkEntry.queries` entry (default: all) for N
+  *    reps (default 3) against DIR (default $SPARK_GRAFT_SF_DIR or
+  *    sf0.1), with the same outside-the-timed-window clearCache + GC
+  *    cadence as Bench (ContextCleaner reclaims broadcast/shuffle state
+  *    only after a JVM GC — without it later queries pay for earlier
+  *    ones' accumulated state);
+  *  - `--plan` additionally executes the query once and dumps the final
+  *    adaptive executed plan (AQE hides codegen markers until execution).
+  *
+  * Replaces the one-shot Probe1–9 investigation mains; their findings
+  * live where they were applied: decimal-vs-all-long grouped buffers in
+  * explain/Correlation.scala, native expressions replacing HOF/regex
+  * chains in functions/, per-query GC cadence in Bench.scala.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    var reps = 3
+    var plan = false
+    var sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--reps" => reps = args(i + 1).toInt; i += 2
+        case "--plan" => plan = true; i += 1
+        case "--sf" => sfDir = args(i + 1); i += 2
+        case q => names += q; i += 1
+      }
+    }
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -15,96 +43,25 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-    def time(name: String)(f: => Any): Unit = {
-      val t0 = System.nanoTime()
-      f
-      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      spark.catalog.clearCache()
-    }
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    println(s"[probe] docs=${docs.count()}")
-    import graft.text.TextOps
-    time("explode tokens count") {
-      docs.select(explode(TextOps.tokens(col("text"))).as("w")).count()
-    }
-    time("explode shingles count") {
-      docs.withColumn("w", TextOps.tokens(col("text"))).select(explode(TextOps.shinglesOf(col("w"))).as("sh")).count()
-    }
-    time("shingles+md5") {
-      docs.withColumn("w", TextOps.tokens(col("text"))).select(explode(TextOps.shinglesOf(col("w"))).as("sh"))
-        .select(md5(col("sh").cast(BinaryType)).as("h")).agg(max("h")).collect()
-    }
-    time("shingles+md5+conv") {
-      docs.withColumn("w", TextOps.tokens(col("text"))).select(explode(TextOps.shinglesOf(col("w"))).as("sh"))
-        .select(conv(substring(md5(col("sh").cast(BinaryType)), 1, 15), 16, 10).cast(LongType).as("h"))
-        .agg(max("h")).collect()
-    }
-    time("minhashSig full") {
-      graft.dedup.Dedup.minhashSig(docs).agg(max("h0")).collect()
-    }
-    val sh = docs.withColumn("w", TextOps.tokens(col("text")))
-      .select(col("doc_id"), col("source").as("blk"),
-        explode(TextOps.shinglesOf(col("w"))).as("sh0"))
-      .select(col("doc_id"), col("blk"),
-        conv(substring(md5(col("sh0").cast(BinaryType)), 1, 15), 16, 10).cast(LongType).as("sh"))
-      .distinct()
-    time("sh distinct (ngram)") { sh.count() }
-    val shP = sh.persist()
-    shP.count()
-    time("dfs from cached sh") {
-      shP.groupBy("blk", "sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= 100).count()
-    }
-    time("cand from cached sh") {
-      val dfs = shP.groupBy("blk", "sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= 100).select("blk", "sh")
-      val rare = shP.join(dfs, Seq("blk", "sh"))
-      println("[probe] cand rows = " + rare.alias("a").join(rare.alias("b"),
-        col("a.blk") === col("b.blk") && col("a.sh") === col("b.sh") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct().count())
-    }
-    spark.catalog.clearCache()
-    time("ngram full") {
-      graft.dedup.Dedup.ngramJaccard(docs, "source", 0.02).count()
-    }
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    println(s"[probe] lineitem=${li.count()}")
-    time("plain double sums x5") {
-      li.agg(sum("l_quantity"), sum("l_extendedprice"), sum("l_discount"),
-        sum("l_tax"), count(lit(1))).collect()
-    }
-    time("dec25 sums x5") {
-      li.agg(sum(col("l_quantity").cast(graft.util.D.dec25)),
-        sum(col("l_extendedprice").cast(graft.util.D.dec25)),
-        sum(col("l_discount").cast(graft.util.D.dec25)),
-        sum(col("l_tax").cast(graft.util.D.dec25)), count(lit(1))).collect()
-    }
-    time("dec30 product sums x3") {
-      li.agg(
-        sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(30, 6))),
-        sum((col("l_quantity") * col("l_discount")).cast(DecimalType(30, 6))),
-        sum((col("l_extendedprice") * col("l_discount")).cast(DecimalType(30, 6)))).collect()
-    }
-    time("q_correlation full") {
-      SparkEntry.queries("q_correlation")(spark, sfDir).count()
-    }
-    time("q_metainsight full") {
-      SparkEntry.queries("q_metainsight")(spark, sfDir).count()
-    }
-    time("pearson 3 pairs") {
-      graft.explain.Correlation.pearson(li, Seq(
-        ("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
-        ("l_extendedprice", "l_discount"))).collect()
-    }
-    time("metainsight cat+trend") {
-      val o = spark.read.parquet(s"$sfDir/orders.parquet")
-      val cat = graft.explain.MetaInsight.catPatterns(o, "o_orderpriority", "o_orderstatus",
-        "o_totalprice", "totalprice_mean")
-      val tr = graft.explain.MetaInsight.trendPatterns(o, "o_orderpriority", month(col("o_orderdate")),
-        "month", "o_totalprice", "totalprice_mean")
-      graft.explain.MetaInsight.mine(cat.unionByName(tr)).collect()
+    spark.range(1000000L).selectExpr("sum(id)").collect() // JIT warmup
+    val qs = if (names.isEmpty) SparkEntry.queries.keys.toSeq.sorted else names.toSeq
+    qs.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val times = (1 to reps).map { _ =>
+        val df = fn(spark, sfDir) // fresh build per rep (stale-AQE trap)
+        val t0 = System.nanoTime()
+        df.count()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        System.gc()
+        t
+      }
+      println(f"$n%-32s ${times.map(t => f"$t%8.3f").mkString(" ")}")
+      if (plan) {
+        val df = fn(spark, sfDir)
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      }
     }
     spark.stop()
   }

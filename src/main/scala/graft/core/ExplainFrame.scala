@@ -4,7 +4,7 @@ import graft.explain._
 import graft.util.D
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, DoubleType, LongType, NumericType, StringType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{BinaryType, DateType, DoubleType, LongType, NumericType, StringType, TimestampNTZType, TimestampType}
 
 /** Provenance of the last query operation on an [[ExplainFrame]] — the
   * Spark-native equivalent of pd-explain's `operation` field on
@@ -91,14 +91,29 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
     * hash-mod — the sample itself stays a deterministic content-hash
     * filter; only its RATE comes from the estimate, so explain() no
     * longer pays a full count() pre-scan of the source before the
-    * explain scan. Parquet sizeInBytes is the compressed size, so the
-    * estimate undershoots and the sample errs LARGER than sampleSize —
-    * more rows than requested, never a degraded explanation. */
+    * explain scan.
+    *
+    * The sizeInBytes fallback can err in EITHER direction: it is the
+    * compressed parquet size (undershooting rows for fixed-width
+    * schemas), while defaultSize underestimates wide variable-length
+    * fields (StringType counts 20 bytes vs multi-KB documents),
+    * overshooting rows — which would silently shrink the sample below
+    * sampleSize and make the rate depend on parquet layout. Two
+    * compensations keep estimate error pointing toward LARGER samples
+    * across a ~4×-error envelope: variable-length fields cost a 64-byte
+    * floor in the width, and the estimate carries a 4× cushion. Both
+    * push the mod down — worst case is sampling more rows than
+    * requested, never a degraded explanation (a pathological schema
+    * beyond the envelope degrades gracefully: the sample shrinks, the
+    * explanation stays correct on fewer rows). */
   private def approxRows(d: DataFrame): Long = {
     val stats = d.queryExecution.optimizedPlan.stats
     stats.rowCount.map(_.toLong).getOrElse {
-      val width = math.max(8, d.schema.fields.map(_.dataType.defaultSize).sum)
-      (stats.sizeInBytes / width).toLong.max(1L)
+      val width = math.max(8, d.schema.fields.map(f => f.dataType match {
+        case StringType | BinaryType => 64
+        case t => t.defaultSize
+      }).sum)
+      (stats.sizeInBytes / width / 4).toLong.max(1L)
     }
   }
 

@@ -97,13 +97,26 @@ object QueryRecommender {
     * `ef.name` is re-applied and re-scored with [[scoreUnified]], and
     * the ranking is returned newest-score-first (display tie-break).
     * Logged queries referencing columns the frame no longer has are
-    * skipped — the log may span schema versions. */
-  def recommendFromLog(log: QueryLog, ef: ExplainFrame, topK: Int = 3): Seq[(LoggedQuery, Double)] = {
+    * skipped — the log may span schema versions.
+    *
+    * `aux` resolves the RIGHT side of logged merges by frame name (the
+    * reference's query_logger logs merges too; re-scoring one needs the
+    * other frame, exactly like AutoExplore's aux registry). A logged
+    * join whose right frame isn't in `aux`, or whose key column is
+    * missing on either side, is skipped like a dropped column. */
+  def recommendFromLog(log: QueryLog, ef: ExplainFrame, topK: Int = 3,
+                       aux: Map[String, ExplainFrame] = Map.empty): Seq[(LoggedQuery, Double)] = {
     val cols = ef.df.columns.toSet
+    def applicable(q: LoggedQuery): Boolean = q.kind match {
+      case "join" => cols.contains(q.attr) &&
+        aux.get(q.arg).exists(_.df.columns.contains(q.attr))
+      case "groupby" => cols.contains(q.attr) && cols.contains(q.arg)
+      case _ => cols.contains(q.attr)
+    }
     log.structuredFor(ef.name)
-      .filter(q => cols.contains(q.attr) && (q.kind != "groupby" || cols.contains(q.arg)))
+      .filter(applicable)
       .distinct
-      .map(q => q -> scoreUnified(q.applyTo(ef)))
+      .map(q => q -> scoreUnified(q.applyTo(ef, aux)))
       .sortBy { case (q, s) => (-s, q.display) }
       .take(topK)
   }
@@ -112,14 +125,20 @@ object QueryRecommender {
 /** A structured logged query: enough typed fields to re-apply it to a
   * frame later — never re-parsed from its display string.
   *  - kind='filter':  `attr` `op`(>=|<) `arg`(threshold literal)
-  *  - kind='groupby': groupby(`attr`).`op`(agg fn)(`arg`(agg column)) */
+  *  - kind='groupby': groupby(`attr`).`op`(agg fn)(`arg`(agg column))
+  *  - kind='join':    merge on key `attr`, `op`(how: inner|left|right|
+  *    outer), `arg`(right frame NAME — resolved against the caller's
+  *    aux registry at re-apply time, mirroring the reference's merge
+  *    logging, which records the partner dataframe by name) */
 final case class LoggedQuery(dataframeName: String, kind: String,
                              attr: String, op: String, arg: String) {
   def display: String = kind match {
     case "groupby" => s"groupby($attr).$op($arg)"
+    case "join" => s"merge($arg, on=$attr, how=$op)"
     case _ => s"$attr $op $arg"
   }
-  def applyTo(ef: ExplainFrame): ExplainFrame = kind match {
+  def applyTo(ef: ExplainFrame,
+              aux: Map[String, ExplainFrame] = Map.empty): ExplainFrame = kind match {
     case "filter" =>
       val th = arg.toDouble
       if (op == ">=") ef.filter(org.apache.spark.sql.functions.col(attr) >= th)
@@ -130,6 +149,10 @@ final case class LoggedQuery(dataframeName: String, kind: String,
       case "count" => ef.groupBy(attr).count()
       case other => throw new IllegalArgumentException(s"Unsupported logged agg: $other")
     }
+    case "join" =>
+      val other = aux.getOrElse(arg, throw new IllegalArgumentException(
+        s"Logged join references unknown frame '$arg' — pass it in aux"))
+      ef.join(other, Seq(attr), op)
     case other => throw new IllegalArgumentException(s"Unsupported logged kind: $other")
   }
 }

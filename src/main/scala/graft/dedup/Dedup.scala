@@ -77,6 +77,29 @@ object Dedup {
        |  GROUP BY doc_id)""".stripMargin
   }
 
+  /** Scan-local (per-row) form of [[minhashSig]]: the same [[Seeds]]
+    * XOR-seeded minima computed from the document's OWN shingle-hash
+    * array — no explode, no groupBy, no shuffle. Because it is a pure
+    * projection it runs UNCHANGED under Structured Streaming (append
+    * mode, no state store), which the aggregate form cannot (its
+    * per-doc groupBy would hold unbounded state on a stream). Values
+    * are identical to [[minhashSig]] (MIN over the same XORed hash
+    * multiset — pinned in StreamingSpec); the one shape difference is a
+    * document with NO shingles (empty/NULL text): the aggregate form
+    * drops it (nothing to explode), this form keeps a row with NULL
+    * signature columns, consistent with [[simhashDf]]'s NULL semantics.
+    * Batch pipelines should prefer [[minhashSig]] (codegen'd explode +
+    * map-side-combined min vs an interpreted per-row HOF) — the HOF is
+    * the right trade only where statelessness is the constraint.
+    * Passes through every input column except `text`. */
+  def minhashSigRow(docs: DataFrame): DataFrame = {
+    val keep = docs.columns.filterNot(_ == "text").map(col).toSeq
+    val withHs = docs.select(keep :+ TextOps.shingleHashes(col("text")).as("__hs"): _*)
+    val sigs = Seeds.zipWithIndex.map { case (seed, i) =>
+      array_min(transform(col("__hs"), x => x.bitwiseXOR(lit(seed)))).as(s"h$i") }
+    withHs.select(keep ++ sigs: _*)
+  }
+
   /** LSH band keys: band j = md5(h_{2j} ‖ h_{2j+1}), j ∈ [0, 8). */
   def bands(sig: DataFrame): DataFrame = {
     val structs = (0 until NumHashes / BandRows).map { j =>
@@ -183,7 +206,16 @@ object Dedup {
     * ([[graft.functions.SimHash60]] — tokenize, hash, ±1-accumulate and
     * sign per document in a single pass): no explode, no aggregation,
     * no shuffle. Replaced the former explode + 60-sum groupBy, which was
-    * itself bit-identical (PipelineSpec pins native-vs-aggregate parity). */
+    * itself bit-identical (PipelineSpec pins native-vs-aggregate parity).
+    *
+    * NULL semantics (intended): a NULL-text document yields a
+    * (doc_id, NULL) row — the signature table keeps one row per input
+    * document, like any per-row projection. (The historical explode+
+    * groupBy form silently DROPPED null-text docs — a join-shape
+    * artifact, not a contract.) NULL signatures never join in
+    * [[simhashPairs]] (band keys are NULL), so pair output is
+    * unaffected; consumers that want the historical shape filter
+    * `simhash IS NOT NULL`. */
   def simhashDf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), graft.functions.SimHash60(col("text")).as("simhash"))
 
@@ -273,14 +305,19 @@ object Dedup {
       .withColumn("sz", size(col("shs")).cast(LongType))
     // CACHE OWNERSHIP: the default (cache=false) is persist-free, like
     // every other dedup entry point — a long-lived session calling the
-    // library repeatedly accumulates no cached RDDs. cache=true is an
-    // explicit opt-in for callers that own cleanup: the per-doc array
-    // table feeds three differently-pruned consumers, so exchange reuse
-    // cannot deduplicate it (unlike the sig tables above) and an
-    // uncached plan re-hashes every shingle three times (~2.5x slower
-    // measured). An opting-in caller must spark.catalog.clearCache() (or
-    // unpersist) after the action — Bench/Verify do, between queries.
+    // library repeatedly accumulates no cached RDDs. cache=true is a
+    // SELF-CLEANING per-action cache: the per-doc array table feeds
+    // three differently-pruned consumers, so exchange reuse cannot
+    // deduplicate it (unlike the sig tables above) and an uncached plan
+    // re-hashes every shingle three times (~2.5x slower measured). The
+    // persist is populated and hit within the one action a caller runs
+    // on the result, and a one-shot listener unpersists it when that
+    // action completes (see unpersistAfterFirstAction) — no cleanup
+    // contract lands on the caller. A caller running MANY actions on one
+    // result re-pays the scan from the second action on; persist the
+    // RESULT in that case (it is pair-sized, not corpus-sized).
     val arr = if (cache) arr0.persist() else arr0
+    if (cache) unpersistAfterFirstAction(arr)
     // ONE corpus-sized shuffle: group shingle occurrences by (block,
     // shingle), keeping AT MOST dfCap+1 doc ids per key via the bounded
     // k-min aggregate (state ≤ dfCap+1 longs per key, map-side combined
@@ -319,6 +356,32 @@ object Dedup {
       .filter(col("jaccard") >= th)
       .select("doc_a", "doc_b", "inter", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** One-shot self-cleanup for an internal persist: unpersists `cached`
+    * as soon as the first action whose plan CONTAINS the cached subtree
+    * completes (success or failure), then unregisters itself. Plan
+    * containment (`sameResult` on analyzed subtrees) keys the match, so
+    * unrelated queries on the session never trigger it; the listener bus
+    * is async, so the unpersist lands right after the action, not inside
+    * it. Everything used here is public API (QueryExecutionListener +
+    * Dataset.unpersist). */
+  private def unpersistAfterFirstAction(cached: DataFrame): Unit = {
+    val lm = cached.sparkSession.listenerManager
+    val target = cached.queryExecution.analyzed
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def done(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        if (qe.analyzed.exists(_.sameResult(target)) && fired.compareAndSet(false, true)) {
+          cached.unpersist(blocking = false)
+          lm.unregister(this)
+        }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = done(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = done(qe)
+    }
+    lm.register(listener)
   }
 
   def ngramJaccardSql(table: String, blockCol: String, th: Double,

@@ -136,7 +136,12 @@ object Correlation {
   private def momentQuant(c: Column): Column = {
     val y = c.cast(DoubleType) * 1e6
     val d = y - floor(y)
-    when(abs(y) < 9.0e18,
+    // Outer guard sits ABOVE 2^63 (~9.223e18): for |y| in [9.0e18, 2^63)
+    // the fast-path margin (|y|·1.8e-15 ≈ 16 > 0.5) is unsatisfiable, so
+    // those values take the exact decimal→long cast (raising iff ≥ 2^63);
+    // beyond 9.3e18 the plain double→long ANSI cast below always raises.
+    // A 9.0e18 guard silently double-rounded the [9.0e18, 2^63) window.
+    when(abs(y) < 9.3e18,
       when(abs(d - 0.5) > abs(y) * 1.8e-15 + 1e-12, floor(y + 0.5))
         .otherwise((c.cast(DecimalType(30, 6)) * 1000000).cast(LongType)))
       .otherwise(y.cast(LongType))

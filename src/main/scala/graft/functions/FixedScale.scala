@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -58,6 +59,16 @@ case class FixedScale(child: Expression) extends UnaryExpression {
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
+  }
+
+  // SQL-reachable (fixed_scale in GraftFunctions), so reject non-
+  // float/double arrays at analysis time: ArrayData.getDouble on 4-byte
+  // elements would otherwise read garbage under UnsafeArrayData.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"fixed_scale requires ARRAY<FLOAT> or ARRAY<DOUBLE>, got ${other.simpleString}")
   }
 
   override def dataType: DataType = child.dataType match {

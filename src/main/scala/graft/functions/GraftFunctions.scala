@@ -26,6 +26,16 @@ object GraftFunctions {
       exprs => SimHash60(exprs(0)), "built-in")
     fr.createOrReplaceTempFunction("fixed_scale",
       exprs => FixedScale(exprs(0)), "built-in")
+    // argmax_by(id, score): hash-aggregable argmax (id of the max score,
+    // ties to the smallest id) — the aggregate the Column API's IVF
+    // centroid assignment uses; registered so SQL users get the
+    // ObjectHashAggregate plan instead of max_by's SortAggregate.
+    fr.createOrReplaceTempFunction("argmax_by",
+      exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"argmax_by(id, score) takes exactly 2 arguments, got ${exprs.length}")
+        ArgMaxBy(exprs(0), exprs(1)).toAggregateExpression()
+      }, "built-in")
     // kmin(col, k): bounded k-minimum-values sketch aggregate; k must be
     // a constant (foldable) integral expression — INT or BIGINT literal,
     // a CAST of one, etc. Positivity is validated in ONE place,

@@ -47,8 +47,8 @@ object Pipeline extends QFamily {
       Some(Dedup.simhashPairsSql("documents")),
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),
 
-    // cache=true is safe here: the bench/verify harnesses clearCache()
-    // after every query action (the opt-in contract in ngramJaccard)
+    // cache=true is self-cleaning: ngramJaccard unpersists its internal
+    // shingle-array cache right after the caller's action completes
     QDef("q_dedup_ngram",
       Some(Dedup.ngramJaccardSql("documents", "source", 0.02)),
       (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"), "source", 0.02,
@@ -82,9 +82,12 @@ object Pipeline extends QFamily {
       Some(Ann.ivfTopKSql("embeddings", 40, 25, 7, 3, 5)),
       (s, dir) => Ann.ivfTopK(t(s, dir, "embeddings"), 40, 25, 7, 3, 5)),
 
-    // rows-only check: native codegen'd cosine throughput path
-    QDef("q_ann_fast", None,
-      (s, dir) => Ann.fastTopK(t(s, dir, "embeddings"), 40, 5)),
+    // native codegen'd cosine throughput path; the checked form re-projects
+    // the surviving top-k rows through the exact fixed-point cosine, so it
+    // shares q_ann_topk's oracle bit-for-bit (see Ann.fastTopKChecked)
+    QDef("q_ann_fast",
+      Some(Ann.bruteTopKSql("embeddings", 40, 5)),
+      (s, dir) => Ann.fastTopKChecked(t(s, dir, "embeddings"), 40, 5)),
 
     // ------------------------------------------------ text analysis ----
     QDef("q_text_langid", {

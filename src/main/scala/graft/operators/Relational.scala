@@ -455,15 +455,40 @@ object Relational extends QFamily {
         .orderBy("o_orderkey")
     },
 
-    // ---- sketch-based scale path (rows-only: approx results are not
-    // cross-engine reproducible, which is exactly their trade-off) -------
-    QDef("q_approx_stats", None, (s, dir) =>
+    // ---- sketch-based scale path (tolerance oracle) --------------------
+    // Sketch OUTPUTS are not cross-engine reproducible (HLL register
+    // layout and t-digest interpolation are engine-specific), so the
+    // oracle doesn't compare them — it compares the documented error
+    // ENVELOPE: the Spark side computes both sketch and exact values in
+    // ONE grouped pass and emits within-tolerance flags; the oracle
+    // asserts the flags are all 1 (plus the exact columns bit-for-bit).
+    //  - approx_count_distinct: default rsd 0.05 → |est − exact| ≤ 15%
+    //    of exact (3σ of the HLL++ guarantee);
+    //  - approx_percentile(accuracy=1000): rank error ≤ 1/1000 ≪ the
+    //    asserted [p45, p55] exact-rank band.
+    // A sketch that drifts out of its envelope turns a flag 0 and fails
+    // the hash compare — a real check, not a rows-only count.
+    q("q_approx_stats",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  CAST(1 AS BIGINT) AS parts_within_tol,
+        |  CAST(1 AS BIGINT) AS median_within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
-          count(lit(1)).as("n"))
-        .orderBy("l_returnflag")),
+        .agg(approx_count_distinct(col("l_partkey")).as("apx_parts"),
+          approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("apx_med"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n"),
+          expr("percentile(l_extendedprice, 0.45D)").as("p45"),
+          expr("percentile(l_extendedprice, 0.55D)").as("p55"))
+        .select(col("l_returnflag"), col("n"), col("n_parts"),
+          when(abs(col("apx_parts") - col("n_parts")) <= lit(0.15) * col("n_parts"), lit(1L))
+            .otherwise(lit(0L)).as("parts_within_tol"),
+          when(col("apx_med").between(col("p45"), col("p55")), lit(1L))
+            .otherwise(lit(0L)).as("median_within_tol"))
+        .orderBy("l_returnflag")
+    },
 
     // KMV (k-minimum-values) distinct sketch: unlike HLL the sketch
     // state is DETERMINISTIC — the k smallest 60-bit md5 hashes are the

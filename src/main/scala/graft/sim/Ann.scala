@@ -160,7 +160,8 @@ object Ann {
        |SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine, list_id
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-  /** Throughput path: native codegen'd cosine, no oracle (rows-only). */
+  /** Throughput path: native codegen'd cosine — float math, so the raw
+    * cosine is not oracle-comparable (see [[fastTopKChecked]]). */
   def fastTopK(vecs: DataFrame, queryMod: Int, k: Int): DataFrame = {
     val queries = vecs.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -171,6 +172,32 @@ object Ann {
     joined.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Oracle-checkable form of [[fastTopK]]: the N·|queries| hot loop and
+    * the top-k selection run the native float-cosine path UNCHANGED; only
+    * the ≤ |queries|·k surviving rows re-project their displayed cosine
+    * through the exact fixed-point formula, making the result
+    * bit-identical to [[bruteTopK]] (so it shares [[bruteTopKSql]] as its
+    * oracle). This is a strict equivalence check on the fast path, not a
+    * weakening: if float-cosine ordering ever diverges from the exact
+    * ordering (a near-tie inside the ~1e-15-relative double error — the
+    * fixed-point quantization at 1e8 dwarfs it), neighbor/rank columns
+    * differ and the hash compare fails loudly. */
+  def fastTopKChecked(vecs: DataFrame, queryMod: Int, k: Int): DataFrame = {
+    val queries = vecs.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val joined = vecs.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_fast", CosineSimilarity(col("qe"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine_fast").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        graft.util.D.r(cosExpr(dotFix(col("qe"), col("embedding")),
+          FixedDot(scaled(col("qe")), scaled(col("qe"))),
+          FixedDot(scaled(col("embedding")), scaled(col("embedding")))), 6).as("cosine"))
       .orderBy("query_id", "rank")
   }
 
@@ -335,12 +362,22 @@ object Ann {
         when(FixedDot(col("fxe"), typedlit(LshPlanes(k))) >= 0, lit(1L << k)).otherwise(lit(0L))
       }.reduce(_ + _)
     val withB = base.withColumn("bkt", bucketExpr)
+    // Hot-block guard: block sizes are one map-side-combined count whose
+    // ~|labels|·2^bits-row output AQE broadcasts back onto side `a`; the
+    // per-row `na` evaluation then fail-fasts any block over
+    // Guard.MaxPairBlockRows (the join streams, so the error fires
+    // before the quadratic pair set of a hot label materializes).
+    val blockN = withB.groupBy(col("label").as("lbl"), col("bkt"))
+      .agg(count(lit(1)).as("__block_n"))
     val a = withB.select(col("label").as("lbl"), col("bkt"), col("vec_id").as("vec_a"),
       col("fxe").as("ea"), col("nsq").as("na"))
+      .join(blockN, Seq("lbl", "bkt"))
     val b = withB.select(col("label").as("lbl"), col("bkt"), col("vec_id").as("vec_b"),
       col("fxe").as("eb"), col("nsq").as("nb"))
     a.join(b, Seq("lbl", "bkt")).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", graft.util.D.r(cosExpr(FixedDot(col("ea"), col("eb")), col("na"), col("nb")), 6))
+      .withColumn("cosine", graft.util.D.r(cosExpr(FixedDot(col("ea"), col("eb")),
+        graft.util.Guard.pairBlockCap(col("__block_n"), col("na"), "embeddingPairs"),
+        col("nb")), 6))
       .filter(col("cosine") >= th)
       .select(col("lbl").as("label"), col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy("label", "vec_a", "vec_b")

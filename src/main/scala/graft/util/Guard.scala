@@ -34,6 +34,35 @@ object Guard {
     * memory is protected even before the check fires. */
   @volatile var MaxRankedLabels: Int = 1024
 
+  /** Max rows a single self-join block may hold in the exact (bits = 0)
+    * embedding pair enumeration (Ann.embeddingPairs). A block of n rows
+    * generates n·(n−1)/2 pair comparisons on ONE join key — at the
+    * 50k-row cap that is already ~1.25e9 comparisons on one reducer, the
+    * point where a hot label stops being slow and starts being a
+    * cluster-killer. The reference's exact semantics are label-blocked
+    * and unbounded; the guard turns the pathological case into an
+    * immediate, diagnosable error naming the escape hatches (sub-block
+    * bits, the IVF/LSH content-blocked paths, or raising this knob). */
+  @volatile var MaxPairBlockRows: Long = 50000L
+
+  /** Returns `value`, but evaluating it raises a diagnosable error when
+    * `n` (the row's self-join block size) exceeds [[MaxPairBlockRows]].
+    * Same evaluation contract as [[cellCap]]: wrap a column the plan is
+    * guaranteed to evaluate. The join streams, so the error fires on the
+    * first rows of the hot block — before the quadratic pair set is
+    * materialized. */
+  def pairBlockCap(n: Column, value: Column, site: String): Column = {
+    val cap = MaxPairBlockRows
+    when(n > cap, raise_error(concat(
+      lit(s"$site: a single pair-enumeration block holds "), n.cast("string"),
+      lit(s" rows (bound $cap) — ~n²/2 pair comparisons on one join key. " +
+        "Opt into similarity-preserving sub-blocking (bits = " +
+        "Ann.SubBlockBits), use the content-blocked embeddingPairsIvf / " +
+        "lshPairs scale paths, or raise graft.util.Guard.MaxPairBlockRows " +
+        "if the block size is intentional."))))
+      .otherwise(value)
+  }
+
   /** Returns `value`, but evaluating it raises a diagnosable error when
     * `n` (the group's gathered cell count) exceeds [[MaxGatheredCells]].
     * Wrap a column the plan is guaranteed to evaluate (the count itself,

@@ -79,6 +79,25 @@ class IoSpec extends AnyFunSuite {
     assert(sig.getSeq[Long](1) === sig.getSeq[Long](2))
     assert(sig.getLong(3) !== 0L)
     assert(sig.getSeq[Long](4) === Seq(25000000L, -100000000L))
+    // argmax_by from pure SQL: value parity with the Column API
+    // aggregate, and the plan keeps the hash-aggregable form
+    val amSql = spark.sql(
+      """SELECT vec_id % 5 AS g,
+        |  argmax_by(vec_id, CAST(vec_id % 97 AS DOUBLE)) AS a
+        |FROM emb GROUP BY 1""".stripMargin)
+    assert(amSql.queryExecution.executedPlan.toString.contains("argmax_by"))
+    assert(!amSql.queryExecution.executedPlan.toString.contains("SortAggregate"))
+    val amCol = graft.util.D.t(spark, sf, "embeddings")
+      .groupBy((col("vec_id") % 5).as("g"))
+      .agg(graft.functions.ArgMaxBy.argmax(
+        col("vec_id"), (col("vec_id") % 97).cast("double")).as("w"))
+    assert(amSql.join(amCol, "g").filter(col("a") =!= col("w")).count() === 0)
+    intercept[Exception](spark.sql("SELECT argmax_by(vec_id) FROM emb"))
+    // fixed_scale rejects non-float/double arrays at ANALYSIS time (an
+    // array<int> would silently read garbage under UnsafeArrayData)
+    intercept[Exception](spark.sql("SELECT fixed_scale(array(1, 2))").collect())
+    intercept[Exception](
+      spark.sql("SELECT fixed_scale(CAST(NULL AS STRING))").collect())
   }
 
   test("as-of join semantics on a constructed case") {

@@ -22,9 +22,9 @@ class QuerySpec extends AnyFunSuite {
     assert(SparkEntry.queries.size === SparkEntry.registeredCount)
   }
 
-  test("oracleSql covers every query except rows-only ones") {
+  test("oracleSql covers every query (tolerance oracles close the last gaps)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing === Set("q_ann_fast", "q_approx_stats"), s"unexpected oracle-less queries: $missing")
+    assert(missing === Set.empty[String], s"oracle-less queries: $missing")
   }
 
   test("q_groupby_agg counts sum to lineitem size") {

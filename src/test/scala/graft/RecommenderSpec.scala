@@ -68,4 +68,37 @@ class RecommenderSpec extends AnyFunSuite {
     assert(loaded.structuredFor("lineitem") === log.structuredFor("lineitem"))
     assert(QueryRecommender.recommendFromLog(loaded, li, topK = 5) === ranked)
   }
+
+  test("logged joins re-score against an aux frame registry") {
+    import graft.core.LoggedQuery
+    val li = ExplainFrame(
+      graft.util.D.t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"),
+      "lineitem")
+    val orders = ExplainFrame(
+      graft.util.D.t(spark, sf, "orders")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+        .select("l_orderkey", "o_totalprice", "o_orderpriority"),
+      "orders")
+    val log = new QueryLog
+    log.logStructured(LoggedQuery("lineitem", "join", "l_orderkey", "inner", "orders"), 0.3)
+    log.logStructured(LoggedQuery("lineitem", "filter", "l_quantity", ">=", "25.0"), 0.1)
+    // a join whose right frame is not in aux is skipped, not fatal
+    log.logStructured(LoggedQuery("lineitem", "join", "l_orderkey", "inner", "missing_frame"), 0.9)
+    val aux = Map("orders" -> orders)
+    val ranked = QueryRecommender.recommendFromLog(log, li, topK = 5, aux = aux)
+    assert(ranked.map(_._1.display).toSet ===
+      Set("merge(orders, on=l_orderkey, how=inner)", "l_quantity >= 25.0"))
+    // the join actually re-applied and produced a scoreable explanation
+    val joinScore = ranked.collectFirst { case (q, s) if q.kind == "join" => s }
+    assert(joinScore.exists(_ >= 0.0))
+    // without aux, joins are skipped entirely (filters still rank)
+    assert(QueryRecommender.recommendFromLog(log, li, topK = 5)
+      .map(_._1.kind).toSet === Set("filter"))
+    // deterministic + CSV round-trip covers the join kind
+    assert(ranked === QueryRecommender.recommendFromLog(log, li, topK = 5, aux = aux))
+    val path = java.nio.file.Files.createTempFile("qlogj", ".csv").toString
+    log.save(path)
+    assert(QueryRecommender.recommendFromLog(QueryLog.load(path), li, topK = 5, aux = aux) === ranked)
+  }
 }

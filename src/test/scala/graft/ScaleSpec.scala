@@ -162,6 +162,42 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("exact embeddingPairs fail-fasts a hot label block (Guard.MaxPairBlockRows)") {
+    import graft.util.Guard
+    val e = graft.util.D.t(spark, sf, "embeddings")
+    // bits=0 self-joins each label block whole (the reference's exact
+    // semantics) — a pathological hot label must error diagnosably
+    // instead of grinding one reducer through ~n²/2 comparisons
+    val old = Guard.MaxPairBlockRows
+    try {
+      Guard.MaxPairBlockRows = 3L // every sf label block exceeds this
+      val ex = intercept[Throwable](graft.sim.Ann.embeddingPairs(e, 0.3).collect())
+      val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("pair-enumeration block"),
+        s"guard error not raised / not diagnosable:\n${msgs.take(800)}")
+    } finally Guard.MaxPairBlockRows = old
+    // at the default bound the exact path is unchanged (value parity vs
+    // the oracle is pinned by q_dedup_embedding's CORRECTNESS row)
+    assert(graft.sim.Ann.embeddingPairs(e, 0.3).count() > 0)
+  }
+
+  test("ngramJaccard(cache=true) self-cleans its internal persist after the action") {
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+    spark.catalog.clearCache()
+    val docs = graft.util.D.t(spark, sf, "documents")
+    val q = graft.dedup.Dedup.ngramJaccard(docs, "source", 0.02, cache = true)
+    // the opt-in persist is registered at build time...
+    assert(!cm.isEmpty, "expected the opt-in persist to be registered")
+    assert(q.count() > 0)
+    // ...and unregistered by the one-shot listener right after the
+    // action completes (the listener bus is async — poll briefly)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (!cm.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(cm.isEmpty, "internal persist still cached after the action")
+  }
+
   test("ngramJaccard verification joins have no forced broadcast") {
     // a broadcast() HINT on the corpus-sized shingle-array table would
     // ship it to the driver at any size — with the hint absent, shrinking

@@ -156,6 +156,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); evalSet.unpersist() }
   }
 
+  test("minhash/simhash signatures run scan-local on a stream and match batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // both signature families are pure per-row expressions, so the SAME
+    // code runs stateless under streaming (append mode, no state store);
+    // the streamed signature table must be value-identical to the batch
+    // signature tables built by the aggregate/batch forms
+    val docs = graft.util.D.t(spark, sf, "documents")
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val bdf = docs.toDF("doc_id", "text")
+    // row form vs aggregate form, batch-vs-batch first: identical values
+    // on every doc the aggregate form emits (it drops shingle-less docs)
+    val aggSig = graft.dedup.Dedup.minhashSig(bdf)
+    val rowSig = graft.dedup.Dedup.minhashSigRow(bdf)
+    assert(rowSig.count() === bdf.count())
+    assert(aggSig.join(rowSig, "doc_id").count() === aggSig.count())
+    assert(rowSig.join(aggSig.select(col("doc_id")), "doc_id")
+      .exceptAll(aggSig).count() === 0)
+    val batchMin = aggSig.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val batchSim = graft.dedup.Dedup.simhashDf(bdf).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = graft.dedup.Dedup.minhashSigRow(
+      mem.toDS().toDF("doc_id", "text")
+        .withColumn("simhash", graft.functions.SimHash60(col("text"))))
+    val q = streamDf.writeStream.format("memory").queryName("sig_out")
+      .outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val rows = spark.table("sig_out").collect()
+      assert(rows.length === docs.size)
+      rows.foreach { r =>
+        val id = r.getLong(r.fieldIndex("doc_id"))
+        assert(r.get(r.fieldIndex("simhash")) === batchSim(id), s"simhash diverges for doc $id")
+        batchMin.get(id).foreach { want =>
+          val got = (0 until 16).map(i => r.get(r.fieldIndex(s"h$i")))
+          assert(got === want, s"minhash diverges for doc $id")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("fold semantics: gap splits sessions") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
