@@ -58,6 +58,10 @@ object Bench {
     // emits comma decimal separators (invalid JSON) on e.g. de_DE JVMs
     def j(d: Double): String =
       if (d < 0) "-1" else String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+    // env-provided paths land in the machine-parsed records — escape them
+    def js(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
     val ok = results.filter(_._2.forall(_ >= 0))
     val failed = results.filter(_._2.exists(_ < 0)).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
@@ -67,7 +71,7 @@ object Bench {
     val warm = ok.map(_._2.last).sum
     val full = s"""{"metric":"total","value":${j(warm)},"unit":"sec","queries":$qs,""" +
       s""""cold_total":${j(cold)},"warm_total":${j(warm)},"reps":$reps,""" +
-      s""""failed":$failed,"sf":"$sfDir"}"""
+      s""""failed":$failed,"sf":"${js(sfDir)}"}"""
     println(full)
     // The full record is ~2.5 KB with 82 queries, which outruns a
     // tail-windowed stdout capture (a harness reading only the last N
@@ -84,7 +88,7 @@ object Bench {
     }
     println(s"""{"metric":"total","value":${j(warm)},"unit":"sec",""" +
       s""""warm_total":${j(warm)},"cold_total":${j(cold)},"reps":$reps,""" +
-      s""""n_queries":${ok.size},"failed":$failed,"sf":"$sfDir","full":"$outPath"}""")
+      s""""n_queries":${ok.size},"failed":$failed,"sf":"${js(sfDir)}","full":"${js(outPath)}"}""")
     spark.stop()
   }
 }

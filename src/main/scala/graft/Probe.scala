@@ -25,12 +25,19 @@ object Probe {
     var plan = false
     var sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    def flagValue(i: Int): String = {
+      require(i + 1 < args.length, s"${args(i)} needs a value " +
+        "(usage: [--reps N] [--plan] [--sf DIR] [query...])")
+      args(i + 1)
+    }
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "--reps" => reps = args(i + 1).toInt; i += 2
+        case "--reps" =>
+          reps = flagValue(i).toIntOption.getOrElse(
+            sys.error(s"--reps needs an integer, got ${args(i + 1)}")); i += 2
         case "--plan" => plan = true; i += 1
-        case "--sf" => sfDir = args(i + 1); i += 2
+        case "--sf" => sfDir = flagValue(i); i += 2
         case q => names += q; i += 1
       }
     }
@@ -59,7 +66,9 @@ object Probe {
       println(f"$n%-32s ${times.map(t => f"$t%8.3f").mkString(" ")}")
       if (plan) {
         val df = fn(spark, sfDir)
-        df.collect()
+        // noop write executes the full adaptive plan (AQE finalizes only
+        // on execution) without collecting the result to the driver
+        df.write.format("noop").mode("overwrite").save()
         println(df.queryExecution.executedPlan.toString)
       }
     }

@@ -313,11 +313,29 @@ object Dedup {
     // persist is populated and hit within the one action a caller runs
     // on the result, and a one-shot listener unpersists it when that
     // action completes (see unpersistAfterFirstAction) — no cleanup
-    // contract lands on the caller. A caller running MANY actions on one
-    // result re-pays the scan from the second action on; persist the
-    // RESULT in that case (it is pair-sized, not corpus-sized).
-    val arr = if (cache) arr0.persist() else arr0
-    if (cache) unpersistAfterFirstAction(arr)
+    // contract lands on the caller who runs an action. A caller running
+    // MANY actions on one result re-pays the scan from the second action
+    // on; persist the RESULT in that case (pair-sized, not corpus-
+    // sized). A build that NEVER runs an action keeps its persist and
+    // listener registered for the session (nothing ever completes to
+    // trigger cleanup) — the one residual the old clearCache contract
+    // also had.
+    //
+    // The __cache_build marker makes each build's cached plan UNIQUE:
+    // Spark's cache and the listener both key on plan equivalence, so
+    // without it two back-to-back identical builds (bench reps, repeated
+    // pipeline runs) would SHARE one cache entry and the async
+    // completion event of the first build's action could unpersist the
+    // second build's cache before its own action ran. The constant
+    // column costs 8 bytes/row cached and is never selected downstream.
+    val arr =
+      if (!cache) arr0
+      else {
+        val marked = arr0
+          .withColumn("__cache_build", lit(cacheBuild.incrementAndGet())).persist()
+        unpersistAfterFirstAction(marked)
+        marked
+      }
     // ONE corpus-sized shuffle: group shingle occurrences by (block,
     // shingle), keeping AT MOST dfCap+1 doc ids per key via the bounded
     // k-min aggregate (state ≤ dfCap+1 longs per key, map-side combined
@@ -358,14 +376,19 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-build marker source for opt-in caches (see [[ngramJaccard]]). */
+  private val cacheBuild = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** One-shot self-cleanup for an internal persist: unpersists `cached`
     * as soon as the first action whose plan CONTAINS the cached subtree
     * completes (success or failure), then unregisters itself. Plan
-    * containment (`sameResult` on analyzed subtrees) keys the match, so
-    * unrelated queries on the session never trigger it; the listener bus
-    * is async, so the unpersist lands right after the action, not inside
-    * it. Everything used here is public API (QueryExecutionListener +
-    * Dataset.unpersist). */
+    * containment (`sameResult` on analyzed subtrees) keys the match —
+    * callers must ensure the cached plan is unique per build (the
+    * __cache_build marker) so one build's completion can never match
+    * another's — and unrelated queries on the session never trigger it;
+    * the listener bus is async, so the unpersist lands right after the
+    * action, not inside it. Everything used here is public API
+    * (QueryExecutionListener + Dataset.unpersist). */
   private def unpersistAfterFirstAction(cached: DataFrame): Unit = {
     val lm = cached.sparkSession.listenerManager
     val target = cached.queryExecution.analyzed

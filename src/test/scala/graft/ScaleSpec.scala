@@ -185,17 +185,29 @@ class ScaleSpec extends AnyFunSuite {
   test("ngramJaccard(cache=true) self-cleans its internal persist after the action") {
     val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sharedState.cacheManager
+    def pollEmpty(): Boolean = {
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!cm.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      cm.isEmpty
+    }
     spark.catalog.clearCache()
     val docs = graft.util.D.t(spark, sf, "documents")
-    val q = graft.dedup.Dedup.ngramJaccard(docs, "source", 0.02, cache = true)
+    val q1 = graft.dedup.Dedup.ngramJaccard(docs, "source", 0.02, cache = true)
     // the opt-in persist is registered at build time...
     assert(!cm.isEmpty, "expected the opt-in persist to be registered")
-    assert(q.count() > 0)
-    // ...and unregistered by the one-shot listener right after the
-    // action completes (the listener bus is async — poll briefly)
-    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-    while (!cm.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
-    assert(cm.isEmpty, "internal persist still cached after the action")
+    // a SECOND identical build must get its own cache entry (the
+    // __cache_build marker): without it, build 1's async cleanup would
+    // unpersist the shared plan-keyed entry under build 2's action
+    val q2 = graft.dedup.Dedup.ngramJaccard(docs, "source", 0.02, cache = true)
+    assert(q1.count() > 0)
+    // build 1's one-shot listener fires (async bus) but must NOT take
+    // build 2's cache with it: the manager may never go empty here —
+    // give the bus a moment, then require the surviving entry
+    Thread.sleep(1500)
+    assert(!cm.isEmpty, "build 1's cleanup cross-fired build 2's cache")
+    assert(q2.count() > 0)
+    // ...after BOTH actions, both one-shot listeners have cleaned up
+    assert(pollEmpty(), "internal persists still cached after the actions")
   }
 
   test("ngramJaccard verification joins have no forced broadcast") {
