@@ -93,27 +93,31 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
     * longer pays a full count() pre-scan of the source before the
     * explain scan.
     *
-    * The sizeInBytes fallback can err in EITHER direction: it is the
-    * compressed parquet size (undershooting rows for fixed-width
-    * schemas), while defaultSize underestimates wide variable-length
-    * fields (StringType counts 20 bytes vs multi-KB documents),
-    * overshooting rows — which would silently shrink the sample below
-    * sampleSize and make the rate depend on parquet layout. Two
-    * compensations keep estimate error pointing toward LARGER samples
-    * across a ~4×-error envelope: variable-length fields cost a 64-byte
-    * floor in the width, and the estimate carries a 4× cushion. Both
-    * push the mod down — worst case is sampling more rows than
-    * requested, never a degraded explanation (a pathological schema
-    * beyond the envelope degrades gracefully: the sample shrinks, the
-    * explanation stays correct on fewer rows). */
+    * The sizeInBytes fallback can err in EITHER direction, because it
+    * is the COMPRESSED parquet size while the width estimate is
+    * per-type: fixed-width schemas compress ~2-4×, so rows are
+    * UNDERestimated and the sample errs larger than sampleSize (the
+    * safe direction); a text-heavy schema (multi-KB documents vs the
+    * 20-byte StringType defaultSize) OVERestimates rows and the sample
+    * lands below sampleSize, with the rate tied to parquet layout. The
+    * 32-byte floor on variable-length fields covers the common
+    * short-string case (compressed string cells are well under 32
+    * bytes, so the error keeps pointing toward larger samples) without
+    * inflating samples ~10× the way a KB-scale floor measurably did on
+    * the sampled explainers. A truly KB-text frame still undersamples —
+    * deliberately: the explanation stays correct on fewer rows
+    * (graceful degradation), and the alternative (an exact count()
+    * pre-scan of the source) is the full-scan cost this estimate
+    * exists to avoid. Callers that need an exact rate on text-heavy
+    * frames can pass useSampling = false. */
   private def approxRows(d: DataFrame): Long = {
     val stats = d.queryExecution.optimizedPlan.stats
     stats.rowCount.map(_.toLong).getOrElse {
       val width = math.max(8, d.schema.fields.map(f => f.dataType match {
-        case StringType | BinaryType => 64
+        case StringType | BinaryType => 32
         case t => t.defaultSize
       }).sum)
-      (stats.sizeInBytes / width / 4).toLong.max(1L)
+      (stats.sizeInBytes / width).toLong.max(1L)
     }
   }
 
