@@ -1,0 +1,120 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Duplicate-cluster resolution: the step a real dedup pipeline runs
+  * AFTER pair generation. MinHash/SimHash/ngram pair lists are
+  * transitive in intent ("A dups B" and "B dups C" means one group),
+  * so keeping one doc per PAIR over-deletes; the correct unit is the
+  * connected component of the pair graph, keeping one canonical doc
+  * per component (the reference's dedup surface stops at pairs —
+  * pd_explain has no clustering step; this extends the family the way
+  * production pipelines use it).
+  *
+  * Scale (100 TB): [[connectedComponents]] is min-label propagation
+  * over the EDGE list — the same algorithm GraphX's
+  * `ConnectedComponents` runs, expressed in DataFrame joins. Each
+  * round is one join + one aggregation of the edge table, and the
+  * edge table is pair-bounded (it inherits whatever bound produced the
+  * pairs: banded LSH, rare-shingle dfCap, IVF blocks — never the
+  * corpus). Rounds = component diameter; dup clusters are
+  * near-cliques (diameter 2-3 in practice), and [[MaxIterations]]
+  * turns a pathological chain into a diagnosable error instead of an
+  * endless job. Each round is `localCheckpoint`ed: iterative lineage
+  * doubles per round (the label frame feeds the next round twice), so
+  * an unpruned plan would grow 2^rounds nodes — the checkpoint pins
+  * each round to its materialized result and keeps the plan
+  * constant-size. Checkpoint blocks live in executor storage and are
+  * reclaimed by Spark's ContextCleaner once the returned frame is
+  * unreachable (no cache-manager entries are left behind).
+  */
+object Cluster {
+
+  /** Fail-fast bound on propagation rounds. Rounds needed = component
+    * diameter; real dup clusters are near-cliques (diameter 2-3), and
+    * 30 rounds covers a chain of a billion docs under doubling-free
+    * propagation assumptions — a graph still unconverged here is
+    * pathological (an adversarial long path), and the error names the
+    * knob. Mutable so a caller who truly has chain-shaped duplicates
+    * can raise it knowingly. */
+  @volatile var MaxIterations: Int = 30
+
+  /** Connected components of an undirected pair graph. Input: one row
+    * per edge (`aCol`, `bCol` — any orientation, duplicates fine).
+    * Output: (cluster_id, doc_id, cluster_size) — one row per distinct
+    * node, cluster_id = the component's minimum doc id, ordered by
+    * (cluster_id, doc_id). Nodes with no edges are absent (a doc in no
+    * dup pair is its own singleton — join the result back to the corpus
+    * to materialize keeps/drops). Deterministic: min-label flood
+    * reaches the same fixpoint regardless of execution order. */
+  def connectedComponents(pairs: DataFrame,
+                          aCol: String = "doc_a",
+                          bCol: String = "doc_b"): DataFrame = {
+    val e0 = pairs.select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
+    // undirected: keep both orientations so labels flow both ways
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < MaxIterations) {
+      round += 1
+      val prev = labels
+      // each node's best neighbor label this round (map-side combined min)
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nl"))
+      labels = prev
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      // labels only decrease, so any difference means another round
+      converged = labels
+        .join(prev.withColumnRenamed("lbl", "prev_lbl"), Seq("id"))
+        .filter(col("lbl") =!= col("prev_lbl"))
+        .isEmpty
+    }
+    if (!converged) throw new IllegalStateException(
+      s"Cluster.connectedComponents: not converged after $MaxIterations rounds — " +
+        "the pair graph contains a component with diameter beyond the bound " +
+        "(dup clusters are near-cliques; a chain this long is pathological). " +
+        "Raise graft.dedup.Cluster.MaxIterations if the shape is intentional.")
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("lbl").as("cluster_id"), col("id").as("doc_id"),
+        col("cluster_size").cast(LongType).as("cluster_size"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  /** [[connectedComponents]] over [[Dedup.minhashPairs]] candidates at
+    * `minJaccard` estimated similarity — the end-to-end "which docs form
+    * one duplicate group" query. */
+  def minhashClusters(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    connectedComponents(
+      Dedup.minhashPairs(docs).filter(col("est_jaccard") >= minJaccard))
+
+  /** DuckDB mirror of [[minhashClusters]]: the same banded-LSH pair
+    * CTEs, then components via transitive closure (a recursive CTE's
+    * UNION dedup terminates it; per-component cost is O(size²) paths —
+    * fine for an oracle, not the scale path). */
+  def minhashClustersSql(table: String, minJaccard: Double = 0.5): String =
+    s"""WITH RECURSIVE ${Dedup.minhashCtes(table)},
+       |prs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= $minJaccard),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+       |  UNION ALL SELECT doc_b, doc_a FROM prs),
+       |reach(doc, lbl) AS (
+       |  SELECT DISTINCT src, src FROM e
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.doc),
+       |comp AS (SELECT doc AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc)
+       |SELECT CAST(c.cluster_id AS BIGINT) AS cluster_id,
+       |  CAST(c.doc_id AS BIGINT) AS doc_id,
+       |  CAST(s.cnt AS BIGINT) AS cluster_size
+       |FROM comp c JOIN (SELECT cluster_id, COUNT(*) AS cnt FROM comp GROUP BY 1) s
+       |  USING (cluster_id)
+       |ORDER BY cluster_id, doc_id""".stripMargin
+}

@@ -143,20 +143,28 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  def minhashPairsSql(table: String): String = {
+  /** Shared CTE chain ending in `est(doc_a, doc_b, est_jaccard)` — the
+    * candidate-pair estimates behind [[minhashPairsSql]] and
+    * [[Cluster.minhashClustersSql]]. Emitted WITHOUT the leading `WITH`
+    * so the cluster oracle can prepend `WITH RECURSIVE`. */
+  private[dedup] def minhashCtes(table: String): String = {
     val est = (0 until NumHashes)
       .map(i => s"(CASE WHEN s1.h$i = s2.h$i THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH ${minhashSigSql(table)},
+    s"""${minhashSigSql(table)},
        |${bandsSql},
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.j = b.j AND a.bk = b.bk AND a.doc_id < b.doc_id)
+       |  FROM bands a JOIN bands b ON a.j = b.j AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT doc_a, doc_b, ROUND(CAST($est AS DOUBLE) / $NumHashes, 6) AS est_jaccard
+       |  FROM cand JOIN sig s1 ON cand.doc_a = s1.doc_id JOIN sig s2 ON cand.doc_b = s2.doc_id)""".stripMargin
+  }
+
+  def minhashPairsSql(table: String): String =
+    s"""WITH ${minhashCtes(table)}
        |SELECT doc_a, doc_b, est_jaccard,
        |  CAST(CASE WHEN est_jaccard >= 0.5 THEN 1 ELSE 0 END AS INT) AS is_dup
-       |FROM (
-       |  SELECT doc_a, doc_b, ROUND(CAST($est AS DOUBLE) / $NumHashes, 6) AS est_jaccard
-       |  FROM cand JOIN sig s1 ON cand.doc_a = s1.doc_id JOIN sig s2 ON cand.doc_b = s2.doc_id)
+       |FROM est
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   // ------------------------------------------------------------ SimHash --
 
@@ -332,8 +340,8 @@ object Dedup {
       if (!cache) arr0
       else {
         val marked = arr0
-          .withColumn("__cache_build", lit(cacheBuild.incrementAndGet())).persist()
-        unpersistAfterFirstAction(marked)
+          .withColumn("__cache_build", lit(graft.util.SelfClean.buildMarker())).persist()
+        graft.util.SelfClean.unpersistAfterFirstAction(marked)
         marked
       }
     // ONE corpus-sized shuffle: group shingle occurrences by (block,
@@ -376,36 +384,102 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Per-build marker source for opt-in caches (see [[ngramJaccard]]). */
-  private val cacheBuild = new java.util.concurrent.atomic.AtomicLong(0L)
+  // ------------------------------------------------------- line dedup --
 
-  /** One-shot self-cleanup for an internal persist: unpersists `cached`
-    * as soon as the first action whose plan CONTAINS the cached subtree
-    * completes (success or failure), then unregisters itself. Plan
-    * containment (`sameResult` on analyzed subtrees) keys the match —
-    * callers must ensure the cached plan is unique per build (the
-    * __cache_build marker) so one build's completion can never match
-    * another's — and unrelated queries on the session never trigger it;
-    * the listener bus is async, so the unpersist lands right after the
-    * action, not inside it. Everything used here is public API
-    * (QueryExecutionListener + Dataset.unpersist). */
-  private def unpersistAfterFirstAction(cached: DataFrame): Unit = {
-    val lm = cached.sparkSession.listenerManager
-    val target = cached.queryExecution.analyzed
-    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      private def done(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-        if (qe.analyzed.exists(_.sameResult(target)) && fired.compareAndSet(false, true)) {
-          cached.unpersist(blocking = false)
-          lm.unregister(this)
-        }
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = done(qe)
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = done(qe)
-    }
-    lm.register(listener)
+  /** Line-level exact dedup (CCNet / RefinedWeb style): drops every
+    * line that occurs in more than `maxDocs` distinct documents —
+    * boilerplate (headers, footers, cookie notices) repeats across
+    * pages while real content doesn't. Lines are keyed by their 60-bit
+    * md5-prefix hash (the same key CCNet dedups on, and the same
+    * 60-bit pattern the shingle paths here use) so the corpus-wide
+    * count and the membership join shuffle 8-byte longs, not line
+    * text. Returns one row per doc: (doc_id, n_lines, n_kept,
+    * kept_fp) where kept_fp = md5 of the surviving lines re-joined in
+    * original order — the fingerprint pins reassembly, not just
+    * counts.
+    *
+    * Scale: three shuffles, each linear in corpus line count — count
+    * lines by hash (map-side combined), join lines to counts on the
+    * hash, regroup survivors by doc_id. No broadcast of anything
+    * corpus-sized; skew bound = max occurrences of one line, which the
+    * count table itself diagnoses. */
+  def lineDedup(docs: DataFrame, maxDocs: Int = 1): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh",
+        conv(substring(md5(col("line").cast(BinaryType)), 1, 15), 16, 10).cast(LongType))
+    val counts = lines.select("lh", "doc_id").distinct()
+      .groupBy("lh").agg(count(lit(1)).as("n_docs"))
+    val kept = lines.join(counts, Seq("lh")).filter(col("n_docs") <= maxDocs)
+    val re = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws("\n", transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line"))).as("kept_text"))
+    docs.select(col("doc_id"), size(split(col("text"), "\n")).cast(LongType).as("n_lines"))
+      .join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).cast(LongType).as("n_kept"),
+        md5(coalesce(col("kept_text"), lit("")).cast(BinaryType)).as("kept_fp"))
+      .orderBy("doc_id")
   }
+
+  /** DuckDB mirror of [[lineDedup]]; `table` may be any parenthesized
+    * table expression with doc_id + text. */
+  def lineDedupSql(table: String, maxDocs: Int = 1): String =
+    s"""WITH ex AS (SELECT doc_id, pos, line,
+       |    ('0x' || substr(md5(line), 1, 15))::BIGINT AS lh
+       |  FROM (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+       |        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM $table))),
+       |cnt AS (SELECT lh, COUNT(DISTINCT doc_id) AS n_docs FROM ex GROUP BY 1),
+       |keep AS (SELECT e.doc_id, e.pos, e.line
+       |  FROM ex e JOIN cnt USING (lh) WHERE n_docs <= $maxDocs),
+       |re AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |    string_agg(line, chr(10) ORDER BY pos) AS kept_text FROM keep GROUP BY 1)
+       |SELECT d.doc_id, CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+       |  CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept,
+       |  md5(COALESCE(re.kept_text, '')) AS kept_fp
+       |FROM $table d LEFT JOIN re ON d.doc_id = re.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Corpus-duplication profile (the §4 measurement of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): per document, the fraction of its shingle occurrences
+    * whose shingle appears in more than `maxDocs` distinct documents —
+    * how much of each doc is text the corpus already has elsewhere.
+    * The paper measures with suffix arrays over 50-token substrings; a
+    * fixed-n shingle count is the bounded-state streaming-friendly
+    * equivalent (no suffix array to build, no global sort), with the
+    * same hashed-shingle vocabulary every other dedup path here uses.
+    * Docs with fewer than 3 tokens have no shingles and are absent.
+    *
+    * Scale: one explode of 8-byte shingle hashes, one map-side-combined
+    * count by hash, one hash join back, one regroup by doc — all
+    * linear in corpus token count, nothing broadcast. */
+  def dupShingleFrac(docs: DataFrame, maxDocs: Int = 1): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(TextOps.shingleHashes(col("text"))).as("sh"))
+    val cnt = sh.distinct().groupBy("sh").agg(count(lit(1)).as("n_docs"))
+    sh.join(cnt, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_docs") > maxDocs, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"),
+        col("n_shingles").cast(LongType).as("n_shingles"),
+        col("n_dup").cast(LongType).as("n_dup"),
+        graft.util.D.r(col("n_dup").cast(DoubleType) / col("n_shingles"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[dupShingleFrac]]. */
+  def dupShingleFracSql(table: String, maxDocs: Int = 1): String =
+    s"""WITH sh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh
+       |  FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("text")}) AS s FROM $table)),
+       |cnt AS (SELECT sh, COUNT(DISTINCT doc_id) AS n_docs FROM sh GROUP BY 1)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |  CAST(SUM(CASE WHEN n_docs > $maxDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  ROUND(CAST(SUM(CASE WHEN n_docs > $maxDocs THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS dup_frac
+       |FROM sh JOIN cnt USING (sh)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def ngramJaccardSql(table: String, blockCol: String, th: Double,
                       dfCap: Int = NgramDfCap): String =

@@ -54,6 +54,31 @@ object Pipeline extends QFamily {
       (s, dir) => Dedup.ngramJaccard(t(s, dir, "documents"), "source", 0.02,
         cache = true)),
 
+    // line-level dedup over deterministically line-ified text (the
+    // synthetic corpus is single-line, so both engines break it into
+    // 12-token lines and inject the same doc_id-derived boilerplate
+    // header/footer lines — the shared lines every real corpus has)
+    QDef("q_dedup_lines", {
+      val aug = "CASE WHEN doc_id % 7 = 0 THEN 'cookie policy applies to this site' || chr(10) ELSE '' END" +
+        " || regexp_replace(text, '((\\S+ ){12})', '\\1' || chr(10), 'g')" +
+        " || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END"
+      Some(Dedup.lineDedupSql(s"(SELECT doc_id, $aug AS text FROM documents)"))
+    }, (s, dir) => {
+      val aug = concat(
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit("cookie policy applies to this site\n")).otherwise(lit("")),
+        regexp_replace(col("text"), "((\\S+ ){12})", "$1\n"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("\nsubscribe to our newsletter today")).otherwise(lit("")))
+      Dedup.lineDedup(t(s, dir, "documents").withColumn("text", aug))
+    }),
+
+    // corpus-duplication profile: per-doc fraction of shingles the
+    // corpus already has elsewhere (Lee et al. 2022 §4 measurement)
+    QDef("q_dup_shingle_frac",
+      Some(Dedup.dupShingleFracSql("documents")),
+      (s, dir) => Dedup.dupShingleFrac(t(s, dir, "documents"))),
+
     // exact label-block pair enumeration (the reference's semantics);
     // label blocks are unbounded, so at corpus scale opt into LSH
     // sub-blocking (bits = Ann.SubBlockBits) or use the IVF/LSH
@@ -368,6 +393,55 @@ object Pipeline extends QFamily {
               |FROM tot LEFT JOIN kept ON tot.lang = kept.lang
               |ORDER BY tot.lang""".stripMargin)
     }, (s, dir) => graft.text.Corpus.domainMix(t(s, dir, "documents"), 2000.0)),
+
+    // duplicate-cluster resolution: pair lists are transitive in intent,
+    // so the dedup unit is the connected component of the pair graph —
+    // min-label propagation on the Spark side, transitive-closure
+    // recursive CTE on the oracle side (identical fixpoint)
+    QDef("q_dup_clusters",
+      Some(graft.dedup.Cluster.minhashClustersSql("documents", 0.3)),
+      (s, dir) => graft.dedup.Cluster.minhashClusters(t(s, dir, "documents"), 0.3)),
+
+    // published Gopher quality-rule set (Rae et al. 2021 Appendix A);
+    // minStopHits=1 because the synthetic word-soup corpus has depressed
+    // function-word density (the paper's 2 flags every document) — the
+    // thresholds are the operator's parameters, not constants
+    QDef("q_quality_gopher",
+      Some(graft.text.Corpus.gopherQualitySql("documents", minStopHits = 1) +
+        "\nORDER BY doc_id"),
+      (s, dir) => graft.text.Corpus.gopherQuality(t(s, dir, "documents"), minStopHits = 1)
+        .orderBy("doc_id")),
+
+    // PII scrub over deterministically PII-augmented text (the synthetic
+    // corpus carries no natural PII, so both engines append the same
+    // doc_id-derived email/IP/phone spans — the %97 eval-slice trick
+    // q_decontaminate uses). scrub_fp = md5(scrubbed text) pins the
+    // replacement bytes, not just the counts.
+    QDef("q_pii_scrub", {
+      val aug = "text" +
+        " || CASE WHEN doc_id % 3 = 0 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@mail.example.org' ELSE '' END" +
+        " || CASE WHEN doc_id % 5 = 0 THEN ' from host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.3.' || CAST(doc_id % 97 AS VARCHAR) ELSE '' END" +
+        " || CASE WHEN doc_id % 7 = 0 THEN ' call +1555' || CAST(1000000 + doc_id % 1000000 AS VARCHAR) ELSE '' END"
+      Some(graft.text.Corpus.piiScrubSql(
+        s"(SELECT doc_id, $aug AS text FROM documents)") + "\nORDER BY doc_id")
+    }, (s, dir) => {
+      val aug = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" reach me at user"), col("doc_id").cast(StringType),
+            lit("@mail.example.org"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" from host 10."), pmod(col("doc_id"), lit(256)).cast(StringType),
+            lit(".3."), pmod(col("doc_id"), lit(97)).cast(StringType))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" call +1555"),
+            (lit(1000000L) + pmod(col("doc_id"), lit(1000000))).cast(StringType)))
+          .otherwise(lit("")))
+      graft.text.Corpus.piiScrub(
+          t(s, dir, "documents").withColumn("text", aug))
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          md5(col("text").cast(BinaryType)).as("scrub_fp"))
+        .orderBy("doc_id")
+    }),
 
     // --------------------------------------------------- multimodal ----
     QDef("q_multimodal_meta",

@@ -149,4 +149,141 @@ object Corpus {
         coalesce(col("kept_tokens"), lit(0L)).cast(LongType).as("kept_tokens"))
       .orderBy("lang")
   }
+
+  /** The 8 function words behind the Gopher stopword rule (Rae et al.
+    * 2021, "Scaling Language Models: ... Gopher", Appendix A quality
+    * heuristics). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021 Appendix A),
+    * the published heuristic set production pretraining pipelines start
+    * from: word count in [minWords, maxWords], mean word length in
+    * [minMeanLen, maxMeanLen], symbol-to-word ratio (`#` and `...`) at
+    * most maxSymbolRatio, at least minAlphaFrac of words containing an
+    * alphabetic character, and at least minStopHits distinct
+    * [[GopherStops]] words present. Returns one row per doc with each
+    * rule's measurement and the combined `keep` bit — keep the
+    * measurements, not just the bit, so a pipeline can tune thresholds
+    * from their distribution.
+    *
+    * Scale: entirely scan-local (no shuffle; one pass per document).
+    * The alpha-fraction filter is the one per-row HOF — bounded by the
+    * document's own token array, the same envelope as
+    * [[repetitionStats]]. */
+  def gopherQuality(docs: DataFrame,
+                    minWords: Long = 50, maxWords: Long = 100000,
+                    minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                    maxSymbolRatio: Double = 0.1,
+                    minAlphaFrac: Double = 0.8,
+                    minStopHits: Int = 2): DataFrame = {
+    val w = TextOps.tokens(col("text"))
+    val nW = size(w)
+    val len = length(col("text"))
+    docs.select(col("doc_id"),
+        nW.cast(LongType).as("n_words"),
+        // single-space text: total chars minus the (n-1) separators
+        graft.util.D.r((len - nW + lit(1.0)) / nW, 6).as("mean_word_len"),
+        graft.util.D.r(((len - length(replace(col("text"), lit("#"), lit("")))) +
+          (len - length(replace(col("text"), lit("..."), lit("")))) / lit(3.0))
+          .cast(DoubleType) / nW, 6).as("symbol_ratio"),
+        graft.util.D.r(size(filter(w, x => x.rlike("[a-z]"))).cast(DoubleType) / nW, 6)
+          .as("alpha_frac"),
+        GopherStops.map(s0 => array_contains(w, s0).cast(IntegerType))
+          .reduce(_ + _).cast(LongType).as("n_stop"))
+      .withColumn("keep",
+        when(col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("n_stop") >= minStopHits, 1).otherwise(0).cast(IntegerType))
+  }
+
+  /** DuckDB mirror of [[gopherQuality]]; `table` may be any table
+    * expression with doc_id + text. */
+  def gopherQualitySql(table: String,
+                       minWords: Long = 50, maxWords: Long = 100000,
+                       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                       maxSymbolRatio: Double = 0.1,
+                       minAlphaFrac: Double = 0.8,
+                       minStopHits: Int = 2): String = {
+    val w = TextOps.tokensSql("text")
+    val nstop = GopherStops.map(s0 => s"CAST(list_contains($w, '$s0') AS INT)").mkString(" + ")
+    s"""SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stop,
+       |  CAST(CASE WHEN n_words >= $minWords AND n_words <= $maxWords
+       |    AND mean_word_len >= $minMeanLen AND mean_word_len <= $maxMeanLen
+       |    AND symbol_ratio <= $maxSymbolRatio AND alpha_frac >= $minAlphaFrac
+       |    AND n_stop >= $minStopHits THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM (
+       |  SELECT doc_id, CAST(len($w) AS BIGINT) AS n_words,
+       |    ROUND((length(text) - len($w) + 1.0) / len($w), 6) AS mean_word_len,
+       |    ROUND(CAST((length(text) - length(replace(text, '#', '')))
+       |      + (length(text) - length(replace(text, '...', ''))) / 3.0 AS DOUBLE)
+       |      / len($w), 6) AS symbol_ratio,
+       |    ROUND(CAST(len(list_filter($w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+       |      / len($w), 6) AS alpha_frac,
+       |    CAST($nstop AS BIGINT) AS n_stop
+       |  FROM $table)""".stripMargin
+  }
+
+  /** PII detection patterns — deliberately narrow, documented shapes
+    * (lowercased email, dotted-quad IPv4, +-prefixed international
+    * phone). Production scrubbing composes more patterns the same way;
+    * these three exercise the full staged count-then-replace machinery
+    * with regexes whose semantics agree across Java regex and RE2. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val IpRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val PhoneRe = "\\+\\d{7,15}"
+
+  /** PII scrub: replaces emails, IPv4 addresses and phone numbers in
+    * `textCol` with `<EMAIL>`/`<IP>`/`<PHONE>` tokens and appends
+    * per-document match counts (n_emails, n_ips, n_phones). Stages are
+    * ordered (emails scrubbed before the IP pass, IPs before the phone
+    * pass) so one span is never double-counted; each count is measured
+    * on that stage's input, exactly as the SQL mirror stages it.
+    *
+    * Scale: scan-local, no shuffle. regexp_count/regexp_replace are
+    * codegen'd native expressions, and the email/phone passes are gated
+    * on a cheap contains() probe ('@' / '+') so documents without the
+    * marker skip the regex entirely — on clean corpora most rows pay
+    * three contains() probes and one regex (the ungated IP pass). A
+    * single-pass multi-pattern native scanner is the upgrade path if
+    * scrubbing ever dominates a profile. */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t0 = col(textCol)
+    val a = docs
+      .withColumn("n_emails",
+        when(t0.contains("@"), regexp_count(t0, lit(EmailRe))).otherwise(lit(0)).cast(LongType))
+      .withColumn("__t1",
+        when(t0.contains("@"), regexp_replace(t0, EmailRe, "<EMAIL>")).otherwise(t0))
+    val b = a
+      .withColumn("n_ips", regexp_count(col("__t1"), lit(IpRe)).cast(LongType))
+      .withColumn("__t2", regexp_replace(col("__t1"), IpRe, "<IP>"))
+    val c = b
+      .withColumn("n_phones",
+        when(col("__t2").contains("+"), regexp_count(col("__t2"), lit(PhoneRe)))
+          .otherwise(lit(0)).cast(LongType))
+      .withColumn("__t3",
+        when(col("__t2").contains("+"), regexp_replace(col("__t2"), PhoneRe, "<PHONE>"))
+          .otherwise(col("__t2")))
+    c.withColumn(textCol, col("__t3")).drop("__t1", "__t2", "__t3")
+  }
+
+  /** DuckDB mirror of [[piiScrub]] + fingerprint projection: emits
+    * (doc_id, n_emails, n_ips, n_phones, scrub_fp) where scrub_fp is
+    * md5 of the fully-scrubbed text — the fingerprint pins replacement
+    * parity, not just the counts. `table` may be any table expression
+    * with doc_id + text. */
+  def piiScrubSql(table: String): String =
+    s"""WITH s1 AS (SELECT doc_id, text AS t0,
+       |    regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS t1 FROM $table),
+       |s2 AS (SELECT doc_id, t0, t1, regexp_replace(t1, '$IpRe', '<IP>', 'g') AS t2 FROM s1),
+       |s3 AS (SELECT doc_id, t0, t1, t2,
+       |    regexp_replace(t2, '$PhoneRe', '<PHONE>', 'g') AS t3 FROM s2)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t0, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t1, '$IpRe')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  md5(t3) AS scrub_fp
+       |FROM s3""".stripMargin
 }

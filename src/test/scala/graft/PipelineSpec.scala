@@ -326,4 +326,85 @@ class PipelineSpec extends AnyFunSuite {
         graft.functions.StrippedCount(col("text")).as("c")).head()
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
+
+  test("piiScrub replaces and counts each pattern; clean text is untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "write to alice.smith+tag@sub.example.co.uk today"),
+      (2L, "host 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call +14155551234 or +4930123456"),
+      (4L, "mixed bob@ex.org at 127.0.0.1 dial +12345678"),
+      (5L, "no pii here, just words + symbols @ large 1.2"),
+      (6L, "")).toDF("doc_id", "text")
+    val out = graft.text.Corpus.piiScrub(rows).orderBy("doc_id").collect()
+    def r(i: Int) = (out(i).getAs[Long]("n_emails"), out(i).getAs[Long]("n_ips"),
+      out(i).getAs[Long]("n_phones"), out(i).getAs[String]("text"))
+    assert(r(0) === ((1L, 0L, 0L, "write to <EMAIL> today")))
+    assert(r(1) === ((0L, 2L, 0L, "host <IP> and <IP> up")))
+    assert(r(2) === ((0L, 0L, 2L, "call <PHONE> or <PHONE>")))
+    assert(r(3) === ((1L, 1L, 1L, "mixed <EMAIL> at <IP> dial <PHONE>")))
+    // '@' and '+' present but not in PII shape: untouched, zero counts
+    assert(r(4) === ((0L, 0L, 0L, "no pii here, just words + symbols @ large 1.2")))
+    assert(r(5) === ((0L, 0L, 0L, "")))
+  }
+
+  test("lineDedup drops cross-doc repeated lines, keeps within-doc repeats") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "unique alpha\nshared footer\nunique beta"),
+      (2L, "another one\nshared footer"),
+      (3L, "solo line"),
+      (4L, "shared footer"),
+      (5L, "twin\ntwin")).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.lineDedup(rows).collect()
+    def r(i: Int) = (out(i).getAs[Long]("n_lines"), out(i).getAs[Long]("n_kept"))
+    assert(r(0) === ((3L, 2L)))
+    assert(r(1) === ((2L, 1L)))
+    assert(r(2) === ((1L, 1L)))
+    assert(r(3) === ((1L, 0L)))   // every line boilerplate -> emptied
+    assert(r(4) === ((2L, 2L)))   // within-doc repeat is ONE doc -> kept
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val exp = md.digest("unique alpha\nunique beta".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(0).getAs[String]("kept_fp") === exp)
+    assert(out(3).getAs[String]("kept_fp") === "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
+  test("dupShingleFrac counts occurrences against cross-doc shingle presence") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a b c d"),           // shingles: abc, bcd
+      (2L, "a b c x"),           // shares abc with doc 1
+      (3L, "q r s"),             // unique shingle
+      (4L, "a b"),               // no shingles -> absent
+      (5L, "a b c a b c a b c")  // 7 occurrences; only abc is cross-doc
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.dupShingleFrac(rows).collect()
+    def r(i: Int) = (out(i).getAs[Long]("doc_id"), out(i).getAs[Long]("n_shingles"),
+      out(i).getAs[Long]("n_dup"), out(i).getAs[Double]("dup_frac"))
+    assert(out.length === 4)
+    assert(r(0) === ((1L, 2L, 1L, 0.5)))
+    assert(r(1) === ((2L, 2L, 1L, 0.5)))
+    assert(r(2) === ((3L, 1L, 0L, 0.0)))
+    // within-doc repeats of a within-doc-only shingle are NOT dup
+    assert(r(3) === ((5L, 7L, 3L, 0.428571)))
+  }
+
+  test("gopherQuality rules fire on the shapes they target") {
+    import spark.implicits._
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ") // 50 words, has letters
+    val rows = Seq(
+      (1L, fifty + " the of"),           // passes all at minStopHits=2
+      (2L, "too short the of"),          // word-count rule
+      (3L, fifty + " the of ###########################"), // symbol rule
+      (4L, (1 to 52).map(_ => "77").mkString(" ") + " the of"), // alpha + mean-len rules
+      (5L, fifty)).toDF("doc_id", "text") // stopword rule
+    val out = graft.text.Corpus.gopherQuality(rows).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Int]("keep")).toSeq === Seq(1, 0, 0, 0, 0))
+    val r3 = out(2)
+    assert(r3.getAs[Double]("symbol_ratio") > 0.1)
+    val r4 = out(3)
+    assert(r4.getAs[Double]("alpha_frac") < 0.8)
+    assert(out(4).getAs[Long]("n_stop") === 0L)
+  }
 }
