@@ -443,6 +443,12 @@ object Pipeline extends QFamily {
         .orderBy("doc_id")
     }),
 
+    // sequence packing: chop the doc_id-ordered token stream into
+    // 512-token training blocks; per doc its span in the stream
+    QDef("q_seq_pack",
+      Some(graft.text.Corpus.seqPackSql("documents", 512)),
+      (s, dir) => graft.text.Corpus.seqPack(t(s, dir, "documents"), 512)),
+
     // --------------------------------------------------- multimodal ----
     QDef("q_multimodal_meta",
       Some(Multimodal.decodeMetaSql("documents")),

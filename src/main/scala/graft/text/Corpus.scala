@@ -150,6 +150,61 @@ object Corpus {
       .orderBy("lang")
   }
 
+  /** Sequence packing: the final step before an LLM training run —
+    * concatenate the corpus's tokens in `doc_id` order into one global
+    * stream and chop it into fixed `blockTokens` training blocks.
+    * Emits per doc its span in that stream: (doc_id, n_tokens,
+    * start_tok, first_block, last_block) — which training sequences
+    * the doc lands in, and where (a doc straddling a block boundary is
+    * split across sequences, exactly how packed pretraining batches
+    * are built).
+    *
+    * The core is a distributed ordered cumulative sum, which a naive
+    * global window would serialize onto one reducer. Instead:
+    * range-repartition by doc_id, locally cumsum inside each range
+    * partition (a per-partition window), then add broadcast
+    * per-partition prefix offsets — the offsets table has one row per
+    * partition. The result is invariant to the number/boundaries of
+    * the range partitions, so AQE re-planning can't change answers.
+    * Two shuffles total (the range exchange + the per-pid window's
+    * hash exchange), both linear; the offset join is a broadcast. */
+  def seqPack(docs: DataFrame, blockTokens: Long): DataFrame = {
+    require(blockTokens > 0, "seqPack: blockTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
+    val parted = toks.repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = parted.withColumn("local_cum",
+      sum("n_tokens").over(Window.partitionBy("pid").orderBy("doc_id")))
+    val offsets = local.groupBy("pid").agg(max("local_cum").as("ptot"))
+      .withColumn("offset", coalesce(
+        sum("ptot").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    local.join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum", col("local_cum") + col("offset"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_tok"),
+        // integer div (not double /): exact at any stream length,
+        // bit-matching DuckDB's // on BIGINT
+        expr(s"CAST((cum - n_tokens) div $blockTokens AS BIGINT)").as("first_block"),
+        expr(s"CAST((cum - 1) div $blockTokens AS BIGINT)").as("last_block"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[seqPack]] — the single-node form IS the global
+    * ordered window the Spark side decomposes. */
+  def seqPackSql(table: String, blockTokens: Long): String =
+    s"""SELECT doc_id, n_tokens,
+       |  CAST(cum - n_tokens AS BIGINT) AS start_tok,
+       |  CAST((cum - n_tokens) // $blockTokens AS BIGINT) AS first_block,
+       |  CAST((cum - 1) // $blockTokens AS BIGINT) AS last_block
+       |FROM (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY doc_id) AS cum
+       |  FROM (SELECT doc_id, CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tokens
+       |        FROM $table))
+       |ORDER BY doc_id""".stripMargin
+
   /** The 8 function words behind the Gopher stopword rule (Rae et al.
     * 2021, "Scaling Language Models: ... Gopher", Appendix A quality
     * heuristics). */

@@ -390,6 +390,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(3) === ((5L, 7L, 3L, 0.428571)))
   }
 
+  test("seqPack spans are contiguous, exhaustive, and boundary-splitting") {
+    import spark.implicits._
+    // token counts 3,4,5,6 over B=5: stream len 18, blocks 0..3
+    val rows = Seq(
+      (10L, "a b c"), (20L, "a b c d"), (30L, "a b c d e"), (40L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val out = graft.text.Corpus.seqPack(rows, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (10L, 3L, 0L, 0L, 0L),    // [0,3) in block 0
+      (20L, 4L, 3L, 0L, 1L),    // [3,7) straddles 0->1
+      (30L, 5L, 7L, 1L, 2L),    // [7,12) straddles 1->2
+      (40L, 6L, 12L, 2L, 3L)))  // [12,18) straddles 2->3
+    // spans tile the stream: each start = previous start + previous n
+    val starts = out.map(_._3); val ns = out.map(_._2)
+    assert(starts.drop(1).toSeq === starts.dropRight(1).zip(ns.dropRight(1)).map { case (s0, n) => s0 + n }.toSeq)
+  }
+
   test("gopherQuality rules fire on the shapes they target") {
     import spark.implicits._
     val fifty = (1 to 50).map(i => s"word$i").mkString(" ") // 50 words, has letters
