@@ -132,6 +132,27 @@ object LangSignalHelper {
     cnt
   }
 
+  /** Count of tokens (split on single spaces, empties included — they
+    * contain no letter) containing at least one byte in [a-z]. Equals
+    * `size(filter(split(s, " "), x -> x rlike "[a-z]"))` on ALL inputs
+    * with no slow path: UTF-8 continuation/lead bytes are >= 0x80, so
+    * a byte in [0x61, 0x7A] is always a literal ASCII letter. */
+  def alphaTokens(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var cnt = 0
+    var hasAlpha = false
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        if (hasAlpha) cnt += 1
+        hasAlpha = false
+      } else if (bytes(i) >= 'a' && bytes(i) <= 'z') hasAlpha = true
+      i += 1
+    }
+    cnt
+  }
+
   /** Count of codepoints in [U+4E00, U+9FFF]. Equals
     * length(s) - length(regexp_replace(s, "[\\u4e00-\\u9fff]", "")). */
   def cjkCount(s: UTF8String): Int = {
@@ -190,9 +211,32 @@ case class CjkCount(child: Expression) extends UnaryExpression {
   override def prettyName: String = "cjk_count"
 }
 
+/** Alpha-bearing-token count (see [[LangSignalHelper.alphaTokens]]) —
+  * the Gopher alpha-word rule's scan without the interpreted
+  * `filter(w, x -> rlike)` HOF lambda. */
+case class AlphaTokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(input: Any): Any =
+    LangSignalHelper.alphaTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LangSignalHelper.alphaTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "alpha_tokens"
+}
+
 object StopHits {
   def apply(c: Column, lang: String): Column =
     GraftShims.column(StopHits(GraftShims.expression(c), lang))
+}
+
+object AlphaTokens {
+  def apply(c: Column): Column = GraftShims.column(AlphaTokens(GraftShims.expression(c)))
 }
 
 object CjkCount {

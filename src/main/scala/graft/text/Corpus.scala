@@ -222,10 +222,10 @@ object Corpus {
     * measurements, not just the bit, so a pipeline can tune thresholds
     * from their distribution.
     *
-    * Scale: entirely scan-local (no shuffle; one pass per document).
-    * The alpha-fraction filter is the one per-row HOF — bounded by the
-    * document's own token array, the same envelope as
-    * [[repetitionStats]]. */
+    * Scale: entirely scan-local (no shuffle; one pass per document),
+    * with every rule inside whole-stage codegen — the alpha-word rule
+    * runs as the native [[graft.functions.AlphaTokens]] byte scan, not
+    * an interpreted `filter(w, rlike)` HOF. */
   def gopherQuality(docs: DataFrame,
                     minWords: Long = 50, maxWords: Long = 100000,
                     minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
@@ -242,7 +242,7 @@ object Corpus {
         graft.util.D.r(((len - length(replace(col("text"), lit("#"), lit("")))) +
           (len - length(replace(col("text"), lit("..."), lit("")))) / lit(3.0))
           .cast(DoubleType) / nW, 6).as("symbol_ratio"),
-        graft.util.D.r(size(filter(w, x => x.rlike("[a-z]"))).cast(DoubleType) / nW, 6)
+        graft.util.D.r(graft.functions.AlphaTokens(col("text")).cast(DoubleType) / nW, 6)
           .as("alpha_frac"),
         GopherStops.map(s0 => array_contains(w, s0).cast(IntegerType))
           .reduce(_ + _).cast(LongType).as("n_stop"))

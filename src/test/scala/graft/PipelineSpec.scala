@@ -230,6 +230,29 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TextOps.langHitsText(col("text"), "xx"))
   }
 
+  test("native AlphaTokens is bit-identical to size(filter(split, rlike)) incl. corpus") {
+    import spark.implicits._
+    import graft.functions.AlphaTokens
+    // split(s, " ") keeps empty tokens around doubled/leading/trailing
+    // spaces, uppercase must NOT count ([a-z] is case-sensitive in both
+    // engines), digits-only words don't count, multibyte text can't
+    // false-positive (continuation bytes are >= 0x80)
+    val rows = Seq(
+      "the cat", "  double  spaced  ", " lead", "trail ", "", " ", "   ",
+      "UPPER ONLY", "Mixed Case words", "77 88 99", "a1 2b 3c3",
+      "你好 世界", "中文 with latin", "emoji 😀 ok", "héllo wörld", "x") ++
+      (0 until 30).map(i => s"doc$i ${"77 " * (i % 4)}the  END ${"中" * (i % 3)}")
+    val hof = size(filter(split(col("text"), " "), x => x.rlike("[a-z]")))
+    val bad = rows.toDF("text")
+      .filter(AlphaTokens(col("text")) =!= hof).collect()
+    assert(bad.isEmpty, s"AlphaTokens/HOF mismatch: ${bad.take(3).mkString("; ")}")
+    // the whole documents corpus
+    assert(docs.filter(AlphaTokens(col("text")) =!= hof).count() === 0)
+    // NULL stays NULL
+    assert(Seq[Option[String]](None).toDF("text")
+      .select(AlphaTokens(col("text"))).head().isNullAt(0))
+  }
+
   test("native ArgMaxBy matches max_by(id, struct(score, -id)) incl. ties and NULLs") {
     import spark.implicits._
     // ties must break toward the SMALLEST id (the oracle's ORDER BY
