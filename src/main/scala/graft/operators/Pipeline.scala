@@ -16,6 +16,14 @@ object Pipeline extends QFamily {
 
   private val langs = Seq("de", "en", "es", "fr")
 
+  // epochs per source for q_domain_resample: upsampled, repeated,
+  // fractionally sampled, and dropped domains all exercised
+  private val ResampleWeights = Map(
+    "src0" -> 2.5, "src1" -> 0.4, "src2" -> 3.0, "src3" -> 0.0, "src4" -> 1.0)
+
+  // q_bm25 query terms, chosen for spread in document frequency
+  private val Bm25Terms = Seq("spark", "vector", "join", "the")
+
   val defs: Seq[QDef] = Seq(
 
     // ------------------------------------------------------- dedup -----
@@ -448,6 +456,24 @@ object Pipeline extends QFamily {
     QDef("q_seq_pack",
       Some(graft.text.Corpus.seqPackSql("documents", 512)),
       (s, dir) => graft.text.Corpus.seqPack(t(s, dir, "documents"), 512)),
+
+    // epoch-based domain resampling: target mix expressed as epochs per
+    // source (fractional = deterministic subsample), LLaMA-style
+    QDef("q_domain_resample",
+      Some(graft.text.Corpus.resampleEpochsSql("documents", ResampleWeights)),
+      (s, dir) => graft.text.Corpus.resampleEpochs(t(s, dir, "documents"),
+        ResampleWeights)),
+
+    // BM25 keyword retrieval over the corpus (Okapi/Lucene form)
+    QDef("q_bm25",
+      Some(graft.text.Search.bm25Sql("documents", Bm25Terms, k = 15)),
+      (s, dir) => graft.text.Search.bm25(t(s, dir, "documents"), Bm25Terms, k = 15)),
+
+    // one Lloyd iteration over the embeddings — the IVF training step
+    // (same centroid seeding convention as q_ann_ivf)
+    QDef("q_kmeans_step",
+      Some(graft.sim.Ann.kmeansStepSql("embeddings", 25, 7)),
+      (s, dir) => graft.sim.Ann.kmeansStep(t(s, dir, "embeddings"), 25, 7)),
 
     // --------------------------------------------------- multimodal ----
     QDef("q_multimodal_meta",

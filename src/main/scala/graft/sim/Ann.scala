@@ -263,6 +263,68 @@ object Ann {
        |  FROM m a JOIN m b ON a.list_id = b.list_id AND a.vec_id < b.vec_id)
        |WHERE cosine >= $th ORDER BY list_id, vec_a, vec_b""".stripMargin
 
+  /** One Lloyd iteration (k-means step) over the embedding corpus —
+    * the IVF TRAINING primitive the [[ivfTopK]]/[[embeddingPairsIvf]]
+    * family assumes already happened: assign every vector to its
+    * max-cosine centroid (seeded, like IVF, from vec_id % centMod =
+    * centOff), then emit the per-cluster mean as the updated centroid.
+    * Output is (cluster_id, dim, n_members, centroid) — one row per
+    * centroid dimension; a caller loops this (feeding means back as
+    * the next round's centroids) until centroid drift converges, each
+    * round an independent linear job.
+    *
+    * Determinism/scale: assignment is the hash-aggregable native
+    * argmax over broadcast centroids (no window, no sort) with the
+    * vector carried through the same aggregate (its K broadcast copies
+    * collapse map-side), so the corpus shuffles ONCE per iteration;
+    * the mean is an exact long sum of the 1e8 fixed-point components
+    * (associative — partial-aggregation order can't change it) with
+    * one double division at the end, so Spark and a single-node engine
+    * bit-agree. Sum envelope: |component| ≤ ~1e9·1e8 = 1e17 per row —
+    * overflow needs > ~90 same-cluster-and-dim rows at the extreme
+    * simultaneously, i.e. ~1e18 total tokens of identical-sign extreme
+    * mass; unit-scale embeddings (|x| ≤ ~10, the [[Scale]] contract)
+    * keep Σ < 2^63 up to ~9e9 vectors per cluster. */
+  def kmeansStep(vecs: DataFrame, centMod: Int, centOff: Int): DataFrame = {
+    val base = scaledBase(vecs)
+    val cents = base.filter(col("vec_id") % centMod === centOff)
+      .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
+      .groupBy("vec_id")
+      .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("cluster_id"),
+        first(col("fxe")).as("fxe"))
+    assigned.select(col("cluster_id"), posexplode(col("fxe")).as(Seq("dim", "fx")))
+      .groupBy("cluster_id", "dim")
+      .agg(count(lit(1)).cast(LongType).as("n_members"),
+        sum(col("fx")).cast(LongType).as("sfx"))
+      .select(col("cluster_id"), col("dim").cast(LongType).as("dim"),
+        col("n_members"),
+        graft.util.D.r(col("sfx").cast(DoubleType) / lit(1e8) /
+          col("n_members").cast(DoubleType), 6).as("centroid"))
+      .orderBy("cluster_id", "dim")
+  }
+
+  /** DuckDB mirror of [[kmeansStep]] (two zipped unnests = posexplode). */
+  def kmeansStepSql(table: String, centMod: Int, centOff: Int): String =
+    s"""WITH ${normSqSql(table)},
+       |base AS (SELECT e.vec_id, e.embedding, n.nsq FROM $table e JOIN norms n ON e.vec_id = n.vec_id),
+       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE vec_id % $centMod = $centOff),
+       |scored_c AS (SELECT b.vec_id, b.embedding, b.nsq, c.cid,
+       |    ${cosSql(dotFixSql("c.ce", "b.embedding"), "c.cn", "b.nsq")} AS ccos
+       |  FROM base b CROSS JOIN cents c),
+       |assign AS (SELECT vec_id, cid AS cluster_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored_c)
+       |  WHERE rn = 1),
+       |ex AS (SELECT a.cluster_id,
+       |    CAST(unnest(generate_series(1, len(b.embedding))) - 1 AS BIGINT) AS dim,
+       |    CAST(ROUND(CAST(unnest(b.embedding) AS DOUBLE) * 100000000) AS BIGINT) AS fx
+       |  FROM base b JOIN assign a ON b.vec_id = a.vec_id)
+       |SELECT cluster_id, dim, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  ROUND(CAST(CAST(SUM(fx) AS BIGINT) AS DOUBLE) / 100000000.0
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS centroid
+       |FROM ex GROUP BY cluster_id, dim ORDER BY cluster_id, dim""".stripMargin
+
   // ------------------------------------------ hyperplane LSH bucketing --
 
   /** Number of sign bits / hyperplanes for [[lshPairs]] (2^8 buckets at

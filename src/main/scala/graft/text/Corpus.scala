@@ -150,6 +150,48 @@ object Corpus {
       .orderBy("lang")
   }
 
+  /** Epoch-based domain resampling: the step that turns a target mix
+    * into per-document repeat counts. Training mixes are specified as
+    * epochs per domain (e.g. web 0.5, wiki 2.5 — the mixture tables
+    * published for LLaMA-style runs); a fractional epoch means a
+    * deterministic subsample of the domain. Emits (doc_id, source,
+    * n_tokens, n_epochs) where n_epochs = ⌊w⌋ plus 1 for the documents
+    * whose md5-derived hash fraction falls below frac(w) — the same
+    * seedless, shuffle-free coin as [[domainMix]], so reruns and
+    * retries pick identical documents. Downstream, a doc contributes
+    * n_epochs copies to the packed stream; n_epochs = 0 drops it.
+    *
+    * Scale: entirely scan-local — the weight map rewrites to a CASE
+    * expression, no join, no shuffle, one pass over the corpus. */
+  def resampleEpochs(docs: DataFrame, weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(w => w >= 0 && w < 1e6),
+      "resampleEpochs: weights must be in [0, 1e6)")
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(1.0)) { case (acc, (s0, ww)) =>
+      when(col("source") === s0, lit(ww)).otherwise(acc)
+    }
+    val hfrac = (conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 15), 16, 10)
+      .cast(LongType).cast(DoubleType) / lit(1152921504606846976.0))
+    docs.select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"),
+        (floor(w).cast(LongType) +
+          when(hfrac < w - floor(w), 1L).otherwise(0L)).as("n_epochs"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[resampleEpochs]] (unlisted sources default to
+    * weight 1.0, same as the Spark fold). */
+  def resampleEpochsSql(table: String, weights: Map[String, Double]): String = {
+    val cases = weights.toSeq.sortBy(_._1)
+      .map { case (s0, ww) => s"WHEN source = '$s0' THEN $ww" }.mkString(" ")
+    val w = s"(CASE $cases ELSE 1.0 END)"
+    val hfrac = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) / 1152921504606846976.0"
+    s"""SELECT doc_id, source,
+       |  CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tokens,
+       |  CAST(FLOOR($w) AS BIGINT)
+       |    + (CASE WHEN $hfrac < $w - FLOOR($w) THEN 1 ELSE 0 END) AS n_epochs
+       |FROM $table ORDER BY doc_id""".stripMargin
+  }
+
   /** Sequence packing: the final step before an LLM training run —
     * concatenate the corpus's tokens in `doc_id` order into one global
     * stream and chop it into fixed `blockTokens` training blocks.

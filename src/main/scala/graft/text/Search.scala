@@ -1,0 +1,108 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus keyword retrieval: BM25 scoring (Robertson et al., the Okapi
+  * formulation Lucene defaults to) for a fixed query-term set — the
+  * quality-scoring / retrieval primitive pipelines use for targeted
+  * corpus slicing (e.g. "pull the top-k docs about X for inspection"
+  * or keyword-based domain tagging).
+  *
+  * Scale (100 TB): the corpus is touched by exactly two linear scans —
+  * one map-side-combined aggregate for (N, avgdl), one tokenize +
+  * explode whose output is filtered to the query terms BEFORE its
+  * only shuffle (the per-(doc, term) count), so shuffled bytes are
+  * proportional to query-term occurrences, not corpus size. The df and
+  * corpus-stats tables are term-cardinality-sized broadcasts. The
+  * final top-k is TakeOrderedAndProject (per-partition heaps + a k-row
+  * driver merge), never a global sort.
+  */
+object Search {
+
+  /** Per-term idf, rounded to 6 decimals before use: Math.log and
+    * libm's log may legitimately disagree by 1 ulp, so the UNROUNDED
+    * idf is not cross-engine stable; rounding first makes every
+    * downstream product start from identical operands. Lucene form:
+    * ln(1 + (N - df + 0.5)/(df + 0.5)). */
+  private def idf6(n: org.apache.spark.sql.Column, df0: org.apache.spark.sql.Column) =
+    graft.util.D.r(log(lit(1.0) +
+      (n.cast(DoubleType) - df0 + 0.5) / (df0.cast(DoubleType) + 0.5)), 6)
+
+  /** BM25 top-k: (rank, doc_id, dl, n_terms_hit, score) for the `k`
+    * highest-scoring documents against `terms`. k1/b are the standard
+    * saturation/length-normalization knobs. Per-term partial scores
+    * are rounded to 6 decimals and summed as DECIMAL so the per-doc
+    * total is order-independent (double addition is not associative;
+    * Spark's partial aggregation and DuckDB's single-threaded sum
+    * would otherwise disagree). Ties break toward the smaller doc_id. */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75, k: Int = 10): DataFrame = {
+    require(terms.nonEmpty && terms.forall(t => t.nonEmpty && !t.contains("'")),
+      "bm25: terms must be non-empty and quote-free")
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast(LongType).as("dl"),
+        explode(col("w")).as("tok"))
+    val hits = toks.filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "dl", "tok")
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+    // avgdl from an exact long sum (a double avg would sum in
+    // partition order — not cross-engine-stable)
+    val stats = docs.agg(
+      count(lit(1)).cast(LongType).as("n_docs"),
+      (sum(size(TextOps.tokens(col("text"))).cast(LongType)).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("avgdl"))
+    val dfs = hits.groupBy("tok").agg(count(lit(1)).cast(LongType).as("df"))
+    val scored = hits
+      .join(broadcast(dfs), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("part", graft.util.D.r(
+        idf6(col("n_docs"), col("df")) *
+          (col("tf").cast(DoubleType) * (k1 + 1.0)) /
+          (col("tf").cast(DoubleType) +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast(DoubleType) / col("avgdl"))), 6))
+      .groupBy("doc_id", "dl")
+      .agg(count(lit(1)).cast(LongType).as("n_terms_hit"),
+        graft.util.D.dsumd(col("part")).as("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast(LongType))
+      .select("rank", "doc_id", "dl", "n_terms_hit", "score")
+      .orderBy("rank")
+  }
+
+  /** DuckDB mirror of [[bm25]]. */
+  def bm25Sql(table: String, terms: Seq[String], k1: Double = 1.2,
+              b: Double = 0.75, k: Int = 10): String = {
+    val toks = TextOps.tokensSql("text")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl, unnest($toks) AS tok
+       |  FROM $table),
+       |hits AS (
+       |  SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks WHERE tok IN ($termList) GROUP BY doc_id, dl, tok),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CAST(len($toks) AS BIGINT)) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |  FROM $table),
+       |dfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY tok),
+       |scored AS (
+       |  SELECT h.doc_id, h.dl,
+       |    ROUND(ROUND(LN(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (CAST(d.df AS DOUBLE) + 0.5)), 6)
+       |      * (CAST(h.tf AS DOUBLE) * ($k1 + 1.0))
+       |      / (CAST(h.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * CAST(h.dl AS DOUBLE) / s.avgdl)), 6) AS part
+       |  FROM hits h JOIN dfs d ON h.tok = d.tok CROSS JOIN stats s),
+       |agg AS (
+       |  SELECT doc_id, dl, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       |    CAST(CAST(SUM(CAST(part AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS score
+       |  FROM scored GROUP BY doc_id, dl)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       |  doc_id, dl, n_terms_hit, score
+       |FROM agg ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+}

@@ -431,6 +431,107 @@ class PipelineSpec extends AnyFunSuite {
     assert(starts.drop(1).toSeq === starts.dropRight(1).zip(ns.dropRight(1)).map { case (s0, n) => s0 + n }.toSeq)
   }
 
+  test("resampleEpochs: integer weights repeat exactly, fractions sample, 0 drops") {
+    import spark.implicits._
+    val rows = (0L until 400L).map(i =>
+      (i, s"s${i % 4}", s"tok a b c")).toDF("doc_id", "source", "text")
+    val out = graft.text.Corpus.resampleEpochs(rows,
+      Map("s0" -> 3.0, "s1" -> 0.5, "s2" -> 0.0)).collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    // integer weight: every doc gets exactly w epochs
+    assert(bySrc("s0").forall(_.getAs[Long]("n_epochs") === 3L))
+    // zero weight drops the whole domain
+    assert(bySrc("s2").forall(_.getAs[Long]("n_epochs") === 0L))
+    // unlisted source defaults to one epoch
+    assert(bySrc("s3").forall(_.getAs[Long]("n_epochs") === 1L))
+    // fractional weight: each doc gets 0 or 1, about half of them 1
+    val s1 = bySrc("s1").map(_.getAs[Long]("n_epochs"))
+    assert(s1.forall(e => e === 0L || e === 1L))
+    assert(math.abs(s1.sum / s1.size.toDouble - 0.5) < 0.2)
+    // the hash coin is seedless: a rerun picks identical documents
+    val again = graft.text.Corpus.resampleEpochs(rows,
+      Map("s0" -> 3.0, "s1" -> 0.5, "s2" -> 0.0)).collect()
+    assert(out.map(_.toSeq.toList).toList === again.map(_.toSeq.toList).toList)
+    intercept[IllegalArgumentException](
+      graft.text.Corpus.resampleEpochs(rows, Map("s0" -> -1.0)))
+  }
+
+  test("bm25 ranks by tf/idf/length the way the formula says") {
+    import spark.implicits._
+    val pad = (1 to 20).map(_ => "x").mkString(" ")
+    val rows = Seq(
+      (1L, s"rare $pad"),                 // one hit of the rare term
+      (2L, s"rare rare rare $pad"),       // more hits, near-same length
+      (3L, s"common $pad"),               // one hit of the common term
+      (4L, s"common common $pad $pad $pad"), // more hits but much longer
+      (5L, s"rare common $pad"),          // both terms
+      (6L, pad),                          // neither term
+      (7L, s"common $pad"),               // pad common's df above rare's
+      (8L, s"common $pad")).toDF("doc_id", "text")
+    val out = graft.text.Search.bm25(rows, Seq("rare", "common"), k = 10)
+      .collect()
+    val score = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    // no term hits -> no row; ranks are 1..n in score order
+    assert(!score.contains(6L))
+    assert(out.map(_.getAs[Long]("rank")).toSeq === (1L to out.length.toLong).toSeq)
+    // more occurrences of the same term (near-same length) score higher
+    assert(score(2L) > score(1L))
+    // rare beats common at equal tf and length (idf)
+    assert(score(1L) > score(3L))
+    // both terms beat either alone at same length
+    assert(score(5L) > score(1L) && score(5L) > score(3L))
+    // n_terms_hit counts DISTINCT matched terms
+    assert(out.find(_.getAs[Long]("doc_id") == 5L).get
+      .getAs[Long]("n_terms_hit") === 2L)
+    // length normalization: doc 4 has double the tf of doc 3 but 3x the
+    // length; its saturated score stays below 2x doc 3's
+    assert(score(4L) < 2 * score(3L))
+  }
+
+  test("kmeansStep equals the brute-force Lloyd iteration") {
+    import spark.implicits._
+    val e = vecs
+    val out = graft.sim.Ann.kmeansStep(e, 25, 7).collect()
+    // brute-force the same iteration on the driver
+    val all = e.collect().map(r => (r.getAs[Long]("vec_id"),
+      r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    def fx(v: Array[Float]): Array[Long] = v.map(x => math.round(x.toDouble * 1e8))
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      val den = math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble)
+      if (den > 0) dot / den else 0.0
+    }
+    val cents = all.filter(_._1 % 25 == 7).map { case (id, v) => (id, fx(v)) }
+    val assign = all.map { case (id, v) =>
+      val f = fx(v)
+      val best = cents.map { case (cid, ce) => (cid, cos(ce, f)) }
+        .minBy { case (cid, c) => (-c, cid) }._1
+      (best, f)
+    }
+    // mirror D.r's half-up rounding exactly (math.round floors at -x.5)
+    def r6(x: Double): Double =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    val expected = assign.groupBy(_._1).toSeq.flatMap { case (cid, members) =>
+      val n = members.length
+      (0 until members.head._2.length).map { d =>
+        val s = members.map(_._2(d)).sum
+        (cid, d.toLong, n.toLong, r6(s.toDouble / 1e8 / n))
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(out.length === expected.length)
+    out.zip(expected).foreach { case (r, (cid, d, n, c)) =>
+      assert(r.getAs[Long]("cluster_id") === cid)
+      assert(r.getAs[Long]("dim") === d)
+      assert(r.getAs[Long]("n_members") === n)
+      assert(math.abs(r.getAs[Double]("centroid") - c) < 1e-9,
+        s"centroid mismatch at ($cid, $d)")
+    }
+    // every vector is assigned: cluster sizes sum to the corpus
+    assert(out.filter(_.getAs[Long]("dim") == 0L)
+      .map(_.getAs[Long]("n_members")).sum === all.length)
+  }
+
   test("gopherQuality rules fire on the shapes they target") {
     import spark.implicits._
     val fifty = (1 to 50).map(i => s"word$i").mkString(" ") // 50 words, has letters
