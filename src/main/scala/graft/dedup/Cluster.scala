@@ -32,10 +32,10 @@ import org.apache.spark.sql.types.LongType
   */
 object Cluster {
 
-  /** Fail-fast bound on propagation rounds. Rounds needed = component
-    * diameter; real dup clusters are near-cliques (diameter 2-3), and
-    * 30 rounds covers a chain of a billion docs under doubling-free
-    * propagation assumptions — a graph still unconverged here is
+  /** Fail-fast bound on propagation rounds. Labels flood one hop per
+    * round, so rounds needed = component diameter; real dup clusters
+    * are near-cliques (diameter 2-3), so 30 covers them with an order
+    * of magnitude to spare — a graph still unconverged here is
     * pathological (an adversarial long path), and the error names the
     * knob. Mutable so a caller who truly has chain-shaped duplicates
     * can raise it knowingly. */

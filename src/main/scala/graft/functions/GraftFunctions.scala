@@ -36,6 +36,28 @@ object GraftFunctions {
           s"argmax_by(id, score) takes exactly 2 arguments, got ${exprs.length}")
         ArgMaxBy(exprs(0), exprs(1)).toAggregateExpression()
       }, "built-in")
+    // one-pass language-signal ops (bit-identical to their HOF/regex forms)
+    fr.createOrReplaceTempFunction("cjk_count",
+      exprs => CjkCount(exprs(0)), "built-in")
+    fr.createOrReplaceTempFunction("alpha_tokens",
+      exprs => AlphaTokens(exprs(0)), "built-in")
+    // stop_hits(text, lang): lang must be a constant string from the
+    // known language set (validated in the StopHits constructor)
+    fr.createOrReplaceTempFunction("stop_hits",
+      exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"stop_hits(text, lang) takes exactly 2 arguments, got ${exprs.length}")
+        val lang = exprs(1) match {
+          case e if e.foldable => e.eval() match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other => throw new IllegalArgumentException(
+              s"stop_hits(text, lang): lang must be a constant string (got $other)")
+          }
+          case other => throw new IllegalArgumentException(
+            s"stop_hits(text, lang): lang must be a constant string expression, got $other")
+        }
+        StopHits(exprs(0), lang)
+      }, "built-in")
     // kmin(col, k): bounded k-minimum-values sketch aggregate; k must be
     // a constant (foldable) integral expression — INT or BIGINT literal,
     // a CAST of one, etc. Positivity is validated in ONE place,

@@ -98,6 +98,17 @@ class IoSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("SELECT fixed_scale(array(1, 2))").collect())
     intercept[Exception](
       spark.sql("SELECT fixed_scale(CAST(NULL AS STRING))").collect())
+    // the language-signal ops from pure SQL
+    val ls = spark.sql(
+      """SELECT cjk_count('ab 中文 c') AS z,
+        |       alpha_tokens('ab 77 c9 中文') AS a,
+        |       stop_hits('the cat und der hund', 'de') AS h""".stripMargin).head()
+    assert(ls.getInt(0) === 2 && ls.getInt(1) === 2 && ls.getInt(2) === 2)
+    // lang must be a known constant: bad arity, unknown lang, non-constant
+    intercept[Exception](spark.sql("SELECT stop_hits('x')"))
+    intercept[Exception](spark.sql("SELECT stop_hits('x', 'xx')"))
+    intercept[Exception](
+      spark.sql("SELECT stop_hits(lang, lang) FROM (SELECT 'de' AS lang)"))
   }
 
   test("as-of join semantics on a constructed case") {
