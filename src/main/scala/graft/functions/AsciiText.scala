@@ -133,10 +133,13 @@ object LangSignalHelper {
   }
 
   /** Count of tokens (split on single spaces, empties included — they
-    * contain no letter) containing at least one byte in [a-z]. Equals
-    * `size(filter(split(s, " "), x -> x rlike "[a-z]"))` on ALL inputs
-    * with no slow path: UTF-8 continuation/lead bytes are >= 0x80, so
-    * a byte in [0x61, 0x7A] is always a literal ASCII letter. */
+    * contain no letter) containing at least one ASCII letter. Equals
+    * `size(filter(split(s, " "), x -> x rlike "[a-zA-Z]"))` on ALL
+    * inputs with no slow path: UTF-8 continuation/lead bytes are
+    * >= 0x80, so a byte in [A-Z] or [a-z] is always a literal ASCII
+    * letter. (Both cases count — the Gopher alpha-word rule asks for
+    * "words containing an alphabetic character", and an all-caps
+    * headline is alphabetic.) */
   def alphaTokens(s: UTF8String): Int = {
     val bytes = s.getBytes
     val n = bytes.length
@@ -147,7 +150,8 @@ object LangSignalHelper {
       if (i == n || bytes(i) == ' ') {
         if (hasAlpha) cnt += 1
         hasAlpha = false
-      } else if (bytes(i) >= 'a' && bytes(i) <= 'z') hasAlpha = true
+      } else if ((bytes(i) >= 'a' && bytes(i) <= 'z') ||
+        (bytes(i) >= 'A' && bytes(i) <= 'Z')) hasAlpha = true
       i += 1
     }
     cnt

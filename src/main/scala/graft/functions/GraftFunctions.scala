@@ -8,24 +8,38 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val fr = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
+    // every registration validates arity: a silently-ignored extra
+    // argument (e.g. a user passing a delimiter to a unary function)
+    // would return a wrong answer instead of a loud analysis error
+    def arity(name: String, n: Int, exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit =
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name takes exactly $n argument${if (n == 1) "" else "s"}, got ${exprs.length}")
     fr.createOrReplaceTempFunction("cosine_similarity",
-      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      exprs => { arity("cosine_similarity(a, b)", 2, exprs)
+        CosineSimilarity(exprs(0), exprs(1)) }, "built-in")
     fr.createOrReplaceTempFunction("fixed_dot",
-      exprs => FixedDot(exprs(0), exprs(1)), "built-in")
+      exprs => { arity("fixed_dot(a, b)", 2, exprs)
+        FixedDot(exprs(0), exprs(1)) }, "built-in")
     // one-pass corpus-prep text ops (bit-identical to their regex chains)
     fr.createOrReplaceTempFunction("ascii_normalize",
-      exprs => AsciiNormalize(exprs(0)), "built-in")
+      exprs => { arity("ascii_normalize(s)", 1, exprs)
+        AsciiNormalize(exprs(0)) }, "built-in")
     fr.createOrReplaceTempFunction("stripped_count",
-      exprs => StrippedCount(exprs(0)), "built-in")
+      exprs => { arity("stripped_count(s)", 1, exprs)
+        StrippedCount(exprs(0)) }, "built-in")
     // one-pass signature ops (bit-identical to their HOF chains)
     fr.createOrReplaceTempFunction("word_shingles",
-      exprs => WordShingles(exprs(0)), "built-in")
+      exprs => { arity("word_shingles(s)", 1, exprs)
+        WordShingles(exprs(0)) }, "built-in")
     fr.createOrReplaceTempFunction("shingle_hashes",
-      exprs => ShingleHashes(exprs(0)), "built-in")
+      exprs => { arity("shingle_hashes(s)", 1, exprs)
+        ShingleHashes(exprs(0)) }, "built-in")
     fr.createOrReplaceTempFunction("simhash60",
-      exprs => SimHash60(exprs(0)), "built-in")
+      exprs => { arity("simhash60(s)", 1, exprs)
+        SimHash60(exprs(0)) }, "built-in")
     fr.createOrReplaceTempFunction("fixed_scale",
-      exprs => FixedScale(exprs(0)), "built-in")
+      exprs => { arity("fixed_scale(arr)", 1, exprs)
+        FixedScale(exprs(0)) }, "built-in")
     // argmax_by(id, score): hash-aggregable argmax (id of the max score,
     // ties to the smallest id) — the aggregate the Column API's IVF
     // centroid assignment uses; registered so SQL users get the
@@ -38,15 +52,16 @@ object GraftFunctions {
       }, "built-in")
     // one-pass language-signal ops (bit-identical to their HOF/regex forms)
     fr.createOrReplaceTempFunction("cjk_count",
-      exprs => CjkCount(exprs(0)), "built-in")
+      exprs => { arity("cjk_count(s)", 1, exprs)
+        CjkCount(exprs(0)) }, "built-in")
     fr.createOrReplaceTempFunction("alpha_tokens",
-      exprs => AlphaTokens(exprs(0)), "built-in")
+      exprs => { arity("alpha_tokens(s)", 1, exprs)
+        AlphaTokens(exprs(0)) }, "built-in")
     // stop_hits(text, lang): lang must be a constant string from the
     // known language set (validated in the StopHits constructor)
     fr.createOrReplaceTempFunction("stop_hits",
       exprs => {
-        if (exprs.length != 2) throw new IllegalArgumentException(
-          s"stop_hits(text, lang) takes exactly 2 arguments, got ${exprs.length}")
+        arity("stop_hits(text, lang)", 2, exprs)
         val lang = exprs(1) match {
           case e if e.foldable => e.eval() match {
             case s: org.apache.spark.unsafe.types.UTF8String => s.toString

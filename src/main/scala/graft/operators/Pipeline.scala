@@ -386,7 +386,7 @@ object Pipeline extends QFamily {
     QDef("q_domain_mix", {
       val budget = "2000.0"
       val ntok = s"CAST(len(string_split(text, ' ')) AS BIGINT)"
-      val hfrac = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) / 1152921504606846976.0"
+      val hfrac = graft.text.Corpus.hashFracSql("doc_id")
       Some(s"""WITH d AS (SELECT doc_id, lang, $ntok AS ntok, $hfrac AS hfrac FROM documents),
               |tot AS (SELECT lang, CAST(SUM(ntok) AS BIGINT) AS total_tokens,
               |    ROUND(LEAST(1.0, $budget / CAST(SUM(ntok) AS DOUBLE)), 6) AS rate

@@ -468,6 +468,11 @@ object Relational extends QFamily {
     //    asserted [p45, p55] exact-rank band.
     // A sketch that drifts out of its envelope turns a flag 0 and fails
     // the hash compare — a real check, not a rows-only count.
+    // NOTE the exact companions (countDistinct / percentile — the
+    // latter buffers each group's values) exist ONLY to measure the
+    // envelope at bench scale; the production scale path is the sketch
+    // aggregates alone, which a user calls directly (they're Spark
+    // builtins) without the exact columns this oracle query pairs in.
     q("q_approx_stats",
       """SELECT l_returnflag, COUNT(*) AS n,
         |  COUNT(DISTINCT l_partkey) AS n_parts,

@@ -160,20 +160,29 @@ object Ann {
        |SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine, list_id
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-  /** Throughput path: native codegen'd cosine — float math, so the raw
-    * cosine is not oracle-comparable (see [[fastTopKChecked]]). */
-  def fastTopK(vecs: DataFrame, queryMod: Int, k: Int): DataFrame = {
+  /** Shared hot path of [[fastTopK]]/[[fastTopKChecked]]: native
+    * float-cosine scoring of the N·|queries| table and the top-k
+    * window — ONE definition so the timed path and the oracle-checked
+    * path can never drift in ranking semantics (query filter,
+    * tie-break, rank cutoff). */
+  private def fastRanked(vecs: DataFrame, queryMod: Int, k: Int): DataFrame = {
     val queries = vecs.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val joined = vecs.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", CosineSimilarity(col("qe"), col("embedding")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+      .withColumn("cosine_fast", CosineSimilarity(col("qe"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine_fast").desc, col("vec_id"))
     joined.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
-      .orderBy("query_id", "rank")
   }
+
+  /** Throughput path: native codegen'd cosine — float math, so the raw
+    * cosine is not oracle-comparable (see [[fastTopKChecked]]). */
+  def fastTopK(vecs: DataFrame, queryMod: Int, k: Int): DataFrame =
+    fastRanked(vecs, queryMod, k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine_fast").as("cosine"))
+      .orderBy("query_id", "rank")
 
   /** Oracle-checkable form of [[fastTopK]]: the N·|queries| hot loop and
     * the top-k selection run the native float-cosine path UNCHANGED; only
@@ -185,21 +194,13 @@ object Ann {
     * ordering (a near-tie inside the ~1e-15-relative double error — the
     * fixed-point quantization at 1e8 dwarfs it), neighbor/rank columns
     * differ and the hash compare fails loudly. */
-  def fastTopKChecked(vecs: DataFrame, queryMod: Int, k: Int): DataFrame = {
-    val queries = vecs.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val joined = vecs.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine_fast", CosineSimilarity(col("qe"), col("embedding")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine_fast").desc, col("vec_id"))
-    joined.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
+  def fastTopKChecked(vecs: DataFrame, queryMod: Int, k: Int): DataFrame =
+    fastRanked(vecs, queryMod, k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         graft.util.D.r(cosExpr(dotFix(col("qe"), col("embedding")),
           FixedDot(scaled(col("qe")), scaled(col("qe"))),
           FixedDot(scaled(col("embedding")), scaled(col("embedding")))), 6).as("cosine"))
       .orderBy("query_id", "rank")
-  }
 
   /** IVF-list-blocked embedding near-dup pairs (cosine ≥ th): every
     * vector is assigned to its max-cosine centroid (same native argmax as

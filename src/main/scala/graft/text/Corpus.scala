@@ -130,11 +130,23 @@ object Corpus {
     * Returns (lang, total_tokens, rate, n_kept, kept_tokens). The
     * kept-document SET is reproducible across runs and engines: a doc
     * is kept iff its 60-bit md5(doc_id) fraction < rate. */
+  /** Seedless deterministic coin in [0, 1): the first 60 bits of
+    * md5(doc_id) as a fraction. ONE definition shared by every
+    * sampling operator ([[domainMix]], [[resampleEpochs]]) — the
+    * "reruns and retries pick identical documents" guarantee depends
+    * on all coins being bit-identical, so don't re-spell it. */
+  private[graft] def hashFrac(id: Column): Column =
+    conv(substring(md5(id.cast(StringType).cast(BinaryType)), 1, 15), 16, 10)
+      .cast(LongType).cast(DoubleType) / lit(1152921504606846976.0)
+
+  /** DuckDB mirror of [[hashFrac]]. */
+  private[graft] def hashFracSql(id: String): String =
+    s"CAST(('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) / 1152921504606846976.0"
+
   def domainMix(docs: DataFrame, budgetTokens: Double): DataFrame = {
     val d = docs.select(col("doc_id"), col("lang"),
       size(TextOps.tokens(col("text"))).cast(LongType).as("ntok"),
-      (conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 15), 16, 10)
-        .cast(LongType).cast(DoubleType) / lit(1152921504606846976.0)).as("hfrac"))
+      hashFrac(col("doc_id")).as("hfrac"))
     val tot = d.groupBy("lang").agg(sum(col("ntok")).as("total_tokens"))
       .withColumn("rate",
         graft.util.D.r(least(lit(1.0), lit(budgetTokens) / col("total_tokens").cast(DoubleType)), 6))
@@ -169,8 +181,7 @@ object Corpus {
     val w = weights.toSeq.sortBy(_._1).foldLeft(lit(1.0)) { case (acc, (s0, ww)) =>
       when(col("source") === s0, lit(ww)).otherwise(acc)
     }
-    val hfrac = (conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 15), 16, 10)
-      .cast(LongType).cast(DoubleType) / lit(1152921504606846976.0))
+    val hfrac = hashFrac(col("doc_id"))
     docs.select(col("doc_id"), col("source"),
         size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"),
         (floor(w).cast(LongType) +
@@ -184,7 +195,7 @@ object Corpus {
     val cases = weights.toSeq.sortBy(_._1)
       .map { case (s0, ww) => s"WHEN source = '$s0' THEN $ww" }.mkString(" ")
     val w = s"(CASE $cases ELSE 1.0 END)"
-    val hfrac = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) / 1152921504606846976.0"
+    val hfrac = hashFracSql("doc_id")
     s"""SELECT doc_id, source,
        |  CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tokens,
        |  CAST(FLOOR($w) AS BIGINT)
@@ -217,8 +228,17 @@ object Corpus {
       size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
     val parted = toks.repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
+    // pin ONE execution: `local` feeds both the offsets aggregate and
+    // the join, and spark_partition_id() is only consistent across the
+    // two consumers if the range exchange runs exactly once. Exchange
+    // reuse normally guarantees that, but it is an optimization, not a
+    // contract (spark.sql.exchange.reuse=false would re-sample range
+    // boundaries per consumer) — the checkpoint makes it structural.
+    // Cost: one materialization of (doc_id, n_tokens, pid, local_cum)
+    // — 4 longs/doc, reclaimed when the frame goes unreachable.
     val local = parted.withColumn("local_cum",
-      sum("n_tokens").over(Window.partitionBy("pid").orderBy("doc_id")))
+        sum("n_tokens").over(Window.partitionBy("pid").orderBy("doc_id")))
+      .localCheckpoint(true)
     val offsets = local.groupBy("pid").agg(max("local_cum").as("ptot"))
       .withColumn("offset", coalesce(
         sum("ptot").over(Window.orderBy("pid")
@@ -317,7 +337,7 @@ object Corpus {
        |    ROUND(CAST((length(text) - length(replace(text, '#', '')))
        |      + (length(text) - length(replace(text, '...', ''))) / 3.0 AS DOUBLE)
        |      / len($w), 6) AS symbol_ratio,
-       |    ROUND(CAST(len(list_filter($w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+       |    ROUND(CAST(len(list_filter($w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
        |      / len($w), 6) AS alpha_frac,
        |    CAST($nstop AS BIGINT) AS n_stop
        |  FROM $table)""".stripMargin
@@ -348,18 +368,23 @@ object Corpus {
     * scrubbing ever dominates a profile. */
   def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t0 = col(textCol)
+    // NULL text must yield NULL counts on the GATED stages too (a bare
+    // otherwise(0) would turn contains(NULL)'s NULL gate into a 0 count
+    // while the ungated IP stage stays NULL — inconsistent, and a
+    // parity break vs the SQL mirror where every count is NULL)
+    def gated(src: Column, marker: String, re: String): Column =
+      when(src.isNull, lit(null).cast(LongType))
+        .when(src.contains(marker), regexp_count(src, lit(re)).cast(LongType))
+        .otherwise(lit(0L))
     val a = docs
-      .withColumn("n_emails",
-        when(t0.contains("@"), regexp_count(t0, lit(EmailRe))).otherwise(lit(0)).cast(LongType))
+      .withColumn("n_emails", gated(t0, "@", EmailRe))
       .withColumn("__t1",
         when(t0.contains("@"), regexp_replace(t0, EmailRe, "<EMAIL>")).otherwise(t0))
     val b = a
       .withColumn("n_ips", regexp_count(col("__t1"), lit(IpRe)).cast(LongType))
       .withColumn("__t2", regexp_replace(col("__t1"), IpRe, "<IP>"))
     val c = b
-      .withColumn("n_phones",
-        when(col("__t2").contains("+"), regexp_count(col("__t2"), lit(PhoneRe)))
-          .otherwise(lit(0)).cast(LongType))
+      .withColumn("n_phones", gated(col("__t2"), "+", PhoneRe))
       .withColumn("__t3",
         when(col("__t2").contains("+"), regexp_replace(col("__t2"), PhoneRe, "<PHONE>"))
           .otherwise(col("__t2")))

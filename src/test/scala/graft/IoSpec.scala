@@ -104,6 +104,9 @@ class IoSpec extends AnyFunSuite {
         |       alpha_tokens('ab 77 c9 中文') AS a,
         |       stop_hits('the cat und der hund', 'de') AS h""".stripMargin).head()
     assert(ls.getInt(0) === 2 && ls.getInt(1) === 2 && ls.getInt(2) === 2)
+    // extra args fail loudly instead of being silently ignored
+    intercept[Exception](spark.sql("SELECT cjk_count('a', 'b')"))
+    intercept[Exception](spark.sql("SELECT ascii_normalize('a', ' ')"))
     // lang must be a known constant: bad arity, unknown lang, non-constant
     intercept[Exception](spark.sql("SELECT stop_hits('x')"))
     intercept[Exception](spark.sql("SELECT stop_hits('x', 'xx')"))

@@ -234,15 +234,16 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.functions.AlphaTokens
     // split(s, " ") keeps empty tokens around doubled/leading/trailing
-    // spaces, uppercase must NOT count ([a-z] is case-sensitive in both
-    // engines), digits-only words don't count, multibyte text can't
-    // false-positive (continuation bytes are >= 0x80)
+    // spaces, BOTH cases count (the Gopher rule asks for alphabetic,
+    // and an all-caps headline is alphabetic), digits-only words don't
+    // count, multibyte text can't false-positive (continuation bytes
+    // are >= 0x80)
     val rows = Seq(
       "the cat", "  double  spaced  ", " lead", "trail ", "", " ", "   ",
       "UPPER ONLY", "Mixed Case words", "77 88 99", "a1 2b 3c3",
       "你好 世界", "中文 with latin", "emoji 😀 ok", "héllo wörld", "x") ++
       (0 until 30).map(i => s"doc$i ${"77 " * (i % 4)}the  END ${"中" * (i % 3)}")
-    val hof = size(filter(split(col("text"), " "), x => x.rlike("[a-z]")))
+    val hof = size(filter(split(col("text"), " "), x => x.rlike("[a-zA-Z]")))
     val bad = rows.toDF("text")
       .filter(AlphaTokens(col("text")) =!= hof).collect()
     assert(bad.isEmpty, s"AlphaTokens/HOF mismatch: ${bad.take(3).mkString("; ")}")
