@@ -469,6 +469,23 @@ object Pipeline extends QFamily {
       Some(graft.text.Search.bm25Sql("documents", Bm25Terms, k = 15)),
       (s, dir) => graft.text.Search.bm25(t(s, dir, "documents"), Bm25Terms, k = 15)),
 
+    // CCNet-style quality bucketing: unigram LM trained on the en
+    // slice, every doc scored by mean token log-prob, head/middle/tail
+    QDef("q_unigram_lm",
+      Some(graft.text.Lm.unigramLmSql("documents")),
+      (s, dir) => graft.text.Lm.unigramLm(t(s, dir, "documents"))),
+
+    // DSIR importance resampling toward the en slice over hashed
+    // unigram features; deterministic Gumbel top-k selection
+    QDef("q_dsir",
+      Some(graft.text.Lm.dsirSql("documents")),
+      (s, dir) => graft.text.Lm.dsir(t(s, dir, "documents"))),
+
+    // per-doc top-3 keywords by tf-idf
+    QDef("q_tfidf_terms",
+      Some(graft.text.Search.tfidfTermsSql("documents")),
+      (s, dir) => graft.text.Search.tfidfTerms(t(s, dir, "documents"))),
+
     // one Lloyd iteration over the embeddings — the IVF training step
     // (same centroid seeding convention as q_ann_ivf)
     QDef("q_kmeans_step",

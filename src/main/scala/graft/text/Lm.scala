@@ -1,0 +1,195 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Language-model-based corpus quality scoring and importance
+  * resampling — the two model-driven selection steps a pretraining
+  * pipeline runs after rule-based filtering (reference:
+  * pd-explain's quality-filter surface; methods are the published
+  * CCNet bucketing, Wenzek et al. 2019, and DSIR, Xie et al. 2023).
+  *
+  * Both operators substitute a closed-form unigram model for the
+  * external KenLM / fastText artifacts the papers use (no model files
+  * in this environment), which keeps them fully oracle-checkable: the
+  * training pass is itself a relational aggregation.
+  *
+  * Scale (100 TB):
+  *  - [[unigramLm]] trains on a REFERENCE slice (CCNet trains on
+  *    Wikipedia — GBs, not the corpus being scored), so the vocab
+  *    table is reference-sized; the scoring join is left as a plain
+  *    equi-join for AQE to pick broadcast vs shuffle. The corpus side
+  *    is one explode + one per-doc aggregation (map-side combined, one
+  *    shuffle of doc-cardinality rows).
+  *  - [[dsir]] hashes tokens into a FIXED bucket count, so both
+  *    distribution tables are ≤ `buckets` rows — broadcast by
+  *    construction regardless of corpus size; the corpus side is one
+  *    explode + one per-doc aggregation. Selection is a deterministic
+  *    Gumbel top-k (TakeOrderedAndProject — per-partition heaps, no
+  *    global sort).
+  */
+object Lm {
+
+  /** Laplace-smoothed log-probability, rounded to 6 decimals before
+    * any composition (Math.log vs libm may differ by 1 ulp; rounding
+    * first makes downstream sums start from identical operands —
+    * same contract as Search.idf6). */
+  private def lp6(c: Column, n: Column, v: Column): Column =
+    graft.util.D.r(log((c + lit(1L)).cast(DoubleType) / (n + v).cast(DoubleType)), 6)
+
+  /** CCNet-style quality bucketing: a Laplace-smoothed unigram LM is
+    * trained on the `lang = trainLang` slice, every document is scored
+    * by its mean per-token log-probability under that LM (OOV tokens
+    * get the smoothing mass 1/(N+V)), and docs are cut into
+    * head/middle/tail at the given score thresholds — the CCNet
+    * convention where "head" is the reference-like slice kept for
+    * training. Returns (doc_id, n_tokens, lp_per_tok, bucket) ordered
+    * by doc_id. Default thresholds are the sf-corpus terciles; real
+    * deployments calibrate them on a held-out sample the same way
+    * CCNet picks its perplexity cutoffs. */
+  def unigramLm(docs: DataFrame, trainLang: String = "en",
+                headTh: Double = -3.400, midTh: Double = -3.407): DataFrame = {
+    require(headTh >= midTh, "unigramLm: headTh must be >= midTh")
+    val vocab = docs.filter(col("lang") === trainLang)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).cast(LongType).as("c"))
+    val stats = vocab.agg(sum(col("c")).cast(LongType).as("n"),
+      count(lit(1)).cast(LongType).as("v"))
+    val toks = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast(LongType).as("dl"),
+        explode(col("w")).as("tok"))
+    val scored = toks
+      .join(vocab, Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("lp", lp6(coalesce(col("c"), lit(0L)), col("n"), col("v")))
+    scored.groupBy("doc_id", "dl")
+      .agg(graft.util.D.dsumd(col("lp")).as("s"))
+      .select(col("doc_id"), col("dl").as("n_tokens"),
+        graft.util.D.r(col("s") / col("dl").cast(DoubleType), 6).as("lp_per_tok"))
+      .withColumn("bucket",
+        when(col("lp_per_tok") >= headTh, "head")
+          .when(col("lp_per_tok") >= midTh, "middle")
+          .otherwise("tail"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[unigramLm]]. */
+  def unigramLmSql(table: String, trainLang: String = "en",
+                   headTh: Double = -3.400, midTh: Double = -3.407): String = {
+    val toks = TextOps.tokensSql("text")
+    s"""WITH toks_tr AS (
+       |  SELECT unnest($toks) AS tok FROM $table WHERE lang = '$trainLang'),
+       |vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks_tr GROUP BY tok),
+       |stats AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+       |toks AS (
+       |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS dl, unnest($toks) AS tok
+       |  FROM $table),
+       |scored AS (
+       |  SELECT t.doc_id, t.dl,
+       |    ROUND(LN(CAST(COALESCE(v.c, 0) + 1 AS DOUBLE) / CAST(s.n + s.v AS DOUBLE)), 6) AS lp
+       |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok CROSS JOIN stats s),
+       |agg AS (
+       |  SELECT doc_id, dl AS n_tokens,
+       |    ROUND(CAST(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE)
+       |      / CAST(dl AS DOUBLE), 6) AS lp_per_tok
+       |  FROM scored GROUP BY doc_id, dl)
+       |SELECT doc_id, n_tokens, lp_per_tok,
+       |  CASE WHEN lp_per_tok >= $headTh THEN 'head'
+       |       WHEN lp_per_tok >= $midTh THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token → feature bucket: first 60 bits of md5 mod `buckets` —
+    * non-negative, so `%` and `pmod` agree. Same hash family as
+    * Corpus.hashFrac (one spelling per coin, shared mirror). */
+  private def bucketOf(tok: Column, buckets: Int): Column =
+    conv(substring(md5(tok.cast(BinaryType)), 1, 15), 16, 10)
+      .cast(LongType) % buckets
+
+  private def bucketOfSql(tok: String, buckets: Int): String =
+    s"('0x' || substr(md5($tok), 1, 15))::BIGINT % $buckets"
+
+  /** DSIR importance resampling (Xie et al. 2023): documents are
+    * featurized as hashed-unigram counts over `buckets` buckets, the
+    * target distribution is estimated from the `lang = targetLang`
+    * slice and the raw distribution from the whole corpus (both
+    * Laplace-smoothed), each document gets the log importance weight
+    * log w = Σ_tokens (log p_target[b] − log p_raw[b]), and the top-k
+    * selection draws WITHOUT replacement via deterministic Gumbel
+    * top-k — key = log w + Gumbel(md5-coin) — so reruns and both
+    * engines pick the identical sample. Returns
+    * (rank, doc_id, n_tokens, log_weight, key) for the k selected
+    * docs, best key first. */
+  def dsir(docs: DataFrame, targetLang: String = "en",
+           buckets: Int = 256, k: Int = 50): DataFrame = {
+    require(buckets > 0 && k > 0, "dsir: buckets and k must be positive")
+    val feat = docs
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"), size(col("w")).cast(LongType).as("dl"),
+        explode(col("w")).as("tok"))
+      .withColumn("b", bucketOf(col("tok"), buckets))
+    val tc = feat.filter(col("lang") === targetLang)
+      .groupBy("b").agg(count(lit(1)).cast(LongType).as("tc"))
+    val rc = feat.groupBy("b").agg(count(lit(1)).cast(LongType).as("rc"))
+    val tn = tc.agg(sum(col("tc")).cast(LongType).as("tn"))
+    val rn = rc.agg(sum(col("rc")).cast(LongType).as("rn"))
+    // every bucket a document hits is present in rc by construction,
+    // so the inner join below loses nothing; tc may miss buckets (OOV
+    // for the target slice) — left join + smoothing mass
+    val delta = rc.join(tc, Seq("b"), "left")
+      .crossJoin(tn).crossJoin(rn)
+      .select(col("b"),
+        (lp6(coalesce(col("tc"), lit(0L)), col("tn"), lit(buckets.toLong)) -
+          lp6(col("rc"), col("rn"), lit(buckets.toLong))).as("d"))
+    val logw = feat
+      .join(broadcast(delta), Seq("b"))
+      .groupBy("doc_id", "dl")
+      .agg(graft.util.D.dsumd(col("d")).as("lw"))
+    val keyed = logw.select(col("doc_id"), col("dl").as("n_tokens"),
+      col("lw").as("log_weight"),
+      (col("lw") + graft.util.D.r(
+        -log(-log(Corpus.hashFrac(col("doc_id")))), 6)).as("key"))
+    val top = keyed.orderBy(col("key").desc, col("doc_id")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("key").desc, col("doc_id")))
+          .cast(LongType))
+      .select("rank", "doc_id", "n_tokens", "log_weight", "key")
+      .orderBy("rank")
+  }
+
+  /** DuckDB mirror of [[dsir]]. */
+  def dsirSql(table: String, targetLang: String = "en",
+              buckets: Int = 256, k: Int = 50): String = {
+    val toks = TextOps.tokensSql("text")
+    val b = bucketOfSql("tok", buckets)
+    val coin = Corpus.hashFracSql("doc_id")
+    s"""WITH feat AS (
+       |  SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS dl,
+       |    $b AS b
+       |  FROM (SELECT doc_id, lang, text, unnest($toks) AS tok FROM $table)),
+       |tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tc FROM feat WHERE lang = '$targetLang' GROUP BY b),
+       |rc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rc FROM feat GROUP BY b),
+       |tn AS (SELECT CAST(SUM(tc) AS BIGINT) AS tn FROM tc),
+       |rn AS (SELECT CAST(SUM(rc) AS BIGINT) AS rn FROM rc),
+       |delta AS (
+       |  SELECT r.b,
+       |    ROUND(LN(CAST(COALESCE(t.tc, 0) + 1 AS DOUBLE) / CAST(tn.tn + $buckets AS DOUBLE)), 6)
+       |    - ROUND(LN(CAST(r.rc + 1 AS DOUBLE) / CAST(rn.rn + $buckets AS DOUBLE)), 6) AS d
+       |  FROM rc r LEFT JOIN tc t ON r.b = t.b CROSS JOIN tn CROSS JOIN rn),
+       |logw AS (
+       |  SELECT f.doc_id, f.dl,
+       |    CAST(CAST(SUM(CAST(d.d AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS lw
+       |  FROM feat f JOIN delta d ON f.b = d.b GROUP BY f.doc_id, f.dl),
+       |keyed AS (
+       |  SELECT doc_id, dl AS n_tokens, lw AS log_weight,
+       |    lw + ROUND(-LN(-LN($coin)), 6) AS key
+       |  FROM logw)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rank,
+       |  doc_id, n_tokens, log_weight, key
+       |FROM keyed ORDER BY key DESC, doc_id LIMIT $k""".stripMargin
+  }
+}

@@ -74,6 +74,62 @@ object Search {
       .orderBy("rank")
   }
 
+  /** Per-document top-k keyword extraction by tf-idf: for every
+    * document, the `k` tokens with the highest tf·idf (classic
+    * idf = ln(N/df), rounded to 6 decimals before the product — same
+    * cross-engine contract as [[bm25]]'s idf6). Ties break toward the
+    * lexicographically smaller token. Returns
+    * (doc_id, term_rank, term, tf, df, score) ordered by doc.
+    *
+    * Scale (100 TB): one tokenize + explode into the per-(doc, term)
+    * count (the only corpus-sized shuffle — map-side combined); df is
+    * an aggregation OF that table (term-cardinality rows, not corpus
+    * rows) and its join back is left for AQE to pick broadcast vs
+    * shuffle; the per-doc top-k is a doc_id-partitioned window that
+    * WindowGroupLimit cuts to k rows per group before the sort. */
+  def tfidfTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k > 0, "tfidfTerms: k must be positive")
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).cast(LongType).as("df"))
+    val n = docs.agg(count(lit(1)).cast(LongType).as("n_docs"))
+    tf.join(dfs, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", graft.util.D.r(
+        col("tf").cast(DoubleType) *
+          graft.util.D.r(log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)), 6), 6))
+      .withColumn("term_rank",
+        row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))).cast(LongType))
+      .filter(col("term_rank") <= k)
+      .select("doc_id", "term_rank", "term", "tf", "df", "score")
+      .orderBy("doc_id", "term_rank")
+  }
+
+  /** DuckDB mirror of [[tfidfTerms]]. */
+  def tfidfTermsSql(table: String, k: Int = 3): String = {
+    val toks = TextOps.tokensSql("text")
+    s"""WITH tf AS (
+       |  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest($toks) AS tok FROM $table)
+       |  GROUP BY doc_id, tok),
+       |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM $table),
+       |ranked AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dfs.df,
+       |    ROUND(CAST(tf.tf AS DOUBLE)
+       |      * ROUND(LN(CAST(n.n_docs AS DOUBLE) / CAST(dfs.df AS DOUBLE)), 6), 6) AS score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY ROUND(CAST(tf.tf AS DOUBLE)
+       |        * ROUND(LN(CAST(n.n_docs AS DOUBLE) / CAST(dfs.df AS DOUBLE)), 6), 6) DESC,
+       |      tf.term) AS BIGINT) AS term_rank
+       |  FROM tf JOIN dfs ON tf.term = dfs.term CROSS JOIN n)
+       |SELECT doc_id, term_rank, term, tf, df, score
+       |FROM ranked WHERE term_rank <= $k ORDER BY doc_id, term_rank""".stripMargin
+  }
+
   /** DuckDB mirror of [[bm25]]. */
   def bm25Sql(table: String, terms: Seq[String], k1: Double = 1.2,
               b: Double = 0.75, k: Int = 10): String = {

@@ -550,4 +550,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(r4.getAs[Double]("alpha_frac") < 0.8)
     assert(out(4).getAs[Long]("n_stop") === 0L)
   }
+
+  test("unigramLm: Laplace math exact on a tiny corpus; OOV scores lowest") {
+    import spark.implicits._
+    // en vocab: x:3, y:1, z:1 -> N=5, V=3; lp(x)=ln(4/8), lp(y)=lp(z)=ln(2/8),
+    // OOV lp=ln(1/8); all rounded to 6dp before the per-doc mean
+    val rows = Seq(
+      (0L, "x x y", "en"), (1L, "x z", "en"), (2L, "q q", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.text.Lm.unigramLm(rows, "en", headTh = -1.0, midTh = -2.0)
+      .collect()
+    def lp(r: org.apache.spark.sql.Row) = r.getAs[Double]("lp_per_tok")
+    assert(lp(out(0)) === -0.924196) // (2*-0.693147 + -1.386294)/3
+    assert(lp(out(1)) === -1.039721) // (-0.693147 + -1.386294)/2 -> middle
+    assert(lp(out(2)) === -2.079442) // all-OOV -> tail
+    assert(out.map(_.getAs[String]("bucket")).toSeq === Seq("head", "middle", "tail"))
+  }
+
+  test("dsir: k rows in key order, deterministic, weights favor the target slice") {
+    val out = graft.text.Lm.dsir(docs, "en", buckets = 64, k = 20).collect()
+    assert(out.length === 20)
+    assert(out.map(_.getAs[Long]("rank")).toSeq === (1L to 20L))
+    val keys = out.map(_.getAs[Double]("key"))
+    assert(keys.zip(keys.drop(1)).forall { case (a, b) => a >= b })
+    // seedless Gumbel coin: a rerun selects the identical sample
+    val again = graft.text.Lm.dsir(docs, "en", buckets = 64, k = 20).collect()
+    assert(out.map(_.toSeq.toList).toList === again.map(_.toSeq.toList).toList)
+    // en docs are distributed closer to the en target than the corpus
+    // average, so their mean log-weight must exceed the non-en mean
+    val lw = graft.text.Lm.dsir(docs, "en", buckets = 64, k = 100000)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang") === "en").agg(avg("log_weight")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(lw(true) > lw(false))
+  }
+
+  test("tfidfTerms: corpus-wide terms score zero, rare terms rank first") {
+    import spark.implicits._
+    // 'a' in all 3 docs -> idf 0; 'b'/'c' in one -> idf ln(3)
+    val rows = Seq((0L, "a b"), (1L, "a c"), (2L, "a")).toDF("doc_id", "text")
+    val out = graft.text.Search.tfidfTerms(rows, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      (0L, 1L, "b", 1.098612), (0L, 2L, "a", 0.0),
+      (1L, 1L, "c", 1.098612), (1L, 2L, "a", 0.0),
+      (2L, 1L, "a", 0.0)))
+  }
 }
