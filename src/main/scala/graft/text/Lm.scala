@@ -127,14 +127,20 @@ object Lm {
   def dsir(docs: DataFrame, targetLang: String = "en",
            buckets: Int = 256, k: Int = 50): DataFrame = {
     require(buckets > 0 && k > 0, "dsir: buckets and k must be positive")
-    val feat = docs
+    // ONE tokenize + explode + shuffle: the per-(doc, bucket) count
+    // table. All three consumers below (target counts, raw counts,
+    // scoring join) hang off this same aggregate, so the corpus is
+    // scanned once and the exchange is reused, not recomputed.
+    val g = docs
       .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("w"))
       .select(col("doc_id"), col("lang"), size(col("w")).cast(LongType).as("dl"),
         explode(col("w")).as("tok"))
       .withColumn("b", bucketOf(col("tok"), buckets))
-    val tc = feat.filter(col("lang") === targetLang)
-      .groupBy("b").agg(count(lit(1)).cast(LongType).as("tc"))
-    val rc = feat.groupBy("b").agg(count(lit(1)).cast(LongType).as("rc"))
+      .groupBy("doc_id", "lang", "dl", "b")
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+    val tc = g.filter(col("lang") === targetLang)
+      .groupBy("b").agg(sum(col("tf")).cast(LongType).as("tc"))
+    val rc = g.groupBy("b").agg(sum(col("tf")).cast(LongType).as("rc"))
     val tn = tc.agg(sum(col("tc")).cast(LongType).as("tn"))
     val rn = rc.agg(sum(col("rc")).cast(LongType).as("rn"))
     // every bucket a document hits is present in rc by construction,
@@ -145,10 +151,12 @@ object Lm {
       .select(col("b"),
         (lp6(coalesce(col("tc"), lit(0L)), col("tn"), lit(buckets.toLong)) -
           lp6(col("rc"), col("rn"), lit(buckets.toLong))).as("d"))
-    val logw = feat
+    // Σ_tokens d = tf · d exactly: d is an exact 6-decimal value, so
+    // the scale-12 product equals the per-token decimal sum bit-for-bit
+    val logw = g
       .join(broadcast(delta), Seq("b"))
       .groupBy("doc_id", "dl")
-      .agg(graft.util.D.dsumd(col("d")).as("lw"))
+      .agg(graft.util.D.dsumprod(col("tf").cast(DoubleType), col("d")).as("lw"))
     val keyed = logw.select(col("doc_id"), col("dl").as("n_tokens"),
       col("lw").as("log_weight"),
       (col("lw") + graft.util.D.r(
@@ -167,12 +175,13 @@ object Lm {
     val toks = TextOps.tokensSql("text")
     val b = bucketOfSql("tok", buckets)
     val coin = Corpus.hashFracSql("doc_id")
-    s"""WITH feat AS (
+    s"""WITH g AS (
        |  SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS dl,
-       |    $b AS b
-       |  FROM (SELECT doc_id, lang, text, unnest($toks) AS tok FROM $table)),
-       |tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tc FROM feat WHERE lang = '$targetLang' GROUP BY b),
-       |rc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rc FROM feat GROUP BY b),
+       |    $b AS b, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, lang, text, unnest($toks) AS tok FROM $table)
+       |  GROUP BY doc_id, lang, dl, b),
+       |tc AS (SELECT b, CAST(SUM(tf) AS BIGINT) AS tc FROM g WHERE lang = '$targetLang' GROUP BY b),
+       |rc AS (SELECT b, CAST(SUM(tf) AS BIGINT) AS rc FROM g GROUP BY b),
        |tn AS (SELECT CAST(SUM(tc) AS BIGINT) AS tn FROM tc),
        |rn AS (SELECT CAST(SUM(rc) AS BIGINT) AS rn FROM rc),
        |delta AS (
@@ -181,9 +190,9 @@ object Lm {
        |    - ROUND(LN(CAST(r.rc + 1 AS DOUBLE) / CAST(rn.rn + $buckets AS DOUBLE)), 6) AS d
        |  FROM rc r LEFT JOIN tc t ON r.b = t.b CROSS JOIN tn CROSS JOIN rn),
        |logw AS (
-       |  SELECT f.doc_id, f.dl,
-       |    CAST(CAST(SUM(CAST(d.d AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE) AS lw
-       |  FROM feat f JOIN delta d ON f.b = d.b GROUP BY f.doc_id, f.dl),
+       |  SELECT g.doc_id, g.dl,
+       |    CAST(ROUND(SUM(CAST(g.tf AS DECIMAL(18,6)) * CAST(d.d AS DECIMAL(18,6))), 6) AS DOUBLE) AS lw
+       |  FROM g JOIN delta d ON g.b = d.b GROUP BY g.doc_id, g.dl),
        |keyed AS (
        |  SELECT doc_id, dl AS n_tokens, lw AS log_weight,
        |    lw + ROUND(-LN(-LN($coin)), 6) AS key
