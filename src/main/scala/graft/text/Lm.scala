@@ -103,6 +103,46 @@ object Lm {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** The trained unigram LM folded to ONE broadcastable row
+    * (lp: map token → 6dp log-prob, lp_oov: the smoothing mass) — the
+    * deployable form of [[unigramLm]]'s model for scoring OUTSIDE the
+    * training job: other batches, or a stream (see [[scoreUnigram]]).
+    * Reference-slice-sized by the same contract as unigramLm. */
+  def unigramModel(train: DataFrame, trainLang: String = "en"): DataFrame = {
+    val vocab = train.filter(col("lang") === trainLang)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).cast(LongType).as("c"))
+    val stats = vocab.agg(sum(col("c")).cast(LongType).as("n"),
+      count(lit(1)).cast(LongType).as("v"))
+    vocab.crossJoin(broadcast(stats))
+      .select(col("tok"), lp6(col("c"), col("n"), col("v")).as("lp"),
+        lp6(lit(0L), col("n"), col("v")).as("lp_oov"))
+      .groupBy()
+      .agg(map_from_arrays(collect_list(col("tok")), collect_list(col("lp"))).as("lp"),
+        min(col("lp_oov")).as("lp_oov"))
+  }
+
+  /** Stateless per-row scoring against a folded [[unigramModel]]:
+    * each document's tokens fold into an exact DECIMAL accumulator
+    * (decimal addition is associative, so the sequential array fold
+    * equals [[unigramLm]]'s hash-aggregated decimal sum bit-for-bit —
+    * StreamingSpec asserts the parity). No shuffle, no state — runs
+    * unchanged on a stream with the model as the static broadcast
+    * side. Returns (doc_id, n_tokens, lp_per_tok). */
+  def scoreUnigram(docs: DataFrame, model: DataFrame): DataFrame = {
+    val zero = lit(BigDecimal(0)).cast(graft.util.D.dec25)
+    docs.crossJoin(broadcast(model))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"),
+        col("lp"), col("lp_oov"))
+      .select(col("doc_id"), size(col("w")).cast(LongType).as("n_tokens"),
+        graft.util.D.r(
+          aggregate(col("w"), zero,
+            (acc, t) => (acc + coalesce(element_at(col("lp"), t), col("lp_oov"))
+              .cast(graft.util.D.dec25)).cast(graft.util.D.dec25))
+            .cast(DoubleType) / size(col("w")).cast(DoubleType), 6)
+          .as("lp_per_tok"))
+  }
+
   /** Token → feature bucket: first 60 bits of md5 mod `buckets` —
     * non-negative, so `%` and `pmod` agree. Same hash family as
     * Corpus.hashFrac (one spelling per coin, shared mirror). */

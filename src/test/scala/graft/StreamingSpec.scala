@@ -201,6 +201,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("unigram scoring matches batch under streaming via the folded model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bdocs = graft.util.D.t(spark, sf, "documents").filter(col("doc_id") < 300)
+    // batch-vs-batch first: the folded-model decimal fold must equal the
+    // join-form decimal hash-aggregate bit-for-bit on every doc
+    val model = graft.text.Lm.unigramModel(bdocs).persist()
+    val joinForm = graft.text.Lm.unigramLm(bdocs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val foldForm = graft.text.Lm.scoreUnigram(bdocs, model).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(foldForm === joinForm)
+    // the same scoring code on a stream: stateless, model as static side
+    val docs = bdocs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.text.Lm.scoreUnigram(mem.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("lm_out").outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val streamed = spark.table("lm_out").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(streamed === joinForm)
+    } finally { q.stop(); model.unpersist() }
+  }
+
   test("fold semantics: gap splits sessions") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
