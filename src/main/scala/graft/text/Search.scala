@@ -54,7 +54,11 @@ object Search {
       count(lit(1)).cast(LongType).as("n_docs"),
       (sum(size(TextOps.tokens(col("text"))).cast(LongType)).cast(DoubleType) /
         count(lit(1)).cast(DoubleType)).as("avgdl"))
-    val dfs = hits.groupBy("tok").agg(count(lit(1)).cast(LongType).as("df"))
+    // no-op tf >= 1 keeps this subtree identical to `hits` (see
+    // tfidfTerms) so the term-df table reuses hits' exchange instead
+    // of re-scanning the corpus
+    val dfs = hits.filter(col("tf") >= 1L)
+      .groupBy("tok").agg(count(lit(1)).cast(LongType).as("df"))
     val scored = hits
       .join(broadcast(dfs), "tok")
       .crossJoin(broadcast(stats))
@@ -93,7 +97,13 @@ object Search {
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast(LongType).as("tf"))
-    val dfs = tf.groupBy("term").agg(count(lit(1)).cast(LongType).as("df"))
+    // the no-op tf >= 1 filter keeps the df subtree REFERENCING tf, so
+    // column pruning cannot specialize it into a second (tf-less)
+    // corpus aggregation — both sides share one scan+shuffle via
+    // runtime exchange reuse (same identical-subtree rule as the
+    // explainer stats tables; ScaleSpec pins it)
+    val dfs = tf.filter(col("tf") >= 1L)
+      .groupBy("term").agg(count(lit(1)).cast(LongType).as("df"))
     val n = docs.agg(count(lit(1)).cast(LongType).as("n_docs"))
     tf.join(dfs, Seq("term"))
       .crossJoin(broadcast(n))
