@@ -475,6 +475,12 @@ object Pipeline extends QFamily {
       Some(graft.text.Lm.unigramLmSql("documents")),
       (s, dir) => graft.text.Lm.unigramLm(t(s, dir, "documents"))),
 
+    // per-language CCNet form: one unigram LM per lang, each doc
+    // scored under its own language's model
+    QDef("q_unigram_lm_bylang",
+      Some(graft.text.Lm.unigramLmByLangSql("documents")),
+      (s, dir) => graft.text.Lm.unigramLmByLang(t(s, dir, "documents"))),
+
     // DSIR importance resampling toward the en slice over hashed
     // unigram features; deterministic Gumbel top-k selection
     QDef("q_dsir",

@@ -103,6 +103,71 @@ object Lm {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-language CCNet bucketing — the reference pipeline's actual
+    * shape (CCNet trains one KenLM per language): a separate
+    * Laplace-smoothed unigram LM per `lang`, each document scored
+    * under ITS OWN language's model, bucketed at shared thresholds.
+    * Same determinism contract as [[unigramLm]]; the vocab join keys
+    * on (lang, tok) and the per-lang stats table is
+    * language-cardinality-sized (broadcast). Returns
+    * (doc_id, lang, n_tokens, lp_per_tok, bucket) ordered by doc_id. */
+  def unigramLmByLang(docs: DataFrame,
+                      headTh: Double = -3.396, midTh: Double = -3.406): DataFrame = {
+    require(headTh >= midTh, "unigramLmByLang: headTh must be >= midTh")
+    val vocab = docs
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).cast(LongType).as("c"))
+    val stats = vocab.groupBy("lang").agg(sum(col("c")).cast(LongType).as("n"),
+      count(lit(1)).cast(LongType).as("v"))
+    val toks = docs
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"), size(col("w")).cast(LongType).as("dl"),
+        explode(col("w")).as("tok"))
+    val scored = toks
+      .join(vocab, Seq("lang", "tok"), "left")
+      .join(broadcast(stats), Seq("lang"))
+      .withColumn("lp", lp6(coalesce(col("c"), lit(0L)), col("n"), col("v")))
+    scored.groupBy("doc_id", "lang", "dl")
+      .agg(graft.util.D.dsumd(col("lp")).as("s"))
+      .select(col("doc_id"), col("lang"), col("dl").as("n_tokens"),
+        graft.util.D.r(col("s") / col("dl").cast(DoubleType), 6).as("lp_per_tok"))
+      .withColumn("bucket",
+        when(col("lp_per_tok") >= headTh, "head")
+          .when(col("lp_per_tok") >= midTh, "middle")
+          .otherwise("tail"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[unigramLmByLang]]. */
+  def unigramLmByLangSql(table: String,
+                         headTh: Double = -3.396, midTh: Double = -3.406): String = {
+    val toks = TextOps.tokensSql("text")
+    s"""WITH toks_tr AS (
+       |  SELECT lang, unnest($toks) AS tok FROM $table),
+       |vocab AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks_tr GROUP BY lang, tok),
+       |stats AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+       |  FROM vocab GROUP BY lang),
+       |toks AS (
+       |  SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS dl, unnest($toks) AS tok
+       |  FROM $table),
+       |scored AS (
+       |  SELECT t.doc_id, t.lang, t.dl,
+       |    ROUND(LN(CAST(COALESCE(v.c, 0) + 1 AS DOUBLE) / CAST(s.n + s.v AS DOUBLE)), 6) AS lp
+       |  FROM toks t
+       |  LEFT JOIN vocab v ON t.lang = v.lang AND t.tok = v.tok
+       |  JOIN stats s ON t.lang = s.lang),
+       |agg AS (
+       |  SELECT doc_id, lang, dl AS n_tokens,
+       |    ROUND(CAST(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE)
+       |      / CAST(dl AS DOUBLE), 6) AS lp_per_tok
+       |  FROM scored GROUP BY doc_id, lang, dl)
+       |SELECT doc_id, lang, n_tokens, lp_per_tok,
+       |  CASE WHEN lp_per_tok >= $headTh THEN 'head'
+       |       WHEN lp_per_tok >= $midTh THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   /** The trained unigram LM folded to ONE broadcastable row
     * (lp: map token → 6dp log-prob, lp_oov: the smoothing mass) — the
     * deployable form of [[unigramLm]]'s model for scoring OUTSIDE the

@@ -567,6 +567,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(_.getAs[String]("bucket")).toSeq === Seq("head", "middle", "tail"))
   }
 
+  test("unigramLmByLang scores each doc under its own language's model") {
+    import spark.implicits._
+    // 'x' dominates en, is OOV in de: the same text scores differently
+    // under the two language models
+    val rows = Seq(
+      (0L, "x x x x", "en"), (1L, "y", "en"),
+      (2L, "x x x x", "de"), (3L, "z z z", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.text.Lm.unigramLmByLang(rows).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // en model: c(x)=4, N=5, V=2 -> lp(x)=ln(5/7) = -0.336472;
+    // de model: c(x)=4, c(z)=3, N=7, V=2 -> lp(x)=ln(5/9) = -0.587787
+    assert(out(0) === -0.336472)
+    assert(out(2) === -0.587787)
+  }
+
   test("dsir: k rows in key order, deterministic, weights favor the target slice") {
     val out = graft.text.Lm.dsir(docs, "en", buckets = 64, k = 20).collect()
     assert(out.length === 20)
