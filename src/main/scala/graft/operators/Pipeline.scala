@@ -487,6 +487,16 @@ object Pipeline extends QFamily {
       Some(graft.text.Lm.dsirSql("documents")),
       (s, dir) => graft.text.Lm.dsir(t(s, dir, "documents"))),
 
+    // frequency-ranked vocabulary with contiguous ids (tokenizer table)
+    QDef("q_vocab_build",
+      Some(graft.text.Vocab.vocabBuildSql("documents", minCount = 3)),
+      (s, dir) => graft.text.Vocab.vocabBuild(t(s, dir, "documents"), minCount = 3)),
+
+    // top adjacent token pairs — the BPE merge-candidate scan
+    QDef("q_bpe_pairs",
+      Some(graft.text.Vocab.bpePairsSql("documents")),
+      (s, dir) => graft.text.Vocab.bpePairs(t(s, dir, "documents"))),
+
     // per-doc top-3 keywords by tf-idf
     QDef("q_tfidf_terms",
       Some(graft.text.Search.tfidfTermsSql("documents")),

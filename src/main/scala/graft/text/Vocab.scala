@@ -1,0 +1,100 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Tokenizer-training primitives: corpus vocabulary construction with
+  * contiguous frequency-ranked ids, and the adjacent-pair count that
+  * drives one BPE merge step (Sennrich et al. 2016) — the two
+  * relational cores of training a tokenizer over a corpus before a
+  * pretraining run.
+  *
+  * Scale (100 TB): both operators reduce the corpus with ONE
+  * map-side-combined aggregation (token counts / pair counts); all
+  * downstream work happens on the term- or pair-cardinality result.
+  * Id assignment ranks the VOCAB table (≪ corpus) with the same
+  * distributed ordered-rank shape as Corpus.seqPack — range
+  * repartition + per-partition ranks + broadcast prefix offsets —
+  * never a single-reducer global window; the BPE top-k is
+  * TakeOrderedAndProject (per-partition heaps).
+  */
+object Vocab {
+
+  /** Frequency-ranked vocabulary: (id, tok, c) for every token with
+    * c >= minCount, ids contiguous from 0 in (c desc, tok asc) order —
+    * the id table a word-level tokenizer ships. */
+  def vocabBuild(docs: DataFrame, minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, "vocabBuild: minCount must be >= 1")
+    val counts = docs
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).cast(LongType).as("c"))
+      .filter(col("c") >= minCount)
+    // distributed ordered rank over the vocab table (same shape as
+    // Corpus.seqPack): range-partition by the rank order, rank within
+    // each partition, add broadcast prefix counts. localCheckpoint
+    // pins ONE execution of the range exchange so spark_partition_id
+    // is consistent across the offsets aggregate and the join.
+    val parted = counts.repartitionByRange(col("c").desc, col("tok"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("local_rank",
+        row_number().over(Window.partitionBy("pid")
+          .orderBy(col("c").desc, col("tok"))).cast(LongType))
+      .localCheckpoint(true)
+    val offsets = parted.groupBy("pid").agg(max("local_rank").as("ptot"))
+      .withColumn("offset", coalesce(
+        sum("ptot").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    parted.join(broadcast(offsets), Seq("pid"))
+      .select((col("local_rank") + col("offset") - 1L).as("id"),
+        col("tok"), col("c"))
+      .orderBy("id")
+  }
+
+  /** DuckDB mirror of [[vocabBuild]]. */
+  def vocabBuildSql(table: String, minCount: Long = 1L): String =
+    s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) - 1 AS BIGINT) AS id,
+       |  tok, c
+       |FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+       |      FROM (SELECT unnest(${TextOps.tokensSql("text")}) AS tok FROM $table)
+       |      GROUP BY tok HAVING COUNT(*) >= $minCount)
+       |ORDER BY id""".stripMargin
+
+  /** One BPE-style merge-candidate scan: the `k` most frequent
+    * ADJACENT token pairs in the corpus (rank, pair, n), ties toward
+    * the lexicographically smaller pair — the argmax a BPE trainer
+    * merges next (over words rather than bytes, the relational core
+    * being identical). */
+  def bpePairs(docs: DataFrame, k: Int = 20): DataFrame = {
+    require(k > 0, "bpePairs: k must be positive")
+    val w = TextOps.tokens(col("text"))
+    val pairs = docs
+      .select(when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+        .otherwise(array().cast(ArrayType(StringType))).as("bg"))
+      .select(explode(col("bg")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).cast(LongType).as("n"))
+    val top = pairs.orderBy(col("n").desc, col("pair")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("pair")))
+          .cast(LongType))
+      .select("rank", "pair", "n")
+      .orderBy("rank")
+  }
+
+  /** DuckDB mirror of [[bpePairs]]. */
+  def bpePairsSql(table: String, k: Int = 20): String = {
+    val w = TextOps.tokensSql("text")
+    s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank,
+       |  pair, n
+       |FROM (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM (SELECT unnest(list_transform(range(1, len($w)),
+       |                     i -> $w[i] || ' ' || $w[i+1])) AS pair
+       |            FROM $table)
+       |      GROUP BY pair)
+       |ORDER BY n DESC, pair LIMIT $k""".stripMargin
+  }
+}

@@ -601,6 +601,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(lw(true) > lw(false))
   }
 
+  test("vocabBuild: contiguous frequency-ranked ids survive multi-partition ranking") {
+    import spark.implicits._
+    // 400 synthetic docs so the ranked vocab spans several range
+    // partitions; ids must equal the single-partition ROW_NUMBER form
+    val rows = (0L until 400L).map(i =>
+      (i, (0 to (i % 37).toInt).map(j => s"w${(i + j) % 53}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.text.Vocab.vocabBuild(rows, minCount = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = got.sortBy(t => (-t._3, t._2)).zipWithIndex
+      .map { case ((_, tok, c), i) => (i.toLong, tok, c) }
+    assert(got.sortBy(_._1).toSeq === want.toSeq)
+    assert(got.map(_._1).sorted.toSeq === (0L until got.length).toSeq)
+  }
+
+  test("bpePairs counts adjacent pairs exactly, ties break lexicographically") {
+    import spark.implicits._
+    val rows = Seq((0L, "a b a b c"), (1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+    // pairs: doc0 -> "a b","b a","a b","b c"; doc1 -> "a b"; doc2 -> none
+    val out = graft.text.Vocab.bpePairs(rows, k = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, "a b", 3L), (2L, "b a", 1L), (3L, "b c", 1L)))
+  }
+
   test("tfidfTerms: corpus-wide terms score zero, rare terms rank first") {
     import spark.implicits._
     // 'a' in all 3 docs -> idf 0; 'b'/'c' in one -> idf ln(3)
