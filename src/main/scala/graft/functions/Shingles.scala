@@ -38,16 +38,17 @@ object ShingleHelper {
 
   private val Empty = new GenericArrayData(Array.empty[Any])
 
-  /** Equivalent of shinglesOf(split(s, " ")): all consecutive 3-token
-    * substrings; empty array for fewer than 3 tokens. */
-  def shingles3(s: UTF8String): ArrayData = {
+  /** All consecutive `win`-token substrings (single-space joined =
+    * contiguous byte slices, see the class doc); empty array for fewer
+    * than `win` tokens. */
+  def ngrams(s: UTF8String, win: Int): ArrayData = {
     val bytes = s.getBytes
     val n = bytes.length
     var spaces = 0
     var i = 0
     while (i < n) { if (bytes(i) == ' ') spaces += 1; i += 1 }
     val ntok = spaces + 1
-    if (ntok < 3) return Empty
+    if (ntok < win) return Empty
     val starts = new Array[Int](ntok)
     val ends = new Array[Int](ntok)
     var tok = 0
@@ -57,14 +58,18 @@ object ShingleHelper {
       i += 1
     }
     ends(ntok - 1) = n
-    val out = new Array[Any](ntok - 2)
+    val out = new Array[Any](ntok - win + 1)
     var k = 0
-    while (k < ntok - 2) {
-      out(k) = UTF8String.fromBytes(bytes, starts(k), ends(k + 2) - starts(k))
+    while (k < ntok - win + 1) {
+      out(k) = UTF8String.fromBytes(bytes, starts(k), ends(k + win - 1) - starts(k))
       k += 1
     }
     new GenericArrayData(out)
   }
+
+  /** Equivalent of shinglesOf(split(s, " ")): all consecutive 3-token
+    * substrings; empty array for fewer than 3 tokens. */
+  def shingles3(s: UTF8String): ArrayData = ngrams(s, 3)
 
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -210,6 +215,30 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
 
 object WordShingles {
   def apply(c: Column): Column = GraftShims.column(WordShingles(GraftShims.expression(c)))
+}
+
+/** array<string> of word n-gram shingles for any window (see
+  * [[ShingleHelper.ngrams]]) — the parameterized form of
+  * [[WordShingles]]; bit-identical to the transform/concat_ws HOF
+  * chain over split(text, " ") at the same window. */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "WordNgrams: window must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHelper.ngrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHelper.ngrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  def apply(c: Column, n: Int): Column =
+    GraftShims.column(WordNgrams(GraftShims.expression(c), n))
 }
 
 object ShingleHashes {

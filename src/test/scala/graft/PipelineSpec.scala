@@ -200,6 +200,19 @@ class PipelineSpec extends AnyFunSuite {
       .select(TextOps.shingles(col("text")).as("s"), TextOps.shingleHashes(col("text")).as("h"))
       .head()
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    // the parameterized WordNgrams window: bigrams vs the HOF chain,
+    // and window 3 must equal WordShingles exactly
+    val hofBigrams = when(size(col("w")) >= 2,
+      transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val badN = docs
+      .withColumn("w", TextOps.tokens(col("text")))
+      .select(graft.functions.WordNgrams(col("text"), 2).as("n2"), hofBigrams.as("h2"),
+        graft.functions.WordNgrams(col("text"), 3).as("n3"),
+        TextOps.shingles(col("text")).as("s3"))
+      .filter(col("n2") =!= col("h2") || col("n3") =!= col("s3"))
+    assert(badN.count() === 0)
   }
 
   test("native StopHits/CjkCount are bit-identical to the HOF/regex forms") {
