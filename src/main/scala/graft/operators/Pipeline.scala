@@ -515,6 +515,58 @@ object Pipeline extends QFamily {
 
     QDef("q_multimodal_frames",
       Some(Multimodal.frameSampleSql("documents")),
-      (s, dir) => Multimodal.frameSample(t(s, dir, "documents")))
+      (s, dir) => Multimodal.frameSample(t(s, dir, "documents"))),
+
+    // ------------------------------------- dataset assembly / serving --
+
+    // deterministic stratified train/val/test split report
+    QDef("q_split_hash",
+      Some(graft.text.Profile.splitHashSql("documents")),
+      (s, dir) => graft.text.Profile.splitHash(t(s, dir, "documents"))),
+
+    // token-length histogram per source (power-of-2 buckets)
+    QDef("q_token_hist",
+      Some(graft.text.Profile.tokenHistSql("documents")),
+      (s, dir) => graft.text.Profile.tokenHist(t(s, dir, "documents"))),
+
+    // HTML boilerplate extraction over deterministically re-marked-up
+    // docs (the corpus is pre-cleaned text, so the query wraps each doc
+    // in doc_id-derived generator markup — title/script/nav blocks, a
+    // conditional ad div, entity-escaped spans — identically in both
+    // engines, the q_pii_scrub convention)
+    QDef("q_html_strip", {
+      val aug = "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || " +
+        "'</title><script>var t=' || CAST(doc_id % 7 AS VARCHAR) || " +
+        "';</script></head><body><nav><a href=\"/\">Home</a> <a href=\"/s' || " +
+        "CAST(doc_id % 5 AS VARCHAR) || '\">Sec</a></nav><p>' || text || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' Fish &amp; chips &lt;3' ELSE '' END || " +
+        "'</p>' || CASE WHEN doc_id % 4 = 0 THEN '<div class=\"ad\">Buy now!</div>' ELSE '' END || " +
+        "'<footer>&copy; 2026 Example &amp; Co.</footer></body></html>'"
+      Some(graft.text.Html.stripSql(
+        s"(SELECT doc_id, $aug AS text FROM documents)") + "\nORDER BY doc_id")
+    }, (s, dir) => {
+      val aug = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast(StringType),
+        lit("</title><script>var t="), pmod(col("doc_id"), lit(7)).cast(StringType),
+        lit(";</script></head><body><nav><a href=\"/\">Home</a> <a href=\"/s"),
+        pmod(col("doc_id"), lit(5)).cast(StringType),
+        lit("\">Sec</a></nav><p>"), col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0, " Fish &amp; chips &lt;3").otherwise(""),
+        lit("</p>"),
+        when(pmod(col("doc_id"), lit(4)) === 0, "<div class=\"ad\">Buy now!</div>").otherwise(""),
+        lit("<footer>&copy; 2026 Example &amp; Co.</footer></body></html>"))
+      graft.text.Html.strip(
+          t(s, dir, "documents").withColumn("text", aug)
+            .withColumn("len_raw", length(col("text")).cast(LongType)))
+        .select(col("doc_id"), col("n_tags"), col("len_raw"),
+          length(col("text")).cast(LongType).as("len_clean"),
+          md5(col("text").cast(BinaryType)).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // int8 max-abs embedding quantization report (exact fixed-point)
+    QDef("q_embed_quantize",
+      Some(graft.sim.Quantize.int8ReportSql("embeddings")),
+      (s, dir) => graft.sim.Quantize.int8Report(t(s, dir, "embeddings")))
   )
 }

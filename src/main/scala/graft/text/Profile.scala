@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus profiling + assignment operators that run immediately before
+  * a training job: deterministic train/val/test splits and
+  * token-length histograms. Reference scope: pd_explain stops at
+  * DataFrame analytics (`pd_explain/core/explainable_data_frame.py`);
+  * these extend the family with the dataset-assembly steps a
+  * large-scale pipeline runs on the same tables.
+  *
+  * Scale notes (100 TB): both operators are a single corpus scan into
+  * one map-side-combined aggregation keyed by a handful of values
+  * (lang×split, source×bucket) — the shuffle moves a KB-sized stats
+  * table no matter the corpus size. Split assignment itself is
+  * scan-local (the md5 coin needs only doc_id) and is the same
+  * seedless [[Corpus.hashFrac]] coin as every sampling operator, so a
+  * document's split is stable across reruns, engines, and corpus
+  * growth — appending new documents never reassigns an old one.
+  */
+object Profile {
+
+  /** Deterministic stratified split report: assign every document to
+    * train/val/test by its [[Corpus.hashFrac]] coin (train below
+    * `trainFrac`, val below `trainFrac + valFrac`, else test) and
+    * report per (lang, split) document counts and exact token totals.
+    * The assignment never samples state — membership is a pure
+    * function of doc_id — so two jobs (or two engines) agree on every
+    * document, which is what makes the split safe to recompute
+    * instead of persist. */
+  def splitHash(docs: DataFrame, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1): DataFrame = {
+    val h = Corpus.hashFrac(col("doc_id"))
+    docs.select(col("lang"),
+        when(h < trainFrac, "train")
+          .when(h < trainFrac + valFrac, "val")
+          .otherwise("test").as("split"),
+        size(TextOps.tokens(col("text"))).cast(LongType).as("ntok"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("ntok")).cast(LongType).as("n_tokens"))
+      .orderBy("lang", "split")
+  }
+
+  /** DuckDB mirror of [[splitHash]]. */
+  def splitHashSql(table: String, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1): String =
+    s"""SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(ntok) AS BIGINT) AS n_tokens
+       |FROM (SELECT lang,
+       |    CASE WHEN ${Corpus.hashFracSql("doc_id")} < $trainFrac THEN 'train'
+       |         WHEN ${Corpus.hashFracSql("doc_id")} < ${trainFrac + valFrac} THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    len(string_split(text, ' ')) AS ntok
+       |  FROM $table)
+       |GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
+  // power-of-2 bucket floors for tokenHist; the cascade is integer
+  // CASE logic, so both engines bucket identically (no float log2)
+  private val HistBounds = Seq(16L, 32L, 64L, 128L, 256L, 512L)
+
+  /** Token-length histogram per source: power-of-2 buckets (0-15,
+    * 16-31, …, 512+) with per-bucket document counts, exact token
+    * totals, and min/max — the corpus profile that sizes sequence
+    * packing ([[Corpus.seqPack]] block length) and flags truncation
+    * loss before a run. `bucket_lo` carries the bucket's lower bound
+    * for a stable numeric sort (−1 = documents with NULL text). */
+  def tokenHist(docs: DataFrame): DataFrame = {
+    val ntok = size(TextOps.tokens(col("text"))).cast(LongType)
+    val lo = HistBounds.foldLeft(
+        when(ntok.isNull, lit(-1L)).when(ntok < HistBounds.head, lit(0L))) {
+      (acc, b) => acc.when(ntok < b * 2, lit(b))
+    }.otherwise(lit(HistBounds.last * 2))
+    docs.select(col("source"), lo.as("bucket_lo"), ntok.as("ntok"))
+      .groupBy("source", "bucket_lo")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("ntok")).cast(LongType).as("sum_tokens"),
+        min(col("ntok")).as("min_tokens"),
+        max(col("ntok")).as("max_tokens"))
+      .orderBy("source", "bucket_lo")
+  }
+
+  /** DuckDB mirror of [[tokenHist]]. */
+  def tokenHistSql(table: String): String = {
+    val cases = HistBounds.map(b => s"WHEN ntok < ${b * 2} THEN $b").mkString(" ")
+    s"""SELECT source, bucket_lo, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+       |  MIN(ntok) AS min_tokens, MAX(ntok) AS max_tokens
+       |FROM (SELECT source, ntok,
+       |    CASE WHEN ntok IS NULL THEN -1 WHEN ntok < ${HistBounds.head} THEN 0
+       |         $cases ELSE ${HistBounds.last * 2} END AS bucket_lo
+       |  FROM (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+       |        FROM $table))
+       |GROUP BY source, bucket_lo ORDER BY source, bucket_lo""".stripMargin
+  }
+}
