@@ -16,12 +16,12 @@ import org.apache.spark.sql.types._
   * a plain groupBy on the truncated timestamp (map-side combined). */
 object Events extends QFamily {
 
-  /** events.ts is stored as TIMESTAMP(NANOS) parquet, which Spark reads
-    * as long nanos under spark.sql.legacy.parquet.nanosAsLong (set in
-    * Verify/Bench/tests); convert to a microsecond timestamp here. The
-    * oracle mirrors with CAST(ts AS TIMESTAMP) (ns → us). */
+  /** events.ts has shipped as both TIMESTAMP(NANOS) (long nanos under
+    * spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS)
+    * (TIMESTAMP_NTZ); [[graft.util.D.normTs]] normalizes either to a UTC
+    * TimestampType. The oracle mirrors with CAST(ts AS TIMESTAMP). */
   private def ev(s: org.apache.spark.sql.SparkSession, dir: String) =
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normTs(t(s, dir, "events"))
 
   private val evSql =
     "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"

@@ -66,6 +66,18 @@ object D {
   /** Sum of an exact decimal product, emitted as double. */
   def dsumprod(a: Column, b: Column): Column = emit6(sum(dmul(a, b)))
 
+  /** Normalize `events.ts` to a UTC-adjusted TimestampType regardless of
+    * the physical parquet type: driver-generated data has shipped both
+    * TIMESTAMP(NANOS) (read as long nanos under
+    * spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ). Under a UTC session timezone both normalize to the
+    * same wall-clock instants, matching the oracle's CAST(ts AS TIMESTAMP). */
+  def normTs(df: DataFrame, c: String = "ts"): DataFrame = df.schema(c).dataType match {
+    case LongType           => df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+    case _: TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+    case _                  => df
+  }
+
   /** Population variance from decimal-exact moments. */
   def varPop(sumd: Column, sumsq: Column, n: Column): Column =
     (sumsq - sumd * sumd / n) / n

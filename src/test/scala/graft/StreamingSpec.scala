@@ -15,8 +15,7 @@ class StreamingSpec extends AnyFunSuite {
 
   private def sampleEvents: Seq[SessionEvent] = {
     import spark.implicits._
-    graft.util.D.t(spark, sf, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.util.D.normTs(graft.util.D.t(spark, sf, "events"))
       .filter(col("user_id") < 10)
       .select(col("user_id"), col("ts"), col("value"))
       .as[SessionEvent].collect().toSeq
