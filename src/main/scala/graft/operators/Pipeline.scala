@@ -106,6 +106,13 @@ object Pipeline extends QFamily {
       Some(Ann.lshPairsSql("embeddings", 0.3)),
       (s, dir) => Ann.lshPairs(t(s, dir, "embeddings"), 0.3)),
 
+    // SemDeDup (Abbas et al. 2023): cluster-then-prune semantic dedup —
+    // per-vector keep/drop decision, keeping the least-centroid-similar
+    // member of each within-cluster duplicate group
+    QDef("q_semdedup",
+      Some(Ann.semDedupSql("embeddings", 0.4, 25, 7)),
+      (s, dir) => Ann.semDedup(t(s, dir, "embeddings"), 0.4, 25, 7)),
+
     // -------------------------------------------- similarity search ----
     QDef("q_ann_topk",
       Some(Ann.bruteTopKSql("embeddings", 40, 5)),

@@ -326,6 +326,90 @@ object Ann {
        |    / CAST(COUNT(*) AS DOUBLE), 6) AS centroid
        |FROM ex GROUP BY cluster_id, dim ORDER BY cluster_id, dim""".stripMargin
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication = k-means
+    * cluster the embeddings, then inside each cluster drop all but one
+    * member of every near-duplicate group, keeping the member LEAST
+    * similar to its cluster centroid (the paper's best-performing keep
+    * rule — the kept example is the most "extreme"/informative one).
+    *
+    * Concretely: centroids are seeded like the IVF family
+    * (vec_id % centMod = centOff — one Lloyd assignment; callers who
+    * want converged centroids loop [[kmeansStep]] first); every vector
+    * gets (cluster_id, cent_sim = max-cosine-to-centroid, 6dp); a
+    * vector is DROPPED iff some same-cluster partner at pairwise
+    * cosine ≥ eps has a strictly smaller (cent_sim, vec_id) key. Per
+    * duplicate group the (cent_sim, vec_id)-minimum always survives,
+    * and the rule is pairwise-local — no transitive chaining, so it
+    * needs no iterative component step (see dedup.Cluster for the
+    * transitive form). Returns (vec_id, cluster_id, cent_sim,
+    * kept INT) ordered by vec_id.
+    *
+    * Scale (100 TB): assignment is the [[assignLists]] shape — K
+    * broadcast centroids, hash-aggregable argmax, ONE corpus shuffle;
+    * the pair enumeration self-joins CLUSTER blocks (the paper's
+    * whole point: clusters make the quadratic step tractable), so
+    * pair count is Σ n_c² bounded by the largest cluster —
+    * [[graft.util.Guard.pairBlockCap]] fail-fasts any cluster block
+    * over the documented bound instead of letting one hot cluster
+    * melt a reducer. More/tighter clusters (bigger centMod spread or
+    * looped kmeansStep) shrink blocks; eps only filters pairs. */
+  def semDedup(vecs: DataFrame, eps: Double,
+               centMod: Int, centOff: Int): DataFrame = {
+    val base = scaledBase(vecs)
+    val cents = base.filter(col("vec_id") % centMod === centOff)
+      .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
+      .groupBy("vec_id")
+      .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("cluster_id"),
+        graft.util.D.r(max(col("ccos")), 6).as("cent_sim"),
+        first(col("fxe")).as("fxe"), first(col("nsq")).as("nsq"))
+    // Hot-cluster guard: same count-broadcast-back idiom as
+    // embeddingPairs — the error fires on the first streamed rows of a
+    // hot block, before its quadratic pair set materializes.
+    val blockN = assigned.groupBy("cluster_id").agg(count(lit(1)).as("__block_n"))
+    val a = assigned.select(col("cluster_id"), col("vec_id").as("vec_a"),
+        col("fxe").as("ea"), col("nsq").as("na"), col("cent_sim").as("sim_a"))
+      .join(blockN, Seq("cluster_id"))
+    val b = assigned.select(col("cluster_id"), col("vec_id").as("vec_b"),
+      col("fxe").as("eb"), col("nsq").as("nb"), col("cent_sim").as("sim_b"))
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .withColumn("pcos", graft.util.D.r(cosExpr(FixedDot(col("ea"), col("eb")),
+        graft.util.Guard.pairBlockCap(col("__block_n"), col("na"), "semDedup"),
+        col("nb")), 6))
+      .filter(col("pcos") >= eps &&
+        (col("sim_b") < col("sim_a") ||
+          (col("sim_b") === col("sim_a") && col("vec_b") < col("vec_a"))))
+      .select(col("vec_a").as("vec_id")).distinct()
+      .withColumn("__dropped", lit(1))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"), col("cent_sim"),
+        when(col("__dropped").isNull, 1).otherwise(0).cast(IntegerType).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB mirror of [[semDedup]]. */
+  def semDedupSql(table: String, eps: Double,
+                  centMod: Int, centOff: Int): String =
+    s"""WITH ${normSqSql(table)},
+       |base AS (SELECT e.vec_id, e.embedding, n.nsq FROM $table e JOIN norms n ON e.vec_id = n.vec_id),
+       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE vec_id % $centMod = $centOff),
+       |scored_c AS (SELECT b.vec_id, b.embedding, b.nsq, c.cid,
+       |    ${cosSql(dotFixSql("c.ce", "b.embedding"), "c.cn", "b.nsq")} AS ccos
+       |  FROM base b CROSS JOIN cents c),
+       |m AS (SELECT vec_id, embedding, nsq, cid AS cluster_id, ROUND(ccos, 6) AS cent_sim FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored_c)
+       |  WHERE rn = 1),
+       |dropped AS (SELECT DISTINCT a.vec_id FROM m a JOIN m b
+       |  ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+       |  WHERE ROUND(${cosSql(dotFixSql("a.embedding", "b.embedding"), "a.nsq", "b.nsq")}, 6) >= $eps
+       |    AND (b.cent_sim < a.cent_sim OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id)))
+       |SELECT m.vec_id, m.cluster_id, m.cent_sim,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+       |FROM m LEFT JOIN dropped d ON m.vec_id = d.vec_id
+       |ORDER BY m.vec_id""".stripMargin
+
   // ------------------------------------------ hyperplane LSH bucketing --
 
   /** Number of sign bits / hyperplanes for [[lshPairs]] (2^8 buckets at

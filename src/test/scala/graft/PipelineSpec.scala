@@ -649,4 +649,39 @@ class PipelineSpec extends AnyFunSuite {
       (1L, 1L, "c", 1.098612), (1L, 2L, "a", 0.0),
       (2L, 1L, "a", 0.0)))
   }
+
+  test("semDedup drops within-cluster duplicates, keeping the least-centroid-similar") {
+    import spark.implicits._
+    // centMod=3, centOff=0 -> centroid seeds are ids 0 and 3. Cluster A
+    // (seed [1,0,0,0]): the seed itself (cent_sim 1.0), identical twins
+    // 1/2 (cos(0,1)=0.994 >= eps so the seed is a dup of the twins and,
+    // having the HIGHEST cent_sim, is dropped; the twins tie on cent_sim
+    // so the smaller id survives), and 4 (cos to every A member < eps ->
+    // kept). Cluster B mirrors with seed 3 vs member 5 (cos 0.9939).
+    val vecs = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (3L, Array(0f, 1.0f, 0f, 0f), 0),
+      (4L, Array(0.8f, 0f, 0.6f, 0f), 0),
+      (5L, Array(0.1f, 0.9f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.sim.Ann.semDedup(vecs, 0.99, 3, 0).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out === Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1))
+  }
+
+  test("semDedup fail-fasts a hot cluster block (Guard.MaxPairBlockRows)") {
+    import graft.util.Guard
+    val e = graft.util.D.t(spark, sf, "embeddings")
+    val old = Guard.MaxPairBlockRows
+    try {
+      Guard.MaxPairBlockRows = 3L
+      val ex = intercept[Throwable](graft.sim.Ann.semDedup(e, 0.4, 25, 7).collect())
+      val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("pair-enumeration block"),
+        s"guard error not raised / not diagnosable:\n${msgs.take(800)}")
+    } finally Guard.MaxPairBlockRows = old
+  }
 }

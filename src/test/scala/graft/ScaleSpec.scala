@@ -152,7 +152,7 @@ class ScaleSpec extends AnyFunSuite {
     // max_by(id, struct(...)) planned the N×K assignment as
     // SortAggregate (per-partition sorts of the scored table); the
     // native ArgMaxBy must keep it in ObjectHashAggregate
-    for (name <- Seq("q_ann_ivf", "q_dedup_embedding_ivf", "q_kmeans_step")) {
+    for (name <- Seq("q_ann_ivf", "q_dedup_embedding_ivf", "q_kmeans_step", "q_semdedup")) {
       val plan = graft.SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(plan.contains("argmax_by"),
