@@ -488,6 +488,12 @@ object Pipeline extends QFamily {
       Some(graft.text.Lm.unigramLmByLangSql("documents")),
       (s, dir) => graft.text.Lm.unigramLmByLang(t(s, dir, "documents"))),
 
+    // interpolated bigram LM — the higher-order (KenLM-shaped) form of
+    // the CCNet filter: context-conditional ML smoothed by the unigram
+    QDef("q_bigram_lm",
+      Some(graft.text.Lm.bigramLmSql("documents")),
+      (s, dir) => graft.text.Lm.bigramLm(t(s, dir, "documents"))),
+
     // DSIR importance resampling toward the en slice over hashed
     // unigram features; deterministic Gumbel top-k selection
     QDef("q_dsir",

@@ -168,6 +168,107 @@ object Lm {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** Interpolated bigram LM scoring — the higher-order form of
+    * [[unigramLm]] (CCNet's actual filter is a 5-gram KenLM; a
+    * Jelinek-Mercer-interpolated bigram is the smallest model with the
+    * same structure: context-conditional ML estimates smoothed by a
+    * lower order). Trained on the `lang = trainLang` slice:
+    * p(w2|w1) = λ·c(w1 w2)/c(w1) + (1−λ)·(c(w2)+1)/(N+V) — the ML
+    * bigram term (0 when w1 is unseen) interpolated with the same
+    * Laplace unigram [[unigramLm]] uses, so every transition has
+    * positive mass. Each doc is scored by its mean per-transition
+    * log-probability over consecutive token pairs; docs with fewer
+    * than 2 tokens have no transitions and are omitted (documented
+    * contract — the rule-based length filters upstream of any LM
+    * filter already drop them). Returns (doc_id, n_bigrams,
+    * lp_per_big, bucket) ordered by doc_id.
+    *
+    * Determinism: per-transition logs rounded 6dp before the exact
+    * DECIMAL sum (the [[lp6]] contract); the interpolation arithmetic
+    * is IEEE double on identical long operands in both engines, and
+    * both compute `1.0 − λ` as a double subtraction of the same
+    * literals.
+    *
+    * Scale (100 TB): training aggregations are reference-slice-sized
+    * (CCNet trains on Wikipedia, not the corpus being scored); bigrams
+    * come from the native one-pass [[graft.functions.WordNgrams]] (no
+    * interpreted HOF, no re-split — see Vocab.bpePairs). The corpus
+    * side explodes transitions once, its three model joins are
+    * reference-sized (left to AQE to broadcast), and the per-doc
+    * aggregation is the single corpus-cardinality shuffle. */
+  def bigramLm(docs: DataFrame, trainLang: String = "en", lam: Double = 0.9,
+               headTh: Double = -3.393, midTh: Double = -3.443): DataFrame = {
+    require(lam > 0 && lam < 1, "bigramLm: lambda must be in (0, 1)")
+    require(headTh >= midTh, "bigramLm: headTh must be >= midTh")
+    val tr = docs.filter(col("lang") === trainLang)
+    val uni = tr.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).cast(LongType).as("cu"))
+    val stats = uni.agg(sum(col("cu")).cast(LongType).as("n"),
+      count(lit(1)).cast(LongType).as("v"))
+    val big = tr.select(explode(graft.functions.WordNgrams(col("text"), 2)).as("big"))
+      .groupBy("big").agg(count(lit(1)).cast(LongType).as("cb"))
+    val trans = docs
+      .select(col("doc_id"), explode(graft.functions.WordNgrams(col("text"), 2)).as("big"))
+      .withColumn("w1", substring_index(col("big"), " ", 1))
+      .withColumn("w2", substring_index(col("big"), " ", -1))
+    val scored = trans
+      .join(big, Seq("big"), "left")
+      .join(uni.select(col("tok").as("w1"), col("cu").as("cu1")), Seq("w1"), "left")
+      .join(uni.select(col("tok").as("w2"), col("cu").as("cu2")), Seq("w2"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("lp", graft.util.D.r(log(
+        lit(lam) * when(col("cu1").isNotNull && col("cu1") > 0,
+          coalesce(col("cb"), lit(0L)).cast(DoubleType) / col("cu1").cast(DoubleType))
+          .otherwise(lit(0.0)) +
+        lit(1.0 - lam) * (coalesce(col("cu2"), lit(0L)) + lit(1L)).cast(DoubleType) /
+          (col("n") + col("v")).cast(DoubleType)), 6))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        graft.util.D.dsumd(col("lp")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        graft.util.D.r(col("s") / col("n_bigrams").cast(DoubleType), 6).as("lp_per_big"))
+      .withColumn("bucket",
+        when(col("lp_per_big") >= headTh, "head")
+          .when(col("lp_per_big") >= midTh, "middle")
+          .otherwise("tail"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[bigramLm]]. */
+  def bigramLmSql(table: String, trainLang: String = "en", lam: Double = 0.9,
+                  headTh: Double = -3.393, midTh: Double = -3.443): String = {
+    val toks = TextOps.tokensSql("text")
+    val bigs = s"list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])"
+    s"""WITH uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu
+       |  FROM (SELECT unnest($toks) AS tok FROM $table WHERE lang = '$trainLang') GROUP BY tok),
+       |stats AS (SELECT CAST(SUM(cu) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+       |big AS (SELECT big, CAST(COUNT(*) AS BIGINT) AS cb
+       |  FROM (SELECT unnest($bigs) AS big
+       |        FROM (SELECT $toks AS w FROM $table WHERE lang = '$trainLang')) GROUP BY big),
+       |trans AS (SELECT doc_id, unnest($bigs) AS big
+       |  FROM (SELECT doc_id, $toks AS w FROM $table)),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    ROUND(LN($lam * (CASE WHEN u1.cu IS NOT NULL AND u1.cu > 0
+       |        THEN CAST(COALESCE(b.cb, 0) AS DOUBLE) / CAST(u1.cu AS DOUBLE) ELSE 0.0 END)
+       |      + (1.0 - $lam) * CAST(COALESCE(u2.cu, 0) + 1 AS DOUBLE) / CAST(s.n + s.v AS DOUBLE)), 6) AS lp
+       |  FROM trans t
+       |  LEFT JOIN big b ON t.big = b.big
+       |  LEFT JOIN uni u1 ON split_part(t.big, ' ', 1) = u1.tok
+       |  LEFT JOIN uni u2 ON split_part(t.big, ' ', 2) = u2.tok
+       |  CROSS JOIN stats s),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    ROUND(CAST(CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE), 6) AS lp_per_big
+       |  FROM scored GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, lp_per_big,
+       |  CASE WHEN lp_per_big >= $headTh THEN 'head'
+       |       WHEN lp_per_big >= $midTh THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   /** The trained unigram LM folded to ONE broadcastable row
     * (lp: map token → 6dp log-prob, lp_oov: the smoothing mass) — the
     * deployable form of [[unigramLm]]'s model for scoring OUTSIDE the

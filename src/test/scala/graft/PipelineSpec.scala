@@ -650,6 +650,24 @@ class PipelineSpec extends AnyFunSuite {
       (2L, 1L, "a", 0.0)))
   }
 
+  test("bigramLm: seen transitions outscore OOV; <2-token docs are omitted") {
+    import spark.implicits._
+    // train slice (lang=en) = docs 0 and 2: unigrams a:3 b:1 (N=4, V=2),
+    // bigrams "a b","b a". doc 1 is all-OOV (pure unigram smoothing mass),
+    // doc 2 has a single token -> no transitions -> omitted by contract.
+    val rows = Seq(
+      (0L, "a b a", "en"), (1L, "c c", "de"), (2L, "a", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.text.Lm.bigramLm(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet === Set(0L, 1L))
+    assert(out(0L)._1 === 2L && out(1L)._1 === 1L)
+    // doc0's transitions are both seen (ML mass dominates); doc1 gets only
+    // the interpolated unigram smoothing mass ((1-0.9)*(0+1)/(4+2))
+    assert(out(0L)._2 > out(1L)._2)
+    assert(math.abs(out(1L)._2 - math.log(0.09999999999999998 * (1.0 / 6))) < 2e-6)
+  }
+
   test("semDedup drops within-cluster duplicates, keeping the least-centroid-similar") {
     import spark.implicits._
     // centMod=3, centOff=0 -> centroid seeds are ids 0 and 3. Cluster A
