@@ -577,6 +577,29 @@ object Pipeline extends QFamily {
         .orderBy("doc_id")
     }),
 
+    // C4-style URL/domain filtering over deterministically synthesized
+    // per-doc URLs (the corpus has no url column, so the query derives
+    // one from doc_id identically in both engines — the q_pii_scrub
+    // convention); blocklist join is broadcast, TLD ban is a literal IN
+    QDef("q_url_filter", {
+      val doms = Seq("en.wikipedia.org", "github.com", "casino-wins.biz",
+        "news.example.co.uk", "tracker.ads.net", "free-stuff.xyz")
+      val dl = doms.map(d => s"'$d'").mkString("[", ", ", "]")
+      Some(graft.text.Url.urlFilterSql(
+        s"(SELECT doc_id, 'https://' || ($dl)[CAST(doc_id % 6 AS INT) + 1] || '/p/' || CAST(doc_id AS VARCHAR) AS url FROM documents)",
+        Seq("casino-wins.biz", "ads.net"), Seq("xyz")))
+    }, (s, dir) => {
+      val doms = Seq("en.wikipedia.org", "github.com", "casino-wins.biz",
+        "news.example.co.uk", "tracker.ads.net", "free-stuff.xyz")
+      import s.implicits._
+      val blocked = Seq("casino-wins.biz", "ads.net").toDF("bad_domain")
+      val withUrl = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://"),
+          element_at(array(doms.map(lit): _*), (pmod(col("doc_id"), lit(6)) + 1).cast(IntegerType)),
+          lit("/p/"), col("doc_id").cast(StringType)).as("url"))
+      graft.text.Url.urlFilter(withUrl, blocked, Seq("xyz"))
+    }),
+
     // int8 max-abs embedding quantization report (exact fixed-point)
     QDef("q_embed_quantize",
       Some(graft.sim.Quantize.int8ReportSql("embeddings")),

@@ -650,6 +650,23 @@ class PipelineSpec extends AnyFunSuite {
       (2L, 1L, "a", 0.0)))
   }
 
+  test("urlFilter flags blocklisted registrable domains and banned TLDs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "https://en.wikipedia.org/wiki/X"),
+      (1L, "https://sub.casino-wins.biz/promo"),
+      (2L, "https://a.b.free-stuff.xyz/dl"),
+      (3L, "http://localhost/dev")
+    ).toDF("doc_id", "url")
+    val blocked = Seq("casino-wins.biz").toDF("bad_domain")
+    val out = graft.text.Url.urlFilter(docs, blocked, Seq("xyz")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    assert(out(0L) === (("wikipedia.org", 0, 0, 1)))
+    assert(out(1L) === (("casino-wins.biz", 1, 0, 0))) // subdomain still caught
+    assert(out(2L) === (("free-stuff.xyz", 0, 1, 0)))
+    assert(out(3L) === (("localhost", 0, 0, 1)))       // single-label host
+  }
+
   test("bigramLm: seen transitions outscore OOV; <2-token docs are omitted") {
     import spark.implicits._
     // train slice (lang=en) = docs 0 and 2: unigrams a:3 b:1 (N=4, V=2),
