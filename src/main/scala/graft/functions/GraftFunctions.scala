@@ -73,6 +73,29 @@ object GraftFunctions {
         }
         StopHits(exprs(0), lang)
       }, "built-in")
+    // word_ngrams(s, n): native one-pass word n-gram shingles (the
+    // parameterized WordShingles) — n must be a constant integral
+    // expression, same contract as kmin's k.
+    fr.createOrReplaceTempFunction("word_ngrams",
+      exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"word_ngrams(s, n) takes exactly 2 arguments, got ${exprs.length}")
+        val n = exprs(1) match {
+          case e if e.foldable => e.eval() match {
+            case v: Int => v
+            case v: Long if v.isValidInt => v.toInt
+            case v: Short => v.toInt
+            case v: Byte => v.toInt
+            case other => throw new IllegalArgumentException(
+              s"word_ngrams(s, n): n must be a constant integer (got $other)")
+          }
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams(s, n): n must be a constant integer expression, got $other")
+        }
+        if (n < 1) throw new IllegalArgumentException(
+          s"word_ngrams(s, n): n must be >= 1, got $n")
+        WordNgrams(exprs.head, n)
+      }, "built-in")
     // kmin(col, k): bounded k-minimum-values sketch aggregate; k must be
     // a constant (foldable) integral expression — INT or BIGINT literal,
     // a CAST of one, etc. Positivity is validated in ONE place,

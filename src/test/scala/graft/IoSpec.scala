@@ -79,6 +79,13 @@ class IoSpec extends AnyFunSuite {
     assert(sig.getSeq[Long](1) === sig.getSeq[Long](2))
     assert(sig.getLong(3) !== 0L)
     assert(sig.getSeq[Long](4) === Seq(25000000L, -100000000L))
+    // the parameterized n-gram form: window from any foldable integral
+    val ng = spark.sql(
+      "SELECT word_ngrams('a b c d', 2) AS n2, word_ngrams('a b c d', 1 + 2) AS n3").head()
+    assert(ng.getSeq[String](0) === Seq("a b", "b c", "c d"))
+    assert(ng.getSeq[String](1) === Seq("a b c", "b c d"))
+    intercept[Exception](spark.sql("SELECT word_ngrams('a b')"))
+    intercept[Exception](spark.sql("SELECT word_ngrams('a b', 0)"))
     // argmax_by from pure SQL: value parity with the Column API
     // aggregate, and the plan keeps the hash-aggregable form
     val amSql = spark.sql(
