@@ -358,12 +358,22 @@ object Ann {
     val base = scaledBase(vecs)
     val cents = base.filter(col("vec_id") % centMod === centOff)
       .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
-    val assigned = base.crossJoin(broadcast(cents))
+    val assignedRaw = base.crossJoin(broadcast(cents))
       .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
       .groupBy("vec_id")
       .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("cluster_id"),
         graft.util.D.r(max(col("ccos")), 6).as("cent_sim"),
         first(col("fxe")).as("fxe"), first(col("nsq")).as("nsq"))
+    // Identical-subtree barrier (the tfidf/bm25 idiom): four consumers
+    // read the assignment — block counts, both pair sides, and the
+    // final report. Column pruning would specialize each copy's
+    // aggregate (the block count needs only cluster_id, the report
+    // drops fxe/nsq), planning the N×K assignment crossJoin FOUR
+    // times; the always-true filter references every aggregate output,
+    // keeping the subtrees identical so runtime exchange reuse runs
+    // the assignment ONCE (ScaleSpec pins ReusedExchange).
+    val assigned = assignedRaw.filter(col("nsq") >= 0L &&
+      size(col("fxe")) >= 0 && col("cent_sim") >= -2.0)
     // Hot-cluster guard: same count-broadcast-back idiom as
     // embeddingPairs — the error fires on the first streamed rows of a
     // hot block, before its quadratic pair set materializes.
