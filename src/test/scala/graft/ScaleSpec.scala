@@ -266,7 +266,7 @@ class ScaleSpec extends AnyFunSuite {
     // reuse collapses them to one scan — assert the final adaptive
     // plan actually contains ReusedExchange nodes
     for (name <- Seq("q_value_counts", "q_many_to_one", "q_outlier_explain", "q_dsir",
-                     "q_tfidf_terms", "q_bm25", "q_semdedup")) {
+                     "q_tfidf_terms", "q_bm25", "q_semdedup", "q_dedup_embedding_ivf")) {
       val df = graft.SparkEntry.queries(name)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
