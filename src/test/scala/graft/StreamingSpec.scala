@@ -238,4 +238,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.length === 1 && closed.head.n_events === 2 && closed.head.total_value === 3.0)
     assert(open.get.n === 1 && open.get.total === 3.0)
   }
+
+  test("streaming funnel conversions match the batch funnel and the SQL form") {
+    import spark.implicits._
+    import graft.streaming.{Conversion, Funnel, FunnelEvent}
+    val evs = graft.util.D.normTs(graft.util.D.t(spark, sf, "events"))
+      .filter(col("user_id") < 40)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[FunnelEvent].collect().toSeq.sortBy(_.ts.getTime)
+    val batch = Funnel.funnelBatch(spark, spark.createDataset(evs)).collect()
+      .map(c => (c.user_id, c.signup_ts, c.first_purchase_ts, c.us_to_convert)).toSet
+    // the typed fold agrees with the oracle-shaped SQL query's non-NULL rows
+    val sql = graft.SparkEntry.queries("q_events_funnel")(spark, sf)
+      .filter(col("user_id") < 40 && col("first_purchase_ts").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(batch === sql)
+    assert(batch.nonEmpty)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val q = Funnel.funnelStream(spark, mem.toDS()).writeStream.format("memory")
+      .queryName("funnel_out").outputMode("append").start()
+    try {
+      val (a, b) = evs.splitAt(evs.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val streamed = spark.table("funnel_out").as[Conversion].collect()
+        .map(c => (c.user_id, c.signup_ts, c.first_purchase_ts, c.us_to_convert)).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
