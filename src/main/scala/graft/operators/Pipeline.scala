@@ -129,6 +129,12 @@ object Pipeline extends QFamily {
       Some(Ann.bruteTopKSql("embeddings", 40, 5)),
       (s, dir) => Ann.fastTopKChecked(t(s, dir, "embeddings"), 40, 5)),
 
+    // two-stage serving path: int8-quantized coarse scan (integer
+    // ranking, 4x-smaller codes) -> exact re-rank of Q x 20 candidates
+    QDef("q_ann_refine",
+      Some(graft.sim.Refine.twoStageTopKSql("embeddings", 40, 20, 5)),
+      (s, dir) => graft.sim.Refine.twoStageTopK(t(s, dir, "embeddings"), 40, 20, 5)),
+
     // ------------------------------------------------ text analysis ----
     QDef("q_text_langid", {
       val toks = TextOps.tokensSql("text")
@@ -362,6 +368,16 @@ object Pipeline extends QFamily {
         .orderBy("doc_id")
     }),
 
+    // Bloom-filter decontamination — the LARGE-eval-set scale form of
+    // q_contaminated: the eval shingle set folds into a fixed 16 KB
+    // bitmap (broadcast at any eval size), the corpus test is
+    // scan-local long arithmetic, and only Bloom-HIT rows reach the
+    // exact-verification join (is_fp quantifies the false positives)
+    QDef("q_bloom_decon",
+      Some(graft.text.Bloom.reportSql("documents")),
+      (s, dir) => graft.text.Bloom.report(t(s, dir, "documents"),
+        pmod(col("doc_id"), lit(97)) === 0)),
+
     // Gopher-style repetition stats: entirely scan-local (array
     // functions, no explode/shuffle — each doc's stats come from its own
     // token array, so the operator is embarrassingly parallel at any
@@ -541,6 +557,18 @@ object Pipeline extends QFamily {
     QDef("q_token_hist",
       Some(graft.text.Profile.tokenHistSql("documents")),
       (s, dir) => graft.text.Profile.tokenHist(t(s, dir, "documents"))),
+
+    // retrieval/embedding-prep chunking: 64-token windows, 16 overlap;
+    // scan-local (explode of per-doc window starts, zero shuffles)
+    QDef("q_rag_chunks",
+      Some(graft.text.Chunk.ragChunksSql("documents", 64, 16)),
+      (s, dir) => graft.text.Chunk.ragChunks(t(s, dir, "documents"), 64, 16)),
+
+    // temperature-scaled multilingual sampling mix (mT5 rule, τ = 2 —
+    // sqrt is the correctly-rounded cross-engine exponent)
+    QDef("q_temp_mix",
+      Some(graft.text.Corpus.tempMixSql("documents")),
+      (s, dir) => graft.text.Corpus.tempMix(t(s, dir, "documents"))),
 
     // HTML boilerplate extraction over deterministically re-marked-up
     // docs (the corpus is pre-cleaned text, so the query wraps each doc

@@ -1,0 +1,139 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Bloom-filter decontamination: fold the eval/benchmark shingle set
+  * into a FIXED-SIZE bit array and test every training shingle against
+  * it scan-locally. [[Corpus.contaminated]] broadcasts the eval
+  * shingle set itself — right when the benchmark slice is small; this
+  * variant is the scale form for LARGE eval sets (a deduped multi-
+  * benchmark suite): the broadcast payload is `m/8` bytes (16 KB at
+  * the default 2^17 bits) no matter how many shingles fold into it,
+  * at the price of a quantified false-positive rate. The reference
+  * (pd_explain) has no decontamination surface; the published
+  * convention this follows is the n-gram-overlap rule used by GPT-3 /
+  * PaLM-style eval decontamination with Bloom pre-filtering.
+  *
+  * Hashing: each shingle's 60-bit md5-prefix hash h (the corpus-wide
+  * shared primitive, [[TextOps.shingleHashes]]) expands to
+  * `NumHashes` bit positions by Kirsch–Mitzenmacher double hashing —
+  * bit_j = (h1 + j·h2) mod m with h1 = h mod 2^30 and
+  * h2 = (h >> 30) | 1 (odd, so the stride cycles all residues for
+  * power-of-two m). All arithmetic is exact BIGINT in both engines,
+  * which is what makes the flag set oracle-reproducible.
+  *
+  * Scale notes (100 TB): the eval side is eval-sized work that ends in
+  * one ≤ m-row distinct + one ≤ m/64-row aggregation folded to a
+  * single 2 KB–16 KB row (the build-side `transform` lambda runs once
+  * on that one row — not a corpus-scan HOF). The corpus side is one
+  * scan: per-row distinct shingle hashes explode narrowly, the 4 bit
+  * tests are plain long arithmetic against the broadcast bitmap row,
+  * and only the HIT rows (contamination-sized, tiny by construction)
+  * reach the exact-verification join and the per-doc aggregation. A
+  * clean corpus shuffles almost nothing.
+  */
+object Bloom {
+
+  /** Default bitmap size: 2^17 bits = 16 KB. Size m ≳ 20× the expected
+    * distinct eval-shingle count for a sub-1e-4 per-shingle FP rate
+    * (k=4: fp ≈ fill^4). */
+  val DefaultBits: Int = 1 << 17
+  val NumHashes: Int = 4
+
+  private val H1Mod = 1073741824L // 2^30
+
+  private def bitJ(h: Column, j: Int, m: Int): Column =
+    pmod(pmod(h, lit(H1Mod)) + lit(j.toLong) * shiftright(h, 30).bitwiseOR(lit(1L)),
+      lit(m.toLong))
+
+  private def bitJSql(h: String, j: Int, m: Int): String =
+    s"(($h % $H1Mod + $j * (($h // $H1Mod) | 1)) % $m)"
+
+  /** Distinct 60-bit shingle hashes of a doc slice, one per row. */
+  private def hashRows(docs: DataFrame): DataFrame =
+    docs.select(explode(array_distinct(TextOps.shingleHashes(col("text")))).as("h"))
+      .distinct()
+
+  /** Fold `evalDocs`' shingles into a one-row bitmap: array<long> of
+    * m/64 words (word w holds bits 64w..64w+63). */
+  def bitmap(evalDocs: DataFrame, m: Int = DefaultBits): DataFrame = {
+    require(m >= 64 && (m & (m - 1)) == 0, s"m must be a power of two >= 64, got $m")
+    val bits = hashRows(evalDocs)
+      .select(explode(array((0 until NumHashes).map(j => bitJ(col("h"), j, m)): _*)).as("bit"))
+      .distinct()
+    val words = bits
+      .groupBy((col("bit") / 64).cast(LongType).as("word"))
+      .agg(expr("bit_or(shiftleft(1L, cast(bit % 64 as int)))").as("mask"))
+    // one row: scatter the (word, mask) pairs into a dense m/64 array.
+    // The transform lambda is interpreted but runs on this single row.
+    words.agg(map_from_entries(collect_list(struct(col("word"), col("mask")))).as("wm"))
+      .select(transform(sequence(lit(0L), lit(m / 64L - 1L)),
+        i => coalesce(element_at(col("wm"), i), lit(0L))).as("bm"))
+  }
+
+  /** Per-shingle Bloom test rows: the (doc_id, source, h) rows of
+    * `docs` whose shingle passes all `NumHashes` bit tests against the
+    * broadcast `bitmapDf` ([[bitmap]]'s one-row output). Stateless and
+    * scan-local, so it runs unchanged on a stream. */
+  def flaggedShingles(docs: DataFrame, bitmapDf: DataFrame,
+                      m: Int = DefaultBits): DataFrame = {
+    val rows = docs
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(TextOps.shingleHashes(col("text")))).as("h"))
+      .crossJoin(broadcast(bitmapDf))
+    val withBits = (0 until NumHashes).foldLeft(rows) { (d, j) =>
+      d.withColumn(s"b$j", bitJ(col("h"), j, m))
+    }
+    val tests = (0 until NumHashes).map { j =>
+      expr(s"(shiftright(element_at(bm, cast(b$j div 64 as int) + 1), " +
+        s"cast(b$j % 64 as int)) & 1) = 1")
+    }
+    withBits.filter(tests.reduce(_ && _))
+      .drop(("bm" +: (0 until NumHashes).map(j => s"b$j")): _*)
+  }
+
+  /** Full decontamination report over the %97 eval-slice convention:
+    * for every training doc with ≥ 1 Bloom-hit shingle, the hit count,
+    * the exactly-verified count (join against the true eval hash set —
+    * only hit rows reach it), and an `is_fp` bit for docs the Bloom
+    * filter flags spuriously. */
+  def report(docs: DataFrame, isEval: Column, m: Int = DefaultBits): DataFrame = {
+    val ev = docs.filter(isEval)
+    val tr = docs.filter(!isEval)
+    val hits = flaggedShingles(tr, bitmap(ev, m), m)
+    val evSet = hashRows(ev).withColumn("in_ev", lit(1L))
+    hits.join(evSet, Seq("h"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).cast(LongType).as("n_bloom_hits"),
+        sum(coalesce(col("in_ev"), lit(0L))).cast(LongType).as("n_true_hits"))
+      .withColumn("is_fp",
+        when(col("n_true_hits") === 0, 1).otherwise(0).cast(IntegerType))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[report]] (relational bit-set membership — the
+    * same flag set, minus the bitmap representation). */
+  def reportSql(table: String, m: Int = DefaultBits): String = {
+    val sh = TextOps.shinglesSql("text")
+    val js = (0 until NumHashes).map(j => bitJSql("h", j, m))
+    s"""WITH ev AS (SELECT DISTINCT ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+       |  FROM (SELECT unnest(list_distinct($sh)) AS sh FROM $table WHERE doc_id % 97 = 0)),
+       |evb AS (SELECT DISTINCT bit FROM (
+       |  SELECT unnest([${js.mkString(", ")}]) AS bit FROM ev)),
+       |tr AS (SELECT DISTINCT doc_id, source, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, source, unnest(list_distinct($sh)) AS sh
+       |        FROM $table WHERE doc_id % 97 <> 0)),
+       |trb AS (SELECT doc_id, source, h, unnest([${js.mkString(", ")}]) AS bit FROM tr),
+       |hits AS (SELECT doc_id, source, h FROM trb JOIN evb USING (bit)
+       |  GROUP BY doc_id, source, h HAVING COUNT(*) = $NumHashes)
+       |SELECT t.doc_id, t.source, CAST(COUNT(*) AS BIGINT) AS n_bloom_hits,
+       |  CAST(SUM(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true_hits,
+       |  CAST(CASE WHEN SUM(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) = 0
+       |       THEN 1 ELSE 0 END AS INT) AS is_fp
+       |FROM hits t LEFT JOIN ev e ON t.h = e.h
+       |GROUP BY t.doc_id, t.source
+       |ORDER BY t.doc_id""".stripMargin
+  }
+}

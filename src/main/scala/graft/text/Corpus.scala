@@ -162,6 +162,62 @@ object Corpus {
       .orderBy("lang")
   }
 
+  /** Temperature-scaled language mix (the mT5/XLM-R multilingual
+    * sampling rule, Xue et al. 2021 §3.2; Conneau et al. 2020):
+    * sampling share q_l ∝ n_l^(1/τ) over the per-language token
+    * totals n_l, flattening the natural distribution so low-resource
+    * languages are upsampled. Emits per language the natural share,
+    * the temperature share, and `epochs` = q_l·Σn / n_l — the
+    * with-replacement oversampling factor a trainer applies (feed it
+    * to [[resampleEpochs]] keyed on lang to materialize the mix).
+    *
+    * Cross-engine determinism: the registered query pins τ = 2
+    * because n^(1/2) is IEEE-754 `sqrt` — correctly rounded and
+    * bit-identical in both engines. Other τ values go through `pow`,
+    * which libm does not guarantee correctly rounded (documented
+    * caveat, not an oracle path). Weights are rounded to 6dp and
+    * summed as exact decimals, so Σw is order-independent.
+    *
+    * Scale: ONE map-side-combined corpus aggregation to the
+    * language-cardinality table; all mix math runs on that KB-sized
+    * table crossed with its own one-row total (broadcast). */
+  def tempMix(docs: DataFrame, tau: Double = 2.0): DataFrame = {
+    require(tau > 0, s"tempMix: tau must be positive, got $tau")
+    val per = docs
+      .select(col("lang"), size(TextOps.tokens(col("text"))).cast(LongType).as("ntok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("ntok")).cast(LongType).as("total_tokens"))
+    val nd = col("total_tokens").cast(DoubleType)
+    val pw = if (tau == 2.0) sqrt(nd) else pow(nd, 1.0 / tau)
+    val w = per.withColumn("w", graft.util.D.r(pw, 6))
+    val tot = w.agg(sum(col("total_tokens")).cast(LongType).as("gt"),
+      sum(col("w").cast(graft.util.D.dec25)).cast(DoubleType).as("gw"))
+    w.crossJoin(broadcast(tot))
+      .withColumn("share", graft.util.D.r(nd / col("gt"), 6))
+      .withColumn("temp_share", graft.util.D.r(col("w") / col("gw"), 6))
+      .withColumn("epochs",
+        graft.util.D.r(col("temp_share") * col("gt").cast(DoubleType) / nd, 6))
+      .select("lang", "n_docs", "total_tokens", "share", "temp_share", "epochs")
+      .orderBy("lang")
+  }
+
+  /** DuckDB mirror of [[tempMix]] (τ = 2 / sqrt only — see the
+    * determinism note on [[tempMix]]). */
+  def tempMixSql(table: String): String =
+    s"""WITH per AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(${TextOps.tokensSql("text")})) AS BIGINT) AS total_tokens
+       |  FROM $table GROUP BY lang),
+       |w AS (SELECT *, ROUND(sqrt(CAST(total_tokens AS DOUBLE)), 6) AS w FROM per),
+       |tot AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS gt,
+       |    CAST(SUM(CAST(w AS DECIMAL(25,6))) AS DOUBLE) AS gw FROM w)
+       |SELECT lang, n_docs, total_tokens,
+       |  ROUND(CAST(total_tokens AS DOUBLE) / gt, 6) AS share,
+       |  ROUND(w / gw, 6) AS temp_share,
+       |  ROUND(ROUND(w / gw, 6) * CAST(gt AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS epochs
+       |FROM w, tot ORDER BY lang""".stripMargin
+
   /** Epoch-based domain resampling: the step that turns a target mix
     * into per-document repeat counts. Training mixes are specified as
     * epochs per domain (e.g. web 0.5, wiki 2.5 — the mixture tables

@@ -85,7 +85,7 @@ object Profile {
   /** DuckDB mirror of [[tokenHist]]. */
   def tokenHistSql(table: String): String = {
     val cases = HistBounds.map(b => s"WHEN ntok < ${b * 2} THEN $b").mkString(" ")
-    s"""SELECT source, bucket_lo, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    s"""SELECT source, CAST(bucket_lo AS BIGINT) AS bucket_lo, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
        |  MIN(ntok) AS min_tokens, MAX(ntok) AS max_tokens
        |FROM (SELECT source, ntok,
