@@ -267,4 +267,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("bloom flagging is stateless on a stream and matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.util.D.t(spark, sf, "documents")
+    val isEval = pmod(col("doc_id"), lit(97)) === 0
+    // the bitmap row is static; persist for the stream's lifetime (the
+    // static subplan re-runs every micro-batch, same as contaminated)
+    val bm = graft.text.Bloom.bitmap(all.filter(isEval)).persist()
+    val tr = all.filter(!isEval).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().toSeq
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("h"))
+    val batchHits = graft.text.Bloom
+      .flaggedShingles(tr.toDF("doc_id", "source", "text"), bm)
+      .collect().map(key).toSet
+    assert(batchHits.nonEmpty, "constructed eval slice flags nothing")
+    val mem = MemoryStream[(Long, String, String)]
+    val q = graft.text.Bloom
+      .flaggedShingles(mem.toDS().toDF("doc_id", "source", "text"), bm)
+      .writeStream.format("memory").queryName("bloom_out")
+      .outputMode("append").start()
+    try {
+      val (a, b) = tr.splitAt(tr.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val streamed = spark.table("bloom_out").collect().map(key).toSet
+      assert(streamed === batchHits,
+        s"stream/batch divergence: extra=${streamed.diff(batchHits).take(3)} " +
+          s"missing=${batchHits.diff(streamed).take(3)}")
+    } finally { q.stop(); bm.unpersist() }
+  }
 }
