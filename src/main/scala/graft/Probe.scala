@@ -66,9 +66,11 @@ object Probe {
       println(f"$n%-32s ${times.map(t => f"$t%8.3f").mkString(" ")}")
       if (plan) {
         val df = fn(spark, sfDir)
-        // noop write executes the full adaptive plan (AQE finalizes only
-        // on execution) without collecting the result to the driver
-        df.write.format("noop").mode("overwrite").save()
+        // execute THIS df's own plan tree (a noop write or count()
+        // builds a separate QueryExecution and leaves this one with
+        // isFinalPlan=false): run it as an RDD so AQE finalizes
+        // without collecting the result to the driver
+        df.queryExecution.executedPlan.execute().count()
         println(df.queryExecution.executedPlan.toString)
       }
     }

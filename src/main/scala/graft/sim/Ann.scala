@@ -355,7 +355,14 @@ object Ann {
     * looped kmeansStep) shrink blocks; eps only filters pairs. */
   def semDedup(vecs: DataFrame, eps: Double,
                centMod: Int, centOff: Int): DataFrame = {
-    val base = scaledBase(vecs)
+    // Explicit isnotnull(vec_id): the pair-side joins INFER this
+    // constraint and push it into their copies of the scan, while the
+    // left-outer report side and the block-count side don't — four
+    // almost-identical assignment subtrees that never canonicalize
+    // equal, so the N×K crossJoin planned FOUR times (measured 4–17×
+    // slower at sf1). Pinning the filter on every copy restores the
+    // identical-subtree property the barrier below depends on.
+    val base = scaledBase(vecs).filter(col("vec_id").isNotNull)
     val cents = base.filter(col("vec_id") % centMod === centOff)
       .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
     val assignedRaw = base.crossJoin(broadcast(cents))

@@ -259,6 +259,24 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup's N x K assignment executes exactly once") {
+    // the contains("ReusedExchange") check below is satisfiable by the
+    // cents BROADCAST reuse alone while the expensive vec_id exchange
+    // still runs four times — which is exactly what happened when the
+    // pair-side joins inferred isnotnull(vec_id) into their copies of
+    // the scan and broke subtree identity (fixed by pinning the filter
+    // on every copy in Ann.semDedup). Count the assignment aggregates
+    // in the FINAL adaptive plan: exactly one may survive.
+    val df = graft.SparkEntry.queries("q_semdedup")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val n = "partial_argmax_by".r.findAllIn(finalPlan).size
+    assert(n === 1,
+      s"q_semdedup plans the N x K assignment $n times (want 1 + ReusedExchange):\n" +
+        finalPlan.take(1600))
+  }
+
   test("derived totals reuse the grouped exchange at runtime") {
     // value_counts' total, many_to_one's lt/ct, and the outlier
     // explainer's per-group totals are RE-AGGREGATIONS of the same
