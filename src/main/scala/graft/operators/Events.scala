@@ -148,6 +148,43 @@ object Events extends QFamily {
               unix_micros(col("first_purchase_ts")) - unix_micros(col("signup_ts")))
               .as("us_to_convert"))
           .orderBy("user_id")
+      }),
+
+    // Point-in-interval join (graft.operators.RangeJoin): every purchase
+    // opens a ±5-minute attribution window; count, per event type, the
+    // events landing inside ANY window. Both sides are corpus-sized, so
+    // the naive `lo <= ts AND ts <= hi` join would plan as a nested-loop
+    // cartesian; the banded form is an ordinary equi-join shuffle (see
+    // RangeJoin scaladoc for the cost model). The oracle states the same
+    // semantics as the naive BETWEEN join — DuckDB plans it as an IEJoin.
+    QDef("q_range_join",
+      Some(s"""WITH $evSql,
+             |win AS (SELECT event_id AS win_id,
+             |    epoch_us(ts) - 300000000 AS lo_us, epoch_us(ts) + 300000000 AS hi_us
+             |  FROM ev WHERE event_type = 'purchase'),
+             |m AS (SELECT e.event_type, e.event_id, e.value
+             |  FROM ev e JOIN win w ON epoch_us(e.ts) BETWEEN w.lo_us AND w.hi_us)
+             |SELECT event_type, COUNT(*) AS n_matches,
+             |  COUNT(DISTINCT event_id) AS n_events,
+             |  ${Sq.dsum("value")} AS total_value
+             |FROM m GROUP BY 1 ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val e = ev(s, dir)
+        val pts = e.select(col("event_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("pos_us"))
+        val win = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("win_id"),
+            (unix_micros(col("ts")) - 300000000L).as("lo_us"),
+            (unix_micros(col("ts")) + 300000000L).as("hi_us"))
+        // band = the max window span (10 min) -> each window lands on at
+        // most 2 bands
+        RangeJoin.pointInInterval(pts, "pos_us", win, "lo_us", "hi_us",
+            bandWidth = 600000000L)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_matches"),
+            countDistinct(col("event_id")).as("n_events"),
+            dsumd(col("value")).as("total_value"))
+          .orderBy("event_type")
       })
   )
 }

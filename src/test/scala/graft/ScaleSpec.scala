@@ -302,6 +302,37 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("range join plans as an equi-join on the band, never a nested loop") {
+    import graft.operators.RangeJoin
+    val e = graft.util.D.normTs(graft.util.D.t(spark, sf, "events"))
+    val pts = e.select(col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("pos_us"))
+    val win = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("win_id"),
+        (unix_micros(col("ts")) - 300000000L).as("lo_us"),
+        (unix_micros(col("ts")) + 300000000L).as("hi_us"))
+    val joined = RangeJoin.pointInInterval(pts, "pos_us", win, "lo_us", "hi_us", 600000000L)
+    val plan = joined.queryExecution.executedPlan.toString
+    // the whole point: a corpus×corpus range predicate must NOT plan as
+    // BroadcastNestedLoopJoin/CartesianProduct — the band key makes it an
+    // ordinary equi-join (broadcast-hash is fine when one side is small;
+    // at scale AQE falls back to the shuffled form on the same key)
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"range join planned a nested loop:\n${plan.take(1500)}")
+    assert(plan.contains("__band"), s"band key missing from join:\n${plan.take(1500)}")
+    // every banded match satisfies the exact predicate, and the banded
+    // form finds exactly the rows the naive predicate join finds
+    val naive = pts.join(win,
+      col("lo_us") <= col("pos_us") && col("pos_us") <= col("hi_us"))
+    assert(joined.count() == naive.count())
+    // an interval wider than the band still matches (multi-band replication)
+    val wide = RangeJoin.pointInInterval(
+      pts, "pos_us",
+      win.limit(1).withColumn("hi_us", col("lo_us") + 3600000000L), // 1 h span
+      "lo_us", "hi_us", 600000000L)
+    assert(wide.count() > 0)
+  }
+
   test("auto-exploration produces a deterministic mixed-step report") {
     import graft.core.{AutoExplore, ExplainFrame}
     val li = ExplainFrame(
