@@ -537,6 +537,12 @@ object Pipeline extends QFamily {
       Some(graft.sim.Ann.kmeansStepSql("embeddings", 25, 7)),
       (s, dir) => graft.sim.Ann.kmeansStep(t(s, dir, "embeddings"), 25, 7)),
 
+    // exact corpus Gram matrix (the distributed PCA/covariance input —
+    // d(d+1)/2 cells from one scan; see Ann.gramMatrix scale notes)
+    QDef("q_embed_gram",
+      Some(graft.sim.Ann.gramMatrixSql("embeddings")),
+      (s, dir) => graft.sim.Ann.gramMatrix(t(s, dir, "embeddings"))),
+
     // --------------------------------------------------- multimodal ----
     QDef("q_multimodal_meta",
       Some(Multimodal.decodeMetaSql("documents")),

@@ -326,6 +326,134 @@ object Ann {
        |    / CAST(COUNT(*) AS DOUBLE), 6) AS centroid
        |FROM ex GROUP BY cluster_id, dim ORDER BY cluster_id, dim""".stripMargin
 
+  /** Exact upper-triangle Gram (second-moment) matrix of the embedding
+    * corpus: G[i,j] = Σ_rows x_i·x_j for 0 ≤ i ≤ j < d — the input to
+    * PCA / covariance / whitening over a corpus too large to collect.
+    *
+    * Spark-first shape: two CHAINED posexplodes on the scan (no
+    * self-join — the (i, x_i, fxe) intermediate never shuffles), exact
+    * long products at the family's 1e8 fixed-point scale, then ONE
+    * hash aggregate on (i, j). Map-side partial aggregation reduces the
+    * shuffle to d(d+1)/2 partial rows per task regardless of corpus
+    * size — the only full-width data movement is the scan itself.
+    *
+    * Exactness at scale: a straight long sum of the 1e16-scale products
+    * overflows around Σ x_i·x_j ≈ 920 (≈ 59k unit-norm 64-dim rows), so
+    * each product is split into three 21-bit chunks summed separately
+    * (the [[graft.explain.Correlation]] chunked-long design: |p| < 2^53
+    * → chunk sums bounded by n·2^21, overflow-safe to n ≈ 2^42 rows ≈
+    * 100 TB-proof) and recombined exactly in DECIMAL once per cell.
+    * Output: (i, j, n, gram) with gram = G[i,j] rounded to 6dp via the
+    * deterministic DECIMAL(38,0)→DOUBLE emission (both engines convert
+    * an integral decimal with one correctly-rounded step). */
+  def gramMatrix(vecs: DataFrame): DataFrame = {
+    val m = lit((1L << 21) - 1)
+    val dec = DecimalType(38, 0)
+    val p = vecs.select(scaled(col("embedding")).as("fxe"))
+      .select(posexplode(col("fxe")).as(Seq("i", "xi")), col("fxe"))
+      .select(col("i"), col("xi"), posexplode(col("fxe")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .select(col("i").cast(LongType).as("i"), col("j").cast(LongType).as("j"),
+        (col("xi") * col("xj")).as("p"))
+    val total = sum(shiftright(col("p"), 42)).cast(dec) * lit(1L << 42) +
+      sum(shiftright(col("p"), 21).bitwiseAND(m)).cast(dec) * lit(1L << 21) +
+      sum(col("p").bitwiseAND(m)).cast(dec)
+    p.groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), total.cast(dec).as("gram_fix"))
+      .select(col("i"), col("j"), col("n"),
+        graft.util.D.r(col("gram_fix").cast(DoubleType) / lit(1e16), 6).as("gram"))
+      .orderBy("i", "j")
+  }
+
+  /** DuckDB mirror of [[gramMatrix]] (zipped unnest + within-row
+    * self-join; DuckDB's BIGINT SUM accumulates in int128, so the
+    * chunking is unnecessary on that side — the DECIMAL(38,0) total is
+    * identical). */
+  def gramMatrixSql(table: String): String =
+    s"""WITH e1 AS (SELECT vec_id,
+       |    CAST(unnest(generate_series(1, len(embedding))) - 1 AS BIGINT) AS dim,
+       |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 100000000) AS BIGINT) AS fx
+       |  FROM $table),
+       |pr AS (SELECT a.dim AS i, b.dim AS j, a.fx * b.fx AS p
+       |  FROM e1 a JOIN e1 b ON a.vec_id = b.vec_id AND b.dim >= a.dim)
+       |SELECT i, j, COUNT(*) AS n,
+       |  ROUND(CAST(CAST(SUM(p) AS DECIMAL(38,0)) AS DOUBLE) / 10000000000000000.0, 6) AS gram
+       |FROM pr GROUP BY i, j ORDER BY i, j""".stripMargin
+
+  /** Per-dimension exact mean vector (the other PCA input): one
+    * posexplode + hash aggregate, same emission rules as
+    * [[kmeansStep]]'s centroid update. */
+  def meanVector(vecs: DataFrame): DataFrame =
+    vecs.select(scaled(col("embedding")).as("fxe"))
+      .select(posexplode(col("fxe")).as(Seq("dim", "fx")))
+      .groupBy(col("dim").cast(LongType).as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("fx")).as("sfx"))
+      .select(col("dim"), col("n"),
+        graft.util.D.r(col("sfx").cast(DoubleType) / lit(Scale) /
+          col("n").cast(DoubleType), 6).as("mean"))
+      .orderBy("dim")
+
+  /** Driver-side PCA over the DISTRIBUTED second moments: top-k
+    * eigenpairs of the covariance C = G/n − μμᵀ by power iteration
+    * with deflation. The collected state is d² + d cells (KB for
+    * d = 64) — bounded by the embedding dimension, NEVER by corpus
+    * size, so the collect is safe at 100 TB; the corpus is touched by
+    * exactly the two aggregate scans in [[gramMatrix]]/[[meanVector]].
+    *
+    * Deterministic by construction: exact cross-engine Gram/mean
+    * inputs, fixed start vector (1/√d, …), fixed iteration count,
+    * sequential driver-side double math (no parallel reduction
+    * reorder), and a sign convention (largest-|component| coordinate
+    * made positive). Returns (eigenvalue, component) pairs, largest
+    * first. */
+  def pca(vecs: DataFrame, k: Int, iters: Int = 200): Seq[(Double, Array[Double])] = {
+    val gRows = gramMatrix(vecs).collect()
+    val mRows = meanVector(vecs).collect()
+    val d = mRows.length
+    require(d > 0, "pca: empty corpus")
+    val n = mRows.head.getLong(1).toDouble
+    val mu = mRows.sortBy(_.getLong(0)).map(_.getDouble(2))
+    val c = Array.ofDim[Double](d, d)
+    gRows.foreach { r =>
+      val (i, j, g) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(3))
+      val v = g / n - mu(i) * mu(j)
+      c(i)(j) = v; c(j)(i) = v
+    }
+    val comps = scala.collection.mutable.ArrayBuffer.empty[(Double, Array[Double])]
+    val a = c.map(_.clone())
+    (1 to math.min(k, d)).foreach { _ =>
+      var v = Array.fill(d)(1.0 / math.sqrt(d))
+      var lambda = 0.0
+      (1 to iters).foreach { _ =>
+        val av = Array.tabulate(d)(i => (0 until d).foldLeft(0.0)((s, j) => s + a(i)(j) * v(j)))
+        val nrm = math.sqrt(av.map(x => x * x).sum)
+        if (nrm > 0) v = av.map(_ / nrm)
+      }
+      lambda = (0 until d).foldLeft(0.0)((s, i) =>
+        s + v(i) * (0 until d).foldLeft(0.0)((t, j) => t + a(i)(j) * v(j)))
+      // sign convention: the largest-magnitude coordinate is positive
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(pivot) < 0) v = v.map(-_)
+      comps += ((lambda, v))
+      (0 until d).foreach(i => (0 until d).foreach(j => a(i)(j) -= lambda * v(i) * v(j)))
+    }
+    comps.toSeq
+  }
+
+  /** Project the corpus onto driver-computed components: per-row exact
+    * fixed-point dots against the broadcast-literal component vectors
+    * (codegen'd [[FixedDot]] — no UDF, no HOF). Output: vec_id +
+    * pc0..pc{k-1} doubles. */
+  def pcaProject(vecs: DataFrame, comps: Seq[Array[Double]]): DataFrame = {
+    val base = vecs.select(col("vec_id"), scaled(col("embedding")).as("fxe"))
+    val scores = comps.zipWithIndex.map { case (cvec, ci) =>
+      val compFx = cvec.map(x => math.round(x * Scale))
+      (FixedDot(col("fxe"), lit(compFx)).cast(DoubleType) / lit(Scale * Scale))
+        .as(s"pc$ci")
+    }
+    base.select(col("vec_id") +: scores: _*).orderBy("vec_id")
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication = k-means
     * cluster the embeddings, then inside each cluster drop all but one
     * member of every near-duplicate group, keeping the member LEAST
