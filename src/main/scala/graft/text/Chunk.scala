@@ -27,7 +27,14 @@ object Chunk {
   /** Per-chunk rows: (doc_id, chunk_idx, start_tok, n_tok, chunk_fp)
     * where chunk_fp = md5 of the space-joined token window — the
     * stable id an embedding/RAG index keys on. */
-  def ragChunks(docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+  def ragChunks(docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 16): DataFrame =
+    ragChunksUnsorted(docs, chunkTokens, overlap).orderBy("doc_id", "chunk_idx")
+
+  /** [[ragChunks]] without the final sort — scan-local (tokenize +
+    * window explode + fingerprint, no shuffle), so it runs unchanged on
+    * a stream (sorting is what streaming append mode can't do;
+    * StreamingSpec pins batch parity). */
+  def ragChunksUnsorted(docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap must be in [0, chunkTokens): got $overlap vs $chunkTokens")
     val stride = chunkTokens - overlap
@@ -41,7 +48,6 @@ object Chunk {
         least(lit(chunkTokens), col("n") - col("start_tok")).cast(LongType).as("n_tok"),
         md5(array_join(slice(col("tk"), col("start_tok") + 1, lit(chunkTokens)), " ")
           .cast(BinaryType)).as("chunk_fp"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
   /** DuckDB mirror of [[ragChunks]]. */

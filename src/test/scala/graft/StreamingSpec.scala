@@ -300,4 +300,43 @@ class StreamingSpec extends AnyFunSuite {
           s"missing=${batchHits.diff(streamed).take(3)}")
     } finally { q.stop(); bm.unpersist() }
   }
+
+  test("quality scoring, PII scrub, and RAG chunking are stateless on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.util.D.t(spark, sf, "documents")
+      .filter(col("doc_id") < 150)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+
+    val bdf = spark.createDataset(docs).toDF("doc_id", "text")
+    val batchQuality = rowsOf(graft.text.Corpus.gopherQuality(bdf))
+    val batchPii = rowsOf(graft.text.Corpus.piiScrub(bdf)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"),
+        col("n_emails"), col("n_ips"), col("n_phones")))
+    val batchChunks = rowsOf(graft.text.Chunk.ragChunksUnsorted(bdf, 32, 8))
+    assert(batchChunks.size > docs.size, "chunking should fan out")
+
+    val mem = MemoryStream[(Long, String)]
+    val sdf = mem.toDS().toDF("doc_id", "text")
+    val qs = Seq(
+      ("stream_quality", graft.text.Corpus.gopherQuality(sdf)),
+      ("stream_pii", graft.text.Corpus.piiScrub(sdf)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"),
+          col("n_emails"), col("n_ips"), col("n_phones"))),
+      ("stream_chunks", graft.text.Chunk.ragChunksUnsorted(sdf, 32, 8))
+    ).map { case (name, df) =>
+      df.writeStream.format("memory").queryName(name).outputMode("append").start()
+    }
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      mem.addData(a); qs.foreach(_.processAllAvailable())
+      mem.addData(b); qs.foreach(_.processAllAvailable())
+      assert(rowsOf(spark.table("stream_quality")) === batchQuality, "gopherQuality diverges")
+      assert(rowsOf(spark.table("stream_pii")) === batchPii, "piiScrub diverges")
+      assert(rowsOf(spark.table("stream_chunks")) === batchChunks, "ragChunks diverges")
+    } finally qs.foreach(_.stop())
+  }
 }
