@@ -68,10 +68,10 @@ object Dedup {
     withBase.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  def minhashSigSql(table: String): String = {
+  def minhashSigSql(table: String, name: String = "sig"): String = {
     val mins = Seeds.zipWithIndex.map { case (seed, i) =>
       s"MIN(xor(hb, CAST($seed AS BIGINT))) AS h$i" }.mkString(",\n    ")
-    s"""sig AS (SELECT doc_id, $mins
+    s"""$name AS (SELECT doc_id, $mins
        |  FROM (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS hb
        |        FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("text")}) AS sh FROM $table))
        |  GROUP BY doc_id)""".stripMargin
@@ -110,10 +110,12 @@ object Dedup {
       .select(col("doc_id"), col("b.j").as("j"), col("b.bk").as("bk"))
   }
 
-  def bandsSql: String = {
+  def bandsSql: String = bandsSql("sig", "bands")
+
+  def bandsSql(sig: String, name: String): String = {
     val branches = (0 until NumHashes / BandRows).map(j =>
-      s"SELECT doc_id, $j AS j, md5(h${BandRows * j}::VARCHAR || ',' || h${BandRows * j + 1}::VARCHAR) AS bk FROM sig")
-    s"bands AS (${branches.mkString("\nUNION ALL\n")})"
+      s"SELECT doc_id, $j AS j, md5(h${BandRows * j}::VARCHAR || ',' || h${BandRows * j + 1}::VARCHAR) AS bk FROM $sig")
+    s"$name AS (${branches.mkString("\nUNION ALL\n")})"
   }
 
   /** Candidate pairs from band collisions + estimated Jaccard =
@@ -165,6 +167,59 @@ object Dedup {
        |  CAST(CASE WHEN est_jaccard >= 0.5 THEN 1 ELSE 0 END AS INT) AS is_dup
        |FROM est
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Incremental (continuous-ingest) near-dedup: match a NEW batch of
+    * documents against a PRE-COMPUTED signature store instead of
+    * self-joining the whole corpus. `indexSig` is a [[minhashSig]]-shaped
+    * table (doc_id, h0..h15) — the 128-byte-per-doc artifact a pipeline
+    * persists once and reuses for every arriving batch, so the historical
+    * corpus text is NEVER re-shingled or re-scanned.
+    *
+    * Scale: only the batch side is shingled (scan-local native pass);
+    * the band join shuffles signatures (16 longs/doc), not documents,
+    * keyed by the 32k-per-band bucket space; candidate count is bounded
+    * by band collisions exactly as in [[minhashPairs]]. Output:
+    * (new_doc, index_doc, est_jaccard, is_dup) ordered. */
+  def minhashPairsAgainst(batch: DataFrame, indexSig: DataFrame): DataFrame = {
+    val bsig = minhashSig(batch)
+    val cand = bands(bsig).alias("a").join(bands(indexSig).alias("b"),
+        col("a.j") === col("b.j") && col("a.bk") === col("b.bk"))
+      .select(col("a.doc_id").as("new_doc"), col("b.doc_id").as("index_doc")).distinct()
+    val s1 = bsig.select(col("doc_id").as("new_doc") +:
+      (0 until NumHashes).map(i => col(s"h$i").as(s"a$i")): _*)
+    val s2 = indexSig.select(col("doc_id").as("index_doc") +:
+      (0 until NumHashes).map(i => col(s"h$i").as(s"b$i")): _*)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(s1, "new_doc").join(s2, "index_doc")
+      .select(col("new_doc"), col("index_doc"),
+        graft.util.D.r(matches.cast(org.apache.spark.sql.types.DoubleType) / NumHashes, 6)
+          .as("est_jaccard"))
+      .withColumn("is_dup", (col("est_jaccard") >= 0.5).cast("int"))
+      .orderBy("new_doc", "index_doc")
+  }
+
+  /** DuckDB mirror of [[minhashPairsAgainst]] where the batch is
+    * `batchTable` and the index store is [[minhashSigSql]] over
+    * `indexTable` (the oracle recomputes the store; the Spark side may
+    * read it from parquet — identical values either way). */
+  def minhashPairsAgainstSql(batchTable: String, indexTable: String): String = {
+    val est = (0 until NumHashes)
+      .map(i => s"(CASE WHEN s1.h$i = s2.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH ${minhashSigSql(batchTable, "bsig")},
+       |${minhashSigSql(indexTable, "isig")},
+       |${bandsSql("bsig", "bbands")},
+       |${bandsSql("isig", "ibands")},
+       |cand AS (SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS index_doc
+       |  FROM bbands a JOIN ibands b ON a.j = b.j AND a.bk = b.bk)
+       |SELECT new_doc, index_doc,
+       |  ROUND(CAST($est AS DOUBLE) / $NumHashes, 6) AS est_jaccard,
+       |  CAST(CASE WHEN ROUND(CAST($est AS DOUBLE) / $NumHashes, 6) >= 0.5 THEN 1 ELSE 0 END AS INT) AS is_dup
+       |FROM cand JOIN bsig s1 ON cand.new_doc = s1.doc_id
+       |          JOIN isig s2 ON cand.index_doc = s2.doc_id
+       |ORDER BY new_doc, index_doc""".stripMargin
+  }
 
   // ------------------------------------------------------------ SimHash --
 

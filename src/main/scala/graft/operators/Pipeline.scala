@@ -51,6 +51,20 @@ object Pipeline extends QFamily {
       Some(Dedup.minhashPairsSql("documents")),
       (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"))),
 
+    // continuous-ingest shape: an arriving batch (doc_id % 3 = 0) is
+    // near-dedup-matched against the persisted signature STORE of the
+    // rest of the corpus — the historical text is never re-shingled
+    QDef("q_dedup_incremental",
+      Some(Dedup.minhashPairsAgainstSql(
+        "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 3 <> 0)")),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.minhashPairsAgainst(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+          Dedup.minhashSig(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)))
+      }),
+
     QDef("q_dedup_simhash",
       Some(Dedup.simhashPairsSql("documents")),
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"))),

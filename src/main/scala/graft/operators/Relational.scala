@@ -6,6 +6,7 @@ import graft.util.Sq
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
 
 /** Core relational surface (SURVEY.md §2.1) — the Spark-native
   * re-expression of pd-explain's ExpDataFrame operation set
@@ -546,6 +547,31 @@ object Relational extends QFamily {
         .filter(pmod(col("l_orderkey"), lit(97)) === 11)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- stratified sampling (balanced training splits) ----------------
+    // exactly min(40, |stratum|) orders per priority stratum, chosen by a
+    // deterministic md5 rank — pandas groupby().sample(n, random_state)
+    // re-expressed reproducibly. Scale: ONE shuffle on the stratum key;
+    // Spark executes the rank-≤-k filter as WindowGroupLimit, so each
+    // task keeps a k-row heap per stratum instead of sorting the corpus
+    // (same physical shape as q_topk). A hot stratum never materializes
+    // beyond k rows per task.
+    q("q_sample_stratified",
+      """SELECT o_orderpriority, o_orderkey, rk FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 40 ORDER BY o_orderpriority, rk""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(md5(col("o_orderkey").cast(StringType).cast(BinaryType)), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 40)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("rk").cast(LongType).as("rk"))
+        .orderBy("o_orderpriority", "rk")
     }
   )
 }

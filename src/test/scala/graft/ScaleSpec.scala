@@ -302,6 +302,33 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample executes as WindowGroupLimit, not a full sort-rank") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(md5(col("o_orderkey").cast("string").cast("binary")), col("o_orderkey"))
+    val df = graft.util.D.t(spark, sf, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 40)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k filter not pushed into the window:\n${plan.take(1200)}")
+    val got = df.groupBy("o_orderpriority").count().collect()
+    assert(got.forall(_.getLong(1) <= 40))
+  }
+
+  test("incremental dedup joins band keys, not documents") {
+    val docs = graft.util.D.t(spark, sf, "documents")
+    val out = graft.dedup.Dedup.minhashPairsAgainst(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+      graft.dedup.Dedup.minhashSig(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"incremental dedup planned a nested loop:\n${plan.take(1200)}")
+    // a self-match is impossible across the disjoint batch/index split
+    assert(out.filter(col("new_doc") === col("index_doc")).count() == 0)
+  }
+
   test("range join plans as an equi-join on the band, never a nested loop") {
     import graft.operators.RangeJoin
     val e = graft.util.D.normTs(graft.util.D.t(spark, sf, "events"))
