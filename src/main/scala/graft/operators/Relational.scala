@@ -572,6 +572,38 @@ object Relational extends QFamily {
         .filter(col("rk") <= 40)
         .select(col("o_orderpriority"), col("o_orderkey"), col("rk").cast(LongType).as("rk"))
         .orderBy("o_orderpriority", "rk")
+    },
+
+    // ---- winsorization (robust feature clipping) ------------------------
+    // per-group [p05, p95] clip of l_extendedprice — outlier-robust
+    // scaling before training. Two aggregate passes by design: the
+    // quantile table is KB-sized (one row per group) and BROADCAST back,
+    // so the corpus is scanned twice but shuffled only for the two
+    // map-side-combined aggregations — never sorted whole, never joined
+    // wide (the same stat-table algebra the Outlier explainer uses).
+    q("q_winsorize",
+      """WITH qs AS (SELECT l_returnflag,
+        |    ROUND(CAST(quantile_cont(l_extendedprice, 0.05) AS DOUBLE), 4) AS p05,
+        |    ROUND(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 4) AS p95
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, qs.p05, qs.p95, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN l.l_extendedprice < qs.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(SUM(CASE WHEN l.l_extendedprice > qs.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  ROUND(CAST(ROUND(SUM(CAST(LEAST(GREATEST(l.l_extendedprice, qs.p05), qs.p95) AS DECIMAL(25,6))), 6) AS DOUBLE) / COUNT(*), 6) AS mean_wins
+        |FROM lineitem l JOIN qs ON l.l_returnflag = qs.l_returnflag
+        |GROUP BY 1, 2, 3 ORDER BY l.l_returnflag""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice")
+      val qs = li.groupBy("l_returnflag").agg(
+        r(percentile(col("l_extendedprice"), lit(0.05)), 4).as("p05"),
+        r(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"))
+      val clipped = least(greatest(col("l_extendedprice"), col("p05")), col("p95"))
+      li.join(broadcast(qs), "l_returnflag")
+        .groupBy("l_returnflag", "p05", "p95")
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_extendedprice") < col("p05")).cast("int")).cast(LongType).as("n_lo"),
+          sum((col("l_extendedprice") > col("p95")).cast("int")).cast(LongType).as("n_hi"),
+          r(dsumd(clipped) / count(lit(1)), 6).as("mean_wins"))
+        .orderBy("l_returnflag")
     }
   )
 }
