@@ -15,27 +15,63 @@ import org.apache.spark.sql.expressions.Window
   * Ties (equal ts) match, mirroring merge_asof(allow_exact_matches=True):
   * right rows sort before left rows at the same timestamp; `seqCol`
   * (present on both sides) breaks remaining ties deterministically.
+  *
+  * `direction` mirrors merge_asof's: "backward" (default — latest right
+  * at or before the left ts) or "forward" (earliest right at or after).
+  * Forward is the same single-shuffle window with the traversal order
+  * reversed — not a second algorithm.
+  *
+  * `toleranceUs` mirrors merge_asof(tolerance=...): a match farther than
+  * the given microseconds from the left timestamp is nulled out (the row
+  * is kept, unmatched — exactly pandas' behavior). Applied as a post
+  * projection; requires `tsCol` to be a timestamp.
   */
 object AsOf {
 
   def join(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-           seqCol: String, rightValCols: Seq[String]): DataFrame = {
-    val lSide = rightValCols.foldLeft(left.withColumn("_side", lit(1))) { (d, c) =>
+           seqCol: String, rightValCols: Seq[String],
+           direction: String = "backward",
+           toleranceUs: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
+    require(toleranceUs.forall(_ >= 0), "tolerance must be nonnegative")
+    // carry the matched right timestamp internally for the tolerance
+    // check even when the caller did not ask for it
+    val valCols = (rightValCols :+ tsCol).distinct
+    val lSide = valCols.foldLeft(left.withColumn("_side", lit(1))) { (d, c) =>
       d.withColumn(s"_r_$c", lit(null).cast(right.schema(c).dataType))
     }
-    val rBase = rightValCols.foldLeft(right)((d, c) => d.withColumn(s"_r_$c", col(c)))
+    val rBase = valCols.foldLeft(right)((d, c) => d.withColumn(s"_r_$c", col(c)))
     val rSide = lSide.columns.foldLeft(rBase.withColumn("_side", lit(0))) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(lSide.schema(c).dataType))
     }.select(lSide.columns.map(col).toIndexedSeq: _*)
 
-    val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol), col("_side"), col(seqCol))
+    // backward: ascending scan, right-before-left at equal ts, last right
+    // wins. forward: the mirror image — descending scan finds the
+    // EARLIEST right at-or-after each left row; seq descends too so tie
+    // resolution picks the same row pandas' stable forward search does.
+    val w = (if (direction == "backward")
+        Window.partitionBy(keyCol).orderBy(col(tsCol), col("_side"), col(seqCol))
+      else
+        Window.partitionBy(keyCol).orderBy(col(tsCol).desc, col("_side"), col(seqCol).desc))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightValCols.foldLeft(lSide.unionByName(rSide)) { (d, c) =>
+    val filled = valCols.foldLeft(lSide.unionByName(rSide)) { (d, c) =>
       d.withColumn(s"right_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
     }
-    filled.filter(col("_side") === 1)
+    val matched = filled.filter(col("_side") === 1)
       .drop("_side")
-      .drop(rightValCols.map(c => s"_r_$c"): _*)
+      .drop(valCols.map(c => s"_r_$c"): _*)
+    val bounded = toleranceUs match {
+      case None => matched
+      case Some(tol) =>
+        val gap = abs(unix_micros(col(tsCol)) - unix_micros(col(s"right_$tsCol")))
+        val keep = col(s"right_$tsCol").isNotNull && gap <= tol
+        valCols.foldLeft(matched) { (d, c) =>
+          d.withColumn(s"right_$c",
+            when(keep, col(s"right_$c")).otherwise(lit(null).cast(d.schema(s"right_$c").dataType)))
+        }
+    }
+    // drop the internal ts carry if the caller didn't request it
+    if (rightValCols.contains(tsCol)) bounded else bounded.drop(s"right_$tsCol")
   }
 }

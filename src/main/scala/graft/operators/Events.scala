@@ -121,6 +121,62 @@ object Events extends QFamily {
           .orderBy("user_id", "ts", "event_id")
       }),
 
+    // merge_asof(direction='forward'): the earliest signup AT OR AFTER
+    // each purchase — same single-shuffle window machinery, reversed
+    // traversal (AsOf.join scaladoc)
+    QDef("q_asof_forward",
+      Some(s"""WITH $evSql,
+             |l AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+             |r AS (SELECT ts AS rts, user_id FROM ev WHERE event_type = 'signup')
+             |SELECT l.event_id, l.user_id, l.ts, MIN(r.rts) AS next_signup_ts,
+             |  CASE WHEN MIN(r.rts) IS NOT NULL
+             |       THEN epoch_us(MIN(r.rts)) - epoch_us(l.ts) END AS us_until_signup
+             |FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.rts >= l.ts
+             |GROUP BY l.event_id, l.user_id, l.ts
+             |ORDER BY l.user_id, l.ts, l.event_id""".stripMargin),
+      (s, dir) => {
+        val e = ev(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val signups = e.filter(col("event_type") === "signup")
+          .select("event_id", "user_id", "ts")
+        AsOf.join(purchases, signups, "user_id", "ts", "event_id", Seq("ts"),
+            direction = "forward")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("right_ts").as("next_signup_ts"),
+            when(col("right_ts").isNotNull,
+              unix_micros(col("right_ts")) - unix_micros(col("ts"))).as("us_until_signup"))
+          .orderBy("user_id", "ts", "event_id")
+      }),
+
+    // merge_asof(tolerance=...): a backward match farther than 7 days is
+    // nulled out (row kept, unmatched — pandas semantics)
+    QDef("q_asof_tolerance",
+      Some(s"""WITH $evSql,
+             |l AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+             |r AS (SELECT ts AS rts, user_id FROM ev WHERE event_type = 'signup')
+             |SELECT l.event_id, l.user_id, l.ts, MAX(r.rts) AS last_signup_ts,
+             |  CASE WHEN MAX(r.rts) IS NOT NULL
+             |       THEN epoch_us(l.ts) - epoch_us(MAX(r.rts)) END AS us_since_signup
+             |FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.rts <= l.ts
+             |  AND epoch_us(l.ts) - epoch_us(r.rts) <= 604800000000
+             |GROUP BY l.event_id, l.user_id, l.ts
+             |ORDER BY l.user_id, l.ts, l.event_id""".stripMargin),
+      (s, dir) => {
+        val e = ev(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val signups = e.filter(col("event_type") === "signup")
+          .select("event_id", "user_id", "ts")
+        AsOf.join(purchases, signups, "user_id", "ts", "event_id", Seq("ts"),
+            toleranceUs = Some(604800000000L))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("right_ts").as("last_signup_ts"),
+            when(col("right_ts").isNotNull,
+              unix_micros(col("ts")) - unix_micros(col("right_ts"))).as("us_since_signup"))
+          .orderBy("user_id", "ts", "event_id")
+      }),
+
     QDef("q_events_funnel",
       Some(s"""WITH $evSql,
              |su AS (SELECT user_id, MIN(ts) AS signup_ts FROM ev
