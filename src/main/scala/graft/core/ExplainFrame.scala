@@ -609,6 +609,31 @@ final class ExplainGroupBy(parent: ExplainFrame, cols: Seq[String]) {
   def corr(x: String, y: String): DataFrame =
     Correlation.pearsonBy(parent.df, cols, x, y)
 
+  /** pandas `groupby().transform(fn)`: the group aggregate aligned back
+    * onto every row as a new `${c}_${fn}` column (row count and order
+    * preserved). The stat table is group-cardinality-sized and joins as
+    * a plain equi-join — AQE broadcasts it when small, and a
+    * high-cardinality group key degrades to an ordinary shuffle join
+    * instead of a forced-broadcast OOM. */
+  def transform(c: String, fn: String): ExplainFrame = {
+    val stat = parent.df.groupBy(cols.map(col): _*).agg(aggExpr(c, fn).as(s"${c}_$fn"))
+    new ExplainFrame(parent.df.join(stat, cols), parent.op, parent.name)
+  }
+
+  /** Per-row group z-score (the canonical transform): adds `${c}_mean`,
+    * `${c}_std`, `${c}_zscore` from ONE stats aggregation (decimal-exact
+    * moments, deterministic 6dp emission) joined back per row. */
+  def zscore(c: String): ExplainFrame = {
+    val n = org.apache.spark.sql.functions.count(col(c))
+    val stat = parent.df.groupBy(cols.map(col): _*).agg(
+      D.r(D.emit6(D.dsum(col(c))) / n).as(s"${c}_mean"),
+      D.r(sqrt(D.varSamp(D.emit6(D.dsum(col(c))), D.dsumsq(col(c)), n))).as(s"${c}_std"))
+    val joined = parent.df.join(stat, cols)
+      .withColumn(s"${c}_zscore",
+        D.r((col(c) - col(s"${c}_mean")) / col(s"${c}_std"), 6))
+    new ExplainFrame(joined, parent.op, parent.name)
+  }
+
   /** Full per-group Pearson matrix (the pandas `groupby().corr()`
     * default): every unordered pair of the frame's numeric non-group
     * columns (or of `numCols` when given), any number of group

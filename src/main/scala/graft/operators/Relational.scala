@@ -614,6 +614,33 @@ object Relational extends QFamily {
           sum((col("l_extendedprice") > col("p95")).cast("int")).cast(LongType).as("n_hi"),
           r(dsumd(clipped) / count(lit(1)), 6).as("mean_wins"))
         .orderBy("l_returnflag")
+    },
+
+    // ---- groupby().transform (row-aligned group stats) ------------------
+    // pandas groupby().transform through the library surface
+    // (ExplainGroupBy.zscore): per-row z-score from ONE exact group-stats
+    // aggregation joined back (AQE-sized, never force-broadcast). The
+    // subset filter applies AFTER the stats — z-scores are against the
+    // full group, as transform semantics demand.
+    q("q_group_zscore",
+      s"""WITH st AS (SELECT l_returnflag, ${Sq.mean("l_quantity")} AS mu,
+        |    ROUND(SQRT(${Sq.varSamp("l_quantity")}), 6) AS sd
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, st.mu, st.sd,
+        |  ROUND((l.l_quantity - st.mu) / st.sd, 6) AS z
+        |FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag
+        |WHERE l.l_orderkey % 50 = 7
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin) { (s, dir) =>
+      graft.core.ExplainFrame(
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+          "lineitem")
+        .groupBy("l_returnflag").zscore("l_quantity").df
+        .filter(col("l_orderkey") % 50 === 7)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity_mean").as("mu"), col("l_quantity_std").as("sd"),
+          col("l_quantity_zscore").as("z"))
+        .orderBy("l_orderkey", "l_linenumber")
     }
   )
 }

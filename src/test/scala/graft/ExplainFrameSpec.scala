@@ -463,4 +463,29 @@ class ExplainFrameSpec extends AnyFunSuite {
     val sm = li.sampleDeterministic("l_orderkey", 10).df.count()
     assert(sm > 0 && sm < li.df.count())
   }
+
+  test("groupby transform aligns group stats row-wise; zscore standardizes") {
+    val li = graft.util.D.t(spark, sf, "lineitem").select("l_returnflag", "l_quantity")
+    val ef = graft.core.ExplainFrame(li, "lineitem")
+    // transform preserves row count and holds the stat constant per group
+    val tr = ef.groupBy("l_returnflag").transform("l_quantity", "sum").df
+    assert(tr.count() === li.count())
+    assert(tr.select("l_returnflag", "l_quantity_sum").distinct().count() === 3)
+    // the aligned sum equals the direct group aggregate
+    val direct = li.groupBy("l_returnflag")
+      .agg(graft.util.D.dsumd(col("l_quantity")).as("s")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    tr.select("l_returnflag", "l_quantity_sum").distinct().collect().foreach { r =>
+      assert(r.getDouble(1) === direct(r.getString(0)))
+    }
+    // zscore: per-group mean ≈ 0, sample std ≈ 1 (6dp-rounded stats)
+    val z = ef.groupBy("l_returnflag").zscore("l_quantity").df
+      .groupBy("l_returnflag")
+      .agg(avg(col("l_quantity_zscore")).as("m"), stddev(col("l_quantity_zscore")).as("s"))
+      .collect()
+    z.foreach { r =>
+      assert(math.abs(r.getDouble(1)) < 1e-4, s"group mean not ~0: $r")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-4, s"group std not ~1: $r")
+    }
+  }
 }
