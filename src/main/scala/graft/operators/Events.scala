@@ -206,6 +206,35 @@ object Events extends QFamily {
           .orderBy("user_id")
       }),
 
+    // pandas rolling(on=time) — a TIME-based (not row-count) trailing
+    // window: per user, the 1-hour rolling count/sum of purchase value.
+    // rangeBetween on the microsecond position gives the exact
+    // semantics; ONE shuffle on user_id, and the frame bound keeps each
+    // task's working set at the events inside the hour, not the user's
+    // whole history.
+    QDef("q_rolling_time",
+      Some(s"""WITH $evSql,
+             |p AS (SELECT event_id, user_id, ts, value, epoch_us(ts) AS us
+             |  FROM ev WHERE event_type = 'purchase')
+             |SELECT event_id, user_id, ts,
+             |  COUNT(*) OVER w AS n_1h,
+             |  CAST(ROUND(SUM(CAST(value AS DECIMAL(25,6))) OVER w, 6) AS DOUBLE) AS sum_1h
+             |FROM p
+             |WINDOW w AS (PARTITION BY user_id ORDER BY us
+             |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, ts, event_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("us"))
+          .rangeBetween(-3600000000L, Window.currentRow)
+        ev(s, dir).filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            unix_micros(col("ts")).as("us"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            count(lit(1)).over(w).as("n_1h"),
+            emit6(sum(col("value").cast(graft.util.D.dec25)).over(w)).as("sum_1h"))
+          .orderBy("user_id", "ts", "event_id")
+      }),
+
     // Point-in-interval join (graft.operators.RangeJoin): every purchase
     // opens a ±5-minute attribution window; count, per event type, the
     // events landing inside ANY window. Both sides are corpus-sized, so

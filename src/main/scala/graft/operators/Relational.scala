@@ -641,6 +641,35 @@ object Relational extends QFamily {
           col("l_quantity_mean").as("mu"), col("l_quantity_std").as("sd"),
           col("l_quantity_zscore").as("z"))
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- qcut (quantile bucketing) --------------------------------------
+    // pandas qcut(x, 10) at scale: decile BOUNDARIES from one exact
+    // quantile aggregation (a 9-double array — broadcast), bucket =
+    // 1 + #thresholds below the value. No global sort, no rank window:
+    // the corpus is scanned once for boundaries and once for bucketing,
+    // both map-side combined — the shape that survives 100 TB where
+    // ntile()'s single global ordering cannot.
+    q("q_qcut",
+      """WITH th AS (SELECT list_transform(
+        |    quantile_cont(l_extendedprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |    t -> ROUND(CAST(t AS DOUBLE), 4)) AS th FROM lineitem)
+        |SELECT 1 + len(list_filter(th.th, t -> t < l.l_extendedprice)) AS bucket,
+        |  COUNT(*) AS n,
+        |  ROUND(MIN(l.l_extendedprice), 4) AS lo, ROUND(MAX(l.l_extendedprice), 4) AS hi
+        |FROM lineitem l, th GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_extendedprice")
+      val th = li.agg(percentile(col("l_extendedprice"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*)).as("ths"))
+        .select(transform(col("ths"), x => r(x, 4)).as("ths"))
+      li.crossJoin(broadcast(th))
+        .select((size(filter(col("ths"), x => x < col("l_extendedprice"))) + 1)
+          .cast(LongType).as("bucket"), col("l_extendedprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          r(min(col("l_extendedprice")), 4).as("lo"),
+          r(max(col("l_extendedprice")), 4).as("hi"))
+        .orderBy("bucket")
     }
   )
 }
