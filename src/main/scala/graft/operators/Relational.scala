@@ -659,12 +659,18 @@ object Relational extends QFamily {
         |  ROUND(MIN(l.l_extendedprice), 4) AS lo, ROUND(MAX(l.l_extendedprice), 4) AS hi
         |FROM lineitem l, th GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
       val li = t(s, dir, "lineitem").select("l_extendedprice")
-      val th = li.agg(percentile(col("l_extendedprice"),
+      // the 9 thresholds come back to the driver (BOUNDED: nBuckets-1
+      // doubles, never corpus-sized) and re-enter as literals — a
+      // broadcast-join of the 1-row stat table plans as a non-codegen
+      // BroadcastNestedLoopJoin that measured 9x slower than this
+      // literal comparison chain (3.5 s vs 0.4 s at sf0.1)
+      val ths = li.agg(percentile(col("l_extendedprice"),
           array((1 to 9).map(i => lit(i / 10.0)): _*)).as("ths"))
         .select(transform(col("ths"), x => r(x, 4)).as("ths"))
-      li.crossJoin(broadcast(th))
-        .select((size(filter(col("ths"), x => x < col("l_extendedprice"))) + 1)
-          .cast(LongType).as("bucket"), col("l_extendedprice"))
+        .head().getSeq[Double](0)
+      val bucket = ths.map(t0 => (col("l_extendedprice") > lit(t0)).cast("int"))
+        .reduce(_ + _) + lit(1)
+      li.select(bucket.cast(LongType).as("bucket"), col("l_extendedprice"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           r(min(col("l_extendedprice")), 4).as("lo"),
