@@ -143,6 +143,12 @@ object Pipeline extends QFamily {
       Some(Ann.bruteTopKSql("embeddings", 40, 5)),
       (s, dir) => Ann.fastTopKChecked(t(s, dir, "embeddings"), 40, 5)),
 
+    // contrastive hard-negative mining: top-3 most-similar DIFFERENT-
+    // label vectors per anchor (the DPR/SimCSE training-data step)
+    QDef("q_hard_negatives",
+      Some(Ann.hardNegativesSql("embeddings", 40, 3)),
+      (s, dir) => Ann.hardNegatives(t(s, dir, "embeddings"), 40, 3)),
+
     // two-stage serving path: int8-quantized coarse scan (integer
     // ranking, 4x-smaller codes) -> exact re-rank of Q x 20 candidates
     QDef("q_ann_refine",

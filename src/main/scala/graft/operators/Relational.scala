@@ -676,6 +676,33 @@ object Relational extends QFamily {
           r(min(col("l_extendedprice")), 4).as("lo"),
           r(max(col("l_extendedprice")), 4).as("hi"))
         .orderBy("bucket")
+    },
+
+    // ---- cut (equal-width binning) --------------------------------------
+    // pandas cut(x, 10): global [min, max] from one aggregation (two
+    // bounded doubles, collected and re-entered as literals — same
+    // rationale as q_qcut), bucket = min(9, floor((x-lo)/width)) + 1,
+    // then a map-side-combined histogram. Both engines evaluate the
+    // identical IEEE double expression, so the bin edges agree exactly.
+    q("q_cut",
+      """WITH mm AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |  FROM lineitem)
+        |SELECT CAST(1 + LEAST(9, FLOOR((l.l_extendedprice - mm.lo) / ((mm.hi - mm.lo) / 10.0))) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  ROUND(MIN(l.l_extendedprice), 4) AS bin_min, ROUND(MAX(l.l_extendedprice), 4) AS bin_max
+        |FROM lineitem l, mm GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_extendedprice")
+      val mm = li.agg(min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi")).head()
+      val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+      val width = (hi - lo) / 10.0
+      li.select((lit(1) + least(lit(9), floor((col("l_extendedprice") - lo) / width)))
+          .cast(LongType).as("bucket"), col("l_extendedprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          r(min(col("l_extendedprice")), 4).as("bin_min"),
+          r(max(col("l_extendedprice")), 4).as("bin_max"))
+        .orderBy("bucket")
     }
   )
 }

@@ -104,6 +104,46 @@ object Ann {
        |SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Contrastive hard-negative mining (the DPR/SimCSE training-data
+    * step): for each anchor (vec_id % queryMod = 0), the k most-similar
+    * vectors with a DIFFERENT label — the near-miss negatives a
+    * contrastive loss learns most from. Same broadcast-anchor scan as
+    * [[bruteTopK]] (anchors broadcast, corpus streams once through the
+    * codegen'd fixed-point cosine) with the label inequality pushed
+    * into the scan; rank ≤ k executes as WindowGroupLimit, so each task
+    * keeps a k-row heap per anchor. IVF/LSH blocking composes for the
+    * 100 TB path exactly as in the dedup family. */
+  def hardNegatives(vecs: DataFrame, queryMod: Int, k: Int): DataFrame = {
+    val base = scaledBase(vecs, Seq("label"))
+    val queries = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("fxe").as("qe"), col("nsq").as("qn"))
+    val joined = base.crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("cosine", cosExpr(FixedDot(col("qe"), col("fxe")), col("qn"), col("nsq")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("negative_id"),
+        col("label").cast(LongType).as("neg_label"),
+        graft.util.D.r(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB mirror of [[hardNegatives]]. */
+  def hardNegativesSql(table: String, queryMod: Int, k: Int): String =
+    s"""WITH ${normSqSql(table)},
+       |base AS (SELECT e.vec_id, e.label, e.embedding, n.nsq FROM $table e JOIN norms n ON e.vec_id = n.vec_id),
+       |scored AS (SELECT q.vec_id AS query_id, b.vec_id AS negative_id,
+       |    CAST(b.label AS BIGINT) AS neg_label,
+       |    ${cosSql(dotFixSql("q.embedding", "b.embedding"), "q.nsq", "b.nsq")} AS cosine
+       |  FROM base q JOIN base b ON q.vec_id % $queryMod = 0 AND b.label <> q.label),
+       |ranked AS (SELECT query_id, negative_id, neg_label, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, negative_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, negative_id, neg_label, ROUND(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** IVF: centroids = vec_id % centMod = centOff; assign every vector to
     * its max-cosine centroid; queries probe the `nprobe` nearest lists. */
   def ivfTopK(vecs: DataFrame, queryMod: Int, centMod: Int, centOff: Int,
