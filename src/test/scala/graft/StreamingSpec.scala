@@ -301,6 +301,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); bm.unpersist() }
   }
 
+  test("streaming as-of enrichment matches the batch fold and q_asof_join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{AsOfEvent, Enrich}
+    val raw = graft.util.D.normTs(graft.util.D.t(spark, sf, "events"))
+      .filter(col("user_id") < 10 &&
+        col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .as[AsOfEvent].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id)) // event-time-order feeding
+
+    val batch = Enrich.enrichBatch(spark, spark.createDataset(raw)).collect()
+      .map(e => e.event_id -> e.us_since_signup).toMap
+
+    // three-way leg 1: the typed fold equals q_asof_join's rows (same
+    // user slice)
+    val sqlRows = SparkEntry.queries("q_asof_join")(spark, sf)
+      .filter(col("user_id") < 10).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(batch === sqlRows, "typed batch fold diverges from q_asof_join")
+
+    // three-way leg 2: the stream equals the batch fold
+    val mem = MemoryStream[AsOfEvent]
+    val q = Enrich.enrichStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      val (a, b) = raw.splitAt(raw.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val streamed = spark.table("enrich_out").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+      assert(streamed === batch,
+        s"stream/batch divergence on ${streamed.keySet.diff(batch.keySet).take(3)} / value diffs ${
+          batch.collect { case (k, v) if streamed.get(k).exists(_ != v) => k }.take(3)}")
+    } finally q.stop()
+  }
+
   test("quality scoring, PII scrub, and RAG chunking are stateless on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
