@@ -257,6 +257,61 @@ object Pipeline extends QFamily {
     // (source, sketch) table with plain array functions. Estimator
     // divides by |k-min(A∪B)| = LEAST(k, |A∪B|), not constant k, so
     // sources with < k distinct shingles are not deflated.
+    // KMV sketch MERGEABILITY — the lakehouse rollup pattern: per-source
+    // vocabulary sketches (k longs each) merge into the global estimate
+    // WITHOUT rescanning the corpus. The k smallest of the union of
+    // per-group k-smallest IS the k smallest of the union, so the merged
+    // estimate is bit-identical to a direct global sketch — the __ALL__
+    // row is computed from the per-source sketch table alone (k longs ×
+    // n_sources), which is how pre-aggregated sketch columns roll up
+    // across partitions/days/tenants at 100 TB.
+    QDef("q_kmv_merge", {
+      val k = 256
+      Some(s"""WITH hh AS (SELECT DISTINCT source,
+              |    ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+              |  FROM (SELECT source, unnest(${TextOps.shinglesSql("text")}) AS sh FROM documents)),
+              |r AS (SELECT source, h,
+              |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM hh),
+              |per AS (SELECT source, COUNT(*) AS nd_exact,
+              |    MAX(CASE WHEN rn = $k THEN h END) AS kth FROM r GROUP BY 1),
+              |mr AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+              |  FROM (SELECT DISTINCT h FROM r WHERE rn <= $k)),
+              |g AS (SELECT COUNT(DISTINCT h) AS nd_exact FROM hh),
+              |allrow AS (SELECT '__ALL__' AS source, g.nd_exact,
+              |    (SELECT MAX(CASE WHEN rn = $k THEN h END) FROM mr) AS kth FROM g)
+              |SELECT source, nd_exact,
+              |  CAST(CASE WHEN nd_exact >= $k AND kth IS NOT NULL
+              |       THEN CAST(ROUND(${(k - 1).toDouble} * 1152921504606846976.0 / kth) AS BIGINT)
+              |       ELSE nd_exact END AS BIGINT) AS nd_est
+              |FROM (SELECT * FROM per UNION ALL SELECT * FROM allrow)
+              |ORDER BY source""".stripMargin)
+    }, { (s, dir) =>
+      val k = 256
+      def est(exact: org.apache.spark.sql.Column,
+              hs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(exact >= k && get(hs, lit(k - 1)).isNotNull,
+          round(lit((k - 1).toDouble) * lit(1152921504606846976.0) / get(hs, lit(k - 1)), 0)
+            .cast("long"))
+          .otherwise(exact).cast("long")
+      val h = t(s, dir, "documents")
+        .select(col("source"), explode(TextOps.shingleHashes(col("text"))).as("h"))
+      val per = h.groupBy("source")
+        .agg(countDistinct(col("h")).as("nd_exact"),
+          graft.functions.KMinAgg.kmin(col("h"), k).as("hs"))
+      val perOut = per.select(col("source"), col("nd_exact"),
+        est(col("nd_exact"), col("hs")).as("nd_est"))
+      // the merge: k-min over the per-source sketches only — the corpus
+      // is NOT rescanned for the sketch side (only the exact control
+      // count below touches it again)
+      val merged = per.select(explode(col("hs")).as("h"))
+        .agg(graft.functions.KMinAgg.kmin(col("h"), k).as("hs"))
+      val globalExact = h.agg(countDistinct(col("h")).as("nd_exact"))
+      val allRow = globalExact.crossJoin(merged)
+        .select(lit("__ALL__").as("source"), col("nd_exact"),
+          est(col("nd_exact"), col("hs")).as("nd_est"))
+      perOut.unionByName(allRow).orderBy("source")
+    }),
+
     QDef("q_corpus_jaccard", {
       val k = 128
       Some(s"""WITH h AS (SELECT DISTINCT source,
