@@ -59,6 +59,31 @@ object ApiDemo {
     spark.sql(
       """SELECT source, kmin(xxhash64(text), 8) AS sketch
         |FROM docs GROUP BY source ORDER BY source LIMIT 3""".stripMargin).show(false)
+    println("== groupby().transform: per-group z-score ==")
+    li.groupBy("l_returnflag").zscore("l_quantity").df
+      .select("l_returnflag", "l_quantity", "l_quantity_zscore").show(3, false)
+    println("== corpus PCA: top-2 components + projection ==")
+    val emb = util.D.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val comps = graft.sim.Ann.pca(emb, k = 2)
+    comps.foreach { case (ev, v) =>
+      println(f"eigenvalue $ev%.6f, component head ${v.take(4).mkString(", ")}") }
+    graft.sim.Ann.pcaProject(emb, comps.map(_._2)).show(3, false)
+    println("== banded range join: events inside purchase windows ==")
+    val ev2 = util.D.normTs(util.D.t(spark, "/root/testdata/sf0.001", "events"))
+    val win = ev2.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("win_id"),
+        (unix_micros(col("ts")) - 300000000L).as("lo"),
+        (unix_micros(col("ts")) + 300000000L).as("hi"))
+    graft.operators.RangeJoin.pointInInterval(
+        ev2.select(col("event_id"), unix_micros(col("ts")).as("pos")),
+        "pos", win, "lo", "hi", 600000000L)
+      .groupBy().count().show()
+    println("== merge_asof with direction + tolerance ==")
+    val purch = ev2.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+    val signup = ev2.filter(col("event_type") === "signup").select("event_id", "user_id", "ts")
+    graft.operators.AsOf.join(purch, signup, "user_id", "ts", "event_id",
+        Seq("ts"), direction = "forward", toleranceUs = Some(604800000000L))
+      .select("event_id", "user_id", "ts", "right_ts").show(3, false)
     spark.stop()
   }
 }
