@@ -268,6 +268,43 @@ object Explainers extends QFamily {
         Nil, Seq("c_acctbal"), covTh = 0.05, sepTh = 0.95,
         pruningMethod = "min_dist")),
 
+    // pruning_method='max_silhouette': rank labels by mean simplified
+    // silhouette (distance-to-centroid form; deterministic re-expression
+    // of the reference's sampled silhouette_samples ranking — see
+    // ManyToOne.silhouetteLabels)
+    QDef("q_many_to_one_pruned_silhouette",
+      Some(ManyToOne.silhouettePrunedSql("customer", "c_nationkey", "c_acctbal",
+        covTh = 0.05, sepTh = 0.95, maxLabels = 10, maxSil = true)),
+      (s, dir) => ManyToOne.explain(t(s, dir, "customer"), "c_nationkey",
+        Nil, Seq("c_acctbal"), covTh = 0.05, sepTh = 0.95,
+        pruningMethod = "max_silhouette")),
+
+    // pruning_method='random': seeded-md5-rank label draw (deterministic
+    // re-expression of the reference's fixed-seed .sample() — see
+    // ManyToOne.randomLabels)
+    QDef("q_many_to_one_pruned_random",
+      Some(s"""WITH pairs AS (SELECT CAST(c_nationkey AS VARCHAR) AS label,
+              |    'c_mktsegment' AS attribute, CAST(c_mktsegment AS VARCHAR) AS val
+              |  FROM customer WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL),
+              |keep AS (${ManyToOne.randomKeepSql("customer", "c_nationkey", 10)}),
+              |kept AS (SELECT p.* FROM pairs p JOIN keep k ON p.label = k.label),
+              |lc AS (SELECT label, attribute, val, COUNT(*) AS n_match FROM kept GROUP BY 1,2,3),
+              |lt AS (SELECT label, COUNT(*) AS n_label FROM kept GROUP BY 1),
+              |ct AS (SELECT attribute, val, COUNT(*) AS n_cond FROM kept GROUP BY 1,2)
+              |SELECT label, attribute, val, n_match, coverage, separation_err,
+              |  CAST(CASE WHEN coverage >= 0.05 AND separation_err <= 0.95
+              |       THEN 1 ELSE 0 END AS INT) AS passes
+              |FROM (
+              |  SELECT lc.label, lc.attribute, lc.val, lc.n_match,
+              |    ROUND(CAST(lc.n_match AS DOUBLE) / lt.n_label, 6) AS coverage,
+              |    ROUND(CAST(ct.n_cond - lc.n_match AS DOUBLE) / ct.n_cond, 6) AS separation_err
+              |  FROM lc JOIN lt ON lc.label = lt.label
+              |  JOIN ct ON lc.attribute = ct.attribute AND lc.val = ct.val)
+              |ORDER BY label, attribute, val""".stripMargin),
+      (s, dir) => ManyToOne.explain(t(s, dir, "customer"), "c_nationkey",
+        Seq("c_mktsegment"), Nil, covTh = 0.05, sepTh = 0.95,
+        pruningMethod = "random")),
+
     // library default min_commonness is the reference's 0.5; the demo
     // passes a relaxed 0.15 explicitly (uniform synthetic data surfaces
     // no >=0.5-common pattern in this scope) — both engines mirror it

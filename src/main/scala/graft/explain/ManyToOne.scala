@@ -131,21 +131,7 @@ object ManyToOne {
   def distLabels(src: DataFrame, labelExpr: Column, numAttrs: Seq[String],
                  maxLabels: Int, maxDist: Boolean): Option[Seq[String]] = {
     require(numAttrs.nonEmpty, "dist pruning requires numeric attributes")
-    val meanCols = numAttrs.map(a => graft.util.D.r(
-      graft.util.D.emit6(sum(col(a).cast(graft.util.D.dec25))) / count(col(a)), 6).as(s"m_$a"))
-    // the collect is limit()-bounded: at most cap+1 centroid rows ever
-    // reach the driver, and exceeding the cap fails fast instead of
-    // collecting one row per distinct label of an ID-like column
-    val cap = graft.util.Guard.MaxRankedLabels
-    val rowsAll = src.filter(labelExpr.isNotNull)
-      .groupBy(labelExpr.as("label")).agg(meanCols.head, meanCols.tail: _*)
-      .limit(cap + 1).collect()
-    if (rowsAll.length > cap)
-      throw new IllegalArgumentException(
-        s"dist pruning found more than $cap distinct labels. The label column " +
-          "looks ID-like — many_to_one label ranking is sized for " +
-          "explanation-grade label cardinalities. Use a coarser label, or " +
-          "raise graft.util.Guard.MaxRankedLabels if the cardinality is intentional.")
+    val rowsAll = centroidRows(src, labelExpr, numAttrs, "dist")
     if (rowsAll.length <= maxLabels) return None
     // a label whose numeric attribute is all-NULL has a NULL mean: no
     // centroid exists, so it cannot be ranked — exclude it (it would NPE
@@ -179,7 +165,111 @@ object ManyToOne {
     Some(sorted.take(maxLabels).map(_._1))
   }
 
-  /** Dispatch over the supported pruning_method values. */
+  /** Per-label centroid rows (label, mean per numeric attr), 6dp-exact
+    * decimal means — shared by the dist and silhouette rankings. The
+    * collect is limit()-bounded: at most cap+1 centroid rows ever reach
+    * the driver, and exceeding the cap fails fast instead of collecting
+    * one row per distinct label of an ID-like column. */
+  private def centroidRows(src: DataFrame, labelExpr: Column,
+                           numAttrs: Seq[String], what: String): Array[org.apache.spark.sql.Row] = {
+    val meanCols = numAttrs.map(a => graft.util.D.r(
+      graft.util.D.emit6(sum(col(a).cast(graft.util.D.dec25))) / count(col(a)), 6).as(s"m_$a"))
+    val cap = graft.util.Guard.MaxRankedLabels
+    val rowsAll = src.filter(labelExpr.isNotNull)
+      .groupBy(labelExpr.as("label")).agg(meanCols.head, meanCols.tail: _*)
+      .limit(cap + 1).collect()
+    if (rowsAll.length > cap)
+      throw new IllegalArgumentException(
+        s"$what pruning found more than $cap distinct labels. The label column " +
+          "looks ID-like — many_to_one label ranking is sized for " +
+          "explanation-grade label cardinalities. Use a coarser label, or " +
+          "raise graft.util.Guard.MaxRankedLabels if the cardinality is intentional.")
+    rowsAll
+  }
+
+  /** pruning_method='max_silhouette'|'min_silhouette', re-expressed
+    * deterministically: the reference ranks labels by the mean
+    * `silhouette_samples` score of a FIXED-SEED 5000-row sample of a
+    * PCA-reduced one-hot matrix (many_to_one_explainer.py:283-303) —
+    * sampling and PCA are speed devices (the full O(n²) silhouette "would
+    * take too long", per the reference's own comment), not semantics.
+    * Here it is the SIMPLIFIED silhouette (the standard centroid form):
+    * per row with all `numAttrs` non-null and a rankable label,
+    *   a = euclidean distance to the row's OWN label centroid,
+    *   b = min distance to any OTHER label centroid,
+    *   s = (b − a) / max(a, b)         (0 when max(a, b) = 0),
+    * distances 6dp-rounded, per-label mean via decimal-exact sums, ranked
+    * desc (max) / asc (min) with label-asc tie-break. ONE corpus scan:
+    * the KB-sized centroid table compiles into the projection as
+    * literals (O(L) distance columns + O(L²) column REFERENCES in the
+    * own/other selection — cheap, and L is Guard-bounded), so no join,
+    * no shuffle beyond the per-label mean aggregation. Every step is
+    * mirrored bit-for-bit by [[silhouettePrunedSql]]. */
+  def silhouetteLabels(src: DataFrame, labelExpr: Column, numAttrs: Seq[String],
+                       maxLabels: Int, maxSil: Boolean): Option[Seq[String]] = {
+    require(numAttrs.nonEmpty, "silhouette pruning requires numeric attributes")
+    val rowsAll = centroidRows(src, labelExpr, numAttrs, "silhouette")
+    if (rowsAll.length <= maxLabels) return None
+    // a label whose numeric attribute is all-NULL has no centroid: its
+    // rows can be scored against OTHER centroids but the label itself
+    // cannot be ranked — exclude it (mirrors distLabels; the SQL side
+    // excludes identically via HAVING COUNT(attr) > 0)
+    val rows = rowsAll.filter(r => numAttrs.indices.forall(i => !r.isNullAt(i + 1)))
+    if (rows.length < 2)
+      return topLabels(src.select(labelExpr.as("label"))
+        .filter(col("label").isNotNull), maxLabels)
+    val labs = rows.map(_.getString(0))
+    val ms = rows.map(r => numAttrs.indices.map(i => r.getDouble(i + 1)).toArray)
+    // stage 1: per-row distance to every centroid (sqrt of the exact
+    // double sum-of-squares, 6dp-rounded — SQRT((x-m)*(x-m)) in SQL)
+    val dCols = labs.indices.map { i =>
+      val d2 = numAttrs.zipWithIndex.map { case (a, ai) =>
+        (col(a) - lit(ms(i)(ai))) * (col(a) - lit(ms(i)(ai))) }.reduce(_ + _)
+      graft.util.D.r(sqrt(d2), 6).as(s"__d$i")
+    }
+    val scored = src
+      .filter(labelExpr.isin(labs.toSeq: _*) &&
+        numAttrs.map(col(_).isNotNull).reduce(_ && _))
+      .select(labelExpr.as("label") +: dCols: _*)
+    // stage 2: pick own/other distances by label (column references only)
+    def chain(f: Int => Column): Column =
+      labs.indices.tail.foldLeft(when(col("label") === labs.head, f(0))) {
+        (acc, i) => acc.when(col("label") === labs(i), f(i)) }
+    val aCol = chain(i => col(s"__d$i"))
+    val bCol = chain(i => least(labs.indices.filter(_ != i).map(j => col(s"__d$j")): _*))
+    val s = scored.select(col("label"),
+      when(greatest(aCol, bCol) === 0.0, 0.0)
+        .otherwise(graft.util.D.r((bCol - aCol) / greatest(aCol, bCol), 6)).as("s"))
+    val silRows = s.groupBy("label")
+      .agg(graft.util.D.r(graft.util.D.emit6(sum(col("s").cast(graft.util.D.dec25)))
+        / count(lit(1)), 6).as("sil"))
+      .collect() // bounded: one row per rankable label (≤ Guard cap)
+    val ranked = silRows.map(r => r.getString(0) -> r.getDouble(1))
+    val sorted =
+      if (maxSil) ranked.sortBy { case (l, v) => (-v, l) }
+      else ranked.sortBy { case (l, v) => (v, l) }
+    Some(sorted.take(maxLabels).map(_._1).toSeq)
+  }
+
+  /** pruning_method='random', re-expressed deterministically: the
+    * reference draws `max_labels` labels with pandas' `.sample()` under a
+    * fixed NumPy seed (many_to_one_explainer.py:256-258) — the exact draw
+    * is a NumPy-implementation detail, not semantics. Here the seeded
+    * draw is a seeded md5 rank over the DISTINCT labels
+    * (md5('<seed>:' || label) asc, label asc tie-break), reproducible in
+    * any engine; the same limit(maxLabels+1) probe as [[topLabels]]
+    * decides whether pruning is needed at all. */
+  def randomLabels(labels: DataFrame, maxLabels: Int,
+                   seed: String = "42"): Option[Seq[String]] = {
+    val picked = labels.distinct()
+      .select(col("label"), md5(concat_ws(":", lit(seed), col("label"))).as("h"))
+      .orderBy(col("h"), col("label")).limit(maxLabels + 1).collect()
+    if (picked.length <= maxLabels) None
+    else Some(picked.take(maxLabels).map(_.getString(0)).toSeq)
+  }
+
+  /** Dispatch over the supported pruning_method values (the reference's
+    * full legal set — explainable_data_frame.py:1160-1166). */
   def selectLabels(src: DataFrame, labelExpr: Column, numAttrs: Seq[String],
                    method: String, maxLabels: Int): Option[Seq[String]] = {
     val labels = src.select(labelExpr.as("label")).filter(col("label").isNotNull)
@@ -188,8 +278,12 @@ object ManyToOne {
       case "smallest" => topLabels(labels, maxLabels, smallest = true)
       case "max_dist" => distLabels(src, labelExpr, numAttrs, maxLabels, maxDist = true)
       case "min_dist" => distLabels(src, labelExpr, numAttrs, maxLabels, maxDist = false)
+      case "max_silhouette" => silhouetteLabels(src, labelExpr, numAttrs, maxLabels, maxSil = true)
+      case "min_silhouette" => silhouetteLabels(src, labelExpr, numAttrs, maxLabels, maxSil = false)
+      case "random" => randomLabels(labels, maxLabels)
       case other => throw new IllegalArgumentException(
-        s"Unsupported pruning_method: $other (supported: largest, smallest, max_dist, min_dist)")
+        s"Unsupported pruning_method: $other (supported: largest, smallest, " +
+          "max_dist, min_dist, max_silhouette, min_silhouette, random)")
     }
   }
 
@@ -544,6 +638,69 @@ object ManyToOne {
        |  JOIN ct ON lc.attribute = ct.attribute AND lc.val = ct.val)
        |ORDER BY label, attribute, val""".stripMargin
   }
+
+  /** DuckDB mirror of [[explain]] with
+    * pruning_method='max_silhouette'/'min_silhouette' over ONE numeric
+    * attribute: per-label 6dp exact-decimal centroids, per-row 6dp
+    * distances to every centroid (SQRT((x−m)·(x−m)) — the identical
+    * formula the Spark side compiles), simplified-silhouette
+    * s = (b−a)/max(a,b) with the 0/0→0 edge, decimal-exact per-label
+    * means, rank, then the standard rule mining over the kept rows (bin
+    * stats from KEPT rows, mirroring the prune-then-bin flow). */
+  def silhouettePrunedSql(table: String, labelCol: String, attr: String,
+                          covTh: Double, sepTh: Double, maxLabels: Int,
+                          maxSil: Boolean, nb: Int = 10): String = {
+    val ord = if (maxSil) "DESC" else "ASC"
+    s"""WITH labs AS (SELECT CAST($labelCol AS VARCHAR) AS label, $attr
+       |  FROM $table WHERE $labelCol IS NOT NULL),
+       |means AS (SELECT label,
+       |    ROUND(CAST(SUM(CAST($attr AS DECIMAL(25,6))) AS DOUBLE) / COUNT($attr), 6) AS m
+       |  FROM labs GROUP BY 1 HAVING COUNT($attr) > 0),
+       |d AS (SELECT l.rowid AS rid, l.label, m.label AS clabel,
+       |    ROUND(SQRT((l.$attr - m.m) * (l.$attr - m.m)), 6) AS d
+       |  FROM (SELECT ROW_NUMBER() OVER () AS rowid, label, $attr FROM labs
+       |        WHERE $attr IS NOT NULL
+       |          AND label IN (SELECT label FROM means)) l
+       |  CROSS JOIN means m),
+       |ab AS (SELECT rid, label,
+       |    MIN(CASE WHEN clabel = label THEN d END) AS a,
+       |    MIN(CASE WHEN clabel <> label THEN d END) AS b
+       |  FROM d GROUP BY 1, 2),
+       |sc AS (SELECT label,
+       |    CASE WHEN GREATEST(a, b) = 0 THEN 0.0
+       |         ELSE ROUND((b - a) / GREATEST(a, b), 6) END AS s
+       |  FROM ab),
+       |sil AS (SELECT label,
+       |    ROUND(CAST(SUM(CAST(s AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS sil
+       |  FROM sc GROUP BY 1),
+       |keep AS (SELECT label FROM sil ORDER BY sil $ord, label LIMIT $maxLabels),
+       |kept AS (SELECT l.* FROM labs l JOIN keep k ON l.label = k.label),
+       |st AS (SELECT MIN($attr) AS lo_$attr, MAX($attr) AS hi_$attr FROM kept),
+       |pairs AS (SELECT label, '$attr' AS attribute,
+       |    CAST(${Fedex.binSql(attr, s"lo_$attr", s"hi_$attr", nb)} AS VARCHAR) AS val
+       |  FROM kept, st WHERE $attr IS NOT NULL),
+       |lc AS (SELECT label, attribute, val, COUNT(*) AS n_match FROM pairs GROUP BY 1,2,3),
+       |lt AS (SELECT label, COUNT(*) AS n_label FROM pairs GROUP BY 1),
+       |ct AS (SELECT attribute, val, COUNT(*) AS n_cond FROM pairs GROUP BY 1,2)
+       |SELECT label, attribute, val, n_match, coverage, separation_err,
+       |  CAST(CASE WHEN coverage >= $covTh AND separation_err <= $sepTh
+       |       THEN 1 ELSE 0 END AS INT) AS passes
+       |FROM (
+       |  SELECT lc.label, lc.attribute, lc.val, lc.n_match,
+       |    ROUND(CAST(lc.n_match AS DOUBLE) / lt.n_label, 6) AS coverage,
+       |    ROUND(CAST(ct.n_cond - lc.n_match AS DOUBLE) / ct.n_cond, 6) AS separation_err
+       |  FROM lc JOIN lt ON lc.label = lt.label
+       |  JOIN ct ON lc.attribute = ct.attribute AND lc.val = ct.val)
+       |ORDER BY label, attribute, val""".stripMargin
+  }
+
+  /** DuckDB keep-list mirror of [[randomLabels]] (seeded md5 rank over
+    * distinct labels), for composing into pruned-rule oracles. */
+  def randomKeepSql(table: String, labelCol: String, maxLabels: Int,
+                    seed: String = "42"): String =
+    s"""SELECT label FROM (SELECT DISTINCT CAST($labelCol AS VARCHAR) AS label
+       |  FROM $table WHERE $labelCol IS NOT NULL)
+       |ORDER BY md5('$seed' || ':' || label), label LIMIT $maxLabels""".stripMargin
 
   def disjSql(table: String, labelCol: String, attrA: String, attrB: String,
               covTh: Double, sepTh: Double, nb: Int = 10): String =

@@ -455,6 +455,48 @@ class ExplainFrameSpec extends AnyFunSuite {
     }
   }
 
+  test("silhouette pruning ranks separated labels above overlapping ones") {
+    import spark.implicits._
+    // label a sits alone at x~0; b and c interleave around x~100: the
+    // simplified silhouette (distance-to-centroid form) scores a near 1
+    // and b/c near 0, so max_silhouette keeps {a, <one of b/c>} while
+    // min_silhouette keeps {b, c}
+    val df = Seq(("a", 0.0), ("a", 1.0), ("a", 2.0),
+      ("b", 99.0), ("b", 101.0), ("c", 100.0), ("c", 102.0))
+      .toDF("lab", "x")
+    val labCol = org.apache.spark.sql.functions.col("lab").cast("string")
+    val maxK = graft.explain.ManyToOne.selectLabels(df, labCol, Seq("x"), "max_silhouette", 2)
+    assert(maxK.isDefined && maxK.get.contains("a"), s"max_silhouette kept $maxK")
+    val minK = graft.explain.ManyToOne.selectLabels(df, labCol, Seq("x"), "min_silhouette", 2)
+    assert(minK.contains(Seq("b", "c")), s"min_silhouette kept $minK")
+    // <2 rankable centroids -> frequency fallback (mirrors dist pruning)
+    val degenerate = Seq(("a", Some(1.0)), ("a", Some(2.0)),
+      ("b", None), ("b", None), ("c", None)).toDF("lab", "x")
+    val fb = graft.explain.ManyToOne.selectLabels(
+      degenerate, org.apache.spark.sql.functions.col("lab").cast("string"),
+      Seq("x"), "max_silhouette", 2)
+    assert(fb.isDefined && fb.get.contains("a"), s"fallback kept $fb")
+  }
+
+  test("random pruning is a deterministic seeded draw of exactly maxLabels") {
+    val cust = graft.util.D.t(spark, sf, "customer")
+    val labCol = org.apache.spark.sql.functions.col("c_nationkey").cast("string")
+    val k1 = graft.explain.ManyToOne.selectLabels(cust, labCol, Nil, "random", 10)
+    val k2 = graft.explain.ManyToOne.selectLabels(cust, labCol, Nil, "random", 10)
+    assert(k1.isDefined && k1.get.length === 10)
+    assert(k1 === k2, "seeded draw must be reproducible")
+    // no pruning needed when distinct labels <= maxLabels
+    assert(graft.explain.ManyToOne.selectLabels(cust, labCol, Nil, "random", 30).isEmpty)
+  }
+
+  test("unsupported pruning_method still raises with the full legal list") {
+    val cust = graft.util.D.t(spark, sf, "customer")
+    val e = intercept[IllegalArgumentException](
+      graft.explain.ManyToOne.explain(cust, "c_nationkey", Seq("c_mktsegment"), Nil,
+        covTh = 0.05, sepTh = 0.95, pruningMethod = "bogus"))
+    assert(e.getMessage.contains("max_silhouette") && e.getMessage.contains("random"))
+  }
+
   test("relational helpers") {
     val vc = li.valueCounts("l_returnflag").collect()
     assert(vc.length === 3 && math.abs(vc.map(_.getDouble(2)).sum - 1.0) < 0.01)
