@@ -149,6 +149,13 @@ object Pipeline extends QFamily {
       Some(Ann.hardNegativesSql("embeddings", 40, 3)),
       (s, dir) => Ann.hardNegatives(t(s, dir, "embeddings"), 40, 3)),
 
+    // sub-quadratic hard negatives: anchors probe their nprobe nearest
+    // IVF lists, only different-label members of those lists are scored
+    // (the 100 TB path, oracled end-to-end)
+    QDef("q_hard_negatives_ivf",
+      Some(Ann.hardNegativesIvfSql("embeddings", 40, 25, 7, 3, 3)),
+      (s, dir) => Ann.hardNegativesIvf(t(s, dir, "embeddings"), 40, 25, 7, 3, 3)),
+
     // two-stage serving path: int8-quantized coarse scan (integer
     // ranking, 4x-smaller codes) -> exact re-rank of Q x 20 candidates
     QDef("q_ann_refine",

@@ -144,6 +144,68 @@ object Ann {
        |SELECT query_id, rank, negative_id, neg_label, ROUND(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** IVF-blocked hard-negative mining — the sub-quadratic form of
+    * [[hardNegatives]] (the documented 100 TB path, registered end-to-end
+    * rather than by analogy): every vector is assigned to its max-cosine
+    * IVF list (same native hash-aggregable argmax as [[ivfTopK]]), each
+    * anchor probes its `nprobe` nearest lists, and only DIFFERENT-label
+    * members of the probed lists are scored — the corpus side touches
+    * N·nprobe/K candidate rows instead of the brute-force N·Q. At
+    * cluster scale list_id is the partition key, so the probe join
+    * prunes to the probed lists at the scan (the ScaleSpec pin). Anchors
+    * recall only negatives in probed lists (the standard ANN trade;
+    * near-miss negatives are near the anchor, which is what probing
+    * retrieves). */
+  def hardNegativesIvf(vecs: DataFrame, queryMod: Int, centMod: Int,
+                       centOff: Int, nprobe: Int, k: Int): DataFrame = {
+    val base = scaledBase(vecs, Seq("label"))
+    val cents = base.filter(col("vec_id") % centMod === centOff)
+      .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
+    def scoreCents(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
+    val assign = scoreCents(base).groupBy("vec_id")
+      .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("list_id"))
+    val members = base.join(assign, "vec_id")
+    val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val probes = scoreCents(base.filter(col("vec_id") % queryMod === 0))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("fxe").as("qe"), col("nsq").as("qn"), col("cid").as("list_id"))
+    val scored = members.join(broadcast(probes), "list_id")
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("cosine", cosExpr(FixedDot(col("qe"), col("fxe")), col("qn"), col("nsq")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("negative_id"),
+        col("label").cast(LongType).as("neg_label"),
+        graft.util.D.r(col("cosine"), 6).as("cosine"), col("list_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB mirror of [[hardNegativesIvf]]. */
+  def hardNegativesIvfSql(table: String, queryMod: Int, centMod: Int,
+                          centOff: Int, nprobe: Int, k: Int): String =
+    s"""WITH ${normSqSql(table)},
+       |base AS (SELECT e.vec_id, e.label, e.embedding, n.nsq FROM $table e JOIN norms n ON e.vec_id = n.vec_id),
+       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE vec_id % $centMod = $centOff),
+       |scored_c AS (SELECT b.vec_id, b.label, b.embedding, b.nsq, c.cid,
+       |    ${cosSql(dotFixSql("c.ce", "b.embedding"), "c.cn", "b.nsq")} AS ccos
+       |  FROM base b CROSS JOIN cents c),
+       |ranked_c AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored_c),
+       |assign AS (SELECT vec_id, cid AS list_id FROM ranked_c WHERE rn = 1),
+       |members AS (SELECT b.vec_id, b.label, b.embedding, b.nsq, a.list_id FROM base b JOIN assign a ON b.vec_id = a.vec_id),
+       |probes AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qe, nsq AS qn, cid AS list_id
+       |  FROM ranked_c WHERE vec_id % $queryMod = 0 AND rn <= $nprobe),
+       |scored AS (SELECT p.query_id, m.vec_id AS negative_id,
+       |    CAST(m.label AS BIGINT) AS neg_label, m.list_id,
+       |    ${cosSql(dotFixSql("p.qe", "m.embedding"), "p.qn", "m.nsq")} AS cosine
+       |  FROM members m JOIN probes p ON m.list_id = p.list_id AND m.label <> p.qlabel),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, negative_id) AS rank FROM scored)
+       |SELECT query_id, rank, negative_id, neg_label, ROUND(cosine, 6) AS cosine, list_id
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** IVF: centroids = vec_id % centMod = centOff; assign every vector to
     * its max-cosine centroid; queries probe the `nprobe` nearest lists. */
   def ivfTopK(vecs: DataFrame, queryMod: Int, centMod: Int, centOff: Int,

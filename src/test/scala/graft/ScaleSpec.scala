@@ -152,13 +152,57 @@ class ScaleSpec extends AnyFunSuite {
     // max_by(id, struct(...)) planned the N×K assignment as
     // SortAggregate (per-partition sorts of the scored table); the
     // native ArgMaxBy must keep it in ObjectHashAggregate
-    for (name <- Seq("q_ann_ivf", "q_dedup_embedding_ivf", "q_kmeans_step", "q_semdedup")) {
+    for (name <- Seq("q_ann_ivf", "q_dedup_embedding_ivf", "q_kmeans_step", "q_semdedup",
+      "q_hard_negatives_ivf")) {
       val plan = graft.SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(plan.contains("argmax_by"),
         s"$name lost the native argmax aggregate:\n${plan.take(1200)}")
       assert(!plan.contains("SortAggregate"),
         s"$name plans a SortAggregate:\n${plan.take(1600)}")
+    }
+  }
+
+  test("IVF hard negatives: candidate join is list-keyed and list scans prune") {
+    import graft.sim.Ann
+    val e = graft.util.D.t(spark, sf, "embeddings")
+    // 1. the candidate join must be an equi-join on list_id (members
+    //    meet broadcast probes hash-keyed — never an unkeyed N×Q
+    //    nested loop like the brute-force form; the only
+    //    BroadcastNestedLoopJoin allowed is the N×K centroid scoring)
+    val df = Ann.hardNegativesIvf(e, 40, 25, 7, 3, 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin [list_id"),
+      s"probe join not list-keyed:\n${plan.take(1600)}")
+    // 2. the physical 100 TB analog: with the corpus laid out
+    //    partitionBy(list_id), an anchor's probed lists prune at the
+    //    scan, so the corpus side READS only probed lists
+    val assign = Ann.assignLists(e, 25, 7)
+    val path = "/tmp/graft_hn_lists"
+    e.join(assign, "vec_id").write.mode("overwrite").partitionBy("list_id").parquet(path)
+    val probed = assign.select("list_id").distinct().orderBy("list_id")
+      .limit(3).collect().map(_.getLong(0))
+    val scan = spark.read.parquet(path).filter(col("list_id").isin(probed: _*))
+    val scanPlan = scan.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters") && scanPlan.contains(probed.head.toString),
+      s"probed-list scan not pruned:\n${scanPlan.take(1200)}")
+    assert(scan.count() < e.count(), "pruned scan read the whole corpus")
+    // 3. blocked-vs-global consistency: per anchor, the IVF top
+    //    negative scores candidates from probed lists ONLY, so its
+    //    cosine can never EXCEED the brute-force global top — and every
+    //    IVF row must be a legal brute-force candidate (different
+    //    label). (Exact-recall agreement is NOT asserted: the test
+    //    embeddings are random high-dim vectors, where true neighbors
+    //    scatter uniformly across lists and any fixed nprobe recalls
+    //    poorly — the known ANN property, not a defect.)
+    val bruteTop = Ann.hardNegatives(e, 40, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val ivfRows = df.collect()
+    assert(ivfRows.nonEmpty)
+    ivfRows.filter(_.getLong(1) == 1L).foreach { r =>
+      val (q, c) = (r.getLong(0), r.getDouble(4))
+      assert(c <= bruteTop(q) + 1e-9,
+        s"anchor $q: blocked top cosine $c beats global top ${bruteTop(q)}")
     }
   }
 
