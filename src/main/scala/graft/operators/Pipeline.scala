@@ -619,6 +619,13 @@ object Pipeline extends QFamily {
       Some(graft.sim.Ann.kmeansStepSql("embeddings", 25, 7)),
       (s, dir) => graft.sim.Ann.kmeansStep(t(s, dir, "embeddings"), 25, 7)),
 
+    // two chained Lloyd iterations as ONE lazy plan — the oracled proof
+    // that Ann.kmeansFit's loop body (re-assign to the 6dp means,
+    // re-average) is cross-engine deterministic round over round
+    QDef("q_kmeans_2iter",
+      Some(graft.sim.Ann.kmeans2IterSql("embeddings", 25, 7)),
+      (s, dir) => graft.sim.Ann.kmeans2Iter(t(s, dir, "embeddings"), 25, 7)),
+
     // exact corpus Gram matrix (the distributed PCA/covariance input —
     // d(d+1)/2 cells from one scan; see Ann.gramMatrix scale notes)
     QDef("q_embed_gram",

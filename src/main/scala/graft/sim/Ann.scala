@@ -392,11 +392,23 @@ object Ann {
     val base = scaledBase(vecs)
     val cents = base.filter(col("vec_id") % centMod === centOff)
       .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
-    val assigned = base.crossJoin(broadcast(cents))
+    meansOf(assignTo(base, cents))
+  }
+
+  /** Assignment half of a Lloyd iteration: (vec_id, cluster_id, fxe)
+    * via the native hash-aggregable argmax over broadcast pre-scaled
+    * centroids (ccos desc, cid asc tie-break). */
+  private def assignTo(base: DataFrame, cents: DataFrame): DataFrame =
+    base.crossJoin(broadcast(cents))
       .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
       .groupBy("vec_id")
       .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("cluster_id"),
         first(col("fxe")).as("fxe"))
+
+  /** Update half of a Lloyd iteration: per-(cluster, dim) exact long
+    * sums of the fixed-point components, one double division at the
+    * end (see [[kmeansStep]]'s envelope note). */
+  private def meansOf(assigned: DataFrame): DataFrame =
     assigned.select(col("cluster_id"), posexplode(col("fxe")).as(Seq("dim", "fx")))
       .groupBy("cluster_id", "dim")
       .agg(count(lit(1)).cast(LongType).as("n_members"),
@@ -406,7 +418,129 @@ object Ann {
         graft.util.D.r(col("sfx").cast(DoubleType) / lit(1e8) /
           col("n_members").cast(DoubleType), 6).as("centroid"))
       .orderBy("cluster_id", "dim")
+
+  /** Seed centroid table (cid, cembedding) for [[kmeansFit]] /
+    * [[kmeansIter]]: the family's deterministic vec_id-mod seeding.
+    * For K ~ √N seeding (the scale guidance — assignment cost O(N·K)
+    * stays O(N^1.5) while quantization error keeps shrinking), pass
+    * centMod = [[sqrtSeedMod]](n). */
+  def seedCents(vecs: DataFrame, centMod: Int, centOff: Int): DataFrame =
+    vecs.filter(col("vec_id") % centMod === centOff)
+      .select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("cembedding"))
+
+  /** centMod giving ~√n seeded centroids out of n vectors. */
+  def sqrtSeedMod(n: Long): Int = {
+    require(n > 0, "need a positive corpus size")
+    math.max(1, math.round(math.sqrt(n.toDouble))).toInt
   }
+
+  /** One Lloyd iteration against an EXPLICIT centroid table
+    * (cid, cembedding: array<double>) — [[kmeansStep]] generalized from
+    * vec_id-seeded to arbitrary centroids so [[kmeansFit]] can loop it.
+    * Centroids re-enter the fixed-point domain through the same
+    * quantizer as the corpus ([[scaled]]), so a 6dp-mean centroid scores
+    * bit-identically in any engine. Same single-corpus-shuffle shape as
+    * [[kmeansStep]]. */
+  def kmeansIter(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val c = cents.select(col("cid"), scaled(col("cembedding")).as("ce"))
+      .withColumn("cn", FixedDot(col("ce"), col("ce")))
+    meansOf(assignTo(scaledBase(vecs), c))
+  }
+
+  /** Centroid table (cid, cembedding) from a [[kmeansIter]]/
+    * [[kmeansStep]] means output — per-cluster dim-ordered mean vector
+    * (the collect_list/transform run on the K-row aggregated table, the
+    * family's bounded post-aggregation HOF convention). */
+  def centsFromMeans(means: DataFrame): DataFrame =
+    means.groupBy(col("cluster_id").as("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        s => s.getField("centroid")).as("cembedding"))
+
+  /** Looped-to-convergence Lloyd fit (the `kmeansFit` entry point the
+    * single-step family hands off to): seed from vec_id % centMod =
+    * centOff (use [[sqrtSeedMod]] for K ~ √N), then repeat
+    * [[kmeansIter]] until the max centroid drift (euclidean, over
+    * clusters surviving the round — an empty cluster drops out, the
+    * standard Lloyd behavior) is ≤ `tol` or `maxIter` rounds ran.
+    *
+    * Scale: each round is ONE linear job (the kmeansStep contract);
+    * centroids stay a K-row DataFrame end-to-end — localCheckpoint(true)
+    * truncates the per-round lineage exactly as dup_clusters'
+    * label-propagation loop does, so the plan stays constant-size and
+    * centroids never collect to the driver (K ~ √N can be millions of
+    * rows at corpus scale). The only driver-side value per round is the
+    * scalar drift. */
+  final case class KMeansFit(centroids: DataFrame, iters: Int,
+                             drifts: Seq[Double], converged: Boolean)
+
+  def kmeansFit(vecs: DataFrame, centMod: Int, centOff: Int,
+                maxIter: Int = 10, tol: Double = 1e-4): KMeansFit = {
+    require(maxIter >= 1, "maxIter must be >= 1")
+    require(tol >= 0, "tol must be >= 0")
+    var cents = seedCents(vecs, centMod, centOff).localCheckpoint(true)
+    val drifts = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var converged = false
+    var it = 0
+    while (it < maxIter && !converged) {
+      val next = centsFromMeans(kmeansIter(vecs, cents)).localCheckpoint(true)
+      val d2 = aggregate(
+        zip_with(col("n.cembedding"), col("o.cembedding"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      // K-row join; coalesce covers the no-surviving-cluster edge
+      val drift = next.as("n").join(cents.as("o"), col("n.cid") === col("o.cid"))
+        .agg(coalesce(max(sqrt(d2)), lit(0.0))).head().getDouble(0)
+      cents = next
+      drifts += drift
+      it += 1
+      converged = drift <= tol
+    }
+    KMeansFit(cents, it, drifts.toSeq, converged)
+  }
+
+  /** Fixed-2-iteration oracled form: seed → means → re-assign to the
+    * 6dp means → means again, as one lazy plan (no driver round-trip —
+    * exactly two [[kmeansIter]] compositions). */
+  def kmeans2Iter(vecs: DataFrame, centMod: Int, centOff: Int): DataFrame =
+    kmeansIter(vecs,
+      centsFromMeans(kmeansStep(vecs, centMod, centOff)))
+
+  /** DuckDB mirror of [[kmeans2Iter]]: iteration 1 is [[kmeansStepSql]]'s
+    * assignment/means; the 6dp means re-quantize at 1e8
+    * (ROUND(centroid·1e8) — the [[scaled]] contract) and iteration 2
+    * re-assigns and re-averages. */
+  def kmeans2IterSql(table: String, centMod: Int, centOff: Int): String =
+    s"""WITH ${normSqSql(table)},
+       |base AS (SELECT e.vec_id, e.embedding, n.nsq FROM $table e JOIN norms n ON e.vec_id = n.vec_id),
+       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE vec_id % $centMod = $centOff),
+       |scored_c AS (SELECT b.vec_id, b.nsq, c.cid,
+       |    ${cosSql(dotFixSql("c.ce", "b.embedding"), "c.cn", "b.nsq")} AS ccos
+       |  FROM base b CROSS JOIN cents c),
+       |assign1 AS (SELECT vec_id, cid AS cluster_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored_c)
+       |  WHERE rn = 1),
+       |ve AS (SELECT vec_id,
+       |    CAST(unnest(generate_series(1, len(embedding))) - 1 AS BIGINT) AS dim,
+       |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 100000000) AS BIGINT) AS fx
+       |  FROM base),
+       |means1 AS (SELECT a.cluster_id, v.dim, COUNT(*) AS n,
+       |    ROUND(CAST(CAST(SUM(v.fx) AS BIGINT) AS DOUBLE) / 100000000.0 / CAST(COUNT(*) AS DOUBLE), 6) AS centroid
+       |  FROM ve v JOIN assign1 a ON v.vec_id = a.vec_id GROUP BY 1, 2),
+       |c2 AS (SELECT cluster_id AS cid, dim,
+       |    CAST(ROUND(centroid * 100000000) AS BIGINT) AS cfx FROM means1),
+       |c2n AS (SELECT cid, CAST(SUM(cfx * cfx) AS BIGINT) AS cn FROM c2 GROUP BY 1),
+       |dots AS (SELECT v.vec_id, c.cid, CAST(SUM(v.fx * c.cfx) AS BIGINT) AS dot
+       |  FROM ve v JOIN c2 c ON v.dim = c.dim GROUP BY 1, 2),
+       |scored2 AS (SELECT d.vec_id, d.cid,
+       |    ${cosSql("d.dot", "n.nsq", "cn.cn")} AS ccos
+       |  FROM dots d JOIN norms n ON d.vec_id = n.vec_id JOIN c2n cn ON d.cid = cn.cid),
+       |assign2 AS (SELECT vec_id, cid AS cluster_id FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored2)
+       |  WHERE rn = 1)
+       |SELECT a.cluster_id, v.dim, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  ROUND(CAST(CAST(SUM(v.fx) AS BIGINT) AS DOUBLE) / 100000000.0 / CAST(COUNT(*) AS DOUBLE), 6) AS centroid
+       |FROM ve v JOIN assign2 a ON v.vec_id = a.vec_id
+       |GROUP BY 1, 2 ORDER BY cluster_id, dim""".stripMargin
 
   /** DuckDB mirror of [[kmeansStep]] (two zipped unnests = posexplode). */
   def kmeansStepSql(table: String, centMod: Int, centOff: Int): String =

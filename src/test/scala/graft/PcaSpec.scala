@@ -79,6 +79,33 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansFit converges on the embeddings table") {
+    val e = graft.util.D.t(spark, sf, "embeddings")
+    val fit = graft.sim.Ann.kmeansFit(e, centMod = 25, centOff = 7,
+      maxIter = 6, tol = 0.05)
+    // Lloyd monotonically shrinks the objective; on this data the max
+    // centroid drift must fall below tol within the budget
+    assert(fit.converged, s"no convergence in ${fit.iters} iters; drifts=${fit.drifts}")
+    assert(fit.drifts.last <= 0.05)
+    // drift trend: the last measured drift is below the first (strictly,
+    // since convergence fired)
+    assert(fit.drifts.last < fit.drifts.head,
+      s"drift did not decrease: ${fit.drifts}")
+    // the fitted centroids are a well-formed K-row table
+    val k = fit.centroids.count()
+    assert(k > 0 && k <= e.count() / 25 + 1)
+    // √N seeding helper: mod of ~√n
+    assert(graft.sim.Ann.sqrtSeedMod(10000) === 100)
+  }
+
+  test("kmeans2Iter equals one manual composition of step + iter") {
+    import graft.sim.Ann
+    val e = graft.util.D.t(spark, sf, "embeddings")
+    val composed = Ann.kmeansIter(e, Ann.centsFromMeans(Ann.kmeansStep(e, 25, 7)))
+    val direct = Ann.kmeans2Iter(e, 25, 7)
+    assert(direct.exceptAll(composed).isEmpty && composed.exceptAll(direct).isEmpty)
+  }
+
   test("gramMatrix plans scan-local: no self-join, no extra shuffle of the corpus") {
     val plan = graft.sim.Ann.gramMatrix(df).queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
