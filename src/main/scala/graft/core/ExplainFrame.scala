@@ -461,7 +461,12 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
                              corrTH: Double = 0.95,
                              useAllGroupbyCombinations: Boolean = false,
                              minCommonness: Double = 0.5,
-                             maxGroupbyCombinations: Int = 32): DataFrame = {
+                             maxGroupbyCombinations: Int = 32,
+                             correlationAggregationMethod: String = "avg",
+                             allowMultipleAggregations: Boolean = false,
+                             allowMultipleGroupbys: Boolean = false): DataFrame = {
+    require(Seq("avg", "max", "sum").contains(correlationAggregationMethod),
+      s"Unknown method: $correlationAggregationMethod. Use 'avg', 'max' or 'sum'")
     val skip = Seq("key", "_id", "date", "comment", "name", "phone", "address")
     val strCols = df.schema.fields
       .filter(_.dataType == StringType).map(_.name)
@@ -471,9 +476,33 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
       .filterNot(n => n.endsWith("key") || n.endsWith("_id")).toSeq
     val fs = (if (filterDims.nonEmpty) filterDims else strCols).take(maxFilterColumns)
     val bs = (if (breakdowns.nonEmpty) breakdowns else strCols).take(maxFilterColumns)
-    val ms0 = (if (measures.nonEmpty) measures else numCols).take(maxAggregationColumns + 2)
+    // schema-derived measure candidates rank by combined correlation to
+    // the filter dimensions (reference _find_correlated_columns_multi:
+    // per-target correlations combined by correlation_aggregation_method
+    // 'avg'|'max'|'sum', strongest first) — the one-scan η matrix, with
+    // the measure name as the deterministic tie-break. Explicit
+    // `measures` bypass the ranking, as in the reference.
+    val ranked =
+      if (measures.nonEmpty || numCols.isEmpty || fs.isEmpty) numCols
+      else {
+        val etas = Correlation.etaMatrix(df, fs, numCols)
+        numCols.map { m =>
+          val vs = fs.map(d => etas.getOrElse((d, m), 0.0))
+          val combined = correlationAggregationMethod match {
+            case "avg" => vs.sum / vs.size
+            case "max" => vs.max
+            case "sum" => vs.sum
+          }
+          m -> combined
+        }.sortBy { case (m, v) => (-v, m) }.map(_._1)
+      }
+    val ms0 = (if (measures.nonEmpty) measures else ranked).take(maxAggregationColumns + 2)
     val ms =
-      if (ms0.size <= 1) ms0.take(maxAggregationColumns)
+      // explicitly provided measures are used as-is (reference: "If the
+      // user provided a list of aggregations, we use them") — corr
+      // pruning applies only to schema-derived candidates
+      if (measures.nonEmpty) measures.take(maxAggregationColumns)
+      else if (ms0.size <= 1) ms0.take(maxAggregationColumns)
       else {
         val pairs = ms0.combinations(2).map(p => (p(0), p(1))).toSeq
         val corr = Correlation.pearson(df, pairs).collect()
@@ -520,7 +549,9 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
         combo.mkString("+"), m, s"${m}_mean")
         .withColumn("filter_dim", lit(f))
     MetaInsight.rank(autoTables ++ comboTables, topK,
-      minCommonness = minCommonness)
+      minCommonness = minCommonness,
+      allowMultipleAggregations = allowMultipleAggregations,
+      allowMultipleGroupbys = allowMultipleGroupbys)
   }
 
   /** Textual description of the top explanation, mirroring the reference's

@@ -333,6 +333,55 @@ object Correlation {
     pearsonDf.unionByName(etaDf).unionByName(cramersDf)
   }
 
+  /** η (correlation ratio) for EVERY (cat, num) pair in ONE
+    * grouping-sets scan — the multi-target correlation table behind
+    * auto-search's correlation_aggregation_method ranking (reference
+    * `_find_correlated_columns_multi`, metainsight_explainer.py:600-658:
+    * per-target correlations combined by avg/max/sum; its per-target
+    * computation is a pandas loop — one scan per target — re-expressed
+    * here as a single grouping-sets pass whose () set carries the global
+    * moments). Group rows collect to the driver (bounded: Σ cat
+    * cardinalities + 1, Guard-capped); η math is the [[eta]] formula.
+    * Ranking device (double sums, deterministic), not an oracled path. */
+  def etaMatrix(df: DataFrame, cats: Seq[String], nums: Seq[String]): Map[(String, String), Double] = {
+    require(cats.nonEmpty && nums.nonEmpty, "etaMatrix needs >=1 cat and >=1 num")
+    val aggs =
+      (count(lit(1)).cast(DoubleType).as("ng") +:
+        nums.zipWithIndex.flatMap { case (m, i) => Seq(
+          sum(col(m).cast(D.dec25)).cast(DoubleType).as(s"sg_$i"),
+          sum((col(m) * col(m)).cast(DecimalType(38, 6))).cast(DoubleType).as(s"ssg_$i")) }) ++
+        cats.map(c => grouping(col(c)).as(s"g_$c"))
+    val cap = graft.util.Guard.MaxRankedLabels
+    val rows = df
+      .groupingSets(cats.map(c => Seq(col(c))) :+ Seq.empty[Column], cats.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .limit(cap + 1).collect()
+    if (rows.length > cap)
+      throw new IllegalArgumentException(
+        s"etaMatrix found more than $cap group rows — a candidate dimension " +
+          "looks ID-like; pass explicit filterDims/measures or raise " +
+          "graft.util.Guard.MaxRankedLabels.")
+    // grouping() emits BYTE
+    def flag(r: org.apache.spark.sql.Row, c: String) = r.getByte(r.fieldIndex(s"g_$c")).toInt
+    val global = rows.find(r => cats.forall(c => flag(r, c) == 1)).getOrElse(
+      throw new IllegalStateException("grouping-sets () row missing"))
+    val n = global.getDouble(global.fieldIndex("ng"))
+    (for {
+      (c, _) <- cats.zipWithIndex
+      (m, mi) <- nums.zipWithIndex
+    } yield {
+      val s = Option(global.get(global.fieldIndex(s"sg_$mi"))).fold(0.0)(_.asInstanceOf[Double])
+      val ss = Option(global.get(global.fieldIndex(s"ssg_$mi"))).fold(0.0)(_.asInstanceOf[Double])
+      val groups = rows.filter(r => flag(r, c) == 0 && cats.filter(_ != c).forall(o => flag(r, o) == 1))
+      val ssb = groups.map { r =>
+        val ng = r.getDouble(r.fieldIndex("ng"))
+        val sg = Option(r.get(r.fieldIndex(s"sg_$mi"))).fold(0.0)(_.asInstanceOf[Double])
+        ng * (sg / ng - s / n) * (sg / ng - s / n)
+      }.sum
+      (c, m) -> math.sqrt(ssb / math.max(ss - n * (s / n) * (s / n), 1e-9))
+    }).toMap
+  }
+
   /** Correlation ratio η: categorical `cat` → numeric `num`. */
   def eta(df: DataFrame, cat: String, num: String): DataFrame = {
     val g = df.groupBy(col(cat).as("g"))

@@ -345,6 +345,33 @@ object Explainers extends QFamily {
         breakdowns = Seq("o_orderstatus", "o_orderpriority"),
         measures = Seq("o_totalprice"))),
 
+    // auto-search with allow_multiple_aggregations +
+    // allow_multiple_groupbys: the pattern families additionally extend
+    // across the measure axis, the breakdown axis, and both (the '*'
+    // collapsed insights), mined from the SAME pattern rows — the oracle
+    // enumerates the identical scope set and collapses identically
+    QDef("q_metainsight_multi", {
+      val scopes = Seq(
+        ("l_returnflag", "l_linestatus", "l_quantity"),
+        ("l_returnflag", "l_linestatus", "l_extendedprice"),
+        ("l_returnflag", "l_linenumber", "l_quantity"),
+        ("l_returnflag", "l_linenumber", "l_extendedprice"))
+      // the Spark side auto-derives month-trend scopes from lineitem's
+      // date column — enumerated identically here
+      val trendScopes = Seq(
+        ("l_returnflag", "l_shipdate", "l_quantity"),
+        ("l_returnflag", "l_shipdate", "l_extendedprice"))
+      Some(MetaInsight.autoSql("lineitem", scopes, 12, trendScopes,
+        minCommonness = 0.15,
+        allowMultipleAggregations = true, allowMultipleGroupbys = true))
+    }, (s, dir) => graft.core.ExplainFrame(t(s, dir, "lineitem"), "lineitem")
+      .explainMetaInsightAuto(topK = 12,
+        filterDims = Seq("l_returnflag"),
+        breakdowns = Seq("l_linestatus", "l_linenumber"),
+        measures = Seq("l_quantity", "l_extendedprice"),
+        minCommonness = 0.15,
+        allowMultipleAggregations = true, allowMultipleGroupbys = true)),
+
     // fedex join explanation, consider='right' (reference default): the
     // join result's customer-attribute distributions vs the customer table
     QDef("q_fedex_join", {

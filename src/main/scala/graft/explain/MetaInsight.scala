@@ -320,9 +320,27 @@ object MetaInsight {
   def rank(tables: Seq[DataFrame], topK: Int,
            minCommonness: Double = 0.5,
            noExceptionPenaltyWeight: Double = 0.1,
-           balanceFactor: Double = 1.0): DataFrame = {
+           balanceFactor: Double = 1.0,
+           allowMultipleAggregations: Boolean = false,
+           allowMultipleGroupbys: Boolean = false): DataFrame = {
     require(tables.nonEmpty, "metainsight rank needs at least one pattern table")
-    mine(tables.reduce(_ unionByName _), Seq("filter_dim"),
+    val pats = tables.reduce(_ unionByName _)
+    // allow_multiple_aggregations / allow_multiple_groupbys (reference
+    // metainsight_explainer.py:52-53, extend_by_measure/extend_by_breakdown
+    // in its miner): a MetaInsight may EXTEND its scope family along the
+    // measure (resp. breakdown) axis. Re-expressed deterministically:
+    // additional candidate insights whose measure (resp. breakdown, resp.
+    // both) key collapses to '*', so commonness is computed across the
+    // extended scope set (every (subspace, measure) — or (subspace,
+    // breakdown) — pair is one scope). Built from the SAME pattern rows —
+    // no extra scan; the unioned subtrees are identical, so runtime
+    // exchange reuse collapses the aggregation work.
+    val extended = pats +:
+      ((if (allowMultipleAggregations) Seq(pats.withColumn("measure", lit("*"))) else Nil) ++
+        (if (allowMultipleGroupbys) Seq(pats.withColumn("breakdown", lit("*"))) else Nil) ++
+        (if (allowMultipleAggregations && allowMultipleGroupbys)
+          Seq(pats.withColumn("measure", lit("*")).withColumn("breakdown", lit("*"))) else Nil))
+    mine(extended.reduce(_ unionByName _), Seq("filter_dim"),
         minCommonness, noExceptionPenaltyWeight, balanceFactor)
       .orderBy(col("score").desc, col("filter_dim"), col("breakdown"),
         col("measure"), col("pattern"))
@@ -339,7 +357,9 @@ object MetaInsight {
               trendScopes: Seq[(String, String, String)] = Nil,
               minCommonness: Double = 0.5,
               noExceptionPenaltyWeight: Double = 0.1,
-              balanceFactor: Double = 1.0): String = {
+              balanceFactor: Double = 1.0,
+              allowMultipleAggregations: Boolean = false,
+              allowMultipleGroupbys: Boolean = false): String = {
     // mirror autoTables' rule: several measures over the same
     // (filterDim, breakdown) share one row_count measure — emitted for
     // the first such scope only
@@ -421,8 +441,20 @@ object MetaInsight {
     }
     val pats = (scopes.indices.map(i => s"SELECT * FROM p$i") ++
       trendScopes.indices.map(i => s"SELECT * FROM tp$i")).mkString("\nUNION ALL\n")
+    // mirror rank()'s scope-family extension: measure/breakdown (or both)
+    // collapsed to '*' as additional candidate insights
+    val extendedBranches =
+      (if (allowMultipleAggregations)
+        Seq("SELECT subspace, '*' AS measure, has_pat, highlight, pattern, breakdown, filter_dim FROM pats0") else Nil) ++
+      (if (allowMultipleGroupbys)
+        Seq("SELECT subspace, measure, has_pat, highlight, pattern, '*' AS breakdown, filter_dim FROM pats0") else Nil) ++
+      (if (allowMultipleAggregations && allowMultipleGroupbys)
+        Seq("SELECT subspace, '*' AS measure, has_pat, highlight, pattern, '*' AS breakdown, filter_dim FROM pats0") else Nil)
+    val patsFinal =
+      if (extendedBranches.isEmpty) s"pats AS ($pats)"
+      else s"pats0 AS ($pats),\npats AS (SELECT * FROM pats0\nUNION ALL\n${extendedBranches.mkString("\nUNION ALL\n")})"
     s"""WITH ${(parts ++ trendParts).mkString(",\n")},
-       |pats AS ($pats)
+       |$patsFinal
        |SELECT filter_dim, breakdown, measure, pattern, n_subspaces, n_matching,
        |  commonness, score, example_highlight
        |FROM (

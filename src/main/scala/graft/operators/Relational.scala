@@ -6,7 +6,7 @@ import graft.util.Sq
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, StringType}
 
 /** Core relational surface (SURVEY.md §2.1) — the Spark-native
   * re-expression of pd-explain's ExpDataFrame operation set
@@ -676,6 +676,44 @@ object Relational extends QFamily {
           r(min(col("l_extendedprice")), 4).as("lo"),
           r(max(col("l_extendedprice")), 4).as("hi"))
         .orderBy("bucket")
+    },
+
+    // ---- approx qcut (the quantile SCALE path, tolerance-oracled) -------
+    // q_qcut's exact decile boundaries are superlinear in BOTH engines
+    // (sf1 growth 7.4x/8.1x — exact percentile buffers every value in
+    // the aggregation state). The scale path swaps in approx_percentile
+    // (t-digest: BOUNDED sketch state per task, map-side merged), whose
+    // boundaries are not cross-engine reproducible by design — so this
+    // follows the q_approx_stats tolerance-oracle convention: the query
+    // itself validates each sketch boundary against the EXACT rank it
+    // claims (fraction of rows at-or-below boundary i must sit within
+    // i/10 ± 2%; t-digest accuracy 1000 bounds rank error at ~0.1%) and
+    // emits within-envelope flags that hash-compare against the
+    // oracle's constant-1 column. A sketch drifting out of envelope
+    // turns a flag 0 and fails the hash — a real check, not rows-only.
+    q("q_qcut_approx",
+      """SELECT CAST(d AS BIGINT) AS decile,
+        |  (SELECT COUNT(*) FROM lineitem) AS n,
+        |  CAST(1 AS BIGINT) AS within_tol
+        |FROM generate_series(1, 9) t(d) ORDER BY decile""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_extendedprice")
+      // 9 sketch boundaries back to the driver (bounded, as in q_qcut),
+      // re-entering as literals for the single validation scan
+      val bs = li.agg(approx_percentile(col("l_extendedprice"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*), lit(1000)).as("bs"))
+        .head().getSeq[Double](0)
+      val aggs = bs.zipWithIndex.map { case (b, i) =>
+        sum((col("l_extendedprice") <= lit(b)).cast(LongType)).as(s"c$i") } :+
+        count(lit(1)).as("n")
+      val flags = bs.indices.map { i =>
+        struct(lit(i + 1).cast(LongType).as("decile"),
+          when(abs(col(s"c$i").cast(DoubleType) / col("n") - lit((i + 1) / 10.0)) <= 0.02,
+            lit(1L)).otherwise(lit(0L)).as("within_tol"))
+      }
+      li.agg(aggs.head, aggs.tail: _*)
+        .select(col("n"), explode(array(flags: _*)).as("f"))
+        .select(col("f.decile").as("decile"), col("n"), col("f.within_tol").as("within_tol"))
+        .orderBy("decile")
     },
 
     // ---- cut (equal-width binning) --------------------------------------

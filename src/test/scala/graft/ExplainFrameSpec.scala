@@ -252,6 +252,68 @@ class ExplainFrameSpec extends AnyFunSuite {
       .map(_.getString(0)).exists(_.contains("+")))
   }
 
+  test("metainsight auto extends across measures/groupbys when allowed") {
+    val li = ExplainFrame(graft.util.D.t(spark, sf, "lineitem"), "lineitem")
+    def run(ma: Boolean, mg: Boolean) = li.explainMetaInsightAuto(topK = 100,
+      filterDims = Seq("l_returnflag"),
+      breakdowns = Seq("l_linestatus", "l_linenumber"),
+      measures = Seq("l_quantity", "l_extendedprice"),
+      minCommonness = 0.01,
+      allowMultipleAggregations = ma, allowMultipleGroupbys = mg)
+    // flags off: no '*' keys at all
+    val off = run(ma = false, mg = false).collect()
+    assert(!off.exists(r => r.getString(2) == "*" || r.getString(1) == "*"))
+    // allow_multiple_aggregations: measure-collapsed ('*') insights join
+    // the candidate set; breakdown stays concrete
+    val ma = run(ma = true, mg = false).collect()
+    assert(ma.exists(_.getString(2) == "*"), "no measure-collapsed insight")
+    assert(!ma.exists(_.getString(1) == "*"), "unexpected breakdown collapse")
+    // allow_multiple_groupbys: breakdown-collapsed insights
+    val mg = run(ma = false, mg = true).collect()
+    assert(mg.exists(_.getString(1) == "*"), "no breakdown-collapsed insight")
+    assert(!mg.exists(_.getString(2) == "*"), "unexpected measure collapse")
+    // both: the doubly-collapsed family exists too
+    val both = run(ma = true, mg = true).collect()
+    assert(both.exists(r => r.getString(1) == "*" && r.getString(2) == "*"),
+      "no (breakdown, measure)-collapsed insight")
+    // a collapsed insight's scope family is the union of its concrete
+    // families: n_subspaces adds up
+    val concrete = ma.filter(r => r.getString(2) != "*" &&
+      r.getString(1) == "l_linestatus" && r.getString(3) == "dominance")
+    val collapsed = ma.filter(r => r.getString(2) == "*" &&
+      r.getString(1) == "l_linestatus" && r.getString(3) == "dominance")
+    if (concrete.nonEmpty && collapsed.nonEmpty)
+      assert(collapsed.head.getLong(4) >= concrete.map(_.getLong(4)).max)
+  }
+
+  test("metainsight auto ranks schema-derived measures by combined correlation") {
+    import graft.explain.Correlation
+    val li = graft.util.D.t(spark, sf, "lineitem")
+    // one-scan eta matrix agrees with the per-pair eta aggregate
+    val m = Correlation.etaMatrix(li, Seq("l_returnflag"), Seq("l_quantity"))
+    val direct = Correlation.eta(li, "l_returnflag", "l_quantity")
+      .collect().head.getDouble(3)
+    assert(math.abs(m(("l_returnflag", "l_quantity")) - direct) < 1e-4,
+      s"etaMatrix=${m(("l_returnflag", "l_quantity"))} vs eta=$direct")
+    // combined-method dispatch: sum >= max >= avg for multi-target
+    // combining of nonnegative etas (2 targets)
+    val mm = Correlation.etaMatrix(li, Seq("l_returnflag", "l_linestatus"),
+      Seq("l_quantity", "l_extendedprice"))
+    for (num <- Seq("l_quantity", "l_extendedprice")) {
+      val vs = Seq(mm(("l_returnflag", num)), mm(("l_linestatus", num)))
+      assert(vs.forall(v => v >= 0 && v <= 1.0 + 1e-9), s"eta out of range: $vs")
+    }
+    // invalid method raises with the reference's message shape
+    val ef = ExplainFrame(li, "lineitem")
+    val e = intercept[IllegalArgumentException](
+      ef.explainMetaInsightAuto(correlationAggregationMethod = "median"))
+    assert(e.getMessage.contains("avg"))
+    // schema-derived run under each method still returns ranked insights
+    for (method <- Seq("avg", "max", "sum"))
+      assert(ef.explainMetaInsightAuto(topK = 3, minCommonness = 0.01,
+        correlationAggregationMethod = method).count() > 0)
+  }
+
   test("many_to_one explain() attaches error attribution by default") {
     val ef = ExplainFrame(graft.util.D.t(spark, sf, "customer"), "customer")
     val out = ef.explain(explainer = "many_to_one", labelCol = "c_mktsegment",
