@@ -340,6 +340,93 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming rolling window matches the batch fold and q_rolling_time") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Rolling, RollingEvent}
+    val raw = graft.util.D.normTs(graft.util.D.t(spark, sf, "events"))
+      .filter(col("user_id") < 10 && col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[RollingEvent].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id)) // event-time-order feeding
+
+    def key(id: Long, n: Long, s: Double) = (id, n, math.rint(s * 1e6) / 1e6)
+    val batch = Rolling.rollingBatch(spark, spark.createDataset(raw)).collect()
+      .map(o => key(o.event_id, o.n_1h, o.sum_1h)).toSet
+
+    // three-way leg 1: the typed fold equals q_rolling_time's rows
+    val sqlRows = SparkEntry.queries("q_rolling_time")(spark, sf)
+      .filter(col("user_id") < 10).collect()
+      .map(r => key(r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+    assert(batch === sqlRows, "typed batch fold diverges from q_rolling_time: " +
+      s"${batch.diff(sqlRows).take(3)} / ${sqlRows.diff(batch).take(3)}")
+
+    // three-way leg 2: the stream equals the batch fold. Split at a
+    // MICROS boundary so same-instant RANGE peers land in one batch
+    // (the documented contract)
+    val mem = MemoryStream[RollingEvent]
+    val q = Rolling.rollingStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("rolling_out").outputMode("append").start()
+    try {
+      var cut = raw.size / 2
+      while (cut < raw.size && raw(cut).ts == raw(cut - 1).ts) cut += 1
+      val (a, b) = raw.splitAt(cut)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val streamed = spark.table("rolling_out").collect()
+        .map(r => key(r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+      assert(streamed === batch, "stream/batch divergence: " +
+        s"${streamed.diff(batch).take(3)} / ${batch.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
+
+  test("streaming interval join matches the banded batch RangeJoin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.RangeEnrich
+    val ev = graft.util.D.normTs(graft.util.D.t(spark, sf, "events"))
+      .filter(col("user_id") < 20)
+    // batch truth: the banded point-in-interval join's matched pairs
+    val pts = ev.select(col("event_id"), unix_micros(col("ts")).as("pos_us"))
+    val win = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("win_id"),
+        (unix_micros(col("ts")) - 300000000L).as("lo_us"),
+        (unix_micros(col("ts")) + 300000000L).as("hi_us"))
+    val banded = graft.operators.RangeJoin
+      .pointInInterval(pts, "pos_us", win, "lo_us", "hi_us", bandWidth = 600000000L)
+      .select("event_id", "win_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // streaming: native watermarked stream-stream interval join over the
+    // same rows (points and windows derived from one MemoryStream)
+    val raw = ev.select(col("event_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)].collect().toSeq
+      .sortBy(e => (e._2.getTime, e._1))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val sdf = mem.toDS().toDF("event_id", "ts", "event_type")
+    val joined = RangeEnrich.matches(
+      sdf.select(col("event_id"), col("ts")),
+      sdf.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("win_id"), col("ts").as("wts")))
+    val q = joined.select("event_id", "win_id")
+      .writeStream.format("memory").queryName("range_out").outputMode("append").start()
+    try {
+      val (a, b) = raw.splitAt(raw.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val streamed = spark.table("range_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === banded, "stream/banded divergence: " +
+        s"extra=${streamed.diff(banded).take(3)} missing=${banded.diff(streamed).take(3)}")
+    } finally q.stop()
+
+    // disjoint-name contract is enforced
+    val e = intercept[IllegalArgumentException](RangeEnrich.matches(
+      ev.select(col("event_id"), col("ts")),
+      ev.select(col("event_id"), col("ts").as("wts"))))
+    assert(e.getMessage.contains("disjoint"))
+  }
+
   test("quality scoring, PII scrub, and RAG chunking are stateless on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
