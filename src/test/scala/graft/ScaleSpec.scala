@@ -163,6 +163,42 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("no registered query plans an unpartitioned window over corpus-sized input") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Window, WindowGroupLimit}
+    // A partition-less Window is a single-reducer global sort — a scale
+    // killer on corpus-sized input. The enumerated exceptions are the
+    // ONLY queries allowed one, each over a provably bounded table:
+    //  - q_seq_pack / q_vocab_build: the distributed-ordered-cumsum
+    //    prefix-offset window runs over per-PARTITION totals (one row
+    //    per Spark partition — partition-count-sized);
+    //  - q_bm25 / q_bpe_pairs / q_dsir: the rank-stamping window runs
+    //    over an upstream limit(k) table (k rows).
+    // The structural check below proves boundedness per hit: the
+    // window's child subtree must contain a Limit, or an Aggregate
+    // grouped solely by the spark_partition_id-derived pid key.
+    val allowed = Set("q_seq_pack", "q_vocab_build", "q_bm25", "q_bpe_pairs", "q_dsir")
+    def boundedBelow(child: LogicalPlan): Boolean =
+      child.collect {
+        case _: GlobalLimit => true
+        case _: LocalLimit => true
+        case a: Aggregate if a.groupingExpressions.size == 1 &&
+          a.groupingExpressions.head.references.map(_.name).toSeq == Seq("pid") => true
+      }.nonEmpty
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val hits = fn(spark, sf).queryExecution.optimizedPlan.collectWithSubqueries {
+        case w: Window if w.partitionSpec.isEmpty => w.child
+        case w: WindowGroupLimit if w.partitionSpec.isEmpty => w.child
+      }
+      hits.foreach { child =>
+        if (!allowed.contains(name)) offenders += s"$name (not allowlisted)"
+        else if (!boundedBelow(child)) offenders += s"$name (child not provably bounded)"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over unbounded input: ${offenders.mkString("; ")}")
+  }
+
   test("IVF hard negatives: candidate join is list-keyed and list scans prune") {
     import graft.sim.Ann
     val e = graft.util.D.t(spark, sf, "embeddings")
