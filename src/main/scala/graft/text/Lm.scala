@@ -337,23 +337,49 @@ object Lm {
     // table. All three consumers below (target counts, raw counts,
     // scoring join) hang off this same aggregate, so the corpus is
     // scanned once and the exchange is reused, not recomputed.
+    // the explicit isnotnull(b) pin is the semdedup subtree-identity
+    // trick: the scoring join below INFERS isnotnull on its join key
+    // and pushes it into its copy of this subtree, while the dist
+    // consumer doesn't — without the pin the two copies never
+    // canonicalize equal and the corpus tokenize-aggregate runs TWICE
+    // (b is never null, so the filter is semantically free)
     val g = docs
       .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("w"))
       .select(col("doc_id"), col("lang"), size(col("w")).cast(LongType).as("dl"),
         explode(col("w")).as("tok"))
       .withColumn("b", bucketOf(col("tok"), buckets))
+      .filter(col("b").isNotNull)
       .groupBy("doc_id", "lang", "dl", "b")
       .agg(count(lit(1)).cast(LongType).as("tf"))
-    val tc = g.filter(col("lang") === targetLang)
-      .groupBy("b").agg(sum(col("tf")).cast(LongType).as("tc"))
-    val rc = g.groupBy("b").agg(sum(col("tf")).cast(LongType).as("rc"))
-    val tn = tc.agg(sum(col("tc")).cast(LongType).as("tn"))
-    val rn = rc.agg(sum(col("rc")).cast(LongType).as("rn"))
-    // every bucket a document hits is present in rc by construction,
-    // so the inner join below loses nothing; tc may miss buckets (OOV
-    // for the target slice) — left join + smoothing mass
-    val delta = rc.join(tc, Seq("b"), "left")
-      .crossJoin(tn).crossJoin(rn)
+    // BOTH distributions from ONE re-aggregation of g: the earlier
+    // filtered-branch form (tc = g.filter(lang = target).groupBy(b))
+    // let Catalyst push the lang predicate below g's aggregate into the
+    // scan, SPECIALIZING that subtree — no longer identical to g, so
+    // runtime exchange reuse failed and the final adaptive plan ran the
+    // corpus tokenize-aggregate FOUR times (the tfidf/semdedup
+    // pushdown-defeats-reuse failure mode; found profiling the sf1
+    // floor). The conditional sum keeps every consumer on the identical
+    // g subtree: one corpus aggregate, reused. A bucket with no
+    // target-slice tokens has tc NULL (sum over no rows) — coalesce(0)
+    // below preserves the old left-join + smoothing-mass semantics
+    // bit-for-bit.
+    val dist = g.groupBy("b").agg(
+      sum(col("tf")).cast(LongType).as("rc"),
+      sum(when(col("lang") === targetLang, col("tf"))).cast(LongType).as("tc"))
+    // global masses via an unpartitioned window over dist — dist is
+    // bucket-bounded (≤ `buckets` rows, a fixed parameter) so the
+    // single-reducer frame holds ≤ 256 rows; a separate dist.agg()
+    // branch measured as a THIRD corpus aggregate (its g subtree
+    // missed AQE stage reuse), where this form keeps g at exactly two
+    // consumers (scoring join + dist), which reuse to one computation.
+    // ScaleSpec's unpartitioned-window pin allowlists exactly this
+    // bucket-grouped shape.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val delta = dist
+      .select(col("b"), col("rc"), col("tc"),
+        sum(col("rc")).over(wAll).as("rn"), sum(col("tc")).over(wAll).as("tn"))
       .select(col("b"),
         (lp6(coalesce(col("tc"), lit(0L)), col("tn"), lit(buckets.toLong)) -
           lp6(col("rc"), col("rn"), lit(buckets.toLong))).as("d"))

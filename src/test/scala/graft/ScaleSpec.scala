@@ -172,17 +172,21 @@ class ScaleSpec extends AnyFunSuite {
     //    prefix-offset window runs over per-PARTITION totals (one row
     //    per Spark partition — partition-count-sized);
     //  - q_bm25 / q_bpe_pairs / q_dsir: the rank-stamping window runs
-    //    over an upstream limit(k) table (k rows).
+    //    over an upstream limit(k) table (k rows); q_dsir additionally
+    //    sums its global token masses over the per-bucket distribution
+    //    table (≤ `buckets` rows — a fixed parameter, key `b`).
     // The structural check below proves boundedness per hit: the
     // window's child subtree must contain a Limit, or an Aggregate
-    // grouped solely by the spark_partition_id-derived pid key.
+    // grouped solely by the spark_partition_id-derived pid key or the
+    // fixed-bucket key b.
     val allowed = Set("q_seq_pack", "q_vocab_build", "q_bm25", "q_bpe_pairs", "q_dsir")
     def boundedBelow(child: LogicalPlan): Boolean =
       child.collect {
         case _: GlobalLimit => true
         case _: LocalLimit => true
         case a: Aggregate if a.groupingExpressions.size == 1 &&
-          a.groupingExpressions.head.references.map(_.name).toSeq == Seq("pid") => true
+          Seq(Seq("pid"), Seq("b")).contains(
+            a.groupingExpressions.head.references.map(_.name).toSeq) => true
       }.nonEmpty
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -371,6 +375,17 @@ class ScaleSpec extends AnyFunSuite {
       assert(p.contains("ReusedExchange"),
         s"$name: no runtime exchange reuse — identical-subtree property regressed:\n${p.take(1200)}")
     }
+    // contains("ReusedExchange") is a weak pin (one reuse can coexist
+    // with duplicated corpus scans — exactly how dsir's lang-filtered
+    // target branch regressed to FOUR tokenize-aggregates in round 5).
+    // Sharp property for dsir: the FINAL adaptive plan runs the
+    // per-(doc, lang, dl, b) corpus tokenize-aggregate exactly ONCE.
+    val dsir = graft.SparkEntry.queries("q_dsir")(spark, sf)
+    dsir.collect()
+    val finalPlan = dsir.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val corpusAggs = "partial_count".r.findAllIn(finalPlan).size
+    assert(corpusAggs == 1,
+      s"q_dsir runs the corpus aggregate $corpusAggs times (want 1):\n${finalPlan.take(1600)}")
   }
 
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
