@@ -641,25 +641,31 @@ final class ExplainGroupBy(parent: ExplainFrame, cols: Seq[String]) {
     Correlation.pearsonBy(parent.df, cols, x, y)
 
   /** pandas `groupby().transform(fn)`: the group aggregate aligned back
-    * onto every row as a new `${c}_${fn}` column (row count and order
-    * preserved). The stat table is group-cardinality-sized and joins as
-    * a plain equi-join — AQE broadcasts it when small, and a
-    * high-cardinality group key degrades to an ordinary shuffle join
-    * instead of a forced-broadcast OOM. */
+    * onto every row as a new `${c}_${fn}` column. ROW COUNT is
+    * preserved — including rows with a NULL group key, which align as a
+    * LEFT join miss and carry a NULL aggregate (pandas transform emits
+    * NaN for them); output ORDER is not guaranteed (join output order
+    * never is — re-sort if order matters). The stat table is
+    * group-cardinality-sized and joins as a plain equi-join — AQE
+    * broadcasts it when small, and a high-cardinality group key
+    * degrades to an ordinary shuffle join instead of a
+    * forced-broadcast OOM. */
   def transform(c: String, fn: String): ExplainFrame = {
     val stat = parent.df.groupBy(cols.map(col): _*).agg(aggExpr(c, fn).as(s"${c}_$fn"))
-    new ExplainFrame(parent.df.join(stat, cols), parent.op, parent.name)
+    new ExplainFrame(parent.df.join(stat, cols, "left"), parent.op, parent.name)
   }
 
   /** Per-row group z-score (the canonical transform): adds `${c}_mean`,
     * `${c}_std`, `${c}_zscore` from ONE stats aggregation (decimal-exact
-    * moments, deterministic 6dp emission) joined back per row. */
+    * moments, deterministic 6dp emission) joined back per row. NULL
+    * group keys keep their rows with NULL stats ([[transform]]'s
+    * left-join alignment). */
   def zscore(c: String): ExplainFrame = {
     val n = org.apache.spark.sql.functions.count(col(c))
     val stat = parent.df.groupBy(cols.map(col): _*).agg(
       D.r(D.emit6(D.dsum(col(c))) / n).as(s"${c}_mean"),
       D.r(sqrt(D.varSamp(D.emit6(D.dsum(col(c))), D.dsumsq(col(c)), n))).as(s"${c}_std"))
-    val joined = parent.df.join(stat, cols)
+    val joined = parent.df.join(stat, cols, "left")
       .withColumn(s"${c}_zscore",
         D.r((col(c) - col(s"${c}_mean")) / col(s"${c}_std"), 6))
     new ExplainFrame(joined, parent.op, parent.name)

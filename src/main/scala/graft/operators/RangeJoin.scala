@@ -34,12 +34,23 @@ object RangeJoin {
   /** Join `points` (with BIGINT column `posCol`) to every row of
     * `intervals` (with BIGINT columns `loCol`, `hiCol`) whose closed range
     * contains the point. `bandWidth` should be ≥ the typical interval
-    * span (2-copy replication); correctness holds for any positive value.
+    * span (2-copy replication); correctness holds for any positive value,
+    * but each interval is required to cover at most [[MaxBandsPerInterval]]
+    * bands (span/bandWidth + 1) — beyond that the replication `sequence`
+    * is approaching Spark's ~2^31 array-length cap and the band width is
+    * simply mis-chosen for the data; the precondition fails fast with the
+    * offending span instead of dying inside codegen. The two inputs must
+    * use DISJOINT column names (the equi-join key `__band` is internal;
+    * a shared data column would make every downstream reference
+    * ambiguous) — alias one side before calling.
     * Output: all point columns + all interval columns. */
   def pointInInterval(points: DataFrame, posCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
                       bandWidth: Long): DataFrame = {
     require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points/intervals must use disjoint column names (shared: ${shared.mkString(", ")}) — alias one side")
     // exact long floor-division: plain `/` on longs goes through double
     // (loses precision beyond 2^52) and `div` alone truncates toward zero
     // (wrong band for negative positions) — subtracting the nonnegative
@@ -47,11 +58,32 @@ object RangeJoin {
     def fdiv(c: String): Column =
       expr(s"(`$c` - pmod(`$c`, ${bandWidth}L)) div ${bandWidth}L")
     val pts = points.withColumn("__band", fdiv(posCol))
+    // fail fast (with the offending span) on an interval covering more
+    // than MaxBandsPerInterval bands, instead of letting sequence() blow
+    // past Spark's array cap or silently replicating one row millions of
+    // times. The guard wraps the sequence's OWN upper bound (the
+    // Guard.scala contract: a column the plan must evaluate — a separate
+    // guard column would be dropped by column pruning).
+    val cap = MaxBandsPerInterval
+    val nBands = fdiv(hiCol) - fdiv(loCol) + 1
+    val hiBand = when(nBands <= cap, fdiv(hiCol))
+      .otherwise(raise_error(concat(
+        lit(s"RangeJoin: interval spans more than $cap bands ("),
+        nBands.cast("string"), lit(s" at bandWidth=$bandWidth; lo="),
+        col(loCol).cast("string"), lit(", hi="), col(hiCol).cast("string"),
+        lit(") — raise bandWidth, split the interval, or raise " +
+          "graft.operators.RangeJoin.MaxBandsPerInterval"))).cast("long"))
     val ivs = intervals
       .filter(col(loCol) <= col(hiCol)) // empty ranges match nothing
-      .withColumn("__band", explode(sequence(fdiv(loCol), fdiv(hiCol))))
+      .withColumn("__band", explode(sequence(fdiv(loCol), hiBand)))
     pts.join(ivs, "__band")
       .filter(col(loCol) <= col(posCol) && col(posCol) <= col(hiCol))
       .drop("__band")
   }
+
+  /** Per-interval replication bound: an interval wider than this many
+    * bands indicates a mis-chosen bandWidth (each band is one join-input
+    * copy; 1M copies of one row is a data-shape bug, not a plan). Raise
+    * deliberately if ultra-wide intervals are intentional. */
+  @volatile var MaxBandsPerInterval: Long = 1000000L
 }

@@ -576,8 +576,10 @@ object Ann {
     * Exactness at scale: a straight long sum of the 1e16-scale products
     * overflows around Σ x_i·x_j ≈ 920 (≈ 59k unit-norm 64-dim rows), so
     * each product is split into three 21-bit chunks summed separately
-    * (the [[graft.explain.Correlation]] chunked-long design: |p| < 2^53
-    * → chunk sums bounded by n·2^21, overflow-safe to n ≈ 2^42 rows ≈
+    * (the [[graft.explain.Correlation]] chunked-long design; |p| ≤ 1e16
+    * < 2^54 for components in [−1, 1] — the chunk decomposition is exact
+    * for ANY long via two's complement, the bound only sizes the chunk
+    * sums: each grows ≤ n·2^21, overflow-safe to n ≈ 2^42 rows ≈
     * 100 TB-proof) and recombined exactly in DECIMAL once per cell.
     * Output: (i, j, n, gram) with gram = G[i,j] rounded to 6dp via the
     * deterministic DECIMAL(38,0)→DOUBLE emission (both engines convert
@@ -637,12 +639,30 @@ object Ann {
     * exactly the two aggregate scans in [[gramMatrix]]/[[meanVector]].
     *
     * Deterministic by construction: exact cross-engine Gram/mean
-    * inputs, fixed start vector (1/√d, …), fixed iteration count,
-    * sequential driver-side double math (no parallel reduction
-    * reorder), and a sign convention (largest-|component| coordinate
-    * made positive). Returns (eigenvalue, component) pairs, largest
-    * first. */
-  def pca(vecs: DataFrame, k: Int, iters: Int = 200): Seq[(Double, Array[Double])] = {
+    * inputs, fixed start vector (1/√d, …), a deterministic
+    * tolerance-based stop (pure sequential double math — the same
+    * inputs converge at the same iterate on any host), and a sign
+    * convention (largest-|component| coordinate made positive).
+    * Returns (eigenvalue, component) pairs, largest first; use
+    * [[pcaDetailed]] for the per-pair iteration count and convergence
+    * flag (near-degenerate leading eigenvalues converge slowly, and
+    * deflation compounds an unconverged pair's error into every later
+    * pair — the flag makes that visible instead of silent). */
+  def pca(vecs: DataFrame, k: Int, iters: Int = 200): Seq[(Double, Array[Double])] =
+    pcaDetailed(vecs, k, maxIters = iters).map(e => (e.value, e.vector))
+
+  /** One eigenpair of [[pcaDetailed]]: `iters` = power iterations spent,
+    * `converged` = the iterate moved ≤ `tol` (∞-norm, sign-agnostic)
+    * on its last step. An unconverged pair means its eigenvalue gap is
+    * small at this budget — its vector (and, through deflation, later
+    * pairs) may be inaccurate; raise maxIters or treat the trailing
+    * pairs as unstable. */
+  final case class EigenPair(value: Double, vector: Array[Double],
+                             iters: Int, converged: Boolean)
+
+  def pcaDetailed(vecs: DataFrame, k: Int, maxIters: Int = 200,
+                  tol: Double = 1e-12): Seq[EigenPair] = {
+    require(maxIters >= 1, "pca: maxIters must be >= 1")
     val gRows = gramMatrix(vecs).collect()
     val mRows = meanVector(vecs).collect()
     val d = mRows.length
@@ -655,23 +675,33 @@ object Ann {
       val v = g / n - mu(i) * mu(j)
       c(i)(j) = v; c(j)(i) = v
     }
-    val comps = scala.collection.mutable.ArrayBuffer.empty[(Double, Array[Double])]
+    val comps = scala.collection.mutable.ArrayBuffer.empty[EigenPair]
     val a = c.map(_.clone())
     (1 to math.min(k, d)).foreach { _ =>
       var v = Array.fill(d)(1.0 / math.sqrt(d))
-      var lambda = 0.0
-      (1 to iters).foreach { _ =>
+      var it = 0
+      var delta = Double.MaxValue
+      while (it < maxIters && delta > tol) {
         val av = Array.tabulate(d)(i => (0 until d).foldLeft(0.0)((s, j) => s + a(i)(j) * v(j)))
         val nrm = math.sqrt(av.map(x => x * x).sum)
-        if (nrm > 0) v = av.map(_ / nrm)
+        if (nrm > 0) {
+          val nv = av.map(_ / nrm)
+          // sign-agnostic iterate movement: power iteration may flip
+          // sign step-to-step near a negative-shifted eigenvalue
+          delta = math.min(
+            v.indices.map(i => math.abs(nv(i) - v(i))).max,
+            v.indices.map(i => math.abs(nv(i) + v(i))).max)
+          v = nv
+        } else delta = 0.0 // zero matrix: any unit vector is stationary
+        it += 1
       }
-      lambda = (0 until d).foldLeft(0.0)((s, i) =>
+      val lambda = (0 until d).foldLeft(0.0)((s, i) =>
         s + v(i) * (0 until d).foldLeft(0.0)((t, j) => t + a(i)(j) * v(j)))
       // sign convention: the largest-magnitude coordinate is positive
       val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
-      if (v(pivot) < 0) v = v.map(-_)
-      comps += ((lambda, v))
-      (0 until d).foreach(i => (0 until d).foreach(j => a(i)(j) -= lambda * v(i) * v(j)))
+      val vf = if (v(pivot) < 0) v.map(-_) else v
+      comps += EigenPair(lambda, vf, it, delta <= tol)
+      (0 until d).foreach(i => (0 until d).foreach(j => a(i)(j) -= lambda * vf(i) * vf(j)))
     }
     comps.toSeq
   }

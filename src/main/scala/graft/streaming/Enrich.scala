@@ -58,7 +58,13 @@ object Enrich {
         case "signup" =>
           if (t > state.signupUs) state = AsOfState(t)
         case "purchase" =>
-          if (state.signupUs == Long.MinValue)
+          // state.signupUs > t only under cross-batch out-of-order data
+          // (outside the documented contract): a later signup already
+          // folded in. Emitting it would label a FUTURE signup "last
+          // signup at-or-before" — degrade to an unmatched row instead,
+          // so contract violations are visibly unmatched, never
+          // semantically wrong.
+          if (state.signupUs == Long.MinValue || state.signupUs > t)
             out += Enriched(e.event_id, e.user_id, e.ts, None, None)
           else
             out += Enriched(e.event_id, e.user_id, e.ts,

@@ -574,6 +574,18 @@ class ExplainFrameSpec extends AnyFunSuite {
     // transform preserves row count and holds the stat constant per group
     val tr = ef.groupBy("l_returnflag").transform("l_quantity", "sum").df
     assert(tr.count() === li.count())
+    // NULL group keys keep their rows with a NULL aligned stat (pandas
+    // transform emits NaN there) — the inner-join form silently dropped
+    // them
+    val withNull = li.unionByName(
+      li.limit(2).select(org.apache.spark.sql.functions.lit(null)
+        .cast("string").as("l_returnflag"), col("l_quantity")))
+    val efn = graft.core.ExplainFrame(withNull, "lineitem")
+    val trn = efn.groupBy("l_returnflag").transform("l_quantity", "sum").df
+    assert(trn.count() === withNull.count(), "null-key rows dropped by transform")
+    assert(trn.filter(col("l_returnflag").isNull && col("l_quantity_sum").isNull).count() === 2)
+    val zn = efn.groupBy("l_returnflag").zscore("l_quantity").df
+    assert(zn.count() === withNull.count(), "null-key rows dropped by zscore")
     assert(tr.select("l_returnflag", "l_quantity_sum").distinct().count() === 3)
     // the aligned sum equals the direct group aggregate
     val direct = li.groupBy("l_returnflag")

@@ -70,6 +70,19 @@ class PcaSpec extends AnyFunSuite {
     assert(v0 > 10 * v1, s"projection variances not separated: $v0 vs $v1")
   }
 
+  test("pcaDetailed converges under budget and surfaces the flag") {
+    val det = graft.sim.Ann.pcaDetailed(df, k = 2, maxIters = 200, tol = 1e-12)
+    assert(det.forall(_.converged), s"unconverged pairs: ${det.map(e => (e.iters, e.converged))}")
+    assert(det.forall(_.iters < 200), "tolerance stop never fired")
+    // a starved budget reports NOT converged instead of silently
+    // returning an inaccurate pair
+    val starved = graft.sim.Ann.pcaDetailed(df, k = 1, maxIters = 1, tol = 1e-15)
+    assert(!starved.head.converged)
+    // the tuple API agrees with the detailed one
+    val tup = graft.sim.Ann.pca(df, k = 2)
+    assert(tup.map(_._1) === det.map(_.value))
+  }
+
   test("pca is deterministic run-to-run") {
     val a = graft.sim.Ann.pca(df, k = 2)
     val b = graft.sim.Ann.pca(df, k = 2)

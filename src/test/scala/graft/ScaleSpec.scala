@@ -453,6 +453,24 @@ class ScaleSpec extends AnyFunSuite {
       win.limit(1).withColumn("hi_us", col("lo_us") + 3600000000L), // 1 h span
       "lo_us", "hi_us", 600000000L)
     assert(wide.count() > 0)
+    // shared column names are rejected up front (ambiguous output refs)
+    val clash = intercept[IllegalArgumentException](RangeJoin.pointInInterval(
+      pts, "pos_us", win.withColumnRenamed("win_id", "event_id"),
+      "lo_us", "hi_us", 600000000L))
+    assert(clash.getMessage.contains("disjoint"))
+    // an interval covering more bands than the cap fails fast with the
+    // offending span instead of exploding sequence() toward the array cap
+    val old = RangeJoin.MaxBandsPerInterval
+    try {
+      RangeJoin.MaxBandsPerInterval = 3L
+      val e2 = intercept[Throwable](RangeJoin.pointInInterval(
+        pts, "pos_us",
+        win.limit(1).withColumn("hi_us", col("lo_us") + 3600000000L),
+        "lo_us", "hi_us", 600000000L).count())
+      val msgs = Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(msgs.contains("spans more than"), s"cap error not raised: ${msgs.take(400)}")
+    } finally RangeJoin.MaxBandsPerInterval = old
   }
 
   test("auto-exploration produces a deterministic mixed-step report") {

@@ -340,6 +340,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("as-of fold degrades a future-signup state to unmatched, never wrong") {
+    import graft.streaming.{AsOfEvent, AsOfState, Enrich}
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // cross-batch out-of-order (outside the contract): state already
+    // holds a signup AFTER this purchase — emitting it would label a
+    // future signup "last signup at-or-before"; it must come out
+    // unmatched instead
+    val (out, _) = Enrich.foldAsOf(
+      Seq(AsOfEvent(1L, ts(100), "purchase", 7L)),
+      Some(AsOfState(200L * 1000000L)))
+    assert(out.map(e => (e.event_id, e.last_signup_ts, e.us_since_signup)) ===
+      Seq((7L, None, None)))
+    // an at-or-before state still matches
+    val (ok, _) = Enrich.foldAsOf(
+      Seq(AsOfEvent(1L, ts(100), "purchase", 8L)),
+      Some(AsOfState(100L * 1000000L)))
+    assert(ok.head.us_since_signup === Some(0L))
+  }
+
   test("streaming rolling window matches the batch fold and q_rolling_time") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
