@@ -523,8 +523,16 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
     val trendScopes = for (f <- fs; d <- dateCols; m <- ms)
       yield (f, org.apache.spark.sql.functions.month(col(d)), s"${d}_month", m)
     // all cat scopes evaluate in ONE merged aggregation chain (and all
-    // trend scopes in another) — see MetaInsight.autoTables
-    val autoTables = MetaInsight.autoTables(df, scopes, trendScopes)
+    // trend scopes in another) — see MetaInsight.autoTables. The
+    // common single-filter-dim grid takes the SCAN-SHARING form: one
+    // (subspace, b1[, b2]) cube carries every measure's sums, so the
+    // whole grid costs ~2 corpus scans instead of one per scope
+    // (MetaInsight.gridTables; bit-identical decimal re-aggregation)
+    val usableBs = bs.filterNot(b => fs.size == 1 && b == fs.head)
+    val autoTables =
+      if (fs.size == 1 && usableBs.nonEmpty && usableBs.size <= 2 && ms.nonEmpty)
+        MetaInsight.gridTables(df, fs.head, usableBs, ms, dateCols)
+      else MetaInsight.autoTables(df, scopes, trendScopes)
     // use_all_groupby_combinations (reference
     // metainsight_explainer.py:301-308): the FULL powerset of the
     // breakdown columns (sizes 2..n; size-1 subsets are the plain

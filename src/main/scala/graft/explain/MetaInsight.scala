@@ -313,6 +313,79 @@ object MetaInsight {
     (catTable ++ trendTable).toSeq
   }
 
+  /** Single-filter-dim auto GRID (breakdowns × measures) evaluated from
+    * SHARED corpus aggregations — the scan-sharing form of
+    * [[autoTables]] for the common "one filter dimension, several
+    * breakdowns and measures" enumeration: with two breakdowns, ONE
+    * (subspace, b1, b2) cube carries the count and EVERY measure's
+    * decimal sum, and each breakdown's cells re-aggregate from it
+    * ([[cube2]]/[[cellsFrom]] generalized to a multi-measure melt);
+    * each trend column gets one (subspace, month) pass for ALL
+    * measures. The whole grid costs 1 + |trendCols| corpus scans
+    * instead of one per scope (measured 3.5 s → 1.4 s on the
+    * registered 4-cat + 2-trend lineitem grid at sf0.1). Decimal sums
+    * re-aggregate exactly, so results are bit-identical to
+    * [[autoTables]]' per-scope form and the same SQL oracle covers
+    * both. */
+  def gridTables(src: DataFrame, filterDim: String, breakdowns: Seq[String],
+                 measures: Seq[String], trendCols: Seq[String] = Nil): Seq[DataFrame] = {
+    require(breakdowns.nonEmpty && breakdowns.size <= 2,
+      "gridTables supports 1 or 2 breakdowns (the cube is subspace × Π|b_i| cells)")
+    require(measures.nonEmpty, "gridTables needs at least one measure")
+    val tagKeys = Seq("filter_dim", "breakdown", "subspace", "measure")
+    val sumAggs = measures.map(m => sum(col(m).cast(D.dec25)).as(s"sm_$m"))
+    def meltMulti(cellsDf: DataFrame, bName: String): DataFrame = {
+      val rows = measures.map(m => struct(lit(s"${m}_mean").as("measure"),
+        graft.util.D.r(col(s"sm_$m").cast(D.dec25).cast(DoubleType) / col("cnt"), 6).as("v"))) :+
+        struct(lit("row_count").as("measure"), col("cnt").cast(DoubleType).as("v"))
+      cellsDf.select(col("subspace"), col("b").cast("string").as("b"),
+          explode(array(rows: _*)).as("mv"))
+        .select(col("subspace"), col("b"), col("mv.measure").as("measure"), col("mv.v").as("v"))
+        .withColumn("filter_dim", lit(filterDim)).withColumn("breakdown", lit(bName))
+    }
+    // re-aggregate one breakdown's cells (+ the '*' rollup) from a
+    // pre-aggregated table in one grouping-sets pass — the [[cells]]
+    // shape with carried measure sums
+    def cellsOver(pre: DataFrame, b: Column): DataFrame = {
+      val aggList = (sum(col("cnt")).as("cnt") +:
+        measures.map(m => sum(col(s"sm_$m")).as(s"sm_$m"))) :+
+        grouping(col("__sub")).as("__g")
+      pre.withColumn("__b", b)
+        .groupingSets(Seq(Seq(col("__sub"), col("__b")), Seq(col("__b"))),
+          col("__sub"), col("__b"))
+        .agg(aggList.head, aggList.tail: _*)
+        .select(when(col("__g") === 1, lit("*")).otherwise(col("__sub")).as("subspace") +:
+          col("__b").as("b") +: col("cnt") +: measures.map(m => col(s"sm_$m")): _*)
+    }
+    val catMelts: Seq[DataFrame] =
+      if (breakdowns.size == 1)
+        Seq(meltMulti(
+          cellsOver(
+            src.groupBy(col(filterDim).cast("string").as("__sub"),
+                col(breakdowns.head).as("__b1"))
+              .agg(count(lit(1)).as("cnt"), sumAggs: _*),
+            col("__b1")),
+          breakdowns.head))
+      else {
+        val cube = src.groupBy(col(filterDim).cast("string").as("__sub"),
+            col(breakdowns(0)).as("__b1"), col(breakdowns(1)).as("__b2"))
+          .agg(count(lit(1)).as("cnt"), sumAggs: _*)
+        breakdowns.zipWithIndex.map { case (bName, i) =>
+          meltMulti(cellsOver(cube, col(s"__b${i + 1}")), bName) }
+      }
+    val catTable = catMelts.reduceOption(_ unionByName _).map(catPatternsKeyed(_, tagKeys))
+    val trendMelts = trendCols.map { tc =>
+      val cells = cellsOver(
+        src.groupBy(col(filterDim).cast("string").as("__sub"),
+            month(col(tc)).as("__b1"))
+          .agg(count(lit(1)).as("cnt"), sumAggs: _*),
+        col("__b1"))
+      meltMulti(cells, s"${tc}_month").withColumn("x", col("b").cast(IntegerType))
+    }
+    val trendTable = trendMelts.reduceOption(_ unionByName _).map(trendPatternsKeyed(_, tagKeys))
+    (catTable ++ trendTable).toSeq
+  }
+
   /** Mine + score-rank prebuilt per-scope pattern tables (each tagged
     * with a `filter_dim` column) — the shared tail of [[auto]], public so
     * callers can append scopes auto() cannot express (e.g. composite
@@ -332,15 +405,29 @@ object MetaInsight {
     // additional candidate insights whose measure (resp. breakdown, resp.
     // both) key collapses to '*', so commonness is computed across the
     // extended scope set (every (subspace, measure) — or (subspace,
-    // breakdown) — pair is one scope). Built from the SAME pattern rows —
-    // no extra scan; the unioned subtrees are identical, so runtime
-    // exchange reuse collapses the aggregation work.
-    val extended = pats +:
-      ((if (allowMultipleAggregations) Seq(pats.withColumn("measure", lit("*"))) else Nil) ++
-        (if (allowMultipleGroupbys) Seq(pats.withColumn("breakdown", lit("*"))) else Nil) ++
+    // breakdown) — pair is one scope). The variants EXPLODE from each
+    // pattern row (the family's melt convention) so the pattern subtree
+    // is referenced exactly once — a union of '*'-rewritten copies
+    // re-planned every per-scope corpus aggregation per copy (measured
+    // 12 s vs 1.4 s on the registered multi query at sf0.1: 4 copies x
+    // 6 scope scans of lineitem).
+    val variants =
+      Seq(struct(col("measure"), col("breakdown"))) ++
+        (if (allowMultipleAggregations)
+          Seq(struct(lit("*").as("measure"), col("breakdown"))) else Nil) ++
+        (if (allowMultipleGroupbys)
+          Seq(struct(col("measure"), lit("*").as("breakdown"))) else Nil) ++
         (if (allowMultipleAggregations && allowMultipleGroupbys)
-          Seq(pats.withColumn("measure", lit("*")).withColumn("breakdown", lit("*"))) else Nil))
-    mine(extended.reduce(_ unionByName _), Seq("filter_dim"),
+          Seq(struct(lit("*").as("measure"), lit("*").as("breakdown"))) else Nil)
+    val extended =
+      if (variants.size == 1) pats
+      else pats
+        .select(col("filter_dim"), col("subspace"), col("pattern"),
+          col("has_pat"), col("highlight"), explode(array(variants: _*)).as("mb"))
+        .select(col("filter_dim"), col("mb.breakdown").as("breakdown"),
+          col("subspace"), col("mb.measure").as("measure"),
+          col("pattern"), col("has_pat"), col("highlight"))
+    mine(extended, Seq("filter_dim"),
         minCommonness, noExceptionPenaltyWeight, balanceFactor)
       .orderBy(col("score").desc, col("filter_dim"), col("breakdown"),
         col("measure"), col("pattern"))
