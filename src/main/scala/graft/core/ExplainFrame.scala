@@ -191,14 +191,33 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
               schema: Map[String, String] = Map.empty,
               ignore: Seq[String] = Nil,
               pValue: Int = 1, maxExplanationLength: Int = 3,
-              explainErrorsFlag: Boolean = true): DataFrame = {
+              explainErrorsFlag: Boolean = true,
+              explanationForm: String = "conj",
+              errorExplanationThreshold: Double = 0.05,
+              minCommonness: Double = 0.5,
+              noExceptionPenaltyWeight: Double = 0.1,
+              balanceFactor: Double = 1.0,
+              filterColumns: Seq[String] = Nil,
+              groupbyColumns: Seq[String] = Nil,
+              aggregations: Seq[String] = Nil,
+              correlationAggregationMethod: String = "avg",
+              maxFilterColumns: Int = 3, maxAggregationColumns: Int = 3,
+              allowMultipleAggregations: Boolean = false,
+              allowMultipleGroupbys: Boolean = false,
+              useAllGroupbyCombinations: Boolean = false): DataFrame = {
     if (pValue < 0)
       throw new IllegalArgumentException("p_value must be a non-negative number")
     applySchema(dispatch(explainer, target, dir, labelCol, attributes, topK,
       coverageThreshold, separationThreshold, catAttrs, numAttrs, filterDim,
       breakdown, aggCol, useSampling, sampleSize, binningMethod,
       binNumericLabel, numLabelBins, pruneIfTooManyLabels, maxLabels,
-      pruningMethod, ignore, pValue, maxExplanationLength, explainErrorsFlag), schema)
+      pruningMethod, ignore, pValue, maxExplanationLength, explainErrorsFlag,
+      explanationForm, errorExplanationThreshold,
+      minCommonness, noExceptionPenaltyWeight, balanceFactor,
+      filterColumns, groupbyColumns, aggregations,
+      correlationAggregationMethod, maxFilterColumns, maxAggregationColumns,
+      allowMultipleAggregations, allowMultipleGroupbys,
+      useAllGroupbyCombinations), schema)
   }
 
   /** `schema` kwarg parity (explainable_data_frame.py:1085): a rename map
@@ -227,7 +246,20 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
               pruningMethod: String,
               ignore: Seq[String],
               pValue: Int, maxExplanationLength: Int,
-              explainErrorsFlag: Boolean): DataFrame = explainer match {
+              explainErrorsFlag: Boolean,
+              explanationForm: String,
+              errorExplanationThreshold: Double,
+              minCommonness: Double,
+              noExceptionPenaltyWeight: Double,
+              balanceFactor: Double,
+              filterColumns: Seq[String],
+              groupbyColumns: Seq[String],
+              aggregations: Seq[String],
+              correlationAggregationMethod: String,
+              maxFilterColumns: Int, maxAggregationColumns: Int,
+              allowMultipleAggregations: Boolean,
+              allowMultipleGroupbys: Boolean,
+              useAllGroupbyCombinations: Boolean): DataFrame = explainer match {
     case "fedex" => explainFedex(attributes, topK,
       useSampling = useSampling, sampleSize = sampleSize, ignore = ignore)
     case "shapley" => op match {
@@ -276,6 +308,22 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
         if (numAttrs.nonEmpty) numAttrs.filterNot(ignore.contains)
         else defaultAttrs(base, Set(label) ++ ignore).filter(_.numeric).map(_.name)
           .take(maxExplanationLength * pValue)
+      // explanation_form='disj'|'disjunction' (reference
+      // explainable_data_frame.py:1093): pairwise-disjunction rules over
+      // the first (categorical, numeric) attribute pair — the shape
+      // ManyToOne.explainDisj mines by inclusion–exclusion
+      explanationForm match {
+        case "conj" | "conjunction" => ()
+        case "disj" | "disjunction" =>
+          if (cats.isEmpty || nums.isEmpty)
+            throw new IllegalArgumentException(
+              "explanation_form='disj' needs one categorical and one numeric attribute (catAttrs/numAttrs)")
+          return ManyToOne.explainDisj(base, label, cats.head, nums.head,
+            coverageThreshold, separationThreshold, binningMethod =
+              (if (binningMethod == "equal_width") "equal_width" else binningMethod))
+        case other => throw new IllegalArgumentException(
+          s"explanation_form must be 'conj' or 'disj', got $other")
+      }
       val rules = ManyToOne.explain(base, label, cats, nums,
         coverageThreshold, separationThreshold,
         binningMethod = binningMethod,
@@ -292,9 +340,11 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
       else {
         val txt = ManyToOne.errorText(ManyToOne.explainErrors(base, label, cats, nums,
           coverageThreshold, separationThreshold, binningMethod = binningMethod,
+          errTh = errorExplanationThreshold,
           pruneIfTooManyLabels = pruneIfTooManyLabels, maxLabels = maxLabels,
           pruningMethod = pruningMethod,
-          binNumericLabel = binNumericLabel, numLabelBins = numLabelBins))
+          binNumericLabel = binNumericLabel, numLabelBins = numLabelBins),
+          errTh = errorExplanationThreshold)
         rules.join(txt, Seq("label", "attribute", "val"), "left")
           .withColumn("error_explanation",
             when(col("passes") === 1 && col("separation_err") === 0.0,
@@ -303,9 +353,27 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
           .orderBy("label", "attribute", "val")
       }
     case "metainsight" =>
+      // filter_columns / groupby_columns / aggregations (reference
+      // explainable_data_frame.py:1100-1105) name auto-search scope
+      // candidates explicitly; the single (filterDim, breakdown, aggCol)
+      // triple remains the one-scope fast path
       if (filterDim == null || breakdown == null || aggCol == null)
-        return explainMetaInsightAuto(topK)
-      explainMetaInsight(filterDim, breakdown, aggCol)
+        return explainMetaInsightAuto(topK,
+          filterDims = filterColumns, breakdowns = groupbyColumns,
+          measures = aggregations,
+          maxFilterColumns = maxFilterColumns,
+          maxAggregationColumns = maxAggregationColumns,
+          useAllGroupbyCombinations = useAllGroupbyCombinations,
+          minCommonness = minCommonness,
+          correlationAggregationMethod = correlationAggregationMethod,
+          allowMultipleAggregations = allowMultipleAggregations,
+          allowMultipleGroupbys = allowMultipleGroupbys,
+          noExceptionPenaltyWeight = noExceptionPenaltyWeight,
+          balanceFactor = balanceFactor)
+      explainMetaInsight(filterDim, breakdown, aggCol,
+        minCommonness = minCommonness,
+        noExceptionPenaltyWeight = noExceptionPenaltyWeight,
+        balanceFactor = balanceFactor)
     case other =>
       throw new IllegalArgumentException(s"Unknown explainer: $other")
   }
@@ -464,7 +532,9 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
                              maxGroupbyCombinations: Int = 32,
                              correlationAggregationMethod: String = "avg",
                              allowMultipleAggregations: Boolean = false,
-                             allowMultipleGroupbys: Boolean = false): DataFrame = {
+                             allowMultipleGroupbys: Boolean = false,
+                             noExceptionPenaltyWeight: Double = 0.1,
+                             balanceFactor: Double = 1.0): DataFrame = {
     require(Seq("avg", "max", "sum").contains(correlationAggregationMethod),
       s"Unknown method: $correlationAggregationMethod. Use 'avg', 'max' or 'sum'")
     val skip = Seq("key", "_id", "date", "comment", "name", "phone", "address")
@@ -558,6 +628,8 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
         .withColumn("filter_dim", lit(f))
     MetaInsight.rank(autoTables ++ comboTables, topK,
       minCommonness = minCommonness,
+      noExceptionPenaltyWeight = noExceptionPenaltyWeight,
+      balanceFactor = balanceFactor,
       allowMultipleAggregations = allowMultipleAggregations,
       allowMultipleGroupbys = allowMultipleGroupbys)
   }

@@ -314,6 +314,40 @@ class ExplainFrameSpec extends AnyFunSuite {
         correlationAggregationMethod = method).count() > 0)
   }
 
+  test("unified explain() reaches the disj form and the metainsight knobs") {
+    // explanation_form='disj' routes to the inclusion–exclusion miner
+    val cust = ExplainFrame(graft.util.D.t(spark, sf, "customer"), "customer")
+    val disj = cust.explain(explainer = "many_to_one", labelCol = "c_mktsegment",
+      catAttrs = Seq("c_nationkey"), numAttrs = Seq("c_acctbal"),
+      coverageThreshold = 0.3, separationThreshold = 0.95,
+      explanationForm = "disj", useSampling = false)
+    assert(disj.columns.toSeq.containsSlice(Seq("val_a", "val_b")),
+      s"disj rules expected: ${disj.columns.toSeq}")
+    assert(disj.count() > 0)
+    intercept[IllegalArgumentException](
+      cust.explain(explainer = "many_to_one", labelCol = "c_mktsegment",
+        catAttrs = Seq("c_nationkey"), numAttrs = Seq("c_acctbal"),
+        explanationForm = "bogus"))
+    // metainsight auto knobs pass through the unified dispatch
+    val li = ExplainFrame(graft.util.D.t(spark, sf, "lineitem"), "lineitem")
+    val multi = li.explain(explainer = "metainsight", topK = 100,
+      filterColumns = Seq("l_returnflag"),
+      groupbyColumns = Seq("l_linestatus", "l_linenumber"),
+      aggregations = Seq("l_quantity"),
+      minCommonness = 0.01, allowMultipleGroupbys = true)
+    assert(multi.collect().exists(_.getString(1) == "*"),
+      "allow_multiple_groupbys did not reach the auto-search")
+    // error_explanation_threshold reaches the attribution text
+    val err = cust.explain(explainer = "many_to_one", labelCol = "c_mktsegment",
+      catAttrs = Seq("c_nationkey"),
+      coverageThreshold = 0.05, separationThreshold = 0.95,
+      errorExplanationThreshold = 0.5, useSampling = false)
+    val texts = err.filter(col("error_explanation").isNotNull)
+      .select("error_explanation").collect().map(_.getString(0))
+    assert(texts.exists(_.contains("50.00%")),
+      s"custom threshold not rendered: ${texts.take(2).mkString(" | ")}")
+  }
+
   test("many_to_one explain() attaches error attribution by default") {
     val ef = ExplainFrame(graft.util.D.t(spark, sf, "customer"), "customer")
     val out = ef.explain(explainer = "many_to_one", labelCol = "c_mktsegment",
