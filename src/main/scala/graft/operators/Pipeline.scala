@@ -641,6 +641,18 @@ object Pipeline extends QFamily {
       Some(Multimodal.frameSampleSql("documents")),
       (s, dir) => Multimodal.frameSample(t(s, dir, "documents"))),
 
+    // exact payload dedup (content-hash BEFORE decode — the real first
+    // media-pipeline step; md5-over-binary is not stubbed)
+    QDef("q_multimodal_dedup",
+      Some(Multimodal.payloadDedupSql("documents")),
+      (s, dir) => Multimodal.payloadDedup(t(s, dir, "documents"))),
+
+    // pHash-shaped payload signature + LSH blocking profile (stub
+    // sampling over raw bytes; scan-local, bounded output)
+    QDef("q_multimodal_phash",
+      Some(Multimodal.payloadPhashProfileSql("documents")),
+      (s, dir) => Multimodal.payloadPhashProfile(t(s, dir, "documents"))),
+
     // ------------------------------------- dataset assembly / serving --
 
     // deterministic stratified train/val/test split report
