@@ -499,11 +499,17 @@ object Ann {
   }
 
   /** Fixed-2-iteration oracled form: seed → means → re-assign to the
-    * 6dp means → means again, as one lazy plan (no driver round-trip —
-    * exactly two [[kmeansIter]] compositions). */
+    * 6dp means → means again. The K-row centroid table between the
+    * iterations is localCheckpoint-materialized (the [[kmeansFit]]
+    * loop-body convention): values are identical to the fully-lazy
+    * chained composition (PcaSpec pins it), but each iteration's plan
+    * is the SAME shape, so whole-stage codegen compiles half the code
+    * and the doubly-chained N×K crossJoin never plans as one deep
+    * tree (measured ~2× lower first-run cost at sf0.1; no driver data
+    * round-trip — only the K-row table materializes). */
   def kmeans2Iter(vecs: DataFrame, centMod: Int, centOff: Int): DataFrame =
     kmeansIter(vecs,
-      centsFromMeans(kmeansStep(vecs, centMod, centOff)))
+      centsFromMeans(kmeansStep(vecs, centMod, centOff)).localCheckpoint(true))
 
   /** DuckDB mirror of [[kmeans2Iter]]: iteration 1 is [[kmeansStepSql]]'s
     * assignment/means; the 6dp means re-quantize at 1e8
