@@ -84,6 +84,30 @@ object ApiDemo {
     graft.operators.AsOf.join(purch, signup, "user_id", "ts", "event_id",
         Seq("ts"), direction = "forward", toleranceUs = Some(604800000000L))
       .select("event_id", "user_id", "ts", "right_ts").show(3, false)
+    println("== kmeansFit: Lloyd to convergence, sqrt-N seeding ==")
+    val fit = graft.sim.Ann.kmeansFit(emb,
+      centMod = graft.sim.Ann.sqrtSeedMod(emb.count()), centOff = 7,
+      maxIter = 5, tol = 0.05)
+    println(s"converged=${fit.converged} after ${fit.iters} rounds, drifts=${fit.drifts.map(d => f"$d%.4f").mkString(", ")}")
+    println("== IVF-blocked hard negatives (sub-quadratic) ==")
+    graft.sim.Ann.hardNegativesIvf(emb, 40, 25, 7, 3, 3).show(3, false)
+    println("== silhouette label pruning through the unified dispatch ==")
+    graft.core.ExplainFrame(util.D.t(spark, "/root/testdata/sf0.001", "customer"), "customer")
+      .explain(explainer = "many_to_one", labelCol = "c_nationkey",
+        numAttrs = Seq("c_acctbal"), coverageThreshold = 0.05,
+        separationThreshold = 0.95, pruningMethod = "max_silhouette",
+        useSampling = false).show(3, false)
+    println("== metainsight multi-axis extension through the dispatch ==")
+    graft.core.ExplainFrame(li.df, "lineitem")
+      .explain(explainer = "metainsight", topK = 5,
+        filterColumns = Seq("l_returnflag"),
+        groupbyColumns = Seq("l_linestatus", "l_linenumber"),
+        aggregations = Seq("l_quantity", "l_extendedprice"),
+        minCommonness = 0.15,
+        allowMultipleAggregations = true, allowMultipleGroupbys = true).show(5, false)
+    println("== multimodal: exact payload dedup + pHash blocking profile ==")
+    graft.multimodal.Multimodal.payloadDedup(docs).show(false)
+    graft.multimodal.Multimodal.payloadPhashProfile(docs).show(false)
     spark.stop()
   }
 }

@@ -231,12 +231,25 @@ object ManyToOne {
       .filter(labelExpr.isin(labs.toSeq: _*) &&
         numAttrs.map(col(_).isNotNull).reduce(_ && _))
       .select(labelExpr.as("label") +: dCols: _*)
-    // stage 2: pick own/other distances by label (column references only)
-    def chain(f: Int => Column): Column =
-      labs.indices.tail.foldLeft(when(col("label") === labs.head, f(0))) {
-        (acc, i) => acc.when(col("label") === labs(i), f(i)) }
-    val aCol = chain(i => col(s"__d$i"))
-    val bCol = chain(i => least(labs.indices.filter(_ != i).map(j => col(s"__d$j")): _*))
+    // stage 2: pick own/other distances by label. a is an O(L) CASE
+    // chain; b (min over the OTHER centroids) is NOT the naive
+    // L×least(L−1) form — that emits O(L²) expression code and blew
+    // Janino's generated-method limits at 25 labels (codegen fell back
+    // to interpreted). O(L) instead: global min m1, its multiplicity,
+    // and the second-smallest m2 —
+    //   b = m1                     when a > m1 (another centroid closer)
+    //     | m1                     when a = m1 with multiplicity ≥ 2
+    //     | m2                     otherwise (own centroid is the unique min)
+    // — exact-equality comparisons are safe because m1 IS one of the
+    // d_i values. Mathematically identical to min-over-others, so the
+    // SQL mirror is unchanged.
+    val dCols2 = labs.indices.map(i => col(s"__d$i"))
+    val aCol = labs.indices.tail.foldLeft(when(col("label") === labs.head, dCols2.head)) {
+      (acc, i) => acc.when(col("label") === labs(i), dCols2(i)) }
+    val m1 = least(dCols2: _*)
+    val cntMin = dCols2.map(d => when(d === m1, 1).otherwise(0)).reduce(_ + _)
+    val m2 = least(dCols2.map(d => when(d === m1, Double.MaxValue).otherwise(d)): _*)
+    val bCol = when(aCol > m1, m1).when(cntMin >= 2, m1).otherwise(m2)
     val s = scored.select(col("label"),
       when(greatest(aCol, bCol) === 0.0, 0.0)
         .otherwise(graft.util.D.r((bCol - aCol) / greatest(aCol, bCol), 6)).as("s"))
