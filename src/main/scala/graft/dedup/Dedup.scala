@@ -118,9 +118,9 @@ object Dedup {
     s"$name AS (${branches.mkString("\nUNION ALL\n")})"
   }
 
-  /** Candidate pairs from band collisions + estimated Jaccard =
-    * matching signature positions / 16. */
-  def minhashPairs(docs: DataFrame): DataFrame = {
+  /** Unordered candidate-pair estimates — the shared core of
+    * [[minhashPairs]] and [[crossSplitLeakage]]. */
+  private def minhashEst(docs: DataFrame): DataFrame = {
     // the signature table is referenced three times below (bands + both
     // pair sides); it ends in an aggregation, so all three consumers
     // read ONE ReusedExchange — no persist, nothing for the caller to
@@ -142,7 +142,61 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         graft.util.D.r(matches.cast(DoubleType) / NumHashes, 6).as("est_jaccard"))
       .withColumn("is_dup", (col("est_jaccard") >= 0.5).cast("int"))
+  }
+
+  /** Candidate pairs from band collisions + estimated Jaccard =
+    * matching signature positions / 16. */
+  def minhashPairs(docs: DataFrame): DataFrame =
+    minhashEst(docs).orderBy("doc_a", "doc_b")
+
+  /** Cross-split near-duplicate LEAKAGE audit — the eval-integrity gate
+    * a training pipeline runs after splitting: near-dup pairs (minhash
+    * est-Jaccard ≥ `threshold`, the [[minhashPairs]] banding) whose two
+    * documents landed in DIFFERENT train/val/test splits under the
+    * deterministic md5 coin ([[graft.text.Corpus.hashFrac]] — the SAME
+    * coin as the q_split_hash report, so this audits exactly the split
+    * a run would use). Each emitted row is an eval document whose
+    * near-duplicate sits in train (or vice versa) — the leakage Lee et
+    * al. 2022 measure at ~13% of standard benchmarks.
+    *
+    * Scale: the split assignment is a scan-local coin on doc_id joined
+    * onto the PAIR table (banding-bounded, linear in corpus size), not
+    * the corpus — both split joins are doc_id-keyed and AQE-planned;
+    * the corpus itself is touched only by the one signature scan
+    * inherited from [[minhashPairs]]. */
+  def crossSplitLeakage(docs: DataFrame, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1, threshold: Double = 0.5): DataFrame = {
+    val h = graft.text.Corpus.hashFrac(col("doc_id"))
+    val splits = docs.select(col("doc_id"),
+      when(h < trainFrac, "train")
+        .when(h < trainFrac + valFrac, "val")
+        .otherwise("test").as("split"))
+    minhashEst(docs)
+      .filter(col("est_jaccard") >= threshold)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("est_jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB mirror of [[crossSplitLeakage]]. */
+  def crossSplitLeakageSql(table: String, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1, threshold: Double = 0.5): String = {
+    val hf = graft.text.Corpus.hashFracSql("doc_id")
+    s"""WITH ${minhashCtes(table)},
+       |splits AS (SELECT doc_id,
+       |    CASE WHEN $hf < $trainFrac THEN 'train'
+       |         WHEN $hf < ${trainFrac + valFrac} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM $table)
+       |SELECT e.doc_a, e.doc_b, sa.split AS split_a, sb.split AS split_b, e.est_jaccard
+       |FROM est e
+       |JOIN splits sa ON e.doc_a = sa.doc_id
+       |JOIN splits sb ON e.doc_b = sb.doc_id
+       |WHERE e.est_jaccard >= $threshold AND sa.split <> sb.split
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** Shared CTE chain ending in `est(doc_a, doc_b, est_jaccard)` — the

@@ -270,6 +270,48 @@ object Events extends QFamily {
             countDistinct(col("event_id")).as("n_events"),
             dsumd(col("value")).as("total_value"))
           .orderBy("event_type")
+      }),
+
+    // Weekly cohort retention: users cohorted by first-active week
+    // (date_trunc 'week' — Monday in both engines); each (cohort_week,
+    // week_offset) cell counts the distinct users active that week,
+    // plus the retention fraction of the cohort. Scale: the only
+    // corpus-sized shuffle is the (user, week) distinct; everything
+    // after runs on user-cardinality tables (cohort assignment is a
+    // second user-keyed agg, the cell count a small-cardinality agg,
+    // the cohort-size join AQE-planned). week_offset division is exact
+    // (both operands week-truncated, so the day diff is a multiple of
+    // 7 — small-int doubles are exact in IEEE).
+    QDef("q_events_retention",
+      Some(s"""WITH $evSql,
+             |uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week_start FROM ev),
+             |coh AS (SELECT user_id, MIN(week_start) AS cohort_week FROM uw GROUP BY 1),
+             |cs AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM coh GROUP BY 1),
+             |cell AS (SELECT c.cohort_week,
+             |    CAST(CAST(date_diff('day', c.cohort_week, u.week_start) AS DOUBLE) / 7 AS BIGINT) AS week_offset,
+             |    CAST(COUNT(*) AS BIGINT) AS n_users
+             |  FROM uw u JOIN coh c ON u.user_id = c.user_id GROUP BY 1, 2)
+             |SELECT cell.cohort_week, cell.week_offset, cell.n_users,
+             |  ROUND(CAST(cell.n_users AS DOUBLE) / cs.cohort_size, 6) AS retention
+             |FROM cell JOIN cs ON cell.cohort_week = cs.cohort_week
+             |ORDER BY cell.cohort_week, cell.week_offset""".stripMargin),
+      (s, dir) => {
+        val uw = ev(s, dir)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("week_start"))
+          .distinct()
+        val coh = uw.groupBy("user_id").agg(min(col("week_start")).as("cohort_week"))
+        val cs = coh.groupBy("cohort_week")
+          .agg(count(lit(1)).cast(LongType).as("cohort_size"))
+        uw.join(coh, Seq("user_id"))
+          .groupBy(col("cohort_week"),
+            (datediff(col("week_start"), col("cohort_week")).cast(DoubleType) / 7)
+              .cast(LongType).as("week_offset"))
+          .agg(count(lit(1)).cast(LongType).as("n_users"))
+          .join(cs, Seq("cohort_week"))
+          .select(col("cohort_week"), col("week_offset"), col("n_users"),
+            graft.util.D.r(col("n_users").cast(DoubleType) / col("cohort_size"), 6)
+              .as("retention"))
+          .orderBy("cohort_week", "week_offset")
       })
   )
 }

@@ -156,6 +156,12 @@ object Pipeline extends QFamily {
       Some(Ann.hardNegativesIvfSql("embeddings", 40, 25, 7, 3, 3)),
       (s, dir) => Ann.hardNegativesIvf(t(s, dir, "embeddings"), 40, 25, 7, 3, 3)),
 
+    // IVF recall@k vs the exact top-k — the nprobe-tuning diagnostic;
+    // joins the two registered retrieval forms' Q x k outputs only
+    QDef("q_ann_recall",
+      Some(Ann.ivfRecallSql("embeddings", 40, 25, 7, 3, 5)),
+      (s, dir) => Ann.ivfRecall(t(s, dir, "embeddings"), 40, 25, 7, 3, 5)),
+
     // two-stage serving path: int8-quantized coarse scan (integer
     // ranking, 4x-smaller codes) -> exact re-rank of Q x 20 candidates
     QDef("q_ann_refine",
@@ -659,6 +665,14 @@ object Pipeline extends QFamily {
     QDef("q_split_hash",
       Some(graft.text.Profile.splitHashSql("documents")),
       (s, dir) => graft.text.Profile.splitHash(t(s, dir, "documents"))),
+
+    // cross-split near-duplicate leakage audit: minhash near-dup pairs
+    // that straddle the q_split_hash train/val/test boundary — the
+    // eval-integrity gate run after splitting (split coin joins onto
+    // the banding-bounded PAIR table, never the corpus)
+    QDef("q_split_leakage",
+      Some(Dedup.crossSplitLeakageSql("documents")),
+      (s, dir) => Dedup.crossSplitLeakage(t(s, dir, "documents"))),
 
     // token-length histogram per source (power-of-2 buckets)
     QDef("q_token_hist",

@@ -616,6 +616,56 @@ object Relational extends QFamily {
         .orderBy("l_returnflag")
     },
 
+    // ---- robust (median/MAD) anomaly summary ----------------------------
+    // per-group modified-z outlier detection: med = exact group median,
+    // MAD = median(|x - med|), cutoff = 3σ-equivalent 4.4478·MAD
+    // (3 × 1.4826, the normal-consistency constant), flag = |x - med|
+    // beyond the cutoff. The robust counterpart of the z-score family —
+    // immune to the outliers it is hunting. Three map-side-combined
+    // aggregation passes by design (MAD is a two-level order statistic;
+    // each stat table is one KB-sized row per group, broadcast back —
+    // the winsorize shape); at 100 TB swap the exact percentile for
+    // approx_percentile exactly as q_qcut_approx documents. Rounding at
+    // 4dp before re-entry keeps every downstream comparison operand
+    // bit-identical across engines.
+    q("q_anomaly_mad",
+      """WITH med AS (SELECT l_returnflag,
+        |    ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS med
+        |  FROM lineitem GROUP BY 1),
+        |md AS (SELECT l.l_returnflag,
+        |    ROUND(CAST(quantile_cont(ABS(l.l_extendedprice - m.med), 0.5) AS DOUBLE), 4) AS mad
+        |  FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag GROUP BY 1)
+        |SELECT l.l_returnflag, COUNT(*) AS n, m.med, d.mad,
+        |  ROUND(4.4478 * d.mad, 4) AS cutoff,
+        |  CAST(SUM(CASE WHEN l.l_extendedprice > m.med + ROUND(4.4478 * d.mad, 4) THEN 1 ELSE 0 END) AS BIGINT) AS n_out_hi,
+        |  CAST(SUM(CASE WHEN l.l_extendedprice < m.med - ROUND(4.4478 * d.mad, 4) THEN 1 ELSE 0 END) AS BIGINT) AS n_out_lo,
+        |  ROUND(CAST(SUM(CASE WHEN ABS(l.l_extendedprice - m.med) > ROUND(4.4478 * d.mad, 4) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS out_frac
+        |FROM lineitem l
+        |JOIN med m ON l.l_returnflag = m.l_returnflag
+        |JOIN md d ON l.l_returnflag = d.l_returnflag
+        |GROUP BY 1, m.med, d.mad ORDER BY l.l_returnflag""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice")
+      val med = li.groupBy("l_returnflag")
+        .agg(r(percentile(col("l_extendedprice"), lit(0.5)), 4).as("med"))
+      val md = li.join(broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(r(percentile(abs(col("l_extendedprice") - col("med")), lit(0.5)), 4).as("mad"))
+      val cutoff = r(lit(4.4478) * col("mad"), 4)
+      // string-only group key + first() for the group-constant stats
+      // (double grouping keys measured 3x slower — the winsorize lesson)
+      li.join(broadcast(med), "l_returnflag").join(broadcast(md), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), first(col("med")).as("med"),
+          first(col("mad")).as("mad"), first(cutoff).as("cutoff"),
+          sum((col("l_extendedprice") > col("med") + cutoff).cast("int"))
+            .cast(LongType).as("n_out_hi"),
+          sum((col("l_extendedprice") < col("med") - cutoff).cast("int"))
+            .cast(LongType).as("n_out_lo"),
+          r(sum((abs(col("l_extendedprice") - col("med")) > cutoff).cast("int"))
+            .cast(DoubleType) / count(lit(1)), 6).as("out_frac"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- groupby().transform (row-aligned group stats) ------------------
     // pandas groupby().transform through the library surface
     // (ExplainGroupBy.zscore): per-row z-score from ONE exact group-stats

@@ -262,6 +262,48 @@ object Ann {
        |SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine, list_id
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** IVF recall@k audit — the diagnostic that tunes `nprobe`: per query,
+    * how many of the EXACT top-k ([[bruteTopK]]) the IVF path
+    * ([[ivfTopK]]) actually retrieved. recall = |ivf ∩ exact| / k is THE
+    * quality axis of the ANN speed/recall trade; a deployment picks the
+    * smallest nprobe whose recall clears its bar, and this query is that
+    * measurement as a first-class operator.
+    *
+    * Scale: both inputs are the already-registered forms (broadcast
+    * queries / probed lists); this audit only joins their Q×k top-k
+    * OUTPUTS (KB-sized at any corpus size) on (query_id, neighbor_id) —
+    * the corpus is never touched beyond what the two retrieval forms
+    * scan, and their shared scaledBase subtree collapses via runtime
+    * exchange reuse. At 100 TB one runs it over a held-out query sample,
+    * which is exactly the queryMod-sampled shape registered here. */
+  def ivfRecall(vecs: DataFrame, queryMod: Int, centMod: Int, centOff: Int,
+                nprobe: Int, k: Int): DataFrame = {
+    val ex = bruteTopK(vecs, queryMod, k).select(col("query_id"), col("neighbor_id"))
+    val ap = ivfTopK(vecs, queryMod, centMod, centOff, nprobe, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    ex.join(ap, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).cast(LongType).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_hit"))
+      .withColumn("recall",
+        graft.util.D.r(col("n_hit").cast(DoubleType) / col("n_exact"), 6))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB mirror of [[ivfRecall]] (the two retrieval SQLs nested as
+    * self-contained subqueries so their CTE names cannot collide). */
+  def ivfRecallSql(table: String, queryMod: Int, centMod: Int, centOff: Int,
+                   nprobe: Int, k: Int): String =
+    s"""WITH ex AS (SELECT query_id, neighbor_id FROM (
+       |${bruteTopKSql(table, queryMod, k)})),
+       |ap AS (SELECT query_id, neighbor_id FROM (
+       |${ivfTopKSql(table, queryMod, centMod, centOff, nprobe, k)}))
+       |SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  ROUND(CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS recall
+       |FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
   /** Shared hot path of [[fastTopK]]/[[fastTopKChecked]]: native
     * float-cosine scoring of the N·|queries| table and the top-k
     * window — ONE definition so the timed path and the oracle-checked

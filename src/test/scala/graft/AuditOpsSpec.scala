@@ -1,0 +1,107 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.sim.Ann
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 audit/diagnostic additions: cross-split leakage, IVF recall,
+  * robust MAD anomaly summary, cohort retention. */
+class AuditOpsSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("crossSplitLeakage = near-dup pairs whose split-coin sides differ") {
+    import spark.implicits._
+    // exact-duplicate pairs (2k, 2k+1) share text; the md5 split coin
+    // scatters ids across train/val/test, so some pairs must straddle
+    val docs = (0L until 60L)
+      .map(id => (id, s"the quick brown fox jumps over the lazy dog number ${id / 2} end"))
+      .toDF("doc_id", "text")
+    val got = Dedup.crossSplitLeakage(docs).collect()
+    assert(got.nonEmpty, "constructed corpus must leak across splits")
+    // expected: re-derive from the pair table + the SAME coin
+    val coin = docs.select(col("doc_id"),
+      when(graft.text.Corpus.hashFrac(col("doc_id")) < 0.8, "train")
+        .when(graft.text.Corpus.hashFrac(col("doc_id")) < 0.9, "val")
+        .otherwise("test").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = Dedup.minhashPairs(docs).collect()
+      .filter(_.getAs[Double]("est_jaccard") >= 0.5)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("est_jaccard")))
+      .filter { case (a, b, _) => coin(a) != coin(b) }
+      .map { case (a, b, j) => Row(a, b, coin(a), coin(b), j) }
+    assert(got.map(r => r.toSeq).toSeq.sorted(RowOrd) ===
+      want.map(_.toSeq).toSeq.sorted(RowOrd))
+    got.foreach(r => assert(r.getAs[String]("split_a") != r.getAs[String]("split_b")))
+  }
+
+  private val RowOrd: Ordering[Seq[Any]] = Ordering.by(s => s.mkString("|"))
+
+  test("ivfRecall is exactly 1.0 when every list is probed; bounded otherwise") {
+    val vecs = graft.util.D.t(spark, sf, "embeddings")
+    // probing ALL lists makes IVF score the identical candidate set as
+    // brute force (same fixed-point cosine, same tie-break) -> recall 1
+    val full = Ann.ivfRecall(vecs, 40, 25, 7, nprobe = 1000, 5).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getAs[Long]("n_exact") === 5L)
+      assert(r.getAs[Long]("n_hit") === 5L)
+      assert(r.getAs[Double]("recall") === 1.0)
+    }
+    // the registered nprobe=3 form: recall in [0, 1], hits <= exact
+    val part = Ann.ivfRecall(vecs, 40, 25, 7, 3, 5).collect()
+    assert(part.map(_.getAs[Long]("query_id")).toSeq ===
+      full.map(_.getAs[Long]("query_id")).toSeq)
+    part.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_exact"))
+    }
+  }
+
+  test("q_anomaly_mad counts exactly the rows beyond the reported cutoff") {
+    val rows = SparkEntry.queries("q_anomaly_mad")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val li = graft.util.D.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1))).toMap
+    rows.foreach { r =>
+      val xs = li(r.getAs[String]("l_returnflag"))
+      val med = r.getAs[Double]("med")
+      val mad = r.getAs[Double]("mad")
+      val cutoff = r.getAs[Double]("cutoff")
+      assert(cutoff === BigDecimal(4.4478 * mad)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getAs[Long]("n") === xs.length.toLong)
+      assert(r.getAs[Long]("n_out_hi") === xs.count(_ > med + cutoff).toLong)
+      assert(r.getAs[Long]("n_out_lo") === xs.count(_ < med - cutoff).toLong)
+      val frac = xs.count(x => math.abs(x - med) > cutoff).toDouble / xs.length
+      assert(r.getAs[Double]("out_frac") ===
+        BigDecimal(frac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // med must sit inside the group's range and mad be nonnegative
+      assert(med >= xs.min && med <= xs.max && mad >= 0.0)
+    }
+  }
+
+  test("q_events_retention: offset-0 cell is the full cohort; cells shrink-bounded") {
+    val rows = SparkEntry.queries("q_events_retention")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[java.sql.Timestamp]("cohort_week"))
+    byCohort.foreach { case (_, cells) =>
+      val c0 = cells.find(_.getAs[Long]("week_offset") === 0L)
+      assert(c0.isDefined, "every user is active in their own first week")
+      assert(c0.get.getAs[Double]("retention") === 1.0)
+      val size0 = c0.get.getAs[Long]("n_users")
+      cells.foreach { c =>
+        assert(c.getAs[Long]("week_offset") >= 0L)
+        val n = c.getAs[Long]("n_users")
+        assert(n >= 1L && n <= size0)
+        val rec = c.getAs[Double]("retention")
+        assert(rec > 0.0 && rec <= 1.0)
+        assert(rec === BigDecimal(n.toDouble / size0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+  }
+}
