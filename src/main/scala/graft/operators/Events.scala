@@ -312,6 +312,41 @@ object Events extends QFamily {
             graft.util.D.r(col("n_users").cast(DoubleType) / col("cohort_size"), 6)
               .as("retention"))
           .orderBy("cohort_week", "week_offset")
+      }),
+
+    // Hourly traffic spike detection (the ops-monitoring counterpart of
+    // q_anomaly_mad's robust form): per event type, hours whose event
+    // count exceeds mean + 3σ of that type's hourly history. Scale: one
+    // map-side-combined corpus aggregation to (type, hour) cardinality;
+    // the stats and the flag join run entirely on that bounded hourly
+    // table (AQE-planned). Exact decimal moments (dsumd/dsumsq), mu/sd
+    // rounded 6dp before the threshold compare so both engines flag
+    // identically.
+    QDef("q_events_anomaly",
+      Some(s"""WITH $evSql,
+             |h AS (SELECT event_type, date_trunc('hour', ts) AS window_start,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM ev GROUP BY 1, 2),
+             |st AS (SELECT event_type, ${Sq.mean("n")} AS mu,
+             |    ROUND(SQRT(${Sq.varSamp("n")}), 6) AS sd
+             |  FROM h GROUP BY 1)
+             |SELECT h.event_type, h.window_start, h.n, st.mu, st.sd,
+             |  CAST(CASE WHEN h.n > st.mu + 3 * st.sd THEN 1 ELSE 0 END AS INT) AS is_spike
+             |FROM h JOIN st ON h.event_type = st.event_type
+             |ORDER BY h.event_type, h.window_start""".stripMargin),
+      (s, dir) => {
+        val h = ev(s, dir)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("window_start"))
+          .agg(count(lit(1)).cast(LongType).as("n"))
+        val cnt = count(lit(1))
+        val sm = dsumd(col("n"))
+        val sq = dsumsq(col("n"))
+        val st = h.groupBy("event_type")
+          .agg(r(sm / cnt).as("mu"), r(sqrt(varSamp(sm, sq, cnt)), 6).as("sd"))
+        h.join(st, Seq("event_type"))
+          .select(col("event_type"), col("window_start"), col("n"), col("mu"), col("sd"),
+            (col("n") > col("mu") + lit(3) * col("sd")).cast("int").as("is_spike"))
+          .orderBy("event_type", "window_start")
       })
   )
 }

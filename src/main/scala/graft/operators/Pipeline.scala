@@ -24,6 +24,37 @@ object Pipeline extends QFamily {
   // q_bm25 query terms, chosen for spread in document frequency
   private val Bm25Terms = Seq("spark", "vector", "join", "the")
 
+  /** Deterministic synthetic link graph for the pagerank queries
+    * (q_pii_scrub convention — no link column in the corpus, so both
+    * engines derive the same edges from doc_id): node v emits
+    * 1 + v%3 edges to (7v + 13i + 1) mod N, semi-joined to existing
+    * ids so a non-contiguous id space just drops the missing targets
+    * (documented mass-evaporation contract). N = max id + 1 is ONE
+    * bounded long collected once (the qcut convention). */
+  private def pagerankIters(s: org.apache.spark.sql.SparkSession, dir: String,
+      iters: Int): org.apache.spark.sql.DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id").as("node_id"))
+    val n = ids.agg(max(col("node_id"))).head().getLong(0) + 1
+    val eraw = ids
+      .select(col("node_id").as("src"),
+        explode(sequence(lit(0L), pmod(col("node_id"), lit(3L)))).as("i"))
+      .select(col("src"), pmod(col("src") * 7 + col("i") * 13 + 1, lit(n)).as("dst"))
+    val edges = eraw.join(ids.select(col("node_id").as("dst")), Seq("dst"), "left_semi")
+    graft.graph.Rank.pagerankIterations(ids, edges, iters)
+      .select(col("node_id").as("doc_id"), col("n_in"), col("mass"))
+      .orderBy("doc_id")
+  }
+
+  private def pagerankSql(iters: Int): String =
+    s"""WITH ids AS (SELECT doc_id AS node_id FROM documents),
+       |nn AS (SELECT MAX(node_id) + 1 AS n FROM ids),
+       |eraw AS (SELECT d0.node_id AS src, (d0.node_id * 7 + t.i * 13 + 1) % nn.n AS dst
+       |  FROM ids d0, nn, (SELECT UNNEST([0, 1, 2]) AS i) t
+       |  WHERE t.i <= d0.node_id % 3),
+       |edges AS (SELECT e.src, e.dst FROM eraw e JOIN ids d ON e.dst = d.node_id),
+       |${graft.graph.Rank.pagerankIterationsSql(iters)}
+       |SELECT node_id AS doc_id, n_in, mass FROM pr_final ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QDef] = Seq(
 
     // ------------------------------------------------------- dedup -----
@@ -521,6 +552,22 @@ object Pipeline extends QFamily {
       Some(graft.dedup.Cluster.minhashClustersSql("documents", 0.3)),
       (s, dir) => graft.dedup.Cluster.minhashClusters(t(s, dir, "documents"), 0.3)),
 
+    // link-graph authority (PageRank mass): the crawl-quality ranking
+    // signal — one power iteration over a doc_id-deterministic link
+    // graph (the corpus has no link column, so both engines synthesize
+    // edges identically: outdeg = 1 + id%3, dst = (7·id + 13·i + 1)
+    // mod N semi-joined to existing ids — the q_pii_scrub convention)
+    QDef("q_pagerank_step",
+      Some(pagerankSql(1)),
+      (s, dir) => pagerankIters(s, dir, 1)),
+
+    // the loop the single step hands off to, oracled at two chained
+    // iterations as ONE lazy plan (the q_kmeans_2iter convention);
+    // Rank.pagerankFit is the tol-stopped library loop (spec-pinned)
+    QDef("q_pagerank_2iter",
+      Some(pagerankSql(2)),
+      (s, dir) => pagerankIters(s, dir, 2)),
+
     // published Gopher quality-rule set (Rae et al. 2021 Appendix A);
     // minStopHits=1 because the synthetic word-soup corpus has depressed
     // function-word density (the paper's 2 flags every document) — the
@@ -678,6 +725,12 @@ object Pipeline extends QFamily {
     QDef("q_token_hist",
       Some(graft.text.Profile.tokenHistSql("documents")),
       (s, dir) => graft.text.Profile.tokenHist(t(s, dir, "documents"))),
+
+    // per-doc token-distribution entropy (information-density quality
+    // signal; one tf-idf-shaped shuffle via H = log2 n - (Σ c·log2 c)/n)
+    QDef("q_text_entropy",
+      Some(graft.text.Profile.tokenEntropySql("documents")),
+      (s, dir) => graft.text.Profile.tokenEntropy(t(s, dir, "documents"))),
 
     // retrieval/embedding-prep chunking: 64-token windows, 16 overlap;
     // scan-local (explode of per-doc window starts, zero shuffles)

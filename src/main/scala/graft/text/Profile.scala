@@ -95,4 +95,43 @@ object Profile {
        |        FROM $table))
        |GROUP BY source, bucket_lo ORDER BY source, bucket_lo""".stripMargin
   }
+
+  /** Per-document token-distribution Shannon entropy (bits) — the
+    * information-density quality signal complementing the Gopher
+    * repetition family: low entropy = boilerplate/repetition, high =
+    * diverse vocabulary. Computed via the identity
+    * H = log2(n) − (Σ c·log2 c)/n over per-(doc, token) counts `c`, so
+    * ONE corpus-sized map-side-combined shuffle (the tf-idf shape)
+    * feeds a per-doc aggregation — no second pass to learn n first.
+    * Determinism: each c·log2(c) term is rounded 6dp then
+    * DECIMAL-summed (the Lm log convention), and H derives from those
+    * identical operands in both engines. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val tc = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).cast(LongType).as("c"))
+    tc.groupBy("doc_id")
+      .agg(sum(col("c")).cast(LongType).as("n_tokens"),
+        count(lit(1)).cast(LongType).as("n_distinct"),
+        graft.util.D.dsumd(graft.util.D.r(
+          col("c").cast(DoubleType) * log2(col("c").cast(DoubleType)), 6)).as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        graft.util.D.r(
+          log2(col("n_tokens").cast(DoubleType)) - col("s") / col("n_tokens"), 6)
+          .as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[tokenEntropy]]. */
+  def tokenEntropySql(table: String): String =
+    s"""WITH tc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS tok FROM $table)
+       |  GROUP BY 1, 2),
+       |ag AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       |    CAST(ROUND(SUM(CAST(ROUND(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)), 6) AS DECIMAL(25,6))), 6) AS DOUBLE) AS s
+       |  FROM tc GROUP BY 1)
+       |SELECT doc_id, n_tokens, n_distinct,
+       |  ROUND(log2(CAST(n_tokens AS DOUBLE)) - s / n_tokens, 6) AS entropy
+       |FROM ag ORDER BY doc_id""".stripMargin
 }

@@ -84,6 +84,64 @@ class AuditOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank: mass conserves modulo evaporation, sinks floor at teleport, fit converges") {
+    import spark.implicits._
+    // star + chain: 0->1, 2->1, 3->1, 1->4; 4 is a sink, 5 isolated
+    val nodes = (0L to 5L).toDF("node_id")
+    val edges = Seq((0L, 1L), (2L, 1L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+    val m1 = graft.graph.Rank.pagerankIterations(nodes, edges, 1).collect()
+      .map(r => r.getAs[Long]("node_id") -> r).toMap
+    // teleport floor: nodes with no in-edges hold exactly 1 - d
+    Seq(0L, 2L, 3L, 5L).foreach(id => assert(m1(id).getAs[Double]("mass") === 0.15))
+    // hub: 0.15 + 3 * 0.85 (each source has outdeg 1)
+    assert(m1(1L).getAs[Double]("mass") === 2.7) // 0.15 + 3 x 0.85, 6dp-rounded
+    assert(m1(1L).getAs[Long]("n_in") === 3L)
+    assert(m1(4L).getAs[Double]("mass") === 0.15 + 0.85)
+    // fit: converges on the DAG (no cycles -> fixpoint within depth+1)
+    val fit = graft.graph.Rank.pagerankFit(nodes, edges, maxIter = 10, tol = 1e-9)
+    val rows = fit.collect()
+    assert(rows.forall(_.getAs[Boolean]("converged")))
+    // sink + isolated nodes evaporate mass: total stays <= N
+    val total = rows.map(_.getAs[Double]("mass")).sum
+    assert(total <= 6.0 + 1e-6)
+    // two manual steps == the chained 2-iteration lazy plan
+    val two = graft.graph.Rank.pagerankIterations(nodes, edges, 2)
+      .collect().map(r => r.getAs[Long]("node_id") -> r.getAs[Double]("mass")).toMap
+    val stepped = graft.graph.Rank.pagerankStep(nodes, edges,
+        graft.graph.Rank.pagerankStep(nodes, edges, nodes.withColumn("mass", lit(1.0)))
+          .select("node_id", "mass"))
+      .collect().map(r => r.getAs[Long]("node_id") -> r.getAs[Double]("mass")).toMap
+    assert(two === stepped)
+  }
+
+  test("q_events_anomaly flags exactly the hours beyond mu + 3 sd") {
+    val rows = SparkEntry.queries("q_events_anomaly")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = r.getAs[Long]("n") > r.getAs[Double]("mu") + 3 * r.getAs[Double]("sd")
+      assert(r.getAs[Int]("is_spike") === (if (expect) 1 else 0))
+    }
+  }
+
+  test("tokenEntropy: 0 for constant docs, log2(k) for uniform, bounded by log2(distinct)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),              // constant -> 0 bits
+      (2L, "a b c d"),              // uniform over 4 -> 2 bits
+      (3L, "a a b b c c d d"),      // uniform over 4 -> 2 bits
+      (4L, "a a a b")               // skewed -> strictly between 0 and 2
+    ).toDF("doc_id", "text")
+    val m = graft.text.Profile.tokenEntropy(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Double]("entropy") === 0.0)
+    assert(m(2L).getAs[Double]("entropy") === 2.0)
+    assert(m(3L).getAs[Double]("entropy") === 2.0)
+    val skew = m(4L).getAs[Double]("entropy")
+    assert(skew > 0.0 && skew < 1.0) // H(3/4, 1/4) ~ 0.811
+    assert(m(4L).getAs[Long]("n_tokens") === 4L)
+    assert(m(4L).getAs[Long]("n_distinct") === 2L)
+  }
+
   test("q_events_retention: offset-0 cell is the full cohort; cells shrink-bounded") {
     val rows = SparkEntry.queries("q_events_retention")(spark, sf).collect()
     assert(rows.nonEmpty)
