@@ -187,6 +187,13 @@ object Pipeline extends QFamily {
       Some(Ann.hardNegativesIvfSql("embeddings", 40, 25, 7, 3, 3)),
       (s, dir) => Ann.hardNegativesIvf(t(s, dir, "embeddings"), 40, 25, 7, 3, 3)),
 
+    // per-label embedding centroid/cohesion profile — the drift monitor
+    // run per corpus slice; exact fixed-point means re-quantized before
+    // scoring (kmeansIter convention), two one-shuffle corpus scans
+    QDef("q_embed_drift",
+      Some(Ann.labelProfileSql("embeddings")),
+      (s, dir) => Ann.labelProfile(t(s, dir, "embeddings"))),
+
     // IVF recall@k vs the exact top-k — the nprobe-tuning diagnostic;
     // joins the two registered retrieval forms' Q x k outputs only
     QDef("q_ann_recall",

@@ -461,6 +461,83 @@ object Ann {
           col("n_members").cast(DoubleType), 6).as("centroid"))
       .orderBy("cluster_id", "dim")
 
+  /** Per-label embedding profile — the drift/QA monitor a pipeline runs
+    * per corpus slice (source, language, snapshot): member count, mean
+    * vector norm, the label centroid's norm, and the members' mean/min
+    * cosine to their OWN centroid (cohesion — a collapsing or shifting
+    * slice shows up as avg_cos drift between snapshots long before
+    * downstream metrics move).
+    *
+    * Determinism: centroids are the exact fixed-point per-(label, dim)
+    * means ([[kmeansStep]]'s update half, keyed by label instead of
+    * cluster), 6dp-rounded and re-quantized through the SAME 1e8 scaler
+    * before scoring (the [[kmeansIter]] convention), so every cosine is
+    * computed from bit-identical operands in both engines; per-member
+    * cosines/norms round 6dp then DECIMAL-sum.
+    *
+    * Scale: two corpus scans (mean aggregation + scoring), each ONE
+    * map-side-combined shuffle; the centroid table is label-cardinality
+    * (broadcast by AQE at any corpus size) and the bounded
+    * post-aggregation collect_list/transform runs on that table only —
+    * the family's bounded-HOF convention. */
+  def labelProfile(vecs: DataFrame): DataFrame = {
+    val base = scaledBase(vecs, Seq("label"))
+    val means = base.select(col("label"), posexplode(col("fxe")).as(Seq("dim", "fx")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).cast(LongType).as("n"), sum(col("fx")).cast(LongType).as("sfx"))
+      .select(col("label"), col("dim"),
+        graft.util.D.r(col("sfx").cast(DoubleType) / lit(1e8) / col("n").cast(DoubleType), 6)
+          .as("m"))
+    val cents = means.groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("cemb"))
+      .select(col("label"), scaled(col("cemb")).as("ce"))
+      .withColumn("cn", FixedDot(col("ce"), col("ce")))
+    base.join(cents, "label")
+      .withColumn("cos",
+        graft.util.D.r(cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")), 6))
+      .withColumn("nrm",
+        graft.util.D.r(sqrt(col("nsq").cast(DoubleType)) / lit(1e8), 6))
+      .groupBy("label")
+      .agg(count(lit(1)).cast(LongType).as("n_vecs"),
+        graft.util.D.r(graft.util.D.dsumd(col("nrm")) / count(lit(1)), 6).as("avg_norm"),
+        first(graft.util.D.r(sqrt(col("cn").cast(DoubleType)) / lit(1e8), 6))
+          .as("centroid_norm"),
+        graft.util.D.r(graft.util.D.dsumd(col("cos")) / count(lit(1)), 6).as("avg_cos"),
+        min(col("cos")).as("min_cos"))
+      .select(col("label").cast(LongType).as("label"), col("n_vecs"),
+        col("avg_norm"), col("centroid_norm"), col("avg_cos"), col("min_cos"))
+      .orderBy("label")
+  }
+
+  /** DuckDB mirror of [[labelProfile]]. */
+  def labelProfileSql(table: String): String =
+    s"""WITH ${normSqSql(table)},
+       |base AS (SELECT e.vec_id, e.label, e.embedding, n.nsq FROM $table e JOIN norms n ON e.vec_id = n.vec_id),
+       |md AS (SELECT label,
+       |    CAST(unnest(generate_series(1, len(embedding))) - 1 AS BIGINT) AS dim,
+       |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 100000000) AS BIGINT) AS fx
+       |  FROM base),
+       |means AS (SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(fx) AS BIGINT) AS sfx
+       |  FROM md GROUP BY 1, 2),
+       |cent AS (SELECT label,
+       |    list(ROUND(CAST(sfx AS DOUBLE) / 100000000.0 / CAST(n AS DOUBLE), 6) ORDER BY dim) AS cemb
+       |  FROM means GROUP BY 1),
+       |cj AS (SELECT b.vec_id, b.label, b.nsq,
+       |    ${dotFixSql("c.cemb", "b.embedding")} AS dot,
+       |    ${dotFixSql("c.cemb", "c.cemb")} AS cn
+       |  FROM base b JOIN cent c ON b.label = c.label),
+       |sc AS (SELECT label, vec_id, cn,
+       |    ROUND(${cosSql("dot", "cn", "nsq")}, 6) AS cos,
+       |    ROUND(SQRT(CAST(nsq AS DOUBLE)) / 100000000.0, 6) AS nrm
+       |  FROM cj)
+       |SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  ROUND(CAST(ROUND(SUM(CAST(nrm AS DECIMAL(25,6))), 6) AS DOUBLE) / COUNT(*), 6) AS avg_norm,
+       |  ROUND(SQRT(CAST(MIN(cn) AS DOUBLE)) / 100000000.0, 6) AS centroid_norm,
+       |  ROUND(CAST(ROUND(SUM(CAST(cos AS DECIMAL(25,6))), 6) AS DOUBLE) / COUNT(*), 6) AS avg_cos,
+       |  MIN(cos) AS min_cos
+       |FROM sc GROUP BY label ORDER BY label""".stripMargin
+
   /** Seed centroid table (cid, cembedding) for [[kmeansFit]] /
     * [[kmeansIter]]: the family's deterministic vec_id-mod seeding.
     * For K ~ √N seeding (the scale guidance — assignment cost O(N·K)

@@ -142,6 +142,26 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(m(4L).getAs[Long]("n_distinct") === 2L)
   }
 
+  test("labelProfile: singleton label is its own centroid; orthogonal pair at cos ~0.707") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 10),   // singleton label
+      (2L, Array(1.0f, 0.0f, 0.0f), 20),   // orthogonal unit pair
+      (3L, Array(0.0f, 1.0f, 0.0f), 20)
+    ).toDF("vec_id", "embedding", "label")
+    val m = Ann.labelProfile(vecs).collect()
+      .map(r => r.getAs[Long]("label") -> r).toMap
+    // a single member IS its centroid: cohesion exactly 1
+    assert(m(10L).getAs[Double]("avg_cos") === 1.0)
+    assert(m(10L).getAs[Double]("min_cos") === 1.0)
+    assert(m(10L).getAs[Double]("avg_norm") === m(10L).getAs[Double]("centroid_norm"))
+    // orthogonal pair: centroid (.5, .5, 0), each member at cos 1/sqrt(2)
+    assert(m(20L).getAs[Long]("n_vecs") === 2L)
+    assert(math.abs(m(20L).getAs[Double]("avg_cos") - 0.707107) < 1e-6)
+    assert(math.abs(m(20L).getAs[Double]("centroid_norm") - 0.707107) < 1e-6)
+    assert(m(20L).getAs[Double]("min_cos") <= m(20L).getAs[Double]("avg_cos"))
+  }
+
   test("q_events_retention: offset-0 cell is the full cohort; cells shrink-bounded") {
     val rows = SparkEntry.queries("q_events_retention")(spark, sf).collect()
     assert(rows.nonEmpty)
