@@ -7,6 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 final case class DocEvent(ts: java.sql.Timestamp, doc_id: Long, text: String)
 
+final case class TypedEvent(ts: java.sql.Timestamp, event_type: String)
+
 /** Streaming sessionization under MemoryStream: the streamed (closed)
   * sessions must be exactly a subset of the batch sessions, and sessions
   * whose gap elapsed before the final watermark must all be emitted. */
@@ -483,5 +485,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(rowsOf(spark.table("stream_pii")) === batchPii, "piiScrub diverges")
       assert(rowsOf(spark.table("stream_chunks")) === batchChunks, "ragChunks diverges")
     } finally qs.foreach(_.stop())
+  }
+
+  test("streaming hourly spike flags match the batch rows on completed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch operator = profile training + flagging in one; the stream
+    // flags against the SAME static profile, so every completed-window
+    // row it emits must be exactly a batch row
+    val batch = SparkEntry.queries("q_events_anomaly")(spark, sf)
+    val stats = batch.select("event_type", "mu", "sd").distinct()
+    val batchRows = batch.collect().map(_.mkString("|")).toSet
+
+    val events = graft.util.D.normTs(graft.util.D.t(spark, sf, "events"))
+      .select(col("ts"), col("event_type")).as[TypedEvent]
+      .collect().toSeq.sortBy(_.ts.getTime)
+    val mem = MemoryStream[TypedEvent]
+    val out = graft.streaming.Anomaly.flagStream(mem.toDS().toDF(), stats)
+    val q = out.writeStream.format("memory").queryName("anomaly_out")
+      .outputMode("append").start()
+    try {
+      val (a, b) = events.splitAt(events.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val streamed = spark.table("anomaly_out").collect().map(_.mkString("|")).toSet
+      assert(streamed.nonEmpty, "no completed windows emitted")
+      assert(streamed.subsetOf(batchRows),
+        s"streamed flags diverge from batch: ${streamed.diff(batchRows).take(3)}")
+      // the watermark horizon is the ONLY reason a batch row may be
+      // missing: everything older than the final watermark must emit
+      assert(streamed.size >= batchRows.size / 2,
+        s"too few completed windows: ${streamed.size} of ${batchRows.size}")
+    } finally q.stop()
   }
 }
