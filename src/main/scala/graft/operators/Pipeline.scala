@@ -809,6 +809,37 @@ object Pipeline extends QFamily {
       graft.text.Url.urlFilter(withUrl, blocked, Seq("xyz"))
     }),
 
+    // crawl-level URL dedup: canonicalize (lowercase, strip fragment /
+    // tracking params / dangling separators / trailing slash) then ONE
+    // exact-dedup group on the canonical key — the CCNet first pass
+    // that runs before any text is touched; URLs synthesized noisily
+    // (three spelling variants per page) in both engines
+    QDef("q_dedup_url", {
+      val doms = Seq("en.wikipedia.org", "github.com", "casino-wins.biz",
+        "news.example.co.uk", "tracker.ads.net", "free-stuff.xyz")
+      val dl = doms.map(d => s"'$d'").mkString("[", ", ", "]")
+      val page = "CAST(FLOOR(doc_id / 3) AS BIGINT)"
+      val base = s"'https://' || ($dl)[CAST($page % 6 AS INT) + 1] || '/Page/' || CAST($page AS VARCHAR)"
+      Some(graft.text.Url.urlDedupSql(
+        s"""(SELECT doc_id, CASE doc_id % 3
+           |  WHEN 0 THEN $base
+           |  WHEN 1 THEN $base || '?utm_source=feed&utm_campaign=x1'
+           |  ELSE upper($base) || '/#Top' END AS url FROM documents)""".stripMargin))
+    }, (s, dir) => {
+      val doms = Seq("en.wikipedia.org", "github.com", "casino-wins.biz",
+        "news.example.co.uk", "tracker.ads.net", "free-stuff.xyz")
+      val page = floor(col("doc_id") / 3).cast(LongType)
+      val base = concat(lit("https://"),
+        element_at(array(doms.map(lit): _*), (pmod(page, lit(6)) + 1).cast(IntegerType)),
+        lit("/Page/"), page.cast(StringType))
+      val url = when(pmod(col("doc_id"), lit(3)) === 0, base)
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(base, lit("?utm_source=feed&utm_campaign=x1")))
+        .otherwise(concat(upper(base), lit("/#Top")))
+      graft.text.Url.urlDedup(
+        t(s, dir, "documents").select(col("doc_id"), url.as("url")))
+    }),
+
     // int8 max-abs embedding quantization report (exact fixed-point)
     QDef("q_embed_quantize",
       Some(graft.sim.Quantize.int8ReportSql("embeddings")),

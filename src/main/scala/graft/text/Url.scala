@@ -85,4 +85,47 @@ object Url {
        |  CAST(CASE WHEN blocked_domain = 0 AND blocked_tld = 0 THEN 1 ELSE 0 END AS INT) AS keep
        |FROM flagged ORDER BY doc_id""".stripMargin
   }
+
+  /** URL canonicalization — the dedup key for the crawl-level first
+    * pass (CCNet/RefinedWeb dedup by URL before ever touching text):
+    * lowercase, strip the fragment, strip tracking query params
+    * (utm_*, ref, fbclid, gclid), drop dangling ?/& and the trailing
+    * slash. Lowercasing runs FIRST so uppercase tracking keys are
+    * caught too. Entirely scan-local codegen'd regexp work. */
+  def canonicalize(url: Column): Column = {
+    val lowered = lower(url)
+    val noFrag = regexp_replace(lowered, "#.*", "")
+    val noTrack = regexp_replace(noFrag, "(utm_[a-z]+|ref|fbclid|gclid)=[^&]*&?", "")
+    val noDangle = regexp_replace(noTrack, "[?&]+$", "")
+    regexp_replace(noDangle, "/$", "")
+  }
+
+  /** DuckDB mirror of [[canonicalize]] (DuckDB regexp_replace needs the
+    * explicit 'g' flag to match Spark's replace-all default). */
+  def canonicalizeSql(u: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower($u), " +
+      "'#.*', '', 'g'), '(utm_[a-z]+|ref|fbclid|gclid)=[^&]*&?', '', 'g'), " +
+      "'[?&]+$', '', 'g'), '/$', '', 'g')"
+
+  /** Crawl-level URL dedup report: per canonical URL the total docs,
+    * distinct raw spellings collapsed, and the kept doc (min doc_id —
+    * the [[graft.dedup.Dedup.exactGroups]] survivor rule). Scale:
+    * canonicalization is scan-local; the only shuffle is the ONE
+    * map-side-combined group on the canonical key — the exact-dedup
+    * shape, linear at any corpus size. */
+  def urlDedup(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), canonicalize(col("url")).as("canonical_url"), col("url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        countDistinct(col("url")).cast(LongType).as("n_raw_forms"),
+        min(col("doc_id")).as("keep_doc_id"))
+      .orderBy("canonical_url")
+
+  /** DuckDB mirror of [[urlDedup]]; `table` must expose (doc_id, url). */
+  def urlDedupSql(table: String): String =
+    s"""SELECT ${canonicalizeSql("url")} AS canonical_url,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+       |  MIN(doc_id) AS keep_doc_id
+       |FROM $table GROUP BY 1 ORDER BY canonical_url""".stripMargin
 }

@@ -162,6 +162,28 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(m(20L).getAs[Double]("min_cos") <= m(20L).getAs[Double]("avg_cos"))
   }
 
+  test("URL canonicalization strips noise, keeps real params; dedup collapses variants") {
+    import spark.implicits._
+    val cases = Seq(
+      ("https://EX.com/A/?utm_source=x&ref=y#frag", "https://ex.com/a"),
+      ("https://ex.com/p?id=3&utm_campaign=z", "https://ex.com/p?id=3"),
+      ("https://ex.com/p#only-frag", "https://ex.com/p"),
+      ("https://ex.com/clean", "https://ex.com/clean"))
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.text.Url.canonicalize(col("url")).as("c")).collect().map(_.getString(0))
+    assert(got.toSeq === cases.map(_._2))
+    // the registered query collapses the three synthesized spellings
+    val rows = SparkEntry.queries("q_dedup_url")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_raw_forms") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_docs") >= 1L)
+    }
+    // complete pages (all three variant doc_ids present) show 3 raw forms
+    assert(rows.exists(r => r.getAs[Long]("n_docs") === 3L &&
+      r.getAs[Long]("n_raw_forms") === 3L))
+  }
+
   test("q_events_retention: offset-0 cell is the full cohort; cells shrink-bounded") {
     val rows = SparkEntry.queries("q_events_retention")(spark, sf).collect()
     assert(rows.nonEmpty)
