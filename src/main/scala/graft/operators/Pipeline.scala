@@ -733,6 +733,12 @@ object Pipeline extends QFamily {
       Some(graft.text.Profile.tokenHistSql("documents")),
       (s, dir) => graft.text.Profile.tokenHist(t(s, dir, "documents"))),
 
+    // truncation-loss pricing for a candidate max_len (scan-local into
+    // one small-cardinality agg; pairs with q_token_hist's shape view)
+    QDef("q_tok_truncation",
+      Some(graft.text.Profile.truncationLossSql("documents", 64)),
+      (s, dir) => graft.text.Profile.truncationLoss(t(s, dir, "documents"), 64)),
+
     // per-doc token-distribution entropy (information-density quality
     // signal; one tf-idf-shaped shuffle via H = log2 n - (Σ c·log2 c)/n)
     QDef("q_text_entropy",

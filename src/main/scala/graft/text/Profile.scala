@@ -96,6 +96,40 @@ object Profile {
        |GROUP BY source, bucket_lo ORDER BY source, bucket_lo""".stripMargin
   }
 
+  /** Truncation-loss report for a candidate max sequence length — the
+    * planning measurement behind the max_len/packing decision
+    * ([[tokenHist]] shows the shape; this prices a specific cut): per
+    * source, documents over the limit, exact token totals, tokens kept
+    * at `maxLen` (Σ min(ntok, maxLen)), and the lost fraction. One
+    * scan-local projection into one map-side-combined small-cardinality
+    * aggregation — zero corpus shuffles beyond the stats table. */
+  def truncationLoss(docs: DataFrame, maxLen: Int): DataFrame = {
+    val ntok = size(TextOps.tokens(col("text"))).cast(LongType)
+    docs.select(col("source"), ntok.as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum((col("ntok") > maxLen).cast("long")).cast(LongType).as("n_truncated"),
+        sum(col("ntok")).cast(LongType).as("tokens_total"),
+        sum(least(col("ntok"), lit(maxLen.toLong))).cast(LongType).as("tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_truncated"),
+        col("tokens_total"), col("tokens_kept"),
+        (col("tokens_total") - col("tokens_kept")).as("tokens_lost"),
+        graft.util.D.r((col("tokens_total") - col("tokens_kept")).cast(DoubleType) /
+          col("tokens_total"), 6).as("loss_frac"))
+      .orderBy("source")
+  }
+
+  /** DuckDB mirror of [[truncationLoss]]. */
+  def truncationLossSql(table: String, maxLen: Int): String =
+    s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN ntok > $maxLen THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+       |  CAST(SUM(ntok) AS BIGINT) AS tokens_total,
+       |  CAST(SUM(LEAST(ntok, $maxLen)) AS BIGINT) AS tokens_kept,
+       |  CAST(SUM(ntok) - SUM(LEAST(ntok, $maxLen)) AS BIGINT) AS tokens_lost,
+       |  ROUND(CAST(SUM(ntok) - SUM(LEAST(ntok, $maxLen)) AS DOUBLE) / SUM(ntok), 6) AS loss_frac
+       |FROM (SELECT source, CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS ntok FROM $table)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   /** Per-document token-distribution Shannon entropy (bits) — the
     * information-density quality signal complementing the Gopher
     * repetition family: low entropy = boilerplate/repetition, high =

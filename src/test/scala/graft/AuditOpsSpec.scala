@@ -184,6 +184,26 @@ class AuditOpsSpec extends AnyFunSuite {
       r.getAs[Long]("n_raw_forms") === 3L))
   }
 
+  test("truncationLoss prices the cut exactly against brute token counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "one two three four five"),     // 5 tokens, under the cut
+      (2L, "a", (1 to 10).mkString(" ")),       // 10 tokens, truncated at 8
+      (3L, "b", (1 to 8).mkString(" "))         // exactly at the limit: kept whole
+    ).toDF("doc_id", "source", "text")
+    val m = graft.text.Profile.truncationLoss(docs, 8).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(m("a").getAs[Long]("n_docs") === 2L)
+    assert(m("a").getAs[Long]("n_truncated") === 1L)
+    assert(m("a").getAs[Long]("tokens_total") === 15L)
+    assert(m("a").getAs[Long]("tokens_kept") === 13L)
+    assert(m("a").getAs[Long]("tokens_lost") === 2L)
+    assert(m("a").getAs[Double]("loss_frac") === BigDecimal(2.0 / 15)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(m("b").getAs[Long]("n_truncated") === 0L)
+    assert(m("b").getAs[Long]("tokens_lost") === 0L)
+  }
+
   test("q_events_retention: offset-0 cell is the full cohort; cells shrink-bounded") {
     val rows = SparkEntry.queries("q_events_retention")(spark, sf).collect()
     assert(rows.nonEmpty)
