@@ -181,6 +181,31 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Banding-sensitivity profile of the minhash candidate set — the
+    * LSH tuning diagnostic: histogram of candidate pairs by estimated
+    * Jaccard (0.05-wide buckets) with the duplicate-threshold count per
+    * bucket. Read against the banding S-curve (8 bands × 2 rows →
+    * P(candidate) = 1−(1−j²)⁸): mass piling up far below the dup
+    * threshold means the banding is too permissive (wasted
+    * verification), an empty shoulder above it means recall risk.
+    * Scale: runs entirely on the banding-bounded pair table (one
+    * KB-bucket aggregation beyond [[minhashPairs]]' own work). */
+  def minhashCurve(docs: DataFrame): DataFrame =
+    minhashEst(docs)
+      .select((floor(col("est_jaccard") * 20) / 20).as("bucket"), col("is_dup"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast(LongType).as("n_pairs"),
+        sum(col("is_dup")).cast(LongType).as("n_dup"))
+      .orderBy("bucket")
+
+  /** DuckDB mirror of [[minhashCurve]]. */
+  def minhashCurveSql(table: String): String =
+    s"""WITH ${minhashCtes(table)}
+       |SELECT FLOOR(est_jaccard * 20) / 20 AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(CASE WHEN est_jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |FROM est GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** DuckDB mirror of [[crossSplitLeakage]]. */
   def crossSplitLeakageSql(table: String, trainFrac: Double = 0.8,
       valFrac: Double = 0.1, threshold: Double = 0.5): String = {

@@ -82,6 +82,13 @@ object Pipeline extends QFamily {
       Some(Dedup.minhashPairsSql("documents")),
       (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"))),
 
+    // banding S-curve diagnostic: candidate-pair histogram by estimated
+    // Jaccard — says whether the 8x2 banding wastes verification below
+    // the threshold or risks recall above it
+    QDef("q_minhash_curve",
+      Some(Dedup.minhashCurveSql("documents")),
+      (s, dir) => Dedup.minhashCurve(t(s, dir, "documents"))),
+
     // continuous-ingest shape: an arriving batch (doc_id % 3 = 0) is
     // near-dedup-matched against the persisted signature STORE of the
     // rest of the corpus — the historical text is never re-shingled

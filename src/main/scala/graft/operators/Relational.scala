@@ -574,6 +574,28 @@ object Relational extends QFamily {
         .orderBy("o_orderpriority", "rk")
     },
 
+    // ---- per-group top-k (groupby().nlargest / head) --------------------
+    // pandas groupby().nlargest(3): the 3 highest-value orders per
+    // priority with a total tiebreak. Executes as WindowGroupLimit —
+    // each task keeps a k-row heap per group, the hot group is never
+    // sorted whole (the q_sample_stratified shape, value-ordered).
+    q("q_group_topk",
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderpriority", "rk")
+    },
+
     // ---- winsorization (robust feature clipping) ------------------------
     // per-group [p05, p95] clip of l_extendedprice — outlier-robust
     // scaling before training. Two aggregate passes by design: the

@@ -204,6 +204,31 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(m("b").getAs[Long]("tokens_lost") === 0L)
   }
 
+  test("group_topk takes exactly the k largest per group; curve partitions the pair set") {
+    val rows = SparkEntry.queries("q_group_topk")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byGroup = rows.groupBy(_.getAs[String]("o_orderpriority"))
+    val orders = graft.util.D.t(spark, sf, "orders")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted.reverse).toMap
+    byGroup.foreach { case (g, rs) =>
+      assert(rs.length <= 3)
+      val got = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("o_totalprice"))
+      assert(got.toSeq === orders(g).take(rs.length).toSeq)
+    }
+    // curve: buckets partition the candidate pairs; >= 0.5 buckets are all dup
+    val curve = graft.dedup.Dedup.minhashCurve(
+      graft.util.D.t(spark, sf, "documents")).collect()
+    val pairs = graft.dedup.Dedup.minhashPairs(
+      graft.util.D.t(spark, sf, "documents")).count()
+    assert(curve.map(_.getAs[Long]("n_pairs")).sum === pairs)
+    curve.foreach { r =>
+      val (b, n, d) = (r.getAs[Double]("bucket"), r.getAs[Long]("n_pairs"), r.getAs[Long]("n_dup"))
+      assert(d <= n)
+      if (b >= 0.5) assert(d === n) else assert(d === 0L)
+    }
+  }
+
   test("q_events_retention: offset-0 cell is the full cohort; cells shrink-bounded") {
     val rows = SparkEntry.queries("q_events_retention")(spark, sf).collect()
     assert(rows.nonEmpty)
