@@ -512,4 +512,28 @@ class ScaleSpec extends AnyFunSuite {
     val fu = AutoExplore.followUp(li, "quantity drop in returned items", iterations = 1)
     assert(fu.finalReport.startsWith("Follow-up on: quantity drop"))
   }
+
+  test("round-6 audit operators plan no cartesian; nested loop only where queries broadcast") {
+    // every join in the audit/diagnostic batch must be key-based (hash/
+    // sort-merge) — a CartesianProduct or an unkeyed nested loop over
+    // corpus-sized sides is the 100 TB scale-killer these plans are
+    // designed around. The ONE sanctioned BroadcastNestedLoopJoin is
+    // q_ann_recall's inherited bruteTopK N×Q broadcast-queries scan
+    // (the exact baseline the IVF side exists to avoid).
+    val keyedOnly = Seq("q_split_leakage", "q_events_retention", "q_events_anomaly",
+      "q_pagerank_step", "q_pagerank_2iter", "q_embed_drift", "q_dedup_url",
+      "q_text_entropy", "q_tok_truncation", "q_minhash_curve", "q_group_topk",
+      "q_anomaly_mad")
+    keyedOnly.foreach { n =>
+      val plan = graft.SparkEntry.queries(n)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$n plans a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$n plans an unkeyed nested loop")
+    }
+    val recall = graft.SparkEntry.queries("q_ann_recall")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!recall.contains("CartesianProduct"))
+    assert(recall.contains("BroadcastNestedLoopJoin"),
+      "q_ann_recall lost its documented broadcast-queries scan shape")
+  }
 }
