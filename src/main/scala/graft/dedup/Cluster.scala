@@ -117,4 +117,29 @@ object Cluster {
        |FROM comp c JOIN (SELECT cluster_id, COUNT(*) AS cnt FROM comp GROUP BY 1) s
        |  USING (cluster_id)
        |ORDER BY cluster_id, doc_id""".stripMargin
+
+  /** Dedup savings report — what resolving the clusters buys: per
+    * cluster size, how many clusters, how many member docs, and how
+    * many are REMOVABLE (docs − clusters, since one survivor stays per
+    * cluster). Σ n_removable over the table is the corpus shrink the
+    * near-dedup pass delivers — the number a pipeline owner asks for
+    * before paying for the pass. Covers clustered (paired) docs only;
+    * unpaired docs are trivially size-1 survivors. Scale: one KB-sized
+    * aggregation over [[minhashClusters]]' (doc, cluster) table. */
+  def clusterStats(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    minhashClusters(docs, minJaccard)
+      .groupBy("cluster_size")
+      .agg(countDistinct(col("cluster_id")).cast(LongType).as("n_clusters"),
+        count(lit(1)).cast(LongType).as("n_docs"))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        (col("n_docs") - col("n_clusters")).as("n_removable"))
+      .orderBy("cluster_size")
+
+  /** DuckDB mirror of [[clusterStats]]. */
+  def clusterStatsSql(table: String, minJaccard: Double = 0.5): String =
+    s"""SELECT cluster_size, CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) - COUNT(DISTINCT cluster_id) AS BIGINT) AS n_removable
+       |FROM (${minhashClustersSql(table, minJaccard)})
+       |GROUP BY 1 ORDER BY cluster_size""".stripMargin
 }

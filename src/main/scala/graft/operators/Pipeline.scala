@@ -566,6 +566,13 @@ object Pipeline extends QFamily {
       Some(graft.dedup.Cluster.minhashClustersSql("documents", 0.3)),
       (s, dir) => graft.dedup.Cluster.minhashClusters(t(s, dir, "documents"), 0.3)),
 
+    // dedup savings report: per cluster size, clusters / docs /
+    // removable (docs - survivors) — the corpus-shrink number the
+    // near-dedup pass is paid for; KB agg over the cluster table
+    QDef("q_dup_cluster_stats",
+      Some(graft.dedup.Cluster.clusterStatsSql("documents", 0.3)),
+      (s, dir) => graft.dedup.Cluster.clusterStats(t(s, dir, "documents"), 0.3)),
+
     // link-graph authority (PageRank mass): the crawl-quality ranking
     // signal — one power iteration over a doc_id-deterministic link
     // graph (the corpus has no link column, so both engines synthesize

@@ -229,6 +229,19 @@ class AuditOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterStats: docs = size x clusters per row; removable leaves one survivor") {
+    val rows = SparkEntry.queries("q_dup_cluster_stats")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val size = r.getAs[Long]("cluster_size")
+      val nc = r.getAs[Long]("n_clusters")
+      val nd = r.getAs[Long]("n_docs")
+      assert(size >= 2L) // a pair graph has no singleton components
+      assert(nd === size * nc)
+      assert(r.getAs[Long]("n_removable") === nd - nc)
+    }
+  }
+
   test("q_events_retention: offset-0 cell is the full cohort; cells shrink-bounded") {
     val rows = SparkEntry.queries("q_events_retention")(spark, sf).collect()
     assert(rows.nonEmpty)
