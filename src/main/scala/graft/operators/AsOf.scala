@@ -17,9 +17,13 @@ import org.apache.spark.sql.expressions.Window
   * (present on both sides) breaks remaining ties deterministically.
   *
   * `direction` mirrors merge_asof's: "backward" (default — latest right
-  * at or before the left ts) or "forward" (earliest right at or after).
-  * Forward is the same single-shuffle window with the traversal order
-  * reversed — not a second algorithm.
+  * at or before the left ts), "forward" (earliest right at or after), or
+  * "nearest" (whichever of the two is closer in absolute time; equal
+  * distances prefer the backward match, pandas' rule). Forward is the
+  * same single-shuffle window with the traversal order reversed — not a
+  * second algorithm — and nearest evaluates BOTH traversals over the one
+  * unioned/partitioned frame (same single exchange, two window sorts)
+  * then picks per row, so no direction costs a second shuffle.
   *
   * `toleranceUs` mirrors merge_asof(tolerance=...): a match farther than
   * the given microseconds from the left timestamp is nulled out (the row
@@ -32,8 +36,8 @@ object AsOf {
            seqCol: String, rightValCols: Seq[String],
            direction: String = "backward",
            toleranceUs: Option[Long] = None): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be 'backward' or 'forward', got '$direction'")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"direction must be 'backward', 'forward' or 'nearest', got '$direction'")
     require(toleranceUs.forall(_ >= 0), "tolerance must be nonnegative")
     // carry the matched right timestamp internally for the tolerance
     // check even when the caller did not ask for it
@@ -50,13 +54,34 @@ object AsOf {
     // wins. forward: the mirror image — descending scan finds the
     // EARLIEST right at-or-after each left row; seq descends too so tie
     // resolution picks the same row pandas' stable forward search does.
-    val w = (if (direction == "backward")
-        Window.partitionBy(keyCol).orderBy(col(tsCol), col("_side"), col(seqCol))
-      else
-        Window.partitionBy(keyCol).orderBy(col(tsCol).desc, col("_side"), col(seqCol).desc))
+    // nearest: both fills over the SAME partitioning (one exchange, two
+    // sorts), then a per-row pick by absolute gap with backward winning
+    // ties (pandas' rule).
+    val wB = Window.partitionBy(keyCol).orderBy(col(tsCol), col("_side"), col(seqCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valCols.foldLeft(lSide.unionByName(rSide)) { (d, c) =>
-      d.withColumn(s"right_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    val wF = Window.partitionBy(keyCol).orderBy(col(tsCol).desc, col("_side"), col(seqCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val unioned = lSide.unionByName(rSide)
+    val filled = direction match {
+      case "backward" => valCols.foldLeft(unioned) { (d, c) =>
+        d.withColumn(s"right_$c", last(col(s"_r_$c"), ignoreNulls = true).over(wB))
+      }
+      case "forward" => valCols.foldLeft(unioned) { (d, c) =>
+        d.withColumn(s"right_$c", last(col(s"_r_$c"), ignoreNulls = true).over(wF))
+      }
+      case "nearest" =>
+        val both = valCols.foldLeft(unioned) { (d, c) =>
+          d.withColumn(s"_b_$c", last(col(s"_r_$c"), ignoreNulls = true).over(wB))
+            .withColumn(s"_f_$c", last(col(s"_r_$c"), ignoreNulls = true).over(wF))
+        }
+        val bTs = col(s"_b_$tsCol")
+        val fTs = col(s"_f_$tsCol")
+        val gapB = abs(unix_micros(col(tsCol)) - unix_micros(bTs))
+        val gapF = abs(unix_micros(col(tsCol)) - unix_micros(fTs))
+        val chooseB = bTs.isNotNull && (fTs.isNull || gapB <= gapF)
+        valCols.foldLeft(both) { (d, c) =>
+          d.withColumn(s"right_$c", when(chooseB, col(s"_b_$c")).otherwise(col(s"_f_$c")))
+        }.drop(valCols.flatMap(c => Seq(s"_b_$c", s"_f_$c")): _*)
     }
     val matched = filled.filter(col("_side") === 1)
       .drop("_side")

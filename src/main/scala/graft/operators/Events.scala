@@ -149,6 +149,38 @@ object Events extends QFamily {
           .orderBy("user_id", "ts", "event_id")
       }),
 
+    // merge_asof(direction='nearest'): whichever signup is closer in
+    // absolute time, equal distances preferring the backward match
+    // (pandas' rule) — both traversals evaluate over ONE partitioned
+    // frame (one exchange, two window sorts; AsOf.join scaladoc). The
+    // oracle states the semantics directly: per purchase, the signup ts
+    // minimizing (abs gap, ts) via a LATERAL top-1.
+    QDef("q_asof_nearest",
+      Some(s"""WITH $evSql,
+             |l AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+             |r AS (SELECT ts AS rts, user_id FROM ev WHERE event_type = 'signup')
+             |SELECT l.event_id, l.user_id, l.ts, s.rts AS nearest_signup_ts,
+             |  CASE WHEN s.rts IS NOT NULL
+             |       THEN epoch_us(l.ts) - epoch_us(s.rts) END AS us_from_signup
+             |FROM l LEFT JOIN LATERAL (
+             |  SELECT r.rts FROM r WHERE r.user_id = l.user_id
+             |  ORDER BY ABS(epoch_us(r.rts) - epoch_us(l.ts)), r.rts LIMIT 1) s ON TRUE
+             |ORDER BY l.user_id, l.ts, l.event_id""".stripMargin),
+      (s, dir) => {
+        val e = ev(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val signups = e.filter(col("event_type") === "signup")
+          .select("event_id", "user_id", "ts")
+        AsOf.join(purchases, signups, "user_id", "ts", "event_id", Seq("ts"),
+            direction = "nearest")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("right_ts").as("nearest_signup_ts"),
+            when(col("right_ts").isNotNull,
+              unix_micros(col("ts")) - unix_micros(col("right_ts"))).as("us_from_signup"))
+          .orderBy("user_id", "ts", "event_id")
+      }),
+
     // merge_asof(tolerance=...): a backward match farther than 7 days is
     // nulled out (row kept, unmatched — pandas semantics)
     QDef("q_asof_tolerance",

@@ -242,6 +242,29 @@ class AuditOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("asof nearest picks the closer side and prefers backward on ties") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2026-01-01 10:00:00")),
+      (2L, 10L, ts("2026-01-01 12:00:00")),
+      (3L, 20L, ts("2026-01-01 09:00:00"))   // no right rows for user 20
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2026-01-01 09:30:00")), // 30 min before e1
+      (101L, 10L, ts("2026-01-01 10:20:00")), // 20 min after e1 -> e1's nearest
+      (102L, 10L, ts("2026-01-01 13:40:00")), // e2: 100 min after vs 101's 100 min before -> TIE
+      (103L, 30L, ts("2026-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val out = graft.operators.AsOf
+      .join(left, right, "user_id", "ts", "event_id", Seq("ts"), direction = "nearest")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.sql.Timestamp]("right_ts"))).toMap
+    assert(out(1L) === Some(ts("2026-01-01 10:20:00"))) // forward side is closer
+    assert(out(2L) === Some(ts("2026-01-01 10:20:00"))) // tie -> backward (pandas rule)
+    assert(out(3L) === None)                            // no candidates at all
+  }
+
   test("q_events_retention: offset-0 cell is the full cohort; cells shrink-bounded") {
     val rows = SparkEntry.queries("q_events_retention")(spark, sf).collect()
     assert(rows.nonEmpty)
