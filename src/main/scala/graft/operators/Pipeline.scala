@@ -860,6 +860,12 @@ object Pipeline extends QFamily {
         t(s, dir, "documents").select(col("doc_id"), url.as("url")))
     }),
 
+    // product-quantization codes (FAISS IVF-PQ compression step):
+    // m=8 subspaces, seeded per-subspace codebooks, exact argmin
+    QDef("q_pq_codes",
+      Some(graft.sim.Quantize.pqCodesSql("embeddings", 125, 7)),
+      (s, dir) => graft.sim.Quantize.pqCodes(t(s, dir, "embeddings"), 8, 125, 7)),
+
     // int8 max-abs embedding quantization report (exact fixed-point)
     QDef("q_embed_quantize",
       Some(graft.sim.Quantize.int8ReportSql("embeddings")),

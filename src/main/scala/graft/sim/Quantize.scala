@@ -78,4 +78,87 @@ object Quantize {
        |  CAST(SUM(ABS(a * 127 - qi * amax)) AS BIGINT) AS sum_err_fx,
        |  MAX(ABS(a * 127 - qi * amax)) AS max_err_fx
        |FROM qe GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** Product-quantization codes (Jégou et al. 2011 — the FAISS IVF-PQ
+    * compression step): split each vector into `m` contiguous
+    * subvectors, quantize every subvector to its nearest code in a
+    * per-subspace codebook, emit the m-byte code word and the exact
+    * squared reconstruction error. A PQ index stores m bytes per
+    * vector instead of 4d — the storage step between [[int8Report]]'s
+    * scalar quantization and a full ANN index.
+    *
+    * Codebook: the family's deterministic seeding — vectors with
+    * vec_id % centMod = centOff contribute their s-th subvector as
+    * subspace s's code (code id = contributor's vec_id); a real
+    * deployment trains per-subspace k-means ([[Ann.kmeansFit]] per
+    * subspace composes for that), the seeded form keeps the operator
+    * oracle-checkable.
+    *
+    * Determinism: subvectors enter a 1e4 fixed-point domain (NOT the
+    * library's 1e8 — squared L2 sums must stay ≤ 2^53 so the argmin
+    * score is an EXACT double: |d|² ≤ dsub·(2·1e4)² ≈ 3e9 per
+    * subspace), distances are exact longs via ‖x‖² + ‖c‖² − 2x·c on
+    * [[graft.functions.FixedDot]], argmin ties break to the smallest
+    * code id ([[graft.functions.ArgMaxBy]] = the oracle's ORDER BY
+    * dist, cid), and the error emits at the 1e8 (= 1e4²) scale.
+    *
+    * Scale: the codebook is m×K rows (broadcast at any corpus size);
+    * the corpus side is one narrow subvector explode (m rows/vector)
+    * joined against it, then two map-side-combined aggregations
+    * ((vec, s) argmin → per-vec code word). The bounded
+    * collect_list/transform runs on m=8 structs per vector — the
+    * family's bounded post-aggregation HOF convention. */
+  def pqCodes(vecs: DataFrame, m: Int, centMod: Int, centOff: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    def fx4(c: Column): Column =
+      transform(c, x => round(x.cast(DoubleType) * 1e4, 0).cast(LongType))
+    def subs(df: DataFrame, idCol: String) = {
+      val dsub = (size(col("_e")) / m).cast(IntegerType)
+      df.select(col(idCol), col("embedding").as("_e"),
+          explode(sequence(lit(0), lit(m - 1))).as("s"))
+        .select(col(idCol), col("s"),
+          fx4(slice(col("_e"), col("s") * dsub + 1, dsub)).as("fxs"))
+    }
+    import graft.functions.FixedDot
+    val xs = subs(vecs, "vec_id")
+    val cb = subs(vecs.filter(col("vec_id") % centMod === centOff)
+        .select(col("vec_id").as("cid"), col("embedding")), "cid")
+      .select(col("s"), col("cid"), col("fxs").as("ce"))
+      .withColumn("cn", FixedDot(col("ce"), col("ce")))
+    val scored = xs.join(broadcast(cb), "s")
+      .withColumn("dist",
+        FixedDot(col("fxs"), col("fxs")) + col("cn") -
+          lit(2L) * FixedDot(col("fxs"), col("ce")))
+    val best = scored.groupBy("vec_id", "s")
+      .agg(graft.functions.ArgMaxBy.argmax(col("cid"),
+          -col("dist").cast(DoubleType)).as("code"),
+        min(col("dist")).as("d"))
+    best.groupBy("vec_id")
+      .agg(concat_ws("-",
+          transform(array_sort(collect_list(struct(col("s"), col("code")))),
+            t => t.getField("code").cast(StringType))).as("codes"),
+        graft.util.D.r(sum(col("d")).cast(DoubleType) / lit(1e8), 6).as("err_sq"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB mirror of [[pqCodes]] (m fixed at 8 — the registered form). */
+  def pqCodesSql(table: String, centMod: Int, centOff: Int): String = {
+    val f = (c: String) => s"CAST(ROUND(CAST($c AS DOUBLE) * 10000) AS BIGINT)"
+    s"""WITH sers AS (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS s),
+       |xs AS (SELECT e.vec_id, t.s, e.embedding, len(e.embedding) // 8 AS dsub
+       |  FROM $table e, sers t),
+       |cb AS (SELECT vec_id AS cid, embedding AS cemb FROM $table
+       |  WHERE vec_id % $centMod = $centOff),
+       |scored AS (SELECT x.vec_id, x.s, c.cid,
+       |    (SELECT SUM((${f("a")} - ${f("b")}) * (${f("a")} - ${f("b")}))
+       |     FROM (SELECT unnest(x.embedding[x.s * x.dsub + 1 : (x.s + 1) * x.dsub]) AS a,
+       |                  unnest(c.cemb[x.s * x.dsub + 1 : (x.s + 1) * x.dsub]) AS b)) AS dist
+       |  FROM xs x, cb c),
+       |best AS (SELECT vec_id, s, cid AS code, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+       |  FROM scored)
+       |SELECT vec_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS codes,
+       |  ROUND(CAST(SUM(dist) AS DOUBLE) / 100000000.0, 6) AS err_sq
+       |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
 }

@@ -265,6 +265,28 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(out(3L) === None)                            // no candidates at all
   }
 
+  test("pqCodes: codebook members reconstruct exactly; nested codebooks shrink error") {
+    import graft.sim.Quantize
+    val vecs = graft.util.D.t(spark, sf, "embeddings")
+    val coarse = Quantize.pqCodes(vecs, 8, 125, 7).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(coarse.nonEmpty)
+    coarse.values.foreach { r =>
+      assert(r.getAs[String]("codes").split("-").length === 8)
+      assert(r.getAs[Double]("err_sq") >= 0.0)
+    }
+    // a codebook contributor's own subvectors are distance 0 from its codes
+    coarse.keys.filter(id => id % 125 == 7)
+      .foreach(id => assert(coarse(id).getAs[Double]("err_sq") === 0.0))
+    // 125k+7 ≡ 7 (mod 25): the coarse codebook nests inside the finer
+    // one, so per-vector error can only shrink with more codes
+    val fine = Quantize.pqCodes(vecs, 8, 25, 7).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("err_sq")).toMap
+    coarse.foreach { case (id, r) =>
+      assert(fine(id) <= r.getAs[Double]("err_sq") + 1e-9)
+    }
+  }
+
   test("q_events_retention: offset-0 cell is the full cohort; cells shrink-bounded") {
     val rows = SparkEntry.queries("q_events_retention")(spark, sf).collect()
     assert(rows.nonEmpty)
