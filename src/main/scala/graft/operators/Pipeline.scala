@@ -866,6 +866,13 @@ object Pipeline extends QFamily {
       Some(graft.sim.Quantize.pqCodesSql("embeddings", 125, 7)),
       (s, dir) => graft.sim.Quantize.pqCodes(t(s, dir, "embeddings"), 8, 125, 7)),
 
+    // ADC top-k search over the PQ codes (the FAISS IVF-PQ serving
+    // step): corpus side reads m code longs per vector, never the
+    // embeddings; per-query distance table broadcast
+    QDef("q_ann_pq",
+      Some(graft.sim.Quantize.adcTopKSql("embeddings", 125, 7, 40, 5)),
+      (s, dir) => graft.sim.Quantize.adcTopK(t(s, dir, "embeddings"), 8, 125, 7, 40, 5)),
+
     // int8 max-abs embedding quantization report (exact fixed-point)
     QDef("q_embed_quantize",
       Some(graft.sim.Quantize.int8ReportSql("embeddings")),

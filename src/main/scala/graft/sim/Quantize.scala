@@ -79,6 +79,48 @@ object Quantize {
        |  MAX(ABS(a * 127 - qi * amax)) AS max_err_fx
        |FROM qe GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** Components of an embedding array in the PQ family's 1e4 fixed-point
+    * domain (NOT the library-wide 1e8 — see [[pqCodes]]' determinism note). */
+  private def fx4(c: Column): Column =
+    transform(c, x => round(x.cast(DoubleType) * 1e4, 0).cast(LongType))
+
+  /** One row per (id, subspace): the s-th of `m` contiguous subvectors,
+    * fixed-point scaled. A narrow explode — m small rows per vector. */
+  private def subs(df: DataFrame, idCol: String, m: Int): DataFrame = {
+    val dsub = (size(col("_e")) / m).cast(IntegerType)
+    df.select(col(idCol), col("embedding").as("_e"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col(idCol), col("s"),
+        fx4(slice(col("_e"), col("s") * dsub + 1, dsub)).as("fxs"))
+  }
+
+  /** Seeded per-subspace codebook: (s, cid, ce, cn=‖ce‖²) — m×K rows,
+    * broadcast at any corpus size. */
+  private def codebook(vecs: DataFrame, m: Int, centMod: Int, centOff: Int): DataFrame = {
+    import graft.functions.FixedDot
+    subs(vecs.filter(col("vec_id") % centMod === centOff)
+        .select(col("vec_id").as("cid"), col("embedding")), "cid", m)
+      .select(col("s"), col("cid"), col("fxs").as("ce"))
+      .withColumn("cn", FixedDot(col("ce"), col("ce")))
+  }
+
+  /** Exact long squared L2 between a subvector column and a code column
+    * (‖x‖² + ‖c‖² − 2x·c on [[graft.functions.FixedDot]]). */
+  private def sqDist(x: Column, cn: Column, ce: Column): Column = {
+    import graft.functions.FixedDot
+    FixedDot(x, x) + cn - lit(2L) * FixedDot(x, ce)
+  }
+
+  /** Per (vec_id, s): the nearest code id (ties → smallest cid) and its
+    * exact distance. One broadcast join + one map-side-combined argmin. */
+  private def nearestCode(xs: DataFrame, cb: DataFrame): DataFrame =
+    xs.join(broadcast(cb), "s")
+      .withColumn("dist", sqDist(col("fxs"), col("cn"), col("ce")))
+      .groupBy("vec_id", "s")
+      .agg(graft.functions.ArgMaxBy.argmax(col("cid"),
+          -col("dist").cast(DoubleType)).as("code"),
+        min(col("dist")).as("d"))
+
   /** Product-quantization codes (Jégou et al. 2011 — the FAISS IVF-PQ
     * compression step): split each vector into `m` contiguous
     * subvectors, quantize every subvector to its nearest code in a
@@ -110,29 +152,9 @@ object Quantize {
     * family's bounded post-aggregation HOF convention. */
   def pqCodes(vecs: DataFrame, m: Int, centMod: Int, centOff: Int): DataFrame = {
     require(m >= 1, s"m must be >= 1, got $m")
-    def fx4(c: Column): Column =
-      transform(c, x => round(x.cast(DoubleType) * 1e4, 0).cast(LongType))
-    def subs(df: DataFrame, idCol: String) = {
-      val dsub = (size(col("_e")) / m).cast(IntegerType)
-      df.select(col(idCol), col("embedding").as("_e"),
-          explode(sequence(lit(0), lit(m - 1))).as("s"))
-        .select(col(idCol), col("s"),
-          fx4(slice(col("_e"), col("s") * dsub + 1, dsub)).as("fxs"))
-    }
-    import graft.functions.FixedDot
-    val xs = subs(vecs, "vec_id")
-    val cb = subs(vecs.filter(col("vec_id") % centMod === centOff)
-        .select(col("vec_id").as("cid"), col("embedding")), "cid")
-      .select(col("s"), col("cid"), col("fxs").as("ce"))
-      .withColumn("cn", FixedDot(col("ce"), col("ce")))
-    val scored = xs.join(broadcast(cb), "s")
-      .withColumn("dist",
-        FixedDot(col("fxs"), col("fxs")) + col("cn") -
-          lit(2L) * FixedDot(col("fxs"), col("ce")))
-    val best = scored.groupBy("vec_id", "s")
-      .agg(graft.functions.ArgMaxBy.argmax(col("cid"),
-          -col("dist").cast(DoubleType)).as("code"),
-        min(col("dist")).as("d"))
+    val xs = subs(vecs, "vec_id", m)
+    val cb = codebook(vecs, m, centMod, centOff)
+    val best = nearestCode(xs, cb)
     best.groupBy("vec_id")
       .agg(concat_ws("-",
           transform(array_sort(collect_list(struct(col("s"), col("code")))),
@@ -141,24 +163,101 @@ object Quantize {
       .orderBy("vec_id")
   }
 
-  /** DuckDB mirror of [[pqCodes]] (m fixed at 8 — the registered form). */
-  def pqCodesSql(table: String, centMod: Int, centOff: Int): String = {
-    val f = (c: String) => s"CAST(ROUND(CAST($c AS DOUBLE) * 10000) AS BIGINT)"
-    s"""WITH sers AS (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS s),
+  /** Shared DuckDB CTEs for the PQ family (m fixed at 8 — the registered
+    * form): subvector rows, the seeded codebook, per-(vec, s) code
+    * distances, and the rn=1 nearest-code pick. */
+  private def fx4Sql(c: String): String =
+    s"CAST(ROUND(CAST($c AS DOUBLE) * 10000) AS BIGINT)"
+
+  private def sqDistSql(emb: String, cemb: String): String = {
+    val f = fx4Sql _
+    s"""(SELECT SUM((${f("a")} - ${f("b")}) * (${f("a")} - ${f("b")}))
+       |     FROM (SELECT unnest($emb[x.s * x.dsub + 1 : (x.s + 1) * x.dsub]) AS a,
+       |                  unnest($cemb[x.s * x.dsub + 1 : (x.s + 1) * x.dsub]) AS b))""".stripMargin
+  }
+
+  private def pqSqlCtes(table: String, centMod: Int, centOff: Int): String =
+    s"""sers AS (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS s),
        |xs AS (SELECT e.vec_id, t.s, e.embedding, len(e.embedding) // 8 AS dsub
        |  FROM $table e, sers t),
        |cb AS (SELECT vec_id AS cid, embedding AS cemb FROM $table
        |  WHERE vec_id % $centMod = $centOff),
        |scored AS (SELECT x.vec_id, x.s, c.cid,
-       |    (SELECT SUM((${f("a")} - ${f("b")}) * (${f("a")} - ${f("b")}))
-       |     FROM (SELECT unnest(x.embedding[x.s * x.dsub + 1 : (x.s + 1) * x.dsub]) AS a,
-       |                  unnest(c.cemb[x.s * x.dsub + 1 : (x.s + 1) * x.dsub]) AS b)) AS dist
+       |    ${sqDistSql("x.embedding", "c.cemb")} AS dist
        |  FROM xs x, cb c),
        |best AS (SELECT vec_id, s, cid AS code, dist,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+
+  /** DuckDB mirror of [[pqCodes]] (m fixed at 8 — the registered form). */
+  def pqCodesSql(table: String, centMod: Int, centOff: Int): String =
+    s"""WITH ${pqSqlCtes(table, centMod, centOff)}
        |SELECT vec_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS codes,
        |  ROUND(CAST(SUM(dist) AS DOUBLE) / 100000000.0, 6) AS err_sq
        |FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** ADC top-k search over PQ codes (Jégou et al. 2011 §IV — asymmetric
+    * distance computation, the FAISS IVF-PQ *serving* step that
+    * [[pqCodes]]' compression feeds): each corpus vector is represented
+    * ONLY by its m code ids; a query computes one m×K distance table
+    * against the codebook, and every corpus distance is m table lookups
+    * summed — d(q, x) ≈ Σ_s ‖q_s − c_{code_s(x)}‖². The query never
+    * touches corpus embeddings, which is the whole point at 100 TB:
+    * the scan reads m longs per vector (the PQ index), not 4d bytes.
+    *
+    * Plan shape: the codebook (m×K rows) and the per-query distance
+    * table (Q×m×K rows) both broadcast; the corpus side is the code
+    * table — one narrow join + one map-side-combined sum per
+    * (query, vec), then WindowGroupLimit keeps k rows per query per
+    * task. IVF-list blocking composes in front exactly as in
+    * [[graft.sim.Ann.ivfTopK]] (probe lists, then ADC within lists).
+    *
+    * Determinism: everything stays in the 1e4 fixed-point domain —
+    * distances are exact longs (≤ ~dsub·(2e4)²·m ≈ 5e10 ≪ 2^53, so the
+    * double emit is exact), ranking ties break to the smaller
+    * neighbor id, and the query's own vector is excluded (its ADC
+    * distance is its reconstruction error, not 0 — including it would
+    * only measure the quantizer). */
+  def adcTopK(vecs: DataFrame, m: Int, centMod: Int, centOff: Int,
+      queryMod: Int, k: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val cb = codebook(vecs, m, centMod, centOff)
+    val codes = nearestCode(subs(vecs, "vec_id", m), cb)
+      .select("vec_id", "s", "code")
+    val qd = subs(vecs.filter(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("query_id"), col("embedding")), "query_id", m)
+      .join(cb, "s")
+      .select(col("query_id"), col("s").as("qs"), col("cid"),
+        sqDist(col("fxs"), col("cn"), col("ce")).as("qdist"))
+    val adc = codes
+      .join(broadcast(qd), col("s") === col("qs") && col("code") === col("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("qdist")).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        graft.util.D.r(col("d").cast(DoubleType) / lit(1e8), 6).as("adc_dist"))
+      .orderBy("query_id", "rank")
   }
+
+  /** DuckDB mirror of [[adcTopK]] (m fixed at 8 — the registered form). */
+  def adcTopKSql(table: String, centMod: Int, centOff: Int,
+      queryMod: Int, k: Int): String =
+    s"""WITH ${pqSqlCtes(table, centMod, centOff)},
+       |codes AS (SELECT vec_id, s, code FROM best WHERE rn = 1),
+       |qd AS (SELECT x.vec_id AS query_id, x.s, c.cid,
+       |    ${sqDistSql("x.embedding", "c.cemb")} AS qdist
+       |  FROM xs x, cb c WHERE x.vec_id % $queryMod = 0),
+       |adc AS (SELECT q.query_id, c.vec_id, SUM(q.qdist) AS d
+       |  FROM codes c JOIN qd q ON q.s = c.s AND q.cid = c.code
+       |  WHERE c.vec_id <> q.query_id GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, vec_id, d,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, rank, vec_id AS neighbor_id,
+       |  ROUND(CAST(d AS DOUBLE) / 100000000.0, 6) AS adc_dist
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 }

@@ -287,6 +287,33 @@ class AuditOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("adcTopK: a duplicated query attains the minimum possible ADC distance") {
+    import graft.sim.Quantize
+    val vecs = graft.util.D.t(spark, sf, "embeddings")
+    // duplicate query 0's embedding under an id that is neither a query
+    // (% 40 != 0) nor a codebook contributor (% 5 != 2)
+    val dupId = 1000001L
+    val dup = vecs.filter(col("vec_id") === 0L).withColumn("vec_id", lit(dupId))
+    val out = Quantize.adcTopK(vecs.unionByName(dup), 8, 5, 2, 40, 1000000)
+      .collect()
+    assert(out.nonEmpty)
+    // ranks are contiguous from 1, distances non-decreasing, no self-match
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq === (1L to sorted.length))
+      assert(sorted.sliding(2).forall(p => p.length < 2 ||
+        p(0).getAs[Double]("adc_dist") <= p(1).getAs[Double]("adc_dist")))
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") === q))
+    }
+    // the duplicate shares query 0's codes, so its ADC distance is
+    // sum_s min_c ||q_s - c||^2 — the global minimum for query 0
+    val q0 = out.filter(_.getAs[Long]("query_id") === 0L)
+    val dupDist = q0.find(_.getAs[Long]("neighbor_id") === dupId)
+      .map(_.getAs[Double]("adc_dist"))
+    assert(dupDist.isDefined, "duplicate missing from query 0's ranking")
+    assert(dupDist.get === q0.map(_.getAs[Double]("adc_dist")).min)
+  }
+
   test("q_events_retention: offset-0 cell is the full cohort; cells shrink-bounded") {
     val rows = SparkEntry.queries("q_events_retention")(spark, sf).collect()
     assert(rows.nonEmpty)
