@@ -677,6 +677,13 @@ object Pipeline extends QFamily {
       Some(graft.text.Vocab.vocabBuildSql("documents", minCount = 3)),
       (s, dir) => graft.text.Vocab.vocabBuild(t(s, dir, "documents"), minCount = 3)),
 
+    // exact heavy hitters (tokens with > 1/64 corpus share) via the
+    // bounded Misra-Gries sketch + exact recount two-pass plan — the
+    // term universe is never shuffled
+    QDef("q_heavy_hitters",
+      Some(graft.text.Heavy.heavyHittersSql("documents", 64)),
+      (s, dir) => graft.text.Heavy.heavyHitters(t(s, dir, "documents"), 64)),
+
     // top adjacent token pairs — the BPE merge-candidate scan
     QDef("q_bpe_pairs",
       Some(graft.text.Vocab.bpePairsSql("documents")),

@@ -63,4 +63,58 @@ class KMinAggSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("bigint") ||
       err.getMessage.contains("DATATYPE_MISMATCH"))
   }
+
+  // ------------------------------------------------- Misra-Gries -----
+
+  private def mgCands(vals: Seq[String], cap: Int, partitions: Int): Seq[String] = {
+    import spark.implicits._
+    vals.toDF("t").repartition(partitions)
+      .agg(graft.functions.MisraGriesAgg.mgCandidates(col("t"), cap).as("c"))
+      .head().getSeq[String](0)
+  }
+
+  test("misra-gries: every token above N/(cap+1) survives any partitioning") {
+    val rng = new scala.util.Random(13)
+    (1 to 20).foreach { round =>
+      // zipf-ish stream: a few hot tokens + a long tail of rare ones
+      val hot = Seq.fill(3 + rng.nextInt(3))(s"hot${rng.nextInt(100)}").distinct
+      val vals = rng.shuffle(
+        hot.zipWithIndex.flatMap { case (t, i) => Seq.fill(200 * (i + 1))(t) } ++
+          Seq.fill(500)(s"tail${rng.nextInt(100000)}"))
+      val cap = 8 + rng.nextInt(24)
+      val n = vals.size
+      val trueCounts = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val guaranteed = trueCounts.filter(_._2 * (cap + 1) > n).keySet
+      (1 to 4).foreach { parts =>
+        val cands = mgCands(vals, cap, parts).toSet
+        assert(cands.size <= cap, s"round $round: summary exceeded cap")
+        assert(guaranteed.subsetOf(cands),
+          s"round $round parts=$parts: lost ${guaranteed -- cands}")
+      }
+    }
+  }
+
+  test("misra-gries: cap >= distinct count keeps exact candidate set; null-safe") {
+    import spark.implicits._
+    assert(mgCands(Seq("a", "b", "a", "c", "a"), 10, 2) === Seq("a", "b", "c"))
+    val withNulls = Seq(Some("x"), None, Some("x"), None, Some("y"))
+    val out = withNulls.toDF("t")
+      .agg(graft.functions.MisraGriesAgg.mgCandidates(col("t"), 4).as("c"))
+      .head().getSeq[String](0)
+    assert(out === Seq("x", "y"))
+  }
+
+  test("heavyHitters: exact counts equal the plain groupBy on the documents table") {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val docs = graft.util.D.t(spark, sf, "documents")
+    val got = graft.text.Heavy.heavyHitters(docs, 64).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val toks = docs.select(explode(graft.text.TextOps.tokens(col("text"))).as("t"))
+    val n = toks.count()
+    val want = toks.groupBy("t").agg(fcount(lit(1)).as("c"))
+      .filter(col("c") * 64 > n).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (t, c) => (-c, t) }
+    assert(got.toSeq === want.toSeq)
+  }
 }
