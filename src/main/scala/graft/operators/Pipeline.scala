@@ -599,6 +599,12 @@ object Pipeline extends QFamily {
       (s, dir) => graft.text.Corpus.gopherQuality(t(s, dir, "documents"), minStopHits = 1)
         .orderBy("doc_id")),
 
+    // fastText-shaped hashed linear quality scorer (scan-local; a
+    // trained weight table broadcasts in without changing the plan)
+    QDef("q_quality_linear",
+      Some(graft.text.Profile.linearQualitySql("documents")),
+      (s, dir) => graft.text.Profile.linearQuality(t(s, dir, "documents"))),
+
     // PII scrub over deterministically PII-augmented text (the synthetic
     // corpus carries no natural PII, so both engines append the same
     // doc_id-derived email/IP/phone spans — the %97 eval-slice trick

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -168,4 +168,55 @@ object Profile {
        |SELECT doc_id, n_tokens, n_distinct,
        |  ROUND(log2(CAST(n_tokens AS DOUBLE)) - s / n_tokens, 6) AS entropy
        |FROM ag ORDER BY doc_id""".stripMargin
+
+  /** Hashed bag-of-words linear quality scorer — the inference shape of
+    * a fastText-style quality classifier (Joulin et al. 2017; the
+    * GPT-3/LLaMA-lineage "quality filter" pattern): every token hashes
+    * to one of `buckets` weight slots, the document score is the sum
+    * of its tokens' weights, and the keep decision thresholds the raw
+    * score. Weights here derive deterministically from the bucket id
+    * (a seeded stand-in, so the operator is oracle-checkable); a
+    * trained deployment swaps in a learned `buckets`-row weight table
+    * — a broadcast at ANY corpus size — without changing the plan.
+    *
+    * Scale: entirely scan-local (the hash → bucket → weight → sum runs
+    * inside one projection over the token array; zero shuffles, zero
+    * joins), like [[splitHash]]. The md5-prefix hash is the library's
+    * cross-engine hash convention ([[Corpus.hashFrac]]); all weight
+    * arithmetic stays on positive longs so `%` agrees across engines.
+    * Columns: doc_id, n_tokens, score, mean_w, keep. */
+  def linearQuality(docs: DataFrame, buckets: Int = 256): DataFrame = {
+    require(buckets >= 1, s"linearQuality: buckets must be >= 1, got $buckets")
+    def weight(tok: Column): Column = {
+      val b = conv(substring(md5(tok.cast(BinaryType)), 1, 15), 16, 10)
+        .cast(LongType) % buckets.toLong
+      (b * lit(2654435761L)) % 1000003L % 2001L - 1000L
+    }
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast(LongType).as("n_tokens"),
+        aggregate(col("w"), lit(0L), (acc, t) => acc + weight(t)).as("score"))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        graft.util.D.r(
+          col("score").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)
+          .as("mean_w"),
+        (col("score") > 0).cast(LongType).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[linearQuality]] (unnest + regroup — the oracle
+    * favors clarity over the scan-local plan). */
+  def linearQualitySql(table: String, buckets: Int = 256): String =
+    s"""WITH tw AS (
+       |  SELECT doc_id,
+       |    (('0x' || substr(md5(tok), 1, 15))::BIGINT % $buckets) AS b
+       |  FROM (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS tok FROM $table)),
+       |sc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(((b * 2654435761) % 1000003) % 2001 - 1000) AS BIGINT) AS score
+       |  FROM tw GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, score,
+       |  ROUND(CAST(score AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS mean_w,
+       |  CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
 }
