@@ -813,6 +813,14 @@ object Relational extends QFamily {
           r(min(col("l_extendedprice")), 4).as("bin_min"),
           r(max(col("l_extendedprice")), 4).as("bin_max"))
         .orderBy("bucket")
+    },
+
+    // ---- z-order write layout -------------------------------------------
+    // Morton-code locality profile: the bucket table that proves a
+    // z-ordered write prunes on BOTH o_custkey and order-day at once
+    q("q_zorder_layout",
+      graft.sources.Layout.zProfileSql("orders")) { (s, dir) =>
+      graft.sources.Layout.zProfile(t(s, dir, "orders"))
     }
   )
 }

@@ -134,4 +134,52 @@ class IoSpec extends AnyFunSuite {
     // at t=5 has no prior right row
     assert(j === Set((1L, 10L, 10L), (1L, 20L, 15L), (2L, 5L, -1L)))
   }
+
+  test("zvalue matches a reference Morton interleave on random keys") {
+    import spark.implicits._
+    import graft.sources.Layout
+    def refMorton(x: Int, y: Int): Long = {
+      var z = 0L
+      (0 until 16).foreach { i =>
+        z |= ((x >> i) & 1).toLong << (2 * i)
+        z |= ((y >> i) & 1).toLong << (2 * i + 1)
+      }
+      z
+    }
+    val rng = new scala.util.Random(11)
+    val pairs = Seq((0, 0), (65535, 65535), (65535, 0), (0, 65535)) ++
+      Seq.fill(500)((rng.nextInt(65536), rng.nextInt(65536)))
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zvalue(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (x, y) =>
+      assert(got((x, y)) === refMorton(x, y), s"($x, $y)")
+    }
+  }
+
+  test("z-order buckets cover provably narrow rectangles; zorderBy clusters partitions") {
+    import graft.sources.Layout
+    val orders = graft.util.D.t(spark, sf, "orders")
+    val prof = Layout.zProfile(orders).collect()
+    assert(prof.nonEmpty)
+    // 18 z-bits fix 9 high bits per 16-bit dimension -> span < 2^7
+    prof.foreach { r =>
+      assert(r.getAs[Long]("cust_hi") - r.getAs[Long]("cust_lo") < 128L)
+      assert(r.getAs[Long]("day_hi") - r.getAs[Long]("day_lo") < 128L)
+    }
+    // a z-ordered write gives every output partition a bounded rectangle
+    // too (contiguous z-ranges nest in the quadtree): check spans shrink
+    // vs the unclustered table's global spans
+    val day = datediff(col("o_orderdate"), lit("1992-01-01").cast(org.apache.spark.sql.types.DateType))
+    val parted = Layout.zorderBy(orders, col("o_custkey"), day, 16)
+      .select(col("o_custkey").cast("long").as("c"), day.cast("long").as("d"))
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg((max("c") - min("c")).as("cspan"), (max("d") - min("d")).as("dspan"))
+      .collect()
+    val globalC = orders.agg(max("o_custkey").cast("long") - min("o_custkey").cast("long")).head().getLong(0)
+    assert(parted.length > 1)
+    // at least half the partitions are strictly tighter than the table
+    assert(parted.count(_.getAs[Long]("cspan") < globalC) * 2 >= parted.length)
+  }
 }
