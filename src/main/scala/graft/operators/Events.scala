@@ -379,6 +379,32 @@ object Events extends QFamily {
           .select(col("event_type"), col("window_start"), col("n"), col("mu"), col("sd"),
             (col("n") > col("mu") + lit(3) * col("sd")).cast("int").as("is_spike"))
           .orderBy("event_type", "window_start")
+      }),
+
+    // join-key skew diagnostic — the salting / AQE-skew-join decision
+    // input for any user_id-keyed join or sessionization: the 10
+    // heaviest keys with their corpus share and multiple-of-average.
+    // ONE map-side-combined key-count reduction, a 1-row stats
+    // aggregate, and a bounded top-k heap (TakeOrderedAndProject) —
+    // the events table is never globally sorted
+    QDef("q_key_skew",
+      Some(s"""WITH $evSql,
+             |kc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY 1),
+             |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows FROM kc),
+             |top AS (SELECT user_id, cnt FROM kc ORDER BY cnt DESC, user_id LIMIT 10)
+             |SELECT t.user_id, t.cnt, s.n_keys, s.n_rows,
+             |  ROUND(CAST(t.cnt AS DOUBLE) * 1000000.0 / CAST(s.n_rows AS DOUBLE), 2) AS share_ppm,
+             |  ROUND(CAST(t.cnt AS DOUBLE) * CAST(s.n_keys AS DOUBLE) / CAST(s.n_rows AS DOUBLE), 4) AS x_avg
+             |FROM top t, st s ORDER BY t.cnt DESC, t.user_id""".stripMargin),
+      (s, dir) => {
+        val kc = ev(s, dir).groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        val st = kc.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"))
+        kc.orderBy(col("cnt").desc, col("user_id")).limit(10)
+          .crossJoin(broadcast(st))
+          .select(col("user_id"), col("cnt"), col("n_keys"), col("n_rows"),
+            r(col("cnt").cast(DoubleType) * lit(1e6) / col("n_rows").cast(DoubleType), 2).as("share_ppm"),
+            r(col("cnt").cast(DoubleType) * col("n_keys").cast(DoubleType) / col("n_rows").cast(DoubleType), 4).as("x_avg"))
+          .orderBy(col("cnt").desc, col("user_id"))
       })
   )
 }

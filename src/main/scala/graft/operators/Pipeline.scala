@@ -6,6 +6,7 @@ import graft.dedup.Dedup
 import graft.sim.Ann
 import graft.text.TextOps
 import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -15,6 +16,48 @@ import org.apache.spark.sql.types._
 object Pipeline extends QFamily {
 
   private val langs = Seq("de", "en", "es", "fr")
+
+  /** Shared n-gram/stopword language-ID projection (one scan, zero
+    * shuffles): per doc the per-lang stopword hits, CJK char count, and
+    * the predicted lang (zh on any CJK char, first max-hits lang in
+    * `langs` order otherwise, unk on zero hits). Used by q_text_langid
+    * and the q_langid_confusion eval. */
+  private def langidDf(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val cols = Seq(col("doc_id"), col("lang"), size(toks).cast(LongType).as("n_tokens")) ++
+      langs.map(l => TextOps.langHitsText(col("text"), l).cast(LongType).as(s"${l}_hits")) :+
+      TextOps.cjkCount(col("text")).cast(LongType).as("zh_chars")
+    val base = t(s, dir, "documents").select(cols: _*)
+    val m = greatest(langs.map(l => col(s"${l}_hits")): _*)
+    // CASE semantics: first matching lang in de,en,es,fr order wins
+    val pickOrdered = langs.foldLeft(when(lit(false), "x")) {
+      (acc, l) => acc.when(col(s"${l}_hits") === m, l)
+    }
+    base.select(col("doc_id"), col("n_tokens"),
+      col("de_hits"), col("en_hits"), col("es_hits"), col("fr_hits"), col("zh_chars"),
+      when(col("zh_chars") > 0, "zh").when(m === 0, "unk").otherwise(pickOrdered).as("predicted"),
+      col("lang").as("actual"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[langidDf]]. */
+  private def langidSqlStr: String = {
+    val toks = TextOps.tokensSql("text")
+    val hits = langs.map(l => s"${TextOps.langHitsSql(toks, l)} AS ${l}_hits").mkString(",\n  ")
+    val m = langs.map(l => s"${l}_hits").mkString("GREATEST(", ", ", ")")
+    val pick = langs.map(l => s"WHEN ${l}_hits = $m THEN '$l'").mkString(" ")
+    s"""SELECT doc_id, n_tokens, de_hits, en_hits, es_hits, fr_hits, zh_chars,
+       |  CASE WHEN zh_chars > 0 THEN 'zh'
+       |       WHEN $m = 0 THEN 'unk'
+       |       $pick END AS predicted,
+       |  lang AS actual
+       |FROM (
+       |  SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    $hits,
+       |    CAST(${TextOps.cjkCountSql("text")} AS BIGINT) AS zh_chars
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   // epochs per source for q_domain_resample: upsampled, repeated,
   // fractionally sampled, and dropped domains all exercised
@@ -214,39 +257,26 @@ object Pipeline extends QFamily {
       (s, dir) => graft.sim.Refine.twoStageTopK(t(s, dir, "embeddings"), 40, 20, 5)),
 
     // ------------------------------------------------ text analysis ----
-    QDef("q_text_langid", {
-      val toks = TextOps.tokensSql("text")
-      val hits = langs.map(l => s"${TextOps.langHitsSql(toks, l)} AS ${l}_hits").mkString(",\n  ")
-      val m = langs.map(l => s"${l}_hits").mkString("GREATEST(", ", ", ")")
-      val pick = langs.map(l => s"WHEN ${l}_hits = $m THEN '$l'").mkString(" ")
-      Some(s"""SELECT doc_id, n_tokens, de_hits, en_hits, es_hits, fr_hits, zh_chars,
-              |  CASE WHEN zh_chars > 0 THEN 'zh'
-              |       WHEN $m = 0 THEN 'unk'
-              |       $pick END AS predicted,
-              |  lang AS actual
-              |FROM (
-              |  SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens,
-              |    $hits,
-              |    CAST(${TextOps.cjkCountSql("text")} AS BIGINT) AS zh_chars
-              |  FROM documents)
-              |ORDER BY doc_id""".stripMargin)
-    }, (s, dir) => {
-      val toks = TextOps.tokens(col("text"))
-      val cols = Seq(col("doc_id"), col("lang"), size(toks).cast(LongType).as("n_tokens")) ++
-        langs.map(l => TextOps.langHitsText(col("text"), l).cast(LongType).as(s"${l}_hits")) :+
-        TextOps.cjkCount(col("text")).cast(LongType).as("zh_chars")
-      val base = t(s, dir, "documents").select(cols: _*)
-      val m = greatest(langs.map(l => col(s"${l}_hits")): _*)
-      // CASE semantics: first matching lang in de,en,es,fr order wins
-      val pickOrdered = langs.foldLeft(when(lit(false), "x")) {
-        (acc, l) => acc.when(col(s"${l}_hits") === m, l)
-      }
-      base.select(col("doc_id"), col("n_tokens"),
-        col("de_hits"), col("en_hits"), col("es_hits"), col("fr_hits"), col("zh_chars"),
-        when(col("zh_chars") > 0, "zh").when(m === 0, "unk").otherwise(pickOrdered).as("predicted"),
-        col("lang").as("actual"))
-        .orderBy("doc_id")
-    }),
+    QDef("q_text_langid", Some(langidSqlStr), (s, dir) => langidDf(s, dir)),
+
+    // language-ID eval: the (actual, predicted) confusion matrix over
+    // the langid heuristic's output — the accuracy diagnostic run before
+    // trusting per-lang corpus slices downstream; bounded cell table
+    QDef("q_langid_confusion",
+      Some(s"""WITH li AS ($langidSqlStr)
+              |SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n,
+              |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY actual), 6) AS frac
+              |FROM li GROUP BY actual, predicted
+              |ORDER BY actual, predicted""".stripMargin),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("actual")
+        langidDf(s, dir).groupBy("actual", "predicted")
+          .agg(count(lit(1)).as("n"))
+          .select(col("actual"), col("predicted"), col("n"),
+            graft.util.D.r(col("n").cast(DoubleType) /
+              sum(col("n")).over(w).cast(DoubleType), 6).as("frac"))
+          .orderBy("actual", "predicted")
+      }),
 
     QDef("q_text_quality", {
       val toks = TextOps.tokensSql("text")
