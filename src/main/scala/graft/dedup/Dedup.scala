@@ -615,6 +615,96 @@ object Dedup {
        |FROM sh JOIN cnt USING (sh)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** ExactSubstr-style duplicated-span profile (Lee et al. 2022 §3's
+    * EXACTSUBSTR pass, re-expressed distributed): mark every `winLen`-
+    * token window whose exact text occurs more than once in the corpus
+    * (across documents OR repeated within one), merge overlapping
+    * duplicated windows into maximal spans per document, and report
+    * per doc the span count, duplicated-window count, tokens covered
+    * by duplicated spans, and the covered fraction. The paper builds a
+    * corpus-wide suffix array to find duplicate substrings ≥ 50 tokens;
+    * a fixed-length window hash finds exactly the spans ≥ `winLen`
+    * tokens (a length-k duplicate substring is a run of k−winLen+1
+    * duplicated windows), trading the suffix array's single-machine
+    * global sort for two linear hash shuffles — window quantization
+    * only coarsens span BOUNDARIES, never misses a qualifying span.
+    *
+    * Scale (100 TB): window hashing is scan-local ([[graft.functions.NgramHashes]]
+    * emits 8-byte longs in whole-stage codegen — the window string is
+    * never materialized, and the exploded rows carry (doc_id, pos, wh)
+    * only, never the token array); one map-side-combined count by
+    * window hash; one hash join back (AQE-planned); the interval merge
+    * is a doc_id-PARTITIONED window over only the duplicated positions
+    * (per-task working set bounded by one document's dup windows).
+    * Nothing corpus-sized is broadcast or globally sorted. */
+  def substrSpans(docs: DataFrame, winLen: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = winLen
+    val pos = docs.select(col("doc_id"),
+      posexplode(graft.functions.NgramHashes(col("text"), L)).as(Seq("pos", "wh")))
+    val cnt = pos.groupBy("wh").agg(count(lit(1)).as("n_occ"))
+    val dup = pos.join(cnt.filter(col("n_occ") > 1), Seq("wh"))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"))
+    // interval merge: window at pos covers tokens [pos, pos+L-1]; a new
+    // span starts where pos exceeds every previous window's end
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMaxEnd = max(col("pos") + (L - 1)).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = dup
+      .withColumn("new_span",
+        when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("span_id",
+        sum(col("new_span")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val spans = flagged.groupBy("doc_id", "span_id")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + L).as("e"),
+        count(lit(1)).as("nw"))
+    val perDoc = spans.groupBy("doc_id").agg(
+      count(lit(1)).cast(LongType).as("n_spans"),
+      sum(col("nw")).cast(LongType).as("n_dup_windows"),
+      sum(col("e") - col("s")).cast(LongType).as("dup_tokens"))
+    docs.select(col("doc_id"),
+        size(graft.text.TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        graft.util.D.r(coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) /
+          col("n_tokens"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[substrSpans]]. */
+  def substrSpansSql(table: String, winLen: Int = 8): String = {
+    val L = winLen
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $table),
+       |w AS (SELECT doc_id, t.pos,
+       |    ('0x' || substr(md5(array_to_string(tk[t.pos + 1 : t.pos + $L], ' ')), 1, 15))::BIGINT AS wh
+       |  FROM toks, UNNEST(range(0, GREATEST(len(tk) - $L + 1, 0))) AS t(pos)),
+       |cnt AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(*) > 1),
+       |dup AS (SELECT doc_id, pos FROM w JOIN cnt USING (wh)),
+       |flg AS (SELECT doc_id, pos,
+       |    CASE WHEN MAX(pos + ${L - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |         OR pos > MAX(pos + ${L - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    THEN 1 ELSE 0 END AS new_span FROM dup),
+       |sp AS (SELECT doc_id, pos, SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id FROM flg),
+       |spans AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + $L AS e, COUNT(*) AS nw
+       |  FROM sp GROUP BY 1, 2),
+       |per AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(nw) AS n_dup_windows,
+       |    SUM(e - s) AS dup_tokens FROM spans GROUP BY 1)
+       |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(per.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(COALESCE(per.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       |  CAST(COALESCE(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  ROUND(CAST(COALESCE(per.dup_tokens, 0) AS DOUBLE)
+       |    / len(string_split(d.text, ' ')), 6) AS dup_frac
+       |FROM $table d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def ngramJaccardSql(table: String, blockCol: String, th: Double,
                       dfCap: Int = NgramDfCap): String =
     s"""WITH sh AS (SELECT DISTINCT doc_id, blk, ('0x' || substr(md5(sh0), 1, 15))::BIGINT AS sh

@@ -78,16 +78,16 @@ object ShingleHelper {
 
   private[functions] def md5(): java.security.MessageDigest = md5Local.get()
 
-  /** Equivalent of transform(shingles3(s),
+  /** Equivalent of transform(ngrams(s, win),
     * sh -> conv(substring(md5(sh), 1, 15), 16, 10) :: long). */
-  def shingleHashes3(s: UTF8String): ArrayData = {
+  def ngramHashes(s: UTF8String, win: Int): ArrayData = {
     val bytes = s.getBytes
     val n = bytes.length
     var spaces = 0
     var i = 0
     while (i < n) { if (bytes(i) == ' ') spaces += 1; i += 1 }
     val ntok = spaces + 1
-    if (ntok < 3) return Empty
+    if (ntok < win) return Empty
     val starts = new Array[Int](ntok)
     val ends = new Array[Int](ntok)
     var tok = 0
@@ -98,11 +98,11 @@ object ShingleHelper {
     }
     ends(ntok - 1) = n
     val md = md5Local.get()
-    val out = new Array[Any](ntok - 2)
+    val out = new Array[Any](ntok - win + 1)
     var k = 0
-    while (k < ntok - 2) {
+    while (k < ntok - win + 1) {
       md.reset()
-      md.update(bytes, starts(k), ends(k + 2) - starts(k))
+      md.update(bytes, starts(k), ends(k + win - 1) - starts(k))
       val d = md.digest()
       // first 15 hex digits = top 60 bits: unsigned big-endian first
       // 8 bytes, dropping the 16th hex digit (low nibble of byte 7)
@@ -115,6 +115,10 @@ object ShingleHelper {
     }
     new GenericArrayData(out)
   }
+
+  /** Equivalent of transform(shingles3(s),
+    * sh -> conv(substring(md5(sh), 1, 15), 16, 10) :: long). */
+  def shingleHashes3(s: UTF8String): ArrayData = ngramHashes(s, 3)
 }
 
 /** Additions to [[ShingleHelper]]'s one-pass family: the 60-bit
@@ -239,6 +243,30 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
 object WordNgrams {
   def apply(c: Column, n: Int): Column =
     GraftShims.column(WordNgrams(GraftShims.expression(c), n))
+}
+
+/** array<long> of 60-bit md5-prefix hashes of word n-grams for any
+  * window (see [[ShingleHelper.ngramHashes]]) — the parameterized form
+  * of [[ShingleHashes]]; bit-identical to hashing each [[WordNgrams]]
+  * element with conv(substring(md5(sh), 1, 15), 16, 10). */
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "NgramHashes: window must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHelper.ngramHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHelper.ngramHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NgramHashes {
+  def apply(c: Column, n: Int): Column =
+    GraftShims.column(NgramHashes(GraftShims.expression(c), n))
 }
 
 object ShingleHashes {

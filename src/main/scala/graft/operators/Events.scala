@@ -405,6 +405,20 @@ object Events extends QFamily {
             r(col("cnt").cast(DoubleType) * lit(1e6) / col("n_rows").cast(DoubleType), 2).as("share_ppm"),
             r(col("cnt").cast(DoubleType) * col("n_keys").cast(DoubleType) / col("n_rows").cast(DoubleType), 4).as("x_avg"))
           .orderBy(col("cnt").desc, col("user_id"))
-      })
+      }),
+
+    // salted two-phase distinct count — the skew answer q_key_skew's
+    // diagnostic calls for, registered as a checked artifact: the
+    // salted plan produces the EXACT per-type distinct-user count
+    // (salt = hash(user) % 16 partitions each type's user space, so
+    // per-(type, salt) distincts sum exactly — see Scale.saltedNunique);
+    // the oracle is the plain COUNT(DISTINCT), proving the rewrite
+    // changes the shuffle shape and nothing else
+    QDef("q_salted_nunique",
+      Some(s"""WITH $evSql
+             |SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nunique
+             |FROM ev GROUP BY 1 ORDER BY event_type""".stripMargin),
+      (s, dir) => graft.util.Scale.saltedNunique(ev(s, dir), "event_type", "user_id", 16)
+        .orderBy("event_type"))
   )
 }

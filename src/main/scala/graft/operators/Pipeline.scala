@@ -182,6 +182,10 @@ object Pipeline extends QFamily {
       Some(Dedup.dupShingleFracSql("documents")),
       (s, dir) => Dedup.dupShingleFrac(t(s, dir, "documents"))),
 
+    QDef("q_dedup_substr",
+      Some(Dedup.substrSpansSql("documents")),
+      (s, dir) => Dedup.substrSpans(t(s, dir, "documents"))),
+
     // exact label-block pair enumeration (the reference's semantics);
     // label blocks are unbounded, so at corpus scale opt into LSH
     // sub-blocking (bits = Ann.SubBlockBits) or use the IVF/LSH

@@ -37,4 +37,22 @@ object Scale {
       .agg(sum(col(valueCol).cast(D.dec25)).as("_partial"), count(lit(1)).as("_n"))
       .groupBy(col(keyCol))
       .agg(D.emit6(sum(col("_partial"))).as("total"), sum(col("_n")).as("n"))
+
+  /** Salted two-phase EXACT distinct count for skewed group keys.
+    * Plain `COUNT(DISTINCT v) GROUP BY k` builds one distinct set per
+    * key — a hot key funnels its entire value stream through a single
+    * reducer. Salting on `hash(value) % salt` (NOT a random salt: the
+    * same value must always land in the same salt bucket) partitions
+    * each key's VALUE SPACE across `salt` reducers, so the per-(key,
+    * salt) distinct counts are disjoint and their plain sum is the
+    * exact distinct count — no approximation, no second dedup pass.
+    * Stage 1 is a map-side-combinable (key, salt, value) dedup; stage
+    * 2 reduces `salt` rows per key. */
+  def saltedNunique(df: DataFrame, keyCol: String, valCol: String, salt: Int): DataFrame =
+    df.select(col(keyCol), col(valCol),
+        pmod(hash(col(valCol)), lit(salt)).as("_salt"))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(count_distinct(col(valCol)).as("_d"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_d")).cast("long").as("nunique"))
 }

@@ -427,6 +427,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(3) === ((5L, 7L, 3L, 0.428571)))
   }
 
+  test("substrSpans merges overlapping dup windows into maximal spans") {
+    import spark.implicits._
+    // A and B share a 10-token passage at DIFFERENT offsets; C is unique;
+    // D repeats one 4-token phrase twice within itself (within-doc dup).
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"u1 u2 $passage u3"),
+      (2L, s"v1 $passage v2 v3 v4"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (4L, "x1 x2 x3 x4 y x1 x2 x3 x4")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substrSpans(rows, winLen = 4).collect()
+    def r(i: Int) = (out(i).getAs[Long]("doc_id"), out(i).getAs[Long]("n_spans"),
+      out(i).getAs[Long]("n_dup_windows"), out(i).getAs[Long]("dup_tokens"))
+    // the 10-token shared passage = 7 dup windows at L=4, merging to ONE
+    // 10-token span in both docs regardless of offset
+    assert(r(0) === ((1L, 1L, 7L, 10L)))
+    assert(r(1) === ((2L, 1L, 7L, 10L)))
+    assert(r(2) === ((3L, 0L, 0L, 0L)))
+    // within-doc: "x1 x2 x3 x4" occurs twice -> two 1-window spans
+    assert(r(3) === ((4L, 2L, 2L, 8L)))
+    // a doc shorter than the window contributes nothing and divides by
+    // its real token count (no NaN/null)
+    val tiny = Seq((9L, "a b")).toDF("doc_id", "text")
+    val t0 = Dedup.substrSpans(tiny, winLen = 4).collect()(0)
+    assert(t0.getAs[Long]("n_tokens") === 2L && t0.getAs[Double]("dup_frac") === 0.0)
+  }
+
+  test("saltedNunique equals the plain distinct count on skewed keys") {
+    import spark.implicits._
+    // hot key: one key carries 90% of rows with heavy value repetition
+    val rows = ((1 to 900).map(i => ("hot", s"u${i % 37}")) ++
+      (1 to 100).map(i => (s"k${i % 5}", s"u$i"))).toDF("k", "v")
+    val salted = graft.util.Scale.saltedNunique(rows, "k", "v", 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = rows.groupBy("k").agg(count_distinct(col("v")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+    assert(salted("hot") === 37L)
+  }
+
   test("seqPack spans are contiguous, exhaustive, and boundary-splitting") {
     import spark.implicits._
     // token counts 3,4,5,6 over B=5: stream len 18, blocks 0..3
