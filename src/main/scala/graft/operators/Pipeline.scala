@@ -186,6 +186,26 @@ object Pipeline extends QFamily {
       Some(Dedup.substrSpansSql("documents")),
       (s, dir) => Dedup.substrSpans(t(s, dir, "documents"))),
 
+    // snapshot diff between two corpus versions (the incremental-ingest
+    // table diff); versions derived doc_id-deterministically in both
+    // engines (q_pii_scrub convention): v1 drops doc_id%11=0, v2 drops
+    // doc_id%13=0 and edits doc_id%7=0 (so added/removed/changed/
+    // unchanged are all populated)
+    QDef("q_corpus_diff",
+      Some(graft.text.Corpus.snapshotDiffSql(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0)",
+        """(SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+          |   FROM documents WHERE doc_id % 13 <> 0)""".stripMargin)),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val v1 = docs.filter(col("doc_id") % 11 =!= 0).select("doc_id", "text")
+        val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")).as("text"))
+        graft.text.Corpus.snapshotDiff(v1, v2)
+      }),
+
     // exact label-block pair enumeration (the reference's semantics);
     // label blocks are unbounded, so at corpus scale opt into LSH
     // sub-blocking (bits = Ann.SubBlockBits) or use the IVF/LSH
@@ -919,6 +939,14 @@ object Pipeline extends QFamily {
     QDef("q_ann_pq",
       Some(graft.sim.Quantize.adcTopKSql("embeddings", 125, 7, 40, 5)),
       (s, dir) => graft.sim.Quantize.adcTopK(t(s, dir, "embeddings"), 8, 125, 7, 40, 5)),
+
+    // the full IVF-PQ serving path: probe nprobe coarse lists (the
+    // q_ann_ivf coarse quantizer), ADC only within probed lists —
+    // ~N·nprobe/K candidates per query instead of N
+    QDef("q_ann_ivfpq",
+      Some(graft.sim.Quantize.adcTopKIvfSql("embeddings", 125, 7, 25, 7, 40, 3, 5)),
+      (s, dir) => graft.sim.Quantize.adcTopKIvf(t(s, dir, "embeddings"),
+        8, 125, 7, 25, 7, 40, 3, 5)),
 
     // int8 max-abs embedding quantization report (exact fixed-point)
     QDef("q_embed_quantize",

@@ -373,6 +373,25 @@ object Ann {
       .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("list_id"))
   }
 
+  /** Per-query probed IVF lists: the `nprobe` highest-cosine centroids
+    * (ties → smaller centroid id) for every query vector — the coarse
+    * quantizer step [[ivfTopK]] runs inline, exposed for composition
+    * with other within-list scorers (the PQ serving path probes lists
+    * with it before ADC). Queries score only against the broadcast
+    * K-row centroid table; the top-nprobe window partitions by query. */
+  def probeLists(vecs: DataFrame, queryMod: Int, centMod: Int, centOff: Int,
+      nprobe: Int): DataFrame = {
+    val base = scaledBase(vecs)
+    val cents = base.filter(col("vec_id") % centMod === centOff)
+      .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    base.filter(col("vec_id") % queryMod === 0).crossJoin(broadcast(cents))
+      .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid").as("list_id"))
+  }
+
   def embeddingPairsIvf(vecs: DataFrame, th: Double,
                         centMod: Int, centOff: Int): DataFrame = {
     val base = scaledBase(vecs)

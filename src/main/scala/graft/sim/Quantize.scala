@@ -243,6 +243,91 @@ object Quantize {
       .orderBy("query_id", "rank")
   }
 
+  /** The full FAISS IVF-PQ serving path registered end-to-end (Jégou
+    * et al. 2011 §V): queries probe their `nprobe` nearest coarse IVF
+    * lists ([[Ann.probeLists]], the same coarse quantizer as
+    * [[Ann.ivfTopK]]), and ADC runs ONLY against the PQ codes of
+    * vectors assigned to a probed list — per query ~N·nprobe/K
+    * candidates instead of N, each scored by m table lookups. This is
+    * the composition [[adcTopK]]'s doc promises ("IVF-list blocking
+    * composes in front"), proven here as its own checked artifact
+    * rather than by analogy.
+    *
+    * Scale: the coarse assignment is the one-shuffle native argmax;
+    * the candidate join is an EQUI-join on list_id (never a corpus
+    * cross join); the ADC join keys on (query, subspace, code) against
+    * the broadcast Q×m×K distance table; per-query top-k is a
+    * WindowGroupLimit-cut window. With the corpus written
+    * partitionBy("list_id"), the candidate scan prunes to probed
+    * lists. Recall is the standard IVF trade — at nprobe ≥ K the
+    * result equals [[adcTopK]] exactly (spec-pinned). */
+  def adcTopKIvf(vecs: DataFrame, m: Int, cbMod: Int, cbOff: Int,
+      listMod: Int, listOff: Int, queryMod: Int, nprobe: Int, k: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val cb = codebook(vecs, m, cbMod, cbOff)
+    val codes = nearestCode(subs(vecs, "vec_id", m), cb)
+      .select("vec_id", "s", "code")
+    val lists = Ann.assignLists(vecs, listMod, listOff)
+    val probes = Ann.probeLists(vecs, queryMod, listMod, listOff, nprobe)
+    val cand = lists.join(probes, "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val qd = subs(vecs.filter(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("qid"), col("embedding")), "qid", m)
+      .join(cb, "s")
+      .select(col("qid"), col("s").as("qs"), col("cid"),
+        sqDist(col("fxs"), col("cn"), col("ce")).as("qdist"))
+    val adc = codes.join(cand, "vec_id")
+      .join(broadcast(qd),
+        col("query_id") === col("qid") && col("s") === col("qs") &&
+          col("code") === col("cid"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("qdist")).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        graft.util.D.r(col("d").cast(DoubleType) / lit(1e8), 6).as("adc_dist"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB mirror of [[adcTopKIvf]] (m fixed at 8 — the registered form). */
+  def adcTopKIvfSql(table: String, cbMod: Int, cbOff: Int,
+      listMod: Int, listOff: Int, queryMod: Int, nprobe: Int, k: Int): String =
+    s"""WITH ${Ann.normSqSql(table)},
+       |fbase AS (SELECT e.vec_id, e.embedding, n.nsq
+       |  FROM $table e JOIN norms n ON e.vec_id = n.vec_id),
+       |fcents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn
+       |  FROM fbase WHERE vec_id % $listMod = $listOff),
+       |fsc AS (SELECT b.vec_id, c.cid,
+       |    ${Ann.cosSql(Ann.dotFixSql("c.ce", "b.embedding"), "c.cn", "b.nsq")} AS ccos
+       |  FROM fbase b CROSS JOIN fcents c),
+       |assign AS (SELECT vec_id, cid AS list_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM fsc) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cid AS list_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM fsc WHERE vec_id % $queryMod = 0) WHERE rn <= $nprobe),
+       |cand AS (SELECT p.query_id, a.vec_id
+       |  FROM assign a JOIN probes p ON a.list_id = p.list_id
+       |  WHERE a.vec_id <> p.query_id),
+       |${pqSqlCtes(table, cbMod, cbOff)},
+       |codes AS (SELECT vec_id, s, code FROM best WHERE rn = 1),
+       |qd AS (SELECT x.vec_id AS query_id, x.s, c.cid,
+       |    ${sqDistSql("x.embedding", "c.cemb")} AS qdist
+       |  FROM xs x, cb c WHERE x.vec_id % $queryMod = 0),
+       |adc AS (SELECT n.query_id, c.vec_id, SUM(q.qdist) AS d
+       |  FROM codes c JOIN cand n ON c.vec_id = n.vec_id
+       |  JOIN qd q ON q.query_id = n.query_id AND q.s = c.s AND q.cid = c.code
+       |  GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, vec_id, d,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, rank, vec_id AS neighbor_id,
+       |  ROUND(CAST(d AS DOUBLE) / 100000000.0, 6) AS adc_dist
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** DuckDB mirror of [[adcTopK]] (m fixed at 8 — the registered form). */
   def adcTopKSql(table: String, centMod: Int, centOff: Int,
       queryMod: Int, k: Int): String =

@@ -464,4 +464,53 @@ object Corpus {
        |  CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT) AS n_phones,
        |  md5(t3) AS scrub_fp
        |FROM s3""".stripMargin
+  /** Snapshot diff between two corpus versions — the lakehouse
+    * table-diff every incremental-ingest pipeline runs before deciding
+    * what to reprocess: full-outer join the two versions on doc_id,
+    * classify each document added / removed / changed / unchanged by
+    * content fingerprint (md5 of the text — cheap, scan-local, and the
+    * same collision contract as the exact-dedup family), and report
+    * per-status document and token totals (token counts from the NEW
+    * side where it exists, the old side for removals).
+    *
+    * Scale (100 TB): ONE shuffle — the doc_id-keyed full-outer join
+    * (the minimal comparison any diff must pay; with both versions
+    * written bucketed by doc_id it runs shuffle-free); fingerprints
+    * and token counts are scan-local, and the result aggregates to a
+    * 4-row status table map-side. Changed-content detection never
+    * compares text — 16-byte fingerprints move through the join. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), md5(col("text").cast(BinaryType)).as("fp1"),
+      size(TextOps.tokens(col("text"))).cast(LongType).as("nt1"))
+    val b = v2.select(col("doc_id"), md5(col("text").cast(BinaryType)).as("fp2"),
+      size(TextOps.tokens(col("text"))).cast(LongType).as("nt2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") === col("fp2"), "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce(col("nt2"), col("nt1")).as("ntok"))
+      .groupBy("status")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("ntok")).cast(LongType).as("n_tokens"))
+      .orderBy("status")
+  }
+
+  /** DuckDB mirror of [[snapshotDiff]]; `v1`/`v2` are parenthesized
+    * table expressions with doc_id + text. */
+  def snapshotDiffSql(v1: String, v2: String): String =
+    s"""WITH a AS (SELECT doc_id, md5(text) AS fp1,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt1 FROM $v1),
+       |b AS (SELECT doc_id, md5(text) AS fp2,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt2 FROM $v2),
+       |j AS (SELECT CASE WHEN fp1 IS NULL THEN 'added'
+       |         WHEN fp2 IS NULL THEN 'removed'
+       |         WHEN fp1 = fp2 THEN 'unchanged'
+       |         ELSE 'changed' END AS status,
+       |    COALESCE(nt2, nt1) AS ntok
+       |  FROM a FULL OUTER JOIN b USING (doc_id))
+       |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(ntok) AS BIGINT) AS n_tokens
+       |FROM j GROUP BY 1 ORDER BY status""".stripMargin
 }

@@ -100,4 +100,36 @@ class PrepOpsSpec extends AnyFunSuite {
     assert(narrow.length === brute.size)
     intercept[IllegalArgumentException](graft.sim.Refine.twoStageTopK(vecs, 40, 3, 5))
   }
+
+  test("IVF-PQ serving equals flat ADC at full probe; probed form stays ranked") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("adc_dist"))
+    // nprobe >= K: every list is probed, so the candidate set is the
+    // whole corpus minus self — IVF-PQ must equal flat ADC bit-for-bit
+    val flat = graft.sim.Quantize.adcTopK(vecs, 8, 125, 7, 40, 5)
+      .collect().map(key).toSet
+    val full = graft.sim.Quantize.adcTopKIvf(vecs, 8, 125, 7, 25, 7, 40, 1000000, 5)
+      .collect().map(key).toSet
+    assert(full === flat)
+    // the probed form returns ranked contiguous results per query
+    val probed = graft.sim.Quantize.adcTopKIvf(vecs, 8, 125, 7, 25, 7, 40, 3, 5).collect()
+    val perQ = probed.groupBy(_.getAs[Long]("query_id")).values
+    assert(perQ.forall(rs => rs.map(_.getAs[Long]("rank")).sorted.toSeq ==
+      (1L to rs.length).toSeq))
+    assert(probed.nonEmpty)
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "d e"), (3L, "f g CHANGED"), (4L, "new doc here")).toDF("doc_id", "text")
+    val out = Corpus.snapshotDiff(v1, v2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      "added" -> ((1L, 3L)),      // doc 4: 3 tokens from v2
+      "removed" -> ((1L, 3L)),    // doc 1: 3 tokens from v1
+      "changed" -> ((1L, 3L)),    // doc 3: token count from the NEW side
+      "unchanged" -> ((1L, 2L))))
+  }
 }
