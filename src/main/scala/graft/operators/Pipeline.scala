@@ -186,6 +186,13 @@ object Pipeline extends QFamily {
       Some(Dedup.substrSpansSql("documents")),
       (s, dir) => Dedup.substrSpans(t(s, dir, "documents"))),
 
+    // the remaining published Gopher repetition measurements (top
+    // n-gram fraction n=2..4, duplicated n-gram coverage n=5,10) —
+    // q_text_repetition carries the top-token/dup-bigram members
+    QDef("q_repetition_ngram",
+      Some(graft.text.Corpus.ngramRepetitionSql("documents")),
+      (s, dir) => graft.text.Corpus.ngramRepetition(t(s, dir, "documents"))),
+
     // snapshot diff between two corpus versions (the incremental-ingest
     // table diff); versions derived doc_id-deterministically in both
     // engines (q_pii_scrub convention): v1 drops doc_id%11=0, v2 drops
@@ -939,6 +946,12 @@ object Pipeline extends QFamily {
     QDef("q_ann_pq",
       Some(graft.sim.Quantize.adcTopKSql("embeddings", 125, 7, 40, 5)),
       (s, dir) => graft.sim.Quantize.adcTopK(t(s, dir, "embeddings"), 8, 125, 7, 40, 5)),
+
+    // contrastive triplets: per anchor the top same-label positive and
+    // top different-label hard negative with the triplet-loss margin
+    QDef("q_triplets",
+      Some(Ann.tripletsSql("embeddings", 40)),
+      (s, dir) => Ann.triplets(t(s, dir, "embeddings"), 40)),
 
     // the full IVF-PQ serving path: probe nprobe coarse lists (the
     // q_ann_ivf coarse quantizer), ADC only within probed lists —

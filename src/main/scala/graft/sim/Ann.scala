@@ -373,6 +373,67 @@ object Ann {
       .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("list_id"))
   }
 
+  /** Contrastive training triplets (the DPR/SimCSE batch-construction
+    * step [[hardNegatives]] feeds): per anchor (vec_id % queryMod = 0)
+    * the single most-similar SAME-label vector (the positive) and the
+    * single most-similar DIFFERENT-label vector (the hard negative),
+    * with the margin a triplet loss would see. One broadcast-anchor
+    * corpus scan computes every anchor cosine; ONE window partitioned
+    * by (anchor, same-label?) takes both top-1s (WindowGroupLimit —
+    * a 1-row heap per task per group), and a 2-row-per-anchor pivot
+    * emits the triplet. Anchors with no same-label partner keep a NULL
+    * positive (margin NULL) rather than disappearing — the caller
+    * decides whether an unpaired anchor is an error.
+    *
+    * Scale: identical N×Q envelope to [[hardNegatives]] (anchors
+    * broadcast, corpus streams once through the codegen'd fixed-point
+    * cosine); the IVF probe composes in front exactly as
+    * [[hardNegativesIvf]] for the sub-quadratic path. */
+  def triplets(vecs: DataFrame, queryMod: Int): DataFrame = {
+    val base = scaledBase(vecs, Seq("label"))
+    val anchors = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("alabel"),
+        col("fxe").as("qe"), col("nsq").as("qn"))
+    val joined = base.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .withColumn("cosine", cosExpr(FixedDot(col("qe"), col("fxe")), col("qn"), col("nsq")))
+      .withColumn("is_pos", (col("label") === col("alabel")).cast(IntegerType))
+    val w = Window.partitionBy("anchor_id", "is_pos")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("anchor_id"), col("alabel"))
+      .agg(max(when(col("is_pos") === 1, col("vec_id"))).as("pos_id"),
+        max(when(col("is_pos") === 1, col("cosine"))).as("pc"),
+        max(when(col("is_pos") === 0, col("vec_id"))).as("neg_id"),
+        max(when(col("is_pos") === 0, col("cosine"))).as("nc"))
+      .select(col("anchor_id"), col("alabel").cast(LongType).as("anchor_label"),
+        col("pos_id"), graft.util.D.r(col("pc"), 6).as("pos_cos"),
+        col("neg_id"), graft.util.D.r(col("nc"), 6).as("neg_cos"),
+        graft.util.D.r(col("pc") - col("nc"), 6).as("margin"))
+      .orderBy("anchor_id")
+  }
+
+  /** DuckDB mirror of [[triplets]]. */
+  def tripletsSql(table: String, queryMod: Int): String =
+    s"""WITH ${normSqSql(table)},
+       |base AS (SELECT e.vec_id, e.label, e.embedding, n.nsq
+       |  FROM $table e JOIN norms n ON e.vec_id = n.vec_id),
+       |scored AS (SELECT a.vec_id AS anchor_id, a.label AS alabel,
+       |    b.vec_id, CASE WHEN b.label = a.label THEN 1 ELSE 0 END AS is_pos,
+       |    ${cosSql(dotFixSql("a.embedding", "b.embedding"), "a.nsq", "b.nsq")} AS cosine
+       |  FROM base a JOIN base b ON a.vec_id % $queryMod = 0 AND b.vec_id <> a.vec_id),
+       |top AS (SELECT * FROM (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY anchor_id, is_pos
+       |      ORDER BY cosine DESC, vec_id) AS rn FROM scored) WHERE rn = 1)
+       |SELECT anchor_id, CAST(alabel AS BIGINT) AS anchor_label,
+       |  MAX(CASE WHEN is_pos = 1 THEN vec_id END) AS pos_id,
+       |  ROUND(MAX(CASE WHEN is_pos = 1 THEN cosine END), 6) AS pos_cos,
+       |  MAX(CASE WHEN is_pos = 0 THEN vec_id END) AS neg_id,
+       |  ROUND(MAX(CASE WHEN is_pos = 0 THEN cosine END), 6) AS neg_cos,
+       |  ROUND(MAX(CASE WHEN is_pos = 1 THEN cosine END)
+       |    - MAX(CASE WHEN is_pos = 0 THEN cosine END), 6) AS margin
+       |FROM top GROUP BY 1, 2 ORDER BY anchor_id""".stripMargin
+
   /** Per-query probed IVF lists: the `nprobe` highest-cosine centroids
     * (ties → smaller centroid id) for every query vector — the coarse
     * quantizer step [[ivfTopK]] runs inline, exposed for composition

@@ -124,6 +124,122 @@ object Corpus {
           .otherwise(0).cast(IntegerType))
   }
 
+  /** The remaining published Gopher repetition measurements (Rae et
+    * al. 2021 App. A Table A1, token re-expression — char fractions
+    * become token fractions under the single-space tokenization
+    * contract): per document, for n in `topNs` the fraction of tokens
+    * attributable to ALL occurrences of the single most frequent
+    * n-gram (occurrences × n / n_tokens — overlapping occurrences
+    * count per occurrence, as the paper's char accounting does, so
+    * a degenerate doc can exceed 1; it's a filter signal, not a
+    * probability), and for n in `dupNs` the fraction of tokens COVERED
+    * by n-grams occurring more than once within the doc (occurrences
+    * interval-merged, so coverage ≤ 1 by construction — the
+    * [[graft.dedup.Dedup.substrSpans]] islands, per-doc).
+    * [[repetitionStats]] carries the top-token and duplicate-bigram
+    * members of the family; together they complete the table.
+    *
+    * Scale: one linear explode per n (topNs ∪ dupNs scans of the
+    * corpus, each a map-side-combined count of 8-byte
+    * [[graft.functions.NgramHashes]] longs keyed by (doc, n, hash) —
+    * WITHIN-doc counts, so doc_id is in every shuffle key and no
+    * corpus-wide hash table forms); the coverage merge windows
+    * partition by (doc, n). Nothing broadcast, nothing global. */
+  def ngramRepetition(docs: DataFrame, topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topNs.nonEmpty && dupNs.nonEmpty, "need at least one n per family")
+    val base = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
+    // most-frequent-n-gram occurrence count per (doc, n)
+    val tops = topNs.map { n =>
+        docs.select(col("doc_id"), lit(n).as("n"),
+          explode(graft.functions.NgramHashes(col("text"), n)).as("wh"))
+      }.reduce(_ unionAll _)
+      .groupBy("doc_id", "n", "wh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n").agg(max(col("c")).as("maxc"))
+    val topAgg = tops.groupBy("doc_id").agg(
+      topNs.map(n => max(when(col("n") === n, col("maxc"))).as(s"top${n}_cnt")).head,
+      topNs.map(n => max(when(col("n") === n, col("maxc"))).as(s"top${n}_cnt")).tail: _*)
+    // within-doc duplicated n-gram token coverage per (doc, n)
+    val dpos = dupNs.map { n =>
+        docs.select(col("doc_id"), lit(n).as("n"),
+          posexplode(graft.functions.NgramHashes(col("text"), n)).as(Seq("pos", "wh")))
+      }.reduce(_ unionAll _)
+      .select(col("doc_id"), col("n"), col("pos").cast(LongType).as("pos"), col("wh"))
+    val dcnt = dpos.groupBy("doc_id", "n", "wh").agg(count(lit(1)).as("c"))
+    val dups = dpos.join(dcnt.filter(col("c") > 1), Seq("doc_id", "n", "wh"))
+      .select("doc_id", "n", "pos")
+    val w = Window.partitionBy("doc_id", "n").orderBy("pos")
+    val prevMaxEnd = max(col("pos") + col("n") - 1).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dups
+      .withColumn("new_span",
+        when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("span_id",
+        sum(col("new_span")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "n", "span_id")
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("maxp"))
+      .select(col("doc_id"), col("n"), (col("maxp") + col("n") - col("s")).as("cov"))
+      .groupBy("doc_id", "n").agg(sum(col("cov")).as("covered"))
+    val dupAgg = spans.groupBy("doc_id").agg(
+      dupNs.map(n => max(when(col("n") === n, col("covered"))).as(s"dup${n}_tok")).head,
+      dupNs.map(n => max(when(col("n") === n, col("covered"))).as(s"dup${n}_tok")).tail: _*)
+    val frac = (c: Column) => graft.util.D.r(c.cast(DoubleType) / col("n_tokens"), 6)
+    base.join(topAgg, Seq("doc_id"), "left").join(dupAgg, Seq("doc_id"), "left")
+      .select(Seq(col("doc_id"), col("n_tokens")) ++
+        topNs.map(n => frac(coalesce(col(s"top${n}_cnt"), lit(0L)) * n).as(s"top${n}_frac")) ++
+        dupNs.map(n => frac(coalesce(col(s"dup${n}_tok"), lit(0L))).as(s"dup${n}_frac")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[ngramRepetition]]. */
+  def ngramRepetitionSql(table: String, topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 10)): String = {
+    def win(n: Int) =
+      s"""SELECT doc_id, $n AS n, t.pos,
+         |    ('0x' || substr(md5(array_to_string(tk[t.pos + 1 : t.pos + $n], ' ')), 1, 15))::BIGINT AS wh
+         |  FROM toks, UNNEST(range(0, GREATEST(len(tk) - $n + 1, 0))) AS t(pos)""".stripMargin
+    val topU = topNs.map(win).mkString("\n  UNION ALL\n  ")
+    val dupU = dupNs.map(win).mkString("\n  UNION ALL\n  ")
+    val topCols = topNs.map(n =>
+      s"ROUND(CAST(COALESCE(t.top${n}_cnt, 0) * $n AS DOUBLE) / b.n_tokens, 6) AS top${n}_frac")
+    val dupCols = dupNs.map(n =>
+      s"ROUND(CAST(COALESCE(d.dup${n}_tok, 0) AS DOUBLE) / b.n_tokens, 6) AS dup${n}_frac")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $table),
+       |b AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks),
+       |tw AS (${topU.replace("\n", "\n  ")}),
+       |tc AS (SELECT doc_id, n, wh, COUNT(*) AS c FROM tw GROUP BY 1, 2, 3),
+       |tm AS (SELECT doc_id, n, MAX(c) AS maxc FROM tc GROUP BY 1, 2),
+       |tp AS (SELECT doc_id,
+       |    ${topNs.map(n => s"MAX(CASE WHEN n = $n THEN maxc END) AS top${n}_cnt").mkString(", ")}
+       |  FROM tm GROUP BY 1),
+       |dw AS (${dupU.replace("\n", "\n  ")}),
+       |dc AS (SELECT doc_id, n, wh, COUNT(*) AS c FROM dw GROUP BY 1, 2, 3),
+       |dd AS (SELECT w.doc_id, w.n, w.pos FROM dw w
+       |  JOIN dc ON dc.doc_id = w.doc_id AND dc.n = w.n AND dc.wh = w.wh
+       |  WHERE dc.c > 1),
+       |df AS (SELECT doc_id, n, pos,
+       |    CASE WHEN MAX(pos + n - 1) OVER (PARTITION BY doc_id, n ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |         OR pos > MAX(pos + n - 1) OVER (PARTITION BY doc_id, n ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    THEN 1 ELSE 0 END AS new_span FROM dd),
+       |ds AS (SELECT doc_id, n, pos, SUM(new_span) OVER (PARTITION BY doc_id, n ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id FROM df),
+       |sp AS (SELECT doc_id, n, span_id, MAX(pos) + n - MIN(pos) AS cov
+       |  FROM ds GROUP BY 1, 2, 3),
+       |cv AS (SELECT doc_id, n, SUM(cov) AS covered FROM sp GROUP BY 1, 2),
+       |dp AS (SELECT doc_id,
+       |    ${dupNs.map(n => s"MAX(CASE WHEN n = $n THEN covered END) AS dup${n}_tok").mkString(", ")}
+       |  FROM cv GROUP BY 1)
+       |SELECT b.doc_id, b.n_tokens,
+       |  ${(topCols ++ dupCols).mkString(",\n  ")}
+       |FROM b LEFT JOIN tp t ON b.doc_id = t.doc_id
+       |LEFT JOIN dp d ON b.doc_id = d.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   /** Training-mix sampling: derive a per-language sampling rate from a
     * token budget (rate = min(1, budget / actual total tokens)) and
     * take a deterministic md5-hash sample of documents at that rate.

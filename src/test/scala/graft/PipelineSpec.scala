@@ -455,6 +455,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(t0.getAs[Long]("n_tokens") === 2L && t0.getAs[Double]("dup_frac") === 0.0)
   }
 
+  test("triplets picks nearest same-label positive and different-label negative") {
+    import spark.implicits._
+    // anchor 0 (label 1): v1 same-label near, v2 same-label far,
+    // v3 different-label near, v4 different-label far; anchor 40 has
+    // no same-label partner -> NULL positive, margin NULL
+    val rows = Seq(
+      (0L, 1L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, 1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, 1L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, 2L, Seq(0.95f, 0.05f, 0.0f)),
+      (4L, 2L, Seq(0.0f, 0.0f, 1.0f)),
+      (40L, 9L, Seq(0.5f, 0.5f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Ann.triplets(rows, 40).collect()
+    val a0 = out.find(_.getLong(0) == 0L).get
+    assert(a0.getAs[Long]("pos_id") === 1L)
+    assert(a0.getAs[Long]("neg_id") === 3L)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(a0.getAs[Double]("margin") ===
+      r6(a0.getAs[Double]("pos_cos") - a0.getAs[Double]("neg_cos")))
+    val a40 = out.find(_.getLong(0) == 40L).get
+    assert(a40.isNullAt(a40.fieldIndex("pos_id")) && a40.isNullAt(a40.fieldIndex("margin")))
+    assert(!a40.isNullAt(a40.fieldIndex("neg_id")))
+  }
+
+  test("ngramRepetition: top n-gram occurrences and merged dup coverage") {
+    import spark.implicits._
+    // doc 1: "a b" occurs 3x among 4 bigram positions -> top2 = 3*2/5
+    // doc 2: a 5-token phrase repeated back-to-back -> the 5-gram at
+    //   pos 0 and 5 duplicates; coverage = 10 of 11 tokens
+    // doc 3: no repetition at all
+    val rows = Seq(
+      (1L, "a b a b a b"),                       // 6 tokens
+      (2L, "p q r s t p q r s t z"),             // 11 tokens
+      (3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val out = graft.text.Corpus.ngramRepetition(rows).collect()
+    def m(i: Int) = out(i).getValuesMap[Any](out(i).schema.fieldNames)
+    val d1 = m(0)
+    assert(d1("n_tokens") === 6L)
+    assert(d1("top2_frac") === 1.0)      // "a b" 3x *2 / 6
+    assert(d1("dup5_frac") === 0.0)      // no repeated 5-gram ("a b a b a" once... actually check)
+    val d2 = m(1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d2("top2_frac") === r6(2.0 * 2 / 11)) // "p q" twice
+    assert(d2("dup5_frac") === r6(10.0 / 11))
+    val d3 = m(2)
+    assert(d3("top2_frac") === r6(1.0 * 2 / 7) &&
+      d3("dup5_frac") === 0.0 && d3("dup10_frac") === 0.0)
+  }
+
   test("saltedNunique equals the plain distinct count on skewed keys") {
     import spark.implicits._
     // hot key: one key carries 90% of rows with heavy value repetition
