@@ -804,6 +804,13 @@ object Pipeline extends QFamily {
     // ------------------------------------- dataset assembly / serving --
 
     // deterministic stratified train/val/test split report
+    // per-language weighted sample without replacement (Efraimidis-
+    // Spirakis via the DSIR Gumbel-key convention): token-weighted,
+    // yet the selected set is a pure function of doc_id
+    QDef("q_sample_weighted",
+      Some(graft.text.Profile.weightedSampleSql("documents")),
+      (s, dir) => graft.text.Profile.weightedSample(t(s, dir, "documents"))),
+
     QDef("q_split_hash",
       Some(graft.text.Profile.splitHashSql("documents")),
       (s, dir) => graft.text.Profile.splitHash(t(s, dir, "documents"))),

@@ -3,7 +3,7 @@ package graft.operators
 import graft.{QDef, QFamily}
 import graft.util.D._
 import graft.util.Sq
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, StringType}
@@ -536,6 +536,85 @@ object Relational extends QFamily {
               .cast("long"))
             .otherwise(col("nd_exact")).cast("long").as("nd_est"))
         .orderBy("l_returnflag")
+    },
+
+    // ---- sketch-based join cardinality estimate ------------------------
+    // the optimizer-style diagnostic behind "should this join broadcast /
+    // how big is the key overlap": per-side KMV sketches (k=256 bounded
+    // longs, ONE map-side-combined aggregation per side — at 100 TB the
+    // sketch is the ONLY thing that moves) merge into a union sketch
+    // (k-min of the two k-mins) from which distinct-key union, Jaccard,
+    // and intersection estimates all derive WITHOUT touching either
+    // table again; the exact controls ride along as the audit columns
+    // (and make the whole row oracle-checkable — the estimate itself is
+    // deterministic md5 arithmetic). Same estimator family as
+    // q_approx_kmv/q_kmv_merge.
+    q("q_join_size_est",
+      s"""WITH ha0 AS (SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h FROM orders),
+        |hb0 AS (SELECT DISTINCT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h FROM customer),
+        |ra AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM ha0),
+        |rb AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hb0),
+        |sa AS (SELECT COUNT(*) AS nd_a, MAX(CASE WHEN rn = 256 THEN h END) AS kth FROM ra),
+        |sb AS (SELECT COUNT(*) AS nd_b, MAX(CASE WHEN rn = 256 THEN h END) AS kth FROM rb),
+        |us AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM (
+        |    SELECT DISTINCT h FROM (SELECT h FROM ra WHERE rn <= 256
+        |                            UNION ALL SELECT h FROM rb WHERE rn <= 256))),
+        |ust AS (SELECT COUNT(*) AS ndu, MAX(CASE WHEN rn = 256 THEN h END) AS kthu,
+        |    CAST(LEAST(COUNT(*), 256) AS BIGINT) AS un_size FROM us),
+        |sh AS (SELECT COUNT(*) AS n_shared FROM us
+        |  WHERE rn <= 256 AND h IN (SELECT h FROM ra WHERE rn <= 256)
+        |    AND h IN (SELECT h FROM rb WHERE rn <= 256)),
+        |ie AS (SELECT COUNT(*) AS inter_exact
+        |  FROM (SELECT DISTINCT o_custkey AS k FROM orders) o
+        |  JOIN customer c ON o.k = c.c_custkey),
+        |est AS (SELECT
+        |    CAST(sa.nd_a AS BIGINT) AS nd_a_exact,
+        |    CAST(CASE WHEN sa.nd_a >= 256 THEN CAST(ROUND(255.0 * 1152921504606846976.0 / sa.kth) AS BIGINT) ELSE sa.nd_a END AS BIGINT) AS nd_a_est,
+        |    CAST(sb.nd_b AS BIGINT) AS nd_b_exact,
+        |    CAST(CASE WHEN sb.nd_b >= 256 THEN CAST(ROUND(255.0 * 1152921504606846976.0 / sb.kth) AS BIGINT) ELSE sb.nd_b END AS BIGINT) AS nd_b_est,
+        |    CAST(CASE WHEN ust.ndu >= 256 THEN CAST(ROUND(255.0 * 1152921504606846976.0 / ust.kthu) AS BIGINT) ELSE ust.ndu END AS BIGINT) AS nd_union_est,
+        |    ust.un_size, sh.n_shared, ie.inter_exact
+        |  FROM sa, sb, ust, sh, ie)
+        |SELECT nd_a_exact, nd_a_est, nd_b_exact, nd_b_est, nd_union_est,
+        |  ROUND(CAST(n_shared AS DOUBLE) / un_size, 6) AS jaccard_est,
+        |  CAST(ROUND(CAST(n_shared AS DOUBLE) * nd_union_est / un_size) AS BIGINT) AS inter_est,
+        |  CAST(inter_exact AS BIGINT) AS inter_exact
+        |FROM est""".stripMargin) { (s, dir) =>
+      val k = 256
+      val big = 1152921504606846976.0
+      def hcol(c: Column) =
+        conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
+      def est(nd: Column, hs: Column): Column =
+        when(nd >= k, round(lit((k - 1).toDouble) * lit(big) / get(hs, lit(k - 1)), 0)
+          .cast("long")).otherwise(nd).cast("long")
+      val a = t(s, dir, "orders").select(hcol(col("o_custkey")).as("h"))
+        .agg(countDistinct(col("h")).as("nd_a"),
+          graft.functions.KMinAgg.kmin(col("h"), k).as("ha"))
+      val b = t(s, dir, "customer").select(hcol(col("c_custkey")).as("h"))
+        .agg(countDistinct(col("h")).as("nd_b"),
+          graft.functions.KMinAgg.kmin(col("h"), k).as("hb"))
+      val ie = t(s, dir, "orders").select(col("o_custkey").as("jk")).distinct()
+        .join(t(s, dir, "customer").select(col("c_custkey").as("jk")), Seq("jk"), "left_semi")
+        .agg(count(lit(1)).as("inter_exact"))
+      val dun = array_sort(array_distinct(concat(col("ha"), col("hb"))))
+      a.crossJoin(b).crossJoin(ie)
+        .withColumn("dun", dun)
+        .withColumn("un", slice(col("dun"), 1, k))
+        .withColumn("un_size", least(size(col("dun")), lit(k)).cast("long"))
+        .withColumn("ndu", size(col("dun")).cast("long"))
+        .withColumn("n_shared",
+          size(array_intersect(col("un"), array_intersect(col("ha"), col("hb")))).cast("long"))
+        .withColumn("nd_union_est",
+          when(col("ndu") >= k, round(lit((k - 1).toDouble) * lit(big) / get(col("un"), lit(k - 1)), 0)
+            .cast("long")).otherwise(col("ndu")).cast("long"))
+        .select(
+          col("nd_a").cast("long").as("nd_a_exact"), est(col("nd_a"), col("ha")).as("nd_a_est"),
+          col("nd_b").cast("long").as("nd_b_exact"), est(col("nd_b"), col("hb")).as("nd_b_est"),
+          col("nd_union_est"),
+          r(col("n_shared").cast(DoubleType) / col("un_size"), 6).as("jaccard_est"),
+          round(col("n_shared").cast(DoubleType) * col("nd_union_est") / col("un_size"), 0)
+            .cast("long").as("inter_est"),
+          col("inter_exact").cast("long").as("inter_exact"))
     },
 
     // ---- deterministic sampling ----------------------------------------

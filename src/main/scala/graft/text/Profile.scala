@@ -96,6 +96,48 @@ object Profile {
        |GROUP BY source, bucket_lo ORDER BY source, bucket_lo""".stripMargin
   }
 
+  /** Per-group weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis 2006 via the Gumbel-max formulation the DSIR selector
+    * uses): within each language, the k documents with the largest
+    * key = round6(ln w) + round6(Gumbel(md5-coin)), w = token count —
+    * longer documents proportionally more likely, yet the selected SET
+    * is a pure function of doc_id (seedless md5 coin), so reruns,
+    * retries, and both engines pick identical documents. This is the
+    * quality-weighted sampling step a curated-mix pipeline runs where
+    * [[splitHash]]'s uniform coin would over-sample short documents.
+    *
+    * Scale: scan-local key computation; the per-group rank executes as
+    * WindowGroupLimit (k-row heap per task per language — the corpus is
+    * never sorted whole); one shuffle on the group key. */
+  def weightedSample(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = Corpus.hashFrac(col("doc_id"))
+    val keyed = docs.select(col("lang"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("key",
+        graft.util.D.r(log(col("n_tokens").cast(DoubleType)), 6) +
+          graft.util.D.r(-log(-log(u)), 6))
+    val w = Window.partitionBy("lang").orderBy(col("key").desc, col("doc_id"))
+    keyed.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("doc_id"), col("n_tokens"),
+        graft.util.D.r(col("key"), 6).as("key"))
+      .orderBy("lang", "rank")
+  }
+
+  /** DuckDB mirror of [[weightedSample]]. */
+  def weightedSampleSql(table: String, k: Int = 5): String =
+    s"""WITH keyed AS (SELECT lang, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ROUND(LN(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6)
+       |      + ROUND(-LN(-LN(${Corpus.hashFracSql("doc_id")})), 6) AS key
+       |  FROM $table),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+       |    ORDER BY key DESC, doc_id) AS rank FROM keyed)
+       |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_tokens,
+       |  ROUND(key, 6) AS key
+       |FROM ranked WHERE rank <= $k ORDER BY lang, rank""".stripMargin
+
   /** Truncation-loss report for a candidate max sequence length — the
     * planning measurement behind the max_len/packing decision
     * ([[tokenHist]] shows the shape; this prices a specific cut): per

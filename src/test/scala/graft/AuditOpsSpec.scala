@@ -334,4 +334,40 @@ class AuditOpsSpec extends AnyFunSuite {
       }
     }
   }
+  test("weightedSample: deterministic, k-bounded, and weight-ordered in expectation") {
+    import spark.implicits._
+    // one language, doc 9 carries ~all the weight via a huge token count
+    val docs = (0L to 8L).map(i => (i, "en", ("w " * 5).trim)) :+
+      ((9L, "en", ("w " * 500).trim))
+    val d = docs.toDF("doc_id", "lang", "text")
+    val out = graft.text.Profile.weightedSample(d, k = 3).collect()
+    assert(out.length === 3)
+    assert(out.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+    // the selection is a pure function of doc_id: a repartitioned rerun
+    // picks the identical set in the identical order
+    val out2 = graft.text.Profile.weightedSample(d.repartition(7), k = 3).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq ===
+      out2.map(_.getAs[Long]("doc_id")).toSeq)
+    // key math matches the documented formula for the top row
+    val top = out.head
+    val u = top.getAs[Long]("doc_id")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val coin = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(u.toString).substring(0, 15), 16) /
+      1152921504606846976.0
+    val expect = r6(r6(math.log(top.getAs[Long]("n_tokens").toDouble)) +
+      r6(-math.log(-math.log(coin))))
+    assert(top.getAs[Double]("key") === expect)
+  }
+
+  test("join-size estimate lands within the documented KMV error envelope") {
+    val row = graft.SparkEntry.queries("q_join_size_est")(spark, sf).head()
+    val exact = row.getAs[Long]("inter_exact").toDouble
+    val est = row.getAs[Long]("inter_est").toDouble
+    // k=256 -> sigma ~ 1/16; assert a generous 4-sigma band (25%)
+    assert(math.abs(est - exact) / exact < 0.25,
+      s"inter_est $est vs exact $exact")
+    val ja = row.getAs[Double]("jaccard_est")
+    assert(ja >= 0.0 && ja <= 1.0)
+  }
 }
