@@ -142,4 +142,42 @@ object Cluster {
        |  CAST(COUNT(*) - COUNT(DISTINCT cluster_id) AS BIGINT) AS n_removable
        |FROM (${minhashClustersSql(table, minJaccard)})
        |GROUP BY 1 ORDER BY cluster_size""".stripMargin
+
+  /** Canonical-survivor selection — the choice [[clusterStats]] prices
+    * but doesn't make: per duplicate cluster keep the LONGEST member
+    * (token count, ties → smallest doc_id), the content-preserving rule
+    * a near-dedup pass applies where min-id survivorship would discard
+    * the fullest copy. Returns (cluster_id, cluster_size, keep_doc_id,
+    * keep_tokens, n_removed). Scale: the per-cluster argmax is the
+    * hash-aggregable native [[graft.functions.ArgMaxBy]] (no window, no
+    * sort) over the cluster table joined with a scan-local token count
+    * — one join + one map-side-combined aggregation past the cluster
+    * resolution itself. */
+  def clusterKeepLongest(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val m = minhashClusters(docs, minJaccard)
+      .join(docs.select(col("doc_id"),
+        size(graft.text.TextOps.tokens(col("text"))).cast(LongType).as("n_tokens")),
+        "doc_id")
+    m.groupBy("cluster_id", "cluster_size")
+      .agg(graft.functions.ArgMaxBy.argmax(col("doc_id"),
+          col("n_tokens").cast(org.apache.spark.sql.types.DoubleType)).as("keep_doc_id"),
+        max(col("n_tokens")).as("keep_tokens"))
+      .select(col("cluster_id"), col("cluster_size").cast(LongType).as("cluster_size"),
+        col("keep_doc_id"), col("keep_tokens"),
+        (col("cluster_size") - 1).cast(LongType).as("n_removed"))
+      .orderBy("cluster_id")
+  }
+
+  /** DuckDB mirror of [[clusterKeepLongest]]. */
+  def clusterKeepLongestSql(table: String, minJaccard: Double = 0.5): String =
+    s"""SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  doc_id AS keep_doc_id, n_tokens AS keep_tokens,
+       |  CAST(cluster_size - 1 AS BIGINT) AS n_removed
+       |FROM (SELECT c.*, d.n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY d.n_tokens DESC, c.doc_id) AS rn
+       |  FROM (${minhashClustersSql(table, minJaccard)}) c
+       |  JOIN (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |        FROM $table) d ON c.doc_id = d.doc_id)
+       |WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 }

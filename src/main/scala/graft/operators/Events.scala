@@ -407,6 +407,69 @@ object Events extends QFamily {
           .orderBy(col("cnt").desc, col("user_id"))
       }),
 
+    // linear multi-touch attribution (the marketing-analytics step on
+    // the same funnel data): each purchase's value splits equally over
+    // the user's view/click touches in the preceding hour; per touch
+    // type the credited-touch count, reached-purchase count, and total
+    // credit, plus an __unattributed__ row for purchases with no
+    // preceding touch (full value retained). Per-(purchase, type)
+    // credit = round6(value·c_type/n) BEFORE the decimal sum (the Lm
+    // rounding convention), so partial-aggregation order can't move
+    // the total. ONE user_id-keyed equi-join carries the time predicate
+    // (per-user fanout bounded by event rate × horizon, the
+    // q_rolling_time argument); everything after runs on the
+    // purchase-cardinality credit table.
+    QDef("q_events_attribution",
+      Some(s"""WITH $evSql,
+             |p AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'purchase'),
+             |tch AS (SELECT user_id, ts, event_type FROM ev WHERE event_type IN ('view', 'click')),
+             |j AS (SELECT p.event_id, p.value, t.event_type AS touch_type
+             |  FROM p JOIN tch t ON t.user_id = p.user_id
+             |    AND t.ts >= p.ts - INTERVAL 1 HOUR AND t.ts < p.ts),
+             |pt AS (SELECT event_id, value, touch_type, COUNT(*) AS c
+             |  FROM j GROUP BY 1, 2, 3),
+             |n AS (SELECT event_id, SUM(c) AS n FROM pt GROUP BY 1),
+             |credit AS (SELECT pt.touch_type, pt.c,
+             |    ROUND(pt.value * pt.c / n.n, 6) AS cr
+             |  FROM pt JOIN n ON pt.event_id = n.event_id),
+             |attributed AS (SELECT touch_type AS credit_to,
+             |    CAST(SUM(c) AS BIGINT) AS n_touches,
+             |    CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             |    CAST(ROUND(SUM(CAST(cr AS DECIMAL(25,6))), 6) AS DOUBLE) AS credit
+             |  FROM credit GROUP BY 1),
+             |unattr AS (SELECT '__unattributed__' AS credit_to,
+             |    CAST(0 AS BIGINT) AS n_touches, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             |    CAST(ROUND(SUM(CAST(value AS DECIMAL(25,6))), 6) AS DOUBLE) AS credit
+             |  FROM p WHERE event_id NOT IN (SELECT event_id FROM n))
+             |SELECT * FROM (SELECT * FROM attributed UNION ALL SELECT * FROM unattr)
+             |ORDER BY credit_to""".stripMargin),
+      (s, dir) => {
+        val e = ev(s, dir)
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val tch = e.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+            col("event_type").as("touch_type"))
+        val j = p.join(tch, col("t_user") === col("user_id") &&
+            col("t_ts") >= (col("ts") - expr("INTERVAL 1 HOUR")) && col("t_ts") < col("ts"))
+        val pt = j.groupBy("event_id", "value", "touch_type")
+          .agg(count(lit(1)).as("c"))
+        val n = pt.groupBy("event_id").agg(sum(col("c")).as("n"))
+        val credit = pt.join(n, "event_id")
+          .select(col("touch_type"), col("c"),
+            r(col("value") * col("c") / col("n"), 6).as("cr"))
+        val attributed = credit.groupBy(col("touch_type").as("credit_to"))
+          .agg(sum(col("c")).cast(LongType).as("n_touches"),
+            count(lit(1)).cast(LongType).as("n_purchases"),
+            dsumd(col("cr")).as("credit"))
+        val unattr = p.join(n, Seq("event_id"), "left_anti")
+          .agg(count(lit(1)).cast(LongType).as("n_purchases"),
+            dsumd(col("value")).as("credit"))
+          .select(lit("__unattributed__").as("credit_to"),
+            lit(0L).as("n_touches"), col("n_purchases"), col("credit"))
+        attributed.unionByName(unattr).orderBy("credit_to")
+      }),
+
     // salted two-phase distinct count — the skew answer q_key_skew's
     // diagnostic calls for, registered as a checked artifact: the
     // salted plan produces the EXACT per-type distinct-user count

@@ -634,6 +634,14 @@ object Pipeline extends QFamily {
       Some(graft.dedup.Cluster.clusterStatsSql("documents", 0.3)),
       (s, dir) => graft.dedup.Cluster.clusterStats(t(s, dir, "documents"), 0.3)),
 
+    // canonical-survivor selection: per duplicate cluster keep the
+    // LONGEST member (ties -> smallest doc_id) via the hash-aggregable
+    // native argmax — the content-preserving rule where min-id
+    // survivorship would discard the fullest copy
+    QDef("q_dedup_cluster_keep",
+      Some(graft.dedup.Cluster.clusterKeepLongestSql("documents", 0.3)),
+      (s, dir) => graft.dedup.Cluster.clusterKeepLongest(t(s, dir, "documents"), 0.3)),
+
     // link-graph authority (PageRank mass): the crawl-quality ranking
     // signal — one power iteration over a doc_id-deterministic link
     // graph (the corpus has no link column, so both engines synthesize

@@ -370,4 +370,49 @@ class AuditOpsSpec extends AnyFunSuite {
     val ja = row.getAs[Double]("jaccard_est")
     assert(ja >= 0.0 && ja <= 1.0)
   }
+  test("linear attribution credits sum to purchase value; no-touch purchases roll up") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: purchase at 10:30 value 12.0 with 2 views + 1 click in the
+    // prior hour and 1 view outside it; user 2: purchase with no touches
+    val ev = Seq(
+      (1L, ts(30), 1L, "purchase", 12.0, "{}"),
+      (2L, ts(0), 1L, "view", 0.0, "{}"),
+      (3L, ts(10), 1L, "view", 0.0, "{}"),
+      (4L, ts(20), 1L, "click", 0.0, "{}"),
+      (5L, Timestamp.valueOf("2024-01-01 08:00:00"), 1L, "view", 0.0, "{}"),
+      (6L, ts(45), 2L, "purchase", 7.5, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("attr").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q_events_attribution")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("view") === ((2L, 1L, 8.0)))      // 12 * 2/3
+    assert(out("click") === ((1L, 1L, 4.0)))     // 12 * 1/3
+    assert(out("__unattributed__") === ((0L, 1L, 7.5)))
+  }
+
+  test("clusterKeepLongest keeps the longest member, smallest id on ties") {
+    import spark.implicits._
+    // two exact-duplicate texts (same token count -> tie -> min doc_id)
+    // plus a longer near-duplicate that must win its cluster
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (10L, base), (11L, base),
+      (12L, base + " lambda mu nu xi")
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.Cluster.clusterKeepLongest(d, 0.3).collect()
+    assert(out.length === 1)
+    val r0 = out(0)
+    assert(r0.getAs[Long]("cluster_size") === 3L)
+    assert(r0.getAs[Long]("keep_doc_id") === 12L)  // longest wins
+    assert(r0.getAs[Long]("keep_tokens") === 14L)
+    assert(r0.getAs[Long]("n_removed") === 2L)
+    // pure tie: two equal-length duplicates -> smaller id survives
+    val tie = Seq((20L, base), (21L, base)).toDF("doc_id", "text")
+    val t0 = graft.dedup.Cluster.clusterKeepLongest(tie, 0.3).collect()(0)
+    assert(t0.getAs[Long]("keep_doc_id") === 20L)
+  }
 }
