@@ -679,6 +679,13 @@ object Pipeline extends QFamily {
     // doc_id-derived email/IP/phone spans — the %97 eval-slice trick
     // q_decontaminate uses). scrub_fp = md5(scrubbed text) pins the
     // replacement bytes, not just the counts.
+    // first-failing-rule filter funnel: per (source, rule) where
+    // documents die in the quality cascade — gopher's five rules then
+    // the two repetition rules, '__kept__' for survivors
+    QDef("q_quality_funnel",
+      Some(graft.text.Corpus.qualityFunnelSql("documents")),
+      (s, dir) => graft.text.Corpus.qualityFunnel(t(s, dir, "documents"))),
+
     QDef("q_pii_scrub", {
       val aug = "text" +
         " || CASE WHEN doc_id % 3 = 0 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@mail.example.org' ELSE '' END" +

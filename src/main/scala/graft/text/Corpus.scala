@@ -580,6 +580,85 @@ object Corpus {
        |  CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT) AS n_phones,
        |  md5(t3) AS scrub_fp
        |FROM s3""".stripMargin
+  /** First-failing-rule filter funnel — the report a pipeline owner
+    * reads to see WHERE documents die, not just how many: every doc
+    * runs the quality cascade in fixed order (word_count →
+    * mean_word_len → symbol_ratio → alpha_frac → stopwords →
+    * top_token → dup_bigram) and is attributed to its FIRST failing
+    * rule ('__kept__' for survivors); output is per (source, rule)
+    * doc + exact token totals. Thresholds and formulas are exactly
+    * [[gopherQuality]]'s five rules followed by [[repetitionStats]]'
+    * two (parity spec-pinned so the duplicated expressions cannot
+    * drift). Entirely scan-local signals into ONE map-side-combined
+    * KB-sized aggregation — zero corpus shuffles. */
+  def qualityFunnel(docs: DataFrame): DataFrame = {
+    val w = TextOps.tokens(col("text"))
+    val nW = size(w)
+    val len = length(col("text"))
+    val meanLen = graft.util.D.r((len - nW + lit(1.0)) / nW, 6)
+    val symRatio = graft.util.D.r(((len - length(replace(col("text"), lit("#"), lit("")))) +
+      (len - length(replace(col("text"), lit("..."), lit("")))) / lit(3.0))
+      .cast(DoubleType) / nW, 6)
+    val alphaFrac = graft.util.D.r(
+      graft.functions.AlphaTokens(col("text")).cast(DoubleType) / nW, 6)
+    val nStop = GopherStops.map(s0 => array_contains(w, s0).cast(IntegerType)).reduce(_ + _)
+    val topTok = graft.util.D.r(array_max(transform(array_distinct(w),
+      t0 => size(filter(w, x => x === t0)))).cast(DoubleType) / nW, 6)
+    val big = when(nW >= 2, transform(sequence(lit(1), nW - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val dupBig = when(nW >= 2, graft.util.D.r(
+        (size(big) - size(array_distinct(big))).cast(DoubleType) / size(big), 6))
+      .otherwise(lit(0.0))
+    val firstFail = when(nW < 50 || nW > 100000, "word_count")
+      .when(meanLen < 3.0 || meanLen > 10.0, "mean_word_len")
+      .when(symRatio > 0.1, "symbol_ratio")
+      .when(alphaFrac < 0.8, "alpha_frac")
+      .when(nStop < 2, "stopwords")
+      .when(topTok > 0.2, "top_token")
+      .when(dupBig > 0.2, "dup_bigram")
+      .otherwise("__kept__")
+    docs.select(col("source"), nW.cast(LongType).as("ntok"), firstFail.as("first_fail"))
+      .groupBy("source", "first_fail")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("ntok")).cast(LongType).as("n_tokens"))
+      .orderBy("source", "first_fail")
+  }
+
+  /** DuckDB mirror of [[qualityFunnel]]. */
+  def qualityFunnelSql(table: String): String = {
+    val w = "string_split(text, ' ')"
+    val big = s"list_transform(range(1, len($w)), i -> $w[i] || ' ' || $w[i+1])"
+    val nstop = GopherStops.map(s0 => s"CAST(list_contains($w, '$s0') AS INT)").mkString(" + ")
+    s"""WITH m AS (SELECT source, CAST(len($w) AS BIGINT) AS n_words,
+       |    ROUND((length(text) - len($w) + 1.0) / len($w), 6) AS mean_word_len,
+       |    ROUND(CAST((length(text) - length(replace(text, '#', '')))
+       |      + (length(text) - length(replace(text, '...', ''))) / 3.0 AS DOUBLE)
+       |      / len($w), 6) AS symbol_ratio,
+       |    ROUND(CAST(len(list_filter($w, x -> regexp_matches(x, '[a-zA-Z]')))
+       |      AS DOUBLE) / len($w), 6) AS alpha_frac,
+       |    $nstop AS n_stop,
+       |    ROUND(CAST(list_max(list_transform(list_distinct($w),
+       |        t -> len(list_filter($w, x -> x = t)))) AS DOUBLE) / len($w), 6) AS top_token_frac,
+       |    ROUND(CASE WHEN len($w) >= 2
+       |      THEN CAST(len($big) - len(list_distinct($big)) AS DOUBLE) / len($big)
+       |      ELSE 0.0 END, 6) AS dup_bigram_frac
+       |  FROM $table),
+       |f AS (SELECT source, n_words,
+       |    CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+       |         WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'mean_word_len'
+       |         WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+       |         WHEN alpha_frac < 0.8 THEN 'alpha_frac'
+       |         WHEN n_stop < 2 THEN 'stopwords'
+       |         WHEN top_token_frac > 0.2 THEN 'top_token'
+       |         WHEN dup_bigram_frac > 0.2 THEN 'dup_bigram'
+       |         ELSE '__kept__' END AS first_fail
+       |  FROM m)
+       |SELECT source, first_fail, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_words) AS BIGINT) AS n_tokens
+       |FROM f GROUP BY 1, 2 ORDER BY source, first_fail""".stripMargin
+  }
+
   /** Snapshot diff between two corpus versions — the lakehouse
     * table-diff every incremental-ingest pipeline runs before deciding
     * what to reprocess: full-outer join the two versions on doc_id,

@@ -415,4 +415,31 @@ class AuditOpsSpec extends AnyFunSuite {
     val t0 = graft.dedup.Cluster.clusterKeepLongest(tie, 0.3).collect()(0)
     assert(t0.getAs[Long]("keep_doc_id") === 20L)
   }
+  test("qualityFunnel attribution agrees with gopherQuality + repetitionStats") {
+    import graft.text.Corpus
+    val docs = graft.util.D.t(spark, sf, "documents")
+    val g = Corpus.gopherQuality(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val rep = Corpus.repetitionStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val src = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // recompute first_fail per doc from the source functions' outputs
+    val expect = src.keys.toSeq.map { id =>
+      val gr = g(id); val rr = rep(id)
+      val rule =
+        if (gr.getAs[Long]("n_words") < 50 || gr.getAs[Long]("n_words") > 100000) "word_count"
+        else if (gr.getAs[Double]("mean_word_len") < 3.0 || gr.getAs[Double]("mean_word_len") > 10.0) "mean_word_len"
+        else if (gr.getAs[Double]("symbol_ratio") > 0.1) "symbol_ratio"
+        else if (gr.getAs[Double]("alpha_frac") < 0.8) "alpha_frac"
+        else if (gr.getAs[Long]("n_stop") < 2) "stopwords"
+        else if (rr.getAs[Double]("top_token_frac") > 0.2) "top_token"
+        else if (rr.getAs[Double]("dup_bigram_frac") > 0.2) "dup_bigram"
+        else "__kept__"
+      (src(id), rule)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Corpus.qualityFunnel(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_docs")).toMap
+    assert(got === expect)
+  }
 }
