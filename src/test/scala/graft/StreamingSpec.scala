@@ -518,4 +518,52 @@ class StreamingSpec extends AnyFunSuite {
         s"too few completed windows: ${streamed.size} of ${batchRows.size}")
     } finally q.stop()
   }
+  test("streaming attribution matches the batch fold and the SQL join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Attribution, AttrEvent}
+    val raw = graft.util.D.normTs(graft.util.D.t(spark, sf, "events"))
+      .filter(col("user_id") < 25 &&
+        col("event_type").isin("purchase", "view", "click"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .as[AttrEvent].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id))
+
+    def key(o: graft.streaming.AttrOut) = (o.purchase_id, o.n_view, o.n_click)
+    val batch = Attribution.attrBatch(spark, spark.createDataset(raw))
+      .collect().map(key).toSet
+
+    // leg 1: the typed fold equals the SQL per-purchase join that
+    // q_events_attribution aggregates from
+    val e = graft.util.D.normTs(graft.util.D.t(spark, sf, "events"))
+      .filter(col("user_id") < 25)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val tch = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("tu"), col("ts").as("tts"), col("event_type").as("tt"))
+    val sqlRows = p.join(tch, col("tu") === col("user_id") &&
+        col("tts") >= (col("ts") - expr("INTERVAL 1 HOUR")) && col("tts") < col("ts"), "left")
+      .groupBy("event_id")
+      .agg(sum(when(col("tt") === "view", 1L).otherwise(0L)).as("nv"),
+        sum(when(col("tt") === "click", 1L).otherwise(0L)).as("nc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch === sqlRows, "typed fold diverges from the SQL join: " +
+      s"${batch.diff(sqlRows).take(3)} / ${sqlRows.diff(batch).take(3)}")
+
+    // leg 2: the stream equals the batch fold
+    val mem = MemoryStream[AttrEvent]
+    val q = Attribution.attrStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    try {
+      var cut = raw.size / 2
+      while (cut < raw.size && raw(cut).ts == raw(cut - 1).ts) cut += 1
+      val (a, b) = raw.splitAt(cut)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val streamed = spark.table("attr_out").collect()
+        .map(r => (r.getLong(0), r.getLong(4), r.getLong(5))).toSet
+      assert(streamed === batch, "stream/batch divergence: " +
+        s"${streamed.diff(batch).take(3)} / ${batch.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
 }
