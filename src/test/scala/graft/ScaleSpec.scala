@@ -536,4 +536,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall.contains("BroadcastNestedLoopJoin"),
       "q_ann_recall lost its documented broadcast-queries scan shape")
   }
+  test("session-6b operators: key-based joins only; broadcast scans where designed") {
+    // same contract as the round-6 audit batch for this session's
+    // additions: every join key-based, no cartesian, no unkeyed nested
+    // loop over corpus-sized sides. Sanctioned BroadcastNestedLoopJoins:
+    // the ANN family's broadcast-anchor/query scans (q_triplets inherits
+    // bruteTopK's N x Q shape; the IVF-PQ coarse quantizer scores
+    // corpus x broadcast-centroids) -- those are the documented
+    // broadcast-small-side designs, not unkeyed corpus x corpus.
+    val keyedOnly = Seq("q_dedup_substr", "q_salted_nunique", "q_corpus_diff",
+      "q_repetition_ngram", "q_sample_weighted",
+      "q_events_attribution", "q_dedup_cluster_keep", "q_quality_funnel")
+    keyedOnly.foreach { n =>
+      val plan = graft.SparkEntry.queries(n)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$n plans a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$n plans an unkeyed nested loop")
+    }
+    // q_join_size_est cross-joins three 1-ROW aggregate frames (the
+    // sketch rows) — that BroadcastNestedLoopJoin moves k longs, not
+    // corpus rows, so only the cartesian check applies
+    Seq("q_triplets", "q_ann_ivfpq", "q_join_size_est").foreach { n =>
+      val plan = graft.SparkEntry.queries(n)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$n plans a cartesian product")
+    }
+    // q_sample_weighted's per-group top-k must run as the bounded
+    // window-group-limit heap, never a full per-group sort feed
+    val ws = graft.SparkEntry.queries("q_sample_weighted")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ws.contains("WindowGroupLimit"),
+      "q_sample_weighted lost its WindowGroupLimit rank cut")
+  }
 }
