@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QDef, QFamily}
 import graft.util.D._
 import graft.util.Sq
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -405,6 +406,57 @@ object Events extends QFamily {
             r(col("cnt").cast(DoubleType) * lit(1e6) / col("n_rows").cast(DoubleType), 2).as("share_ppm"),
             r(col("cnt").cast(DoubleType) * col("n_keys").cast(DoubleType) / col("n_rows").cast(DoubleType), 4).as("x_avg"))
           .orderBy(col("cnt").desc, col("user_id"))
+      }),
+
+    // ordered multi-step funnel (signup → view → click → purchase):
+    // per user the earliest CHAINED timestamp of each step (step k
+    // counts only at-or-after the user's step-k−1 time — the strict
+    // product-analytics funnel, not four independent mins), reported
+    // as per-step reached-user counts + conversion from step 1. Four
+    // chained min-aggregations, each a user-keyed join of the
+    // user-cardinality frontier against ONE type-filtered event slice;
+    // the corpus-sized work is the four filtered scans (pushed-down
+    // type predicate), every join key-based on user_id
+    QDef("q_funnel_steps",
+      Some(s"""WITH $evSql,
+             |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT s1.user_id, MIN(e.ts) AS t2 FROM s1 JOIN ev e
+             |  ON e.user_id = s1.user_id AND e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY 1),
+             |s3 AS (SELECT s2.user_id, MIN(e.ts) AS t3 FROM s2 JOIN ev e
+             |  ON e.user_id = s2.user_id AND e.event_type = 'click' AND e.ts >= s2.t2 GROUP BY 1),
+             |s4 AS (SELECT s3.user_id, MIN(e.ts) AS t4 FROM s3 JOIN ev e
+             |  ON e.user_id = s3.user_id AND e.event_type = 'purchase' AND e.ts >= s3.t3 GROUP BY 1),
+             |c AS (SELECT (SELECT COUNT(*) FROM s1) AS n1, (SELECT COUNT(*) FROM s2) AS n2,
+             |  (SELECT COUNT(*) FROM s3) AS n3, (SELECT COUNT(*) FROM s4) AS n4)
+             |SELECT step, step_name, CAST(n_users AS BIGINT) AS n_users,
+             |  ROUND(CAST(n_users AS DOUBLE) / n1, 6) AS conv_from_start
+             |FROM c, (VALUES (1, 'signup'), (2, 'view'), (3, 'click'), (4, 'purchase'))
+             |  AS steps(step, step_name),
+             |LATERAL (SELECT CASE step WHEN 1 THEN n1 WHEN 2 THEN n2
+             |  WHEN 3 THEN n3 ELSE n4 END AS n_users)
+             |ORDER BY step""".stripMargin),
+      (s, dir) => {
+        val e = ev(s, dir)
+        def slice0(tp: String) = e.filter(col("event_type") === tp)
+          .select(col("user_id"), col("ts"))
+        val s1 = slice0("signup").groupBy("user_id").agg(min(col("ts")).as("t"))
+        def next(prev: DataFrame, tp: String): DataFrame =
+          prev.join(slice0(tp).withColumnRenamed("ts", "ets"), "user_id")
+            .filter(col("ets") >= col("t"))
+            .groupBy("user_id").agg(min(col("ets")).as("t"))
+        val s2 = next(s1, "view")
+        val s3 = next(s2, "click")
+        val s4 = next(s3, "purchase")
+        val steps = Seq((1, "signup", s1), (2, "view", s2), (3, "click", s3), (4, "purchase", s4))
+        val counts = steps.map { case (i, nm, df) =>
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(i).as("step"), lit(nm).as("step_name"), col("n_users"))
+        }.reduce(_ unionByName _)
+        val n1 = s1.agg(count(lit(1)).as("n1"))
+        counts.crossJoin(broadcast(n1))
+          .select(col("step"), col("step_name"), col("n_users").cast(LongType).as("n_users"),
+            r(col("n_users").cast(DoubleType) / col("n1"), 6).as("conv_from_start"))
+          .orderBy("step")
       }),
 
     // linear multi-touch attribution (the marketing-analytics step on

@@ -726,6 +726,13 @@ object Pipeline extends QFamily {
         ResampleWeights)),
 
     // BM25 keyword retrieval over the corpus (Okapi/Lucene form)
+    // PMI collocation mining: top-k document-co-occurrence token pairs
+    // by pointwise mutual information, capped-distinct per-doc token
+    // sets bounding the pair fanout
+    QDef("q_pmi_pairs",
+      Some(graft.text.Search.pmiPairsSql("documents")),
+      (s, dir) => graft.text.Search.pmiPairs(t(s, dir, "documents"))),
+
     QDef("q_bm25",
       Some(graft.text.Search.bm25Sql("documents", Bm25Terms, k = 15)),
       (s, dir) => graft.text.Search.bm25(t(s, dir, "documents"), Bm25Terms, k = 15)),

@@ -171,4 +171,62 @@ object Search {
        |  doc_id, dl, n_terms_hit, score
        |FROM agg ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
+  /** PMI collocation mining (Church & Hanks 1990 — the corpus-analysis
+    * step behind phrase detection and word2vec-style preprocessing):
+    * the k document-level token co-occurrence pairs with the highest
+    * pointwise mutual information, PMI = ln(P(a,b) / (P(a)·P(b))) over
+    * document presence, with a `minCount` co-occurrence floor so rare
+    * coincidences don't dominate the ranking (the standard correction).
+    *
+    * Per-document token set = the first `maxTokens` of the SORTED
+    * distinct tokens — a deterministic cap (lexicographic, identical in
+    * both engines) that bounds the per-doc pair fanout at
+    * maxTokens·(maxTokens−1)/2 regardless of document length; the
+    * marginals count from the SAME capped set, so PMI stays internally
+    * consistent. Scale: one scan-local capped-distinct projection, one
+    * doc_id-keyed self-join whose per-key block is ≤ maxTokens rows
+    * (bounded — never a corpus×corpus), two map-side-combined count
+    * aggregations, marginal joins on token-cardinality tables, and a
+    * TakeOrderedAndProject top-k — no global sort. */
+  def pmiPairs(docs: DataFrame, maxTokens: Int = 64, minCount: Long = 5,
+      k: Int = 100): DataFrame = {
+    val toks = slice(array_sort(array_distinct(TextOps.tokens(col("text")))), 1, maxTokens)
+    val dt = docs.select(col("doc_id"), explode(toks).as("tok"))
+    val nd = docs.agg(count(lit(1)).cast(LongType).as("n_docs"))
+    val ca = dt.groupBy("tok").agg(count(lit(1)).cast(LongType).as("cnt"))
+    val pairs = dt.select(col("doc_id"), col("tok").as("tok_a"))
+      .join(dt.select(col("doc_id"), col("tok").as("tok_b")), "doc_id")
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).cast(LongType).as("cnt_ab"))
+      .filter(col("cnt_ab") >= minCount)
+    pairs
+      .join(ca.select(col("tok").as("tok_a"), col("cnt").as("cnt_a")), "tok_a")
+      .join(ca.select(col("tok").as("tok_b"), col("cnt").as("cnt_b")), "tok_b")
+      .crossJoin(broadcast(nd))
+      .withColumn("pmi", graft.util.D.r(
+        log(col("cnt_ab").cast(DoubleType) * col("n_docs") /
+          (col("cnt_a") * col("cnt_b")).cast(DoubleType)), 6))
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+      .limit(k)
+      .select("tok_a", "tok_b", "cnt_a", "cnt_b", "cnt_ab", "pmi")
+  }
+
+  /** DuckDB mirror of [[pmiPairs]]. */
+  def pmiPairsSql(table: String, maxTokens: Int = 64, minCount: Long = 5,
+      k: Int = 100): String = {
+    val w = "string_split(text, ' ')"
+    s"""WITH dt AS (SELECT doc_id, unnest(list_sort(list_distinct($w))[1 : $maxTokens]) AS tok
+       |  FROM $table),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM $table),
+       |ca AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM dt GROUP BY 1),
+       |prs AS (SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS cnt_ab
+       |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minCount)
+       |SELECT tok_a, tok_b, ca.cnt AS cnt_a, cb.cnt AS cnt_b, cnt_ab,
+       |  ROUND(LN(CAST(cnt_ab AS DOUBLE) * nd.n_docs
+       |    / CAST(ca.cnt * cb.cnt AS DOUBLE)), 6) AS pmi
+       |FROM prs JOIN ca ON prs.tok_a = ca.tok
+       |JOIN ca cb ON prs.tok_b = cb.tok, nd
+       |ORDER BY pmi DESC, tok_a, tok_b LIMIT $k""".stripMargin
+  }
 }

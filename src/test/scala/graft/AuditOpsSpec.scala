@@ -442,4 +442,46 @@ class AuditOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_docs")).toMap
     assert(got === expect)
   }
+  test("pmiPairs: perfect collocates rank top, PMI math exact, floor applies") {
+    import spark.implicits._
+    // x,y always co-occur (5 docs each, 5 together) -> PMI = ln(5*10/25)
+    // p appears in all 10 docs -> PMI(p, x) = ln(5*10/(10*5)) = 0
+    val docs = ((1 to 5).map(i => (i.toLong, "x y p filler" + i)) ++
+      (6 to 10).map(i => (i.toLong, "q r p filler" + i))).toDF("doc_id", "text")
+    val out = graft.text.Search.pmiPairs(docs, maxTokens = 64, minCount = 5, k = 100)
+      .collect()
+    val m = out.map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("pmi")).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m(("x", "y")) === r6(math.log(2.0)))
+    assert(m(("q", "r")) === r6(math.log(2.0)))
+    assert(m(("p", "x")) === 0.0 && m(("p", "q")) === 0.0)
+    // pairs under the co-occurrence floor are absent (filler tokens occur once)
+    assert(out.forall(_.getAs[Long]("cnt_ab") >= 5L))
+    // ranking: the two perfect collocates outrank the independent pairs
+    val top2 = out.take(2).map(r => (r.getString(0), r.getString(1))).toSet
+    assert(top2 === Set(("x", "y"), ("q", "r")))
+  }
+
+  test("funnel_steps counts only users whose steps chain in order") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      // user 1: full ordered chain
+      (1L, ts(0), 1L, "signup", 0.0, "{}"), (2L, ts(1), 1L, "view", 0.0, "{}"),
+      (3L, ts(2), 1L, "click", 0.0, "{}"), (4L, ts(3), 1L, "purchase", 1.0, "{}"),
+      // user 2: signup + view only
+      (5L, ts(0), 2L, "signup", 0.0, "{}"), (6L, ts(1), 2L, "view", 0.0, "{}"),
+      // user 3: click BEFORE view -> chain stops after view
+      (7L, ts(0), 3L, "signup", 0.0, "{}"), (8L, ts(1), 3L, "click", 0.0, "{}"),
+      (9L, ts(2), 3L, "view", 0.0, "{}"),
+      // user 4: purchase without signup -> never enters the funnel
+      (10L, ts(0), 4L, "purchase", 9.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q_funnel_steps")(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out === Map("signup" -> 3L, "view" -> 3L, "click" -> 1L, "purchase" -> 1L))
+  }
 }
