@@ -408,6 +408,39 @@ object Events extends QFamily {
           .orderBy(col("cnt").desc, col("user_id"))
       }),
 
+    // user-journey transition matrix (first-order Markov over each
+    // user's time-ordered event sequence): per (from, to) event-type
+    // pair the transition count and conditional probability — the
+    // product-analytics "where do users go next" table; ONE user-keyed
+    // window (lag) and one KB-sized (types × types) aggregation, the
+    // per-from totals derived FROM that table
+    QDef("q_events_markov",
+      Some(s"""WITH $evSql,
+             |seq AS (SELECT event_type AS to_type,
+             |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+             |  FROM ev),
+             |tc AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+             |ft AS (SELECT from_type, SUM(n) AS tot FROM tc GROUP BY 1)
+             |SELECT tc.from_type, tc.to_type, tc.n,
+             |  ROUND(CAST(tc.n AS DOUBLE) / ft.tot, 6) AS p
+             |FROM tc JOIN ft USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val seq0 = ev(s, dir)
+          .select(col("event_type").as("to_type"),
+            lag(col("event_type"), 1).over(w).as("from_type"))
+          .filter(col("from_type").isNotNull)
+        val tc = seq0.groupBy("from_type", "to_type")
+          .agg(count(lit(1)).cast(LongType).as("n"))
+        val ft = tc.groupBy("from_type").agg(sum(col("n")).as("tot"))
+        tc.join(ft, "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            r(col("n").cast(DoubleType) / col("tot"), 6).as("p"))
+          .orderBy("from_type", "to_type")
+      }),
+
     // ordered multi-step funnel (signup → view → click → purchase):
     // per user the earliest CHAINED timestamp of each step (step k
     // counts only at-or-after the user's step-k−1 time — the strict

@@ -617,6 +617,38 @@ object Relational extends QFamily {
           col("inter_exact").cast("long").as("inter_exact"))
     },
 
+    // ---- Bloom-prefiltered join (explicit runtime filter) --------------
+    // the runtime-filter optimization as a checked artifact: the
+    // BUILDING-segment customer keys fold into a 16 KB Bloom bitmap
+    // (broadcast at ANY build-side size), the orders scan drops
+    // non-member keys SCAN-LOCALLY before its shuffle, and the real
+    // key join removes the false positives — no false negatives by
+    // construction, so the oracle is the PLAIN join: the rewrite
+    // shrinks the probe-side shuffle and changes nothing else. At
+    // 100 TB this is the difference between shuffling every order and
+    // shuffling only the ~1/5 that can match.
+    q("q_bloom_join",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 6) AS DOUBLE) AS total_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      import graft.text.Bloom
+      def hcol(c: Column) =
+        conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val bm = Bloom.bitmapOfHashes(cust.select(hcol(col("c_custkey")).as("h")))
+      val pre = Bloom.filterByBloom(
+        t(s, dir, "orders").select("o_custkey", "o_orderpriority", "o_totalprice"),
+        hcol(col("o_custkey")), bm)
+      pre.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast(LongType).as("n_orders"),
+          dsumd(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- deterministic sampling ----------------------------------------
     q("q_sample_det",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag

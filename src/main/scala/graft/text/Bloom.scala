@@ -58,9 +58,16 @@ object Bloom {
 
   /** Fold `evalDocs`' shingles into a one-row bitmap: array<long> of
     * m/64 words (word w holds bits 64w..64w+63). */
-  def bitmap(evalDocs: DataFrame, m: Int = DefaultBits): DataFrame = {
+  def bitmap(evalDocs: DataFrame, m: Int = DefaultBits): DataFrame =
+    bitmapOfHashes(hashRows(evalDocs), m)
+
+  /** [[bitmap]] for an arbitrary 60-bit hash set: fold `hashes`
+    * (single long column `h`) into the one-row m-bit bitmap. The
+    * generic entry point key-level consumers (Bloom-prefiltered joins)
+    * build from. */
+  def bitmapOfHashes(hashes: DataFrame, m: Int = DefaultBits): DataFrame = {
     require(m >= 64 && (m & (m - 1)) == 0, s"m must be a power of two >= 64, got $m")
-    val bits = hashRows(evalDocs)
+    val bits = hashes
       .select(explode(array((0 until NumHashes).map(j => bitJ(col("h"), j, m)): _*)).as("bit"))
       .distinct()
     val words = bits
@@ -71,6 +78,28 @@ object Bloom {
     words.agg(map_from_entries(collect_list(struct(col("word"), col("mask")))).as("wm"))
       .select(transform(sequence(lit(0L), lit(m / 64L - 1L)),
         i => coalesce(element_at(col("wm"), i), lit(0L))).as("bm"))
+  }
+
+  /** Generic Bloom pre-filter: the rows of `df` whose `hCol` 60-bit
+    * hash passes all `NumHashes` bit tests against the broadcast
+    * one-row `bitmapDf` ([[bitmapOfHashes]]' output). Scan-local long
+    * math against a 16 KB broadcast at any build-side size — the
+    * explicit form of the runtime-filter join optimization: no false
+    * negatives by construction, so `filterByBloom(big, h(key), bm)
+    * .join(small, key)` is EXACTLY `big.join(small, key)` with the
+    * probe side shrunk before the shuffle. */
+  def filterByBloom(df: DataFrame, hCol: Column, bitmapDf: DataFrame,
+                    m: Int = DefaultBits): DataFrame = {
+    val rows = df.withColumn("__h", hCol).crossJoin(broadcast(bitmapDf))
+    val withBits = (0 until NumHashes).foldLeft(rows) { (d, j) =>
+      d.withColumn(s"__b$j", bitJ(col("__h"), j, m))
+    }
+    val tests = (0 until NumHashes).map { j =>
+      expr(s"(shiftright(element_at(bm, cast(__b$j div 64 as int) + 1), " +
+        s"cast(__b$j % 64 as int)) & 1) = 1")
+    }
+    withBits.filter(tests.reduce(_ && _))
+      .drop(("__h" +: "bm" +: (0 until NumHashes).map(j => s"__b$j")): _*)
   }
 
   /** Per-shingle Bloom test rows: the (doc_id, source, h) rows of

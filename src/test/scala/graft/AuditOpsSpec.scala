@@ -484,4 +484,36 @@ class AuditOpsSpec extends AnyFunSuite {
       .map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(out === Map("signup" -> 3L, "view" -> 3L, "click" -> 1L, "purchase" -> 1L))
   }
+  test("Bloom prefilter drops rows but never matches; join result is exact") {
+    import graft.text.Bloom
+    import spark.implicits._
+    def hcol(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
+    val cust = graft.util.D.t(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val orders = graft.util.D.t(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    val bm = Bloom.bitmapOfHashes(cust.select(hcol(col("c_custkey")).as("h")))
+    val pre = Bloom.filterByBloom(orders, hcol(col("o_custkey")), bm)
+    val nAll = orders.count(); val nPre = pre.count()
+    assert(nPre < nAll, "prefilter dropped nothing — selectivity test is vacuous")
+    // exactness: prefiltered join == plain join (no false negatives)
+    val plain = orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val viaBloom = pre.join(cust, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(viaBloom === plain)
+    assert(nPre >= plain.size, "prefilter lost matching rows")
+  }
+
+  test("events_markov rows are per-from distributions summing to 1") {
+    val out = graft.SparkEntry.queries("q_events_markov")(spark, sf).collect()
+    val byFrom = out.groupBy(_.getString(0))
+    byFrom.foreach { case (f, rows) =>
+      val psum = rows.map(_.getAs[Double]("p")).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"$f transition probs sum to $psum")
+      val ns = rows.map(_.getAs[Long]("n"))
+      assert(ns.forall(_ > 0))
+    }
+    assert(byFrom.nonEmpty)
+  }
 }
