@@ -615,6 +615,65 @@ object Dedup {
        |FROM sh JOIN cnt USING (sh)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** LSH estimator accuracy audit — measures what [[minhashCurve]]'s
+    * S-curve only models: for every banding CANDIDATE pair, the exact
+    * full-set shingle Jaccard joins against the 16-position estimate,
+    * and the confusion matrix at the dedup threshold (est ≥ th vs
+    * exact ≥ th) + per-cell mean absolute estimator error come back.
+    * The off-diagonal cells are the pairs the 8×2 banding would
+    * wrongly keep/drop at this signature width — the measurement that
+    * justifies (or resizes) NumHashes before a corpus-scale run.
+    *
+    * Scale: everything runs on the banding-bounded candidate PAIR
+    * table (linear in corpus size by the banding bound); the exact
+    * side joins per-doc distinct hashed-shingle arrays (the ngram
+    * machinery) onto those pairs only — never an all-pairs scan. */
+  def minhashAccuracy(docs: DataFrame, th: Double = 0.5): DataFrame = {
+    val pairs = minhashEst(docs)
+    val arr = docs.select(col("doc_id"),
+        array_distinct(TextOps.shingleHashes(col("text"))).as("shs"))
+      .withColumn("sz", size(col("shs")).cast(LongType))
+    val j = pairs
+      .join(arr.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
+        col("sz").as("sza")), "doc_a")
+      .join(arr.select(col("doc_id").as("doc_b"), col("shs").as("sb"),
+        col("sz").as("szb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast(LongType))
+      .withColumn("exact_j", graft.util.D.r(col("inter").cast(DoubleType) /
+        (col("sza") + col("szb") - col("inter")), 6))
+    j.select((col("est_jaccard") >= th).cast(IntegerType).as("est_dup"),
+        (col("exact_j") >= th).cast(IntegerType).as("exact_dup"),
+        graft.util.D.r(abs(col("est_jaccard") - col("exact_j")), 6).as("err"))
+      .groupBy("est_dup", "exact_dup")
+      .agg(count(lit(1)).cast(LongType).as("n_pairs"),
+        sum(col("err").cast(graft.util.D.dec25)).as("s"))
+      .select(col("est_dup"), col("exact_dup"), col("n_pairs"),
+        graft.util.D.r(col("s").cast(DoubleType) / col("n_pairs"), 6).as("mean_abs_err"))
+      .orderBy("est_dup", "exact_dup")
+  }
+
+  /** DuckDB mirror of [[minhashAccuracy]]. */
+  def minhashAccuracySql(table: String, th: Double = 0.5): String =
+    s"""WITH ${minhashCtes(table)},
+       |shr AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(sh0), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("text")}) AS sh0 FROM $table)),
+       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shr GROUP BY 1),
+       |inter AS (SELECT e.doc_a, e.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM est e JOIN shr a ON a.doc_id = e.doc_a
+       |  JOIN shr b ON b.doc_id = e.doc_b AND b.h = a.h GROUP BY 1, 2),
+       |ex AS (SELECT e.est_jaccard,
+       |    ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+       |      / (sa.sz + sb.sz - COALESCE(i.inter, 0)), 6) AS exact_j
+       |  FROM est e
+       |  LEFT JOIN inter i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+       |  JOIN sz sa ON e.doc_a = sa.doc_id JOIN sz sb ON e.doc_b = sb.doc_id),
+       |cells AS (SELECT CAST(est_jaccard >= $th AS INT) AS est_dup,
+       |    CAST(exact_j >= $th AS INT) AS exact_dup,
+       |    ROUND(ABS(est_jaccard - exact_j), 6) AS err FROM ex)
+       |SELECT est_dup, exact_dup, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  ROUND(CAST(SUM(CAST(err AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS mean_abs_err
+       |FROM cells GROUP BY 1, 2 ORDER BY est_dup, exact_dup""".stripMargin
+
   /** ExactSubstr-style duplicated-span profile (Lee et al. 2022 §3's
     * EXACTSUBSTR pass, re-expressed distributed): mark every `winLen`-
     * token window whose exact text occurs more than once in the corpus

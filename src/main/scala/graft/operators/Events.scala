@@ -408,6 +408,75 @@ object Events extends QFamily {
           .orderBy(col("cnt").desc, col("user_id"))
       }),
 
+    // RFM segmentation (the classic recency/frequency/monetary customer
+    // scoring): per purchasing user recency (μs since their last
+    // purchase, against the corpus max-purchase-ts "now"), purchase
+    // count, and exact decimal spend; each dimension scored 1-4 by its
+    // EXACT quartiles over the per-user table (boundaries = 3 bounded
+    // doubles collected once, re-entering as a codegen'd literal chain
+    // — the q_qcut shape; recency scored inversely so 4 = most recent).
+    // Output = per (r, f, m) segment user count + mean spend. Corpus
+    // pays one purchase-filtered scan into a user-cardinality
+    // aggregate; quartiles + scoring run on that table (its two
+    // consumers collapse via exchange reuse)
+    QDef("q_orders_rfm",
+      Some(s"""WITH $evSql,
+             |u AS (SELECT user_id, MAX(ts) AS last_ts, CAST(COUNT(*) AS BIGINT) AS freq,
+             |    CAST(ROUND(SUM(CAST(value AS DECIMAL(25,6))), 6) AS DOUBLE) AS mon
+             |  FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+             |nw AS (SELECT MAX(last_ts) AS now FROM u),
+             |ur AS (SELECT u.*, epoch_us(nw.now) - epoch_us(u.last_ts) AS rec FROM u, nw),
+             |qs AS (SELECT
+             |    list_transform(quantile_cont(CAST(rec AS DOUBLE), [0.25, 0.5, 0.75]),
+             |      t -> ROUND(CAST(t AS DOUBLE), 4)) AS rq,
+             |    list_transform(quantile_cont(CAST(freq AS DOUBLE), [0.25, 0.5, 0.75]),
+             |      t -> ROUND(CAST(t AS DOUBLE), 4)) AS fq,
+             |    list_transform(quantile_cont(mon, [0.25, 0.5, 0.75]),
+             |      t -> ROUND(CAST(t AS DOUBLE), 4)) AS mq
+             |  FROM ur),
+             |scored AS (SELECT
+             |    1 + len(list_filter(qs.rq, t -> CAST(ur.rec AS DOUBLE) < t)) AS r_score,
+             |    1 + len(list_filter(qs.fq, t -> CAST(ur.freq AS DOUBLE) > t)) AS f_score,
+             |    1 + len(list_filter(qs.mq, t -> ur.mon > t)) AS m_score,
+             |    ur.mon FROM ur, qs)
+             |SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+             |  CAST(m_score AS BIGINT) AS m_score, CAST(COUNT(*) AS BIGINT) AS n_users,
+             |  ROUND(CAST(SUM(CAST(mon AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS avg_monetary
+             |FROM scored GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin),
+      (s, dir) => {
+        val u = ev(s, dir).filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(max(col("ts")).as("last_ts"), count(lit(1)).cast(LongType).as("freq"),
+            graft.util.D.emit6(sum(col("value").cast(graft.util.D.dec25))).as("mon"))
+        val now = u.agg(max(col("last_ts"))).head().getTimestamp(0)
+        val ur = u.withColumn("rec",
+          (lit(now.getTime * 1000 + (now.getNanos / 1000) % 1000) -
+            unix_micros(col("last_ts"))).cast(DoubleType))
+        def quart(c: org.apache.spark.sql.Column) =
+          percentile(c, array(lit(0.25), lit(0.5), lit(0.75)))
+        val qs = ur.agg(quart(col("rec")).as("rq"),
+            quart(col("freq").cast(DoubleType)).as("fq"), quart(col("mon")).as("mq"))
+          .select(transform(col("rq"), x => r(x, 4)).as("rq"),
+            transform(col("fq"), x => r(x, 4)).as("fq"),
+            transform(col("mq"), x => r(x, 4)).as("mq"))
+          .head()
+        val (rq, fq, mq) = (qs.getSeq[Double](0), qs.getSeq[Double](1), qs.getSeq[Double](2))
+        def scoreUp(c: org.apache.spark.sql.Column, ts0: Seq[Double]) =
+          ts0.map(t0 => (c > lit(t0)).cast("int")).reduce(_ + _) + lit(1)
+        def scoreDown(c: org.apache.spark.sql.Column, ts0: Seq[Double]) =
+          ts0.map(t0 => (c < lit(t0)).cast("int")).reduce(_ + _) + lit(1)
+        ur.select(scoreDown(col("rec"), rq).cast(LongType).as("r_score"),
+            scoreUp(col("freq").cast(DoubleType), fq).cast(LongType).as("f_score"),
+            scoreUp(col("mon"), mq).cast(LongType).as("m_score"),
+            col("mon"))
+          .groupBy("r_score", "f_score", "m_score")
+          .agg(count(lit(1)).cast(LongType).as("n_users"),
+            sum(col("mon").cast(graft.util.D.dec25)).as("ms"))
+          .select(col("r_score"), col("f_score"), col("m_score"), col("n_users"),
+            r(col("ms").cast(DoubleType) / col("n_users"), 6).as("avg_monetary"))
+          .orderBy("r_score", "f_score", "m_score")
+      }),
+
     // user-journey transition matrix (first-order Markov over each
     // user's time-ordered event sequence): per (from, to) event-type
     // pair the transition count and conditional probability — the

@@ -128,6 +128,13 @@ object Pipeline extends QFamily {
     // banding S-curve diagnostic: candidate-pair histogram by estimated
     // Jaccard — says whether the 8x2 banding wastes verification below
     // the threshold or risks recall above it
+    // LSH estimator accuracy audit: confusion matrix + mean estimator
+    // error of the 16-position estimate vs the exact full-set Jaccard,
+    // evaluated on the banding-bounded candidate pairs only
+    QDef("q_minhash_accuracy",
+      Some(Dedup.minhashAccuracySql("documents")),
+      (s, dir) => Dedup.minhashAccuracy(t(s, dir, "documents"))),
+
     QDef("q_minhash_curve",
       Some(Dedup.minhashCurveSql("documents")),
       (s, dir) => Dedup.minhashCurve(t(s, dir, "documents"))),

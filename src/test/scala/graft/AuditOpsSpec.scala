@@ -516,4 +516,36 @@ class AuditOpsSpec extends AnyFunSuite {
     }
     assert(byFrom.nonEmpty)
   }
+  test("minhashAccuracy: exact duplicates land in the (1,1) cell with zero error") {
+    import spark.implicits._
+    val t0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = Seq((1L, t0), (2L, t0),
+      (3L, "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashAccuracy(d).collect()
+    assert(out.length === 1)
+    val r0 = out(0)
+    assert(r0.getInt(0) === 1 && r0.getInt(1) === 1)
+    assert(r0.getAs[Long]("n_pairs") === 1L)
+    assert(r0.getAs[Double]("mean_abs_err") === 0.0)
+  }
+
+  test("orders_rfm scores each dimension by quartile with inverse recency") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // user i: last purchase on day 10+i, i purchases of value i
+    val ev = (1 to 4).flatMap { i =>
+      (1 to i).map(j => ((i * 10 + j).toLong, ts(10 + i), i.toLong, "purchase", i.toDouble, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("rfm").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q_orders_rfm")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getAs[Double]("avg_monetary")))).toMap
+    // user i has rank i on every dimension -> segment (i, i, i), spend i*i
+    assert(out === Map(
+      (1L, 1L, 1L) -> ((1L, 1.0)), (2L, 2L, 2L) -> ((1L, 4.0)),
+      (3L, 3L, 3L) -> ((1L, 9.0)), (4L, 4L, 4L) -> ((1L, 16.0))))
+  }
 }
