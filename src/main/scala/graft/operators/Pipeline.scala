@@ -733,6 +733,19 @@ object Pipeline extends QFamily {
         ResampleWeights)),
 
     // BM25 keyword retrieval over the corpus (Okapi/Lucene form)
+    // source-composition drift: per (source, lang) share-vs-corpus
+    // delta — the QA table that flags a source whose language mix
+    // diverged before it skews a training mix
+    QDef("q_lang_mix_drift",
+      Some(graft.text.Profile.langMixDriftSql("documents")),
+      (s, dir) => graft.text.Profile.langMixDrift(t(s, dir, "documents"))),
+
+    // keyphrase extraction: per-doc top-k word BIGRAMS by tf-idf (the
+    // unigram q_tfidf_terms plan over native WordNgrams(2))
+    QDef("q_tfidf_bigrams",
+      Some(graft.text.Search.tfidfNgramsSql("documents")),
+      (s, dir) => graft.text.Search.tfidfNgrams(t(s, dir, "documents"))),
+
     // PMI collocation mining: top-k document-co-occurrence token pairs
     // by pointwise mutual information, capped-distinct per-doc token
     // sets bounding the pair fanout

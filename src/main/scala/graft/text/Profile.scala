@@ -96,6 +96,45 @@ object Profile {
        |GROUP BY source, bucket_lo ORDER BY source, bucket_lo""".stripMargin
   }
 
+  /** Source-composition drift profile: per (source, lang) cell the
+    * document count, the language's share WITHIN the source, the
+    * language's corpus-wide share, and the delta — the QA table that
+    * flags a source whose language mix diverges from the corpus (a
+    * crawl gone wrong, a mislabeled feed) before it skews a training
+    * mix. Shares are 6dp-rounded BEFORE the delta so both engines
+    * subtract identical operands. One corpus scan into a
+    * (sources × langs) KB-sized cell table; the source/lang/corpus
+    * totals all re-aggregate FROM that table. */
+  def langMixDrift(docs: DataFrame): DataFrame = {
+    val cell = docs.groupBy("source", "lang").agg(count(lit(1)).cast(LongType).as("n_docs"))
+    val srcTot = cell.groupBy("source").agg(sum(col("n_docs")).as("src_n"))
+    val langTot = cell.groupBy("lang").agg(sum(col("n_docs")).as("lang_n"))
+    val tot = cell.agg(sum(col("n_docs")).as("tot"))
+    val pSrc = graft.util.D.r(col("n_docs").cast(DoubleType) / col("src_n"), 6)
+    val pCorp = graft.util.D.r(col("lang_n").cast(DoubleType) / col("tot"), 6)
+    cell.join(srcTot, "source").join(langTot, "lang").crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"),
+        pSrc.as("p_src"), pCorp.as("p_corpus"),
+        graft.util.D.r(pSrc - pCorp, 6).as("delta"))
+      .orderBy("source", "lang")
+  }
+
+  /** DuckDB mirror of [[langMixDrift]]. */
+  def langMixDriftSql(table: String): String =
+    s"""WITH cell AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM $table GROUP BY 1, 2),
+       |st AS (SELECT source, SUM(n_docs) AS src_n FROM cell GROUP BY 1),
+       |lt AS (SELECT lang, SUM(n_docs) AS lang_n FROM cell GROUP BY 1),
+       |tt AS (SELECT SUM(n_docs) AS tot FROM cell)
+       |SELECT c.source, c.lang, c.n_docs,
+       |  ROUND(CAST(c.n_docs AS DOUBLE) / st.src_n, 6) AS p_src,
+       |  ROUND(CAST(lt.lang_n AS DOUBLE) / tt.tot, 6) AS p_corpus,
+       |  ROUND(ROUND(CAST(c.n_docs AS DOUBLE) / st.src_n, 6)
+       |    - ROUND(CAST(lt.lang_n AS DOUBLE) / tt.tot, 6), 6) AS delta
+       |FROM cell c JOIN st ON c.source = st.source
+       |JOIN lt ON c.lang = lt.lang, tt
+       |ORDER BY c.source, c.lang""".stripMargin
+
   /** Per-group weighted sample WITHOUT replacement (Efraimidis &
     * Spirakis 2006 via the Gumbel-max formulation the DSIR selector
     * uses): within each language, the k documents with the largest

@@ -91,10 +91,23 @@ object Search {
     * rows) and its join back is left for AQE to pick broadcast vs
     * shuffle; the per-doc top-k is a doc_id-partitioned window that
     * WindowGroupLimit cuts to k rows per group before the sort. */
-  def tfidfTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+  def tfidfTerms(docs: DataFrame, k: Int = 3): DataFrame =
+    tfidfImpl(docs, explode(TextOps.tokens(col("text"))), k)
+
+  /** Keyphrase extraction: [[tfidfTerms]] over word n-grams instead of
+    * unigrams (the standard first cut at phrase-level indexing) — the
+    * native [[graft.functions.WordNgrams]] emits contiguous-substring
+    * n-grams in whole-stage codegen, and the tf/df/top-k plan is
+    * byte-identical to the unigram form (same single corpus shuffle,
+    * same exchange-reused df subtree, same WindowGroupLimit cut). */
+  def tfidfNgrams(docs: DataFrame, n: Int = 2, k: Int = 3): DataFrame =
+    tfidfImpl(docs, explode(graft.functions.WordNgrams(col("text"), n)), k)
+
+  private def tfidfImpl(docs: DataFrame, termExpr: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
     require(k > 0, "tfidfTerms: k must be positive")
     val tf = docs
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .select(col("doc_id"), termExpr.as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast(LongType).as("tf"))
     // the no-op tf >= 1 filter keeps the df subtree REFERENCING tf, so
@@ -118,9 +131,19 @@ object Search {
       .orderBy("doc_id", "term_rank")
   }
 
+  /** DuckDB mirror of [[tfidfNgrams]]. */
+  def tfidfNgramsSql(table: String, n: Int = 2, k: Int = 3): String = {
+    val w = TextOps.tokensSql("text")
+    val grams = s"list_transform(range(1, len($w) - $n + 2), i -> array_to_string($w[i : i + ${n - 1}], ' '))"
+    tfidfSqlFrom(table, grams, k)
+  }
+
   /** DuckDB mirror of [[tfidfTerms]]. */
-  def tfidfTermsSql(table: String, k: Int = 3): String = {
-    val toks = TextOps.tokensSql("text")
+  def tfidfTermsSql(table: String, k: Int = 3): String =
+    tfidfSqlFrom(table, TextOps.tokensSql("text"), k)
+
+  private def tfidfSqlFrom(table: String, termsExpr: String, k: Int): String = {
+    val toks = termsExpr
     s"""WITH tf AS (
        |  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
        |  FROM (SELECT doc_id, unnest($toks) AS tok FROM $table)

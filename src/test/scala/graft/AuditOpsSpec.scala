@@ -548,4 +548,31 @@ class AuditOpsSpec extends AnyFunSuite {
       (1L, 1L, 1L) -> ((1L, 1.0)), (2L, 2L, 2L) -> ((1L, 4.0)),
       (3L, 3L, 3L) -> ((1L, 9.0)), (4L, 4L, 4L) -> ((1L, 16.0))))
   }
+  test("langMixDrift deltas: per-source shares sum to 1, deltas to ~0 corpus-wide") {
+    val out = graft.SparkEntry.queries("q_lang_mix_drift")(spark, sf).collect()
+    val bySrc = out.groupBy(_.getString(0))
+    bySrc.foreach { case (src, rows) =>
+      val psum = rows.map(_.getAs[Double]("p_src")).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"$src p_src sums to $psum")
+    }
+    // corpus shares are consistent: every (lang) row carries the same p_corpus
+    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Double]("p_corpus")).distinct.length === 1)
+    }
+  }
+
+  test("tfidfNgrams ranks the distinctive bigram above corpus-wide ones") {
+    import spark.implicits._
+    val filler = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq(
+      (1L, s"$filler special phrase here"),
+      (2L, filler), (3L, filler), (4L, filler)
+    ).toDF("doc_id", "text")
+    val top = graft.text.Search.tfidfNgrams(d, n = 2, k = 1)
+      .filter(col("doc_id") === 1L).head()
+    // the doc-unique bigram (df=1) outranks any shared one
+    assert(top.getAs[Long]("df") === 1L)
+    assert(Set("special phrase", "phrase here", "here special", "dog special")
+      .exists(b => top.getAs[String]("term").contains(b.split(" ").head)))
+  }
 }
