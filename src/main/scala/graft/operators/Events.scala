@@ -408,6 +408,62 @@ object Events extends QFamily {
           .orderBy(col("cnt").desc, col("user_id"))
       }),
 
+    // PSI distribution drift (population stability index — the
+    // standard ML-monitoring metric for "did this feature's
+    // distribution move"): the REFERENCE slice (even event_id — the
+    // deployed snapshot) defines decile bins via exact quantile
+    // boundaries (9 bounded doubles collected once, re-entering as a
+    // codegen'd literal chain — the q_qcut shape); both slices bin
+    // through the identical chain; per bin the two shares (Laplace-
+    // smoothed so an empty bin can't produce ±∞) and the PSI term
+    // (p−q)·ln(p/q), 6dp-rounded before the total sums them. PSI > 0.2
+    // is the conventional "investigate" threshold. Corpus pays two
+    // map-side-combined binning aggregations; all PSI math runs on the
+    // 10-row bin table
+    QDef("q_psi_drift",
+      Some(s"""WITH $evSql,
+             |th AS (SELECT list_transform(
+             |    quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+             |    t -> ROUND(CAST(t AS DOUBLE), 4)) AS th
+             |  FROM ev WHERE event_id % 2 = 0),
+             |binned AS (SELECT event_id % 2 AS slice,
+             |    1 + len(list_filter(th.th, t -> t < e.value)) AS bin
+             |  FROM ev e, th),
+             |cell AS (SELECT bin,
+             |    SUM(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS n_ref,
+             |    SUM(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS n_cur
+             |  FROM binned GROUP BY 1),
+             |tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM cell),
+             |terms AS (SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+             |    ROUND((n_ref + 1.0) / (tot.tr + 10.0), 6) AS p_ref,
+             |    ROUND((n_cur + 1.0) / (tot.tc + 10.0), 6) AS p_cur
+             |  FROM cell, tot)
+             |SELECT bin, n_ref, n_cur, p_ref, p_cur,
+             |  ROUND((p_cur - p_ref) * LN(p_cur / p_ref), 6) AS psi_term
+             |FROM terms ORDER BY bin""".stripMargin),
+      (s, dir) => {
+        val e = ev(s, dir).select(col("event_id"), col("value"))
+        val ths = e.filter(col("event_id") % 2 === 0)
+          .agg(percentile(col("value"), array((1 to 9).map(i => lit(i / 10.0)): _*)).as("th"))
+          .select(transform(col("th"), x => r(x, 4)).as("th"))
+          .head().getSeq[Double](0)
+        val bin = ths.map(t0 => (col("value") > lit(t0)).cast("int")).reduce(_ + _) + lit(1)
+        val cell = e.select((col("event_id") % 2).as("slice"), bin.as("bin"))
+          .groupBy("bin")
+          .agg(sum(when(col("slice") === 0, 1L).otherwise(0L)).as("n_ref"),
+            sum(when(col("slice") === 1, 1L).otherwise(0L)).as("n_cur"))
+        val tot = cell.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+        val pRef = r((col("n_ref") + lit(1.0)) / (col("tr") + lit(10.0)), 6)
+        val pCur = r((col("n_cur") + lit(1.0)) / (col("tc") + lit(10.0)), 6)
+        cell.crossJoin(broadcast(tot))
+          .select(col("bin").cast(LongType).as("bin"),
+            col("n_ref").cast(LongType).as("n_ref"), col("n_cur").cast(LongType).as("n_cur"),
+            pRef.as("p_ref"), pCur.as("p_cur"))
+          .withColumn("psi_term", r((col("p_cur") - col("p_ref")) *
+            log(col("p_cur") / col("p_ref")), 6))
+          .orderBy("bin")
+      }),
+
     // RFM segmentation (the classic recency/frequency/monetary customer
     // scoring): per purchasing user recency (μs since their last
     // purchase, against the corpus max-purchase-ts "now"), purchase

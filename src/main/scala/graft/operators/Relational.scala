@@ -617,6 +617,42 @@ object Relational extends QFamily {
           col("inter_exact").cast("long").as("inter_exact"))
     },
 
+    // ---- per-column data-quality profile -------------------------------
+    // the standard DQ/profiling report (null counts, distinct counts,
+    // null fraction per column) every ingestion gate runs: ONE corpus
+    // scan with per-column conditional + distinct aggregates (Spark
+    // plans the multi-distinct via Expand — one pass, column-count×
+    // internal fanout), melted into one row per column from the single
+    // aggregated row. At 100 TB the exact distincts swap for
+    // approx_count_distinct without changing the shape.
+    q("q_null_profile", {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate",
+        "l_quantity", "l_discount")
+      val sels = cols.map(c =>
+        s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  ROUND(CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS frac_null
+           |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+      s"$sels\nORDER BY column_name"
+    }) { (s, dir) =>
+      val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate",
+        "l_quantity", "l_discount")
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c")))
+      val one = t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      val melted = explode(array(cols.map(c => struct(
+        lit(c).as("column_name"), col("n_rows").cast(LongType).as("n_rows"),
+        col(s"nn_$c").cast(LongType).as("n_null"),
+        col(s"nd_$c").cast(LongType).as("n_distinct"))): _*)).as("m")
+      one.select(melted)
+        .select(col("m.column_name"), col("m.n_rows"), col("m.n_null"), col("m.n_distinct"),
+          r(col("m.n_null").cast(DoubleType) / col("m.n_rows"), 6).as("frac_null"))
+        .orderBy("column_name")
+    },
+
     // ---- Bloom-prefiltered join (explicit runtime filter) --------------
     // the runtime-filter optimization as a checked artifact: the
     // BUILDING-segment customer keys fold into a 16 KB Bloom bitmap

@@ -575,4 +575,32 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(Set("special phrase", "phrase here", "here special", "dog special")
       .exists(b => top.getAs[String]("term").contains(b.split(" ").head)))
   }
+  test("psi_drift terms are non-negative; reference bins hold ~1/10 each") {
+    val out = graft.SparkEntry.queries("q_psi_drift")(spark, sf).collect()
+    assert(out.length === 10)
+    out.foreach { r0 =>
+      assert(r0.getAs[Double]("psi_term") >= 0.0,
+        "a PSI term (p-q)ln(p/q) can never be negative")
+      // reference deciles: each bin holds ~10% of the reference slice
+      assert(math.abs(r0.getAs[Double]("p_ref") - 0.1) < 0.02)
+    }
+  }
+
+  test("null_profile counts nulls and distincts per column exactly") {
+    import spark.implicits._
+    val li = Seq(
+      ("A", "F", java.sql.Date.valueOf("2024-01-01"), Some(1.0), Some(0.1)),
+      ("A", null, java.sql.Date.valueOf("2024-01-02"), None, Some(0.1)),
+      ("B", "O", null, Some(2.0), None)
+    ).toDF("l_returnflag", "l_linestatus", "l_shipdate", "l_quantity", "l_discount")
+    val dir = java.nio.file.Files.createTempDirectory("np").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = graft.SparkEntry.queries("q_null_profile")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out("l_returnflag") === ((0L, 2L)))
+    assert(out("l_linestatus") === ((1L, 2L)))
+    assert(out("l_shipdate") === ((1L, 2L)))
+    assert(out("l_quantity") === ((1L, 2L)))
+    assert(out("l_discount") === ((1L, 1L)))
+  }
 }
