@@ -408,6 +408,75 @@ object Events extends QFamily {
           .orderBy(col("cnt").desc, col("user_id"))
       }),
 
+    // session-gap calibration stats — the measurement BEHIND
+    // q_events_sessionize's 30-minute threshold: the distribution of
+    // same-user inter-event gaps (p50/p90/p99 + the fraction a given
+    // cutoff would split). One user-keyed lag window over the corpus;
+    // the exact percentiles buffer the gap column (the documented
+    // superlinear-at-scale exact form — approx_percentile is the
+    // q_qcut-convention swap); emits ONE row
+    QDef("q_session_gap_stats",
+      Some(s"""WITH $evSql,
+             |g AS (SELECT epoch_us(ts) - epoch_us(LAG(ts) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+             |  FROM ev),
+             |gg AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             |  CAST(ROUND(quantile_cont(CAST(gap_us AS DOUBLE), 0.5), 0) AS BIGINT) AS p50_us,
+             |  CAST(ROUND(quantile_cont(CAST(gap_us AS DOUBLE), 0.9), 0) AS BIGINT) AS p90_us,
+             |  CAST(ROUND(quantile_cont(CAST(gap_us AS DOUBLE), 0.99), 0) AS BIGINT) AS p99_us,
+             |  ROUND(CAST(SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / COUNT(*), 6) AS frac_over_30m
+             |FROM gg""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val g = ev(s, dir)
+          .select((unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+          .filter(col("gap_us").isNotNull)
+        g.agg(count(lit(1)).cast(LongType).as("n_gaps"),
+          round(percentile(col("gap_us").cast(DoubleType), lit(0.5)), 0).cast(LongType).as("p50_us"),
+          round(percentile(col("gap_us").cast(DoubleType), lit(0.9)), 0).cast(LongType).as("p90_us"),
+          round(percentile(col("gap_us").cast(DoubleType), lit(0.99)), 0).cast(LongType).as("p99_us"),
+          r(sum(when(col("gap_us") > 1800000000L, 1L).otherwise(0L)).cast(DoubleType) /
+            count(lit(1)), 6).as("frac_over_30m"))
+      }),
+
+    // per-type user burstiness (variance-to-mean dispersion of per-user
+    // event counts — the overdispersion diagnostic behind skew
+    // handling and rate limits: dispersion ≈ 1 is Poisson traffic, ≫ 1
+    // means hot users): per-user counts (ONE corpus shuffle), exact
+    // decimal moments on the user-cardinality table, 6dp-rounded
+    // mean/variance before the ratio
+    QDef("q_user_burstiness",
+      Some(s"""WITH $evSql,
+             |uc AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM ev GROUP BY 1, 2),
+             |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+             |    ROUND(CAST(SUM(CAST(c AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS mean_c,
+             |    ROUND((CAST(SUM(CAST(c AS DECIMAL(25,6)) * CAST(c AS DECIMAL(25,6))) AS DOUBLE)
+             |      - CAST(SUM(CAST(c AS DECIMAL(25,6))) AS DOUBLE)
+             |        * CAST(SUM(CAST(c AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)) / COUNT(*), 6) AS var_c
+             |  FROM uc GROUP BY 1)
+             |SELECT event_type, n_users, mean_c, var_c,
+             |  ROUND(var_c / mean_c, 6) AS dispersion
+             |FROM m ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val uc = ev(s, dir).groupBy("event_type", "user_id")
+          .agg(count(lit(1)).cast(LongType).as("c"))
+        val dec = col("c").cast(graft.util.D.dec25)
+        uc.groupBy("event_type")
+          .agg(count(lit(1)).cast(LongType).as("n_users"),
+            sum(dec).as("s1"), sum(dec * dec).as("s2"))
+          .select(col("event_type"), col("n_users"),
+            r(col("s1").cast(DoubleType) / col("n_users"), 6).as("mean_c"),
+            r((col("s2").cast(DoubleType) -
+              col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / col("n_users")) /
+              col("n_users"), 6).as("var_c"))
+          .withColumn("dispersion", r(col("var_c") / col("mean_c"), 6))
+          .orderBy("event_type")
+      }),
+
     // PSI distribution drift (population stability index — the
     // standard ML-monitoring metric for "did this feature's
     // distribution move"): the REFERENCE slice (even event_id — the

@@ -603,4 +603,30 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(out("l_quantity") === ((1L, 2L)))
     assert(out("l_discount") === ((1L, 1L)))
   }
+  test("session gap stats order and the 30m fraction agree with a direct count") {
+    val r0 = graft.SparkEntry.queries("q_session_gap_stats")(spark, sf).head()
+    val (p50, p90, p99) = (r0.getAs[Long]("p50_us"), r0.getAs[Long]("p90_us"),
+      r0.getAs[Long]("p99_us"))
+    assert(p50 <= p90 && p90 <= p99, "percentiles must be monotone")
+    assert(r0.getAs[Long]("n_gaps") > 0)
+    val f = r0.getAs[Double]("frac_over_30m")
+    assert(f >= 0.0 && f <= 1.0)
+  }
+
+  test("burstiness: constant per-user counts give dispersion 0") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // every user has exactly 2 'view' events -> var 0 -> dispersion 0
+    val ev = (1 to 6).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 10:${i % 30}%02d:00"),
+        (i % 3).toLong, "view", 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("burst").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q_user_burstiness")(spark, dir).head()
+    assert(out.getAs[Long]("n_users") === 3L)
+    assert(out.getAs[Double]("mean_c") === 2.0)
+    assert(out.getAs[Double]("var_c") === 0.0)
+    assert(out.getAs[Double]("dispersion") === 0.0)
+  }
 }
