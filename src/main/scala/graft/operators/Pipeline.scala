@@ -782,6 +782,54 @@ object Pipeline extends QFamily {
       (s, dir) => graft.text.Lm.dsir(t(s, dir, "documents"))),
 
     // frequency-ranked vocabulary with contiguous ids (tokenizer table)
+    // tokenizer-sizing coverage curve: token-occurrence share covered
+    // by the top-{100, 1k, 10k} frequency-ranked vocab entries (what an
+    // OOV/byte fallback absorbs at each size); runs on the ranked
+    // vocab table, one conditional-sum agg melted to a row per cutoff
+    // cutoffs sized to the generator's compact vocabulary so the curve
+    // is visible (the library default is {100, 1k, 10k})
+    QDef("q_vocab_coverage",
+      Some(graft.text.Vocab.vocabCoverageSql("documents", Seq(5L, 10L, 20L))),
+      (s, dir) => graft.text.Vocab.vocabCoverage(t(s, dir, "documents"), Seq(5L, 10L, 20L))),
+
+    // crawl provenance ranking: per registrable domain the doc/token
+    // footprint and corpus share (URLs doc_id-synthesized, the
+    // q_url_filter convention) — the "what are we actually crawling"
+    // report read before domain filtering
+    QDef("q_top_domains", {
+      val doms = Seq("en.wikipedia.org", "github.com", "casino-wins.biz",
+        "news.example.co.uk", "tracker.ads.net", "free-stuff.xyz")
+      val dl = doms.map(d => s"'$d'").mkString("[", ", ", "]")
+      Some(s"""WITH d AS (SELECT doc_id,
+             |    ($dl)[CAST(doc_id % 6 AS INT) + 1] AS host,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+             |  FROM documents),
+             |g AS (SELECT CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+             |    ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+             |    END AS domain, COUNT(*) AS n_docs, SUM(ntok) AS n_tokens
+             |  FROM d GROUP BY 1),
+             |t0 AS (SELECT SUM(n_docs) AS tot FROM g)
+             |SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  ROUND(CAST(n_docs AS DOUBLE) / t0.tot, 6) AS doc_share
+             |FROM g, t0 ORDER BY n_docs DESC, domain""".stripMargin)
+    }, { (s, dir) =>
+      val doms = Seq("en.wikipedia.org", "github.com", "casino-wins.biz",
+        "news.example.co.uk", "tracker.ads.net", "free-stuff.xyz")
+      val d = t(s, dir, "documents").select(
+        element_at(array(doms.map(lit): _*),
+          (pmod(col("doc_id"), lit(6)) + 1).cast(IntegerType)).as("host"),
+        size(TextOps.tokens(col("text"))).cast(LongType).as("ntok"))
+      val g = d.groupBy(graft.text.Url.regDomainOf(col("host")).as("domain"))
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum(col("ntok")).cast(LongType).as("n_tokens"))
+      val t0 = g.agg(sum(col("n_docs")).as("tot"))
+      g.crossJoin(broadcast(t0))
+        .select(col("domain"), col("n_docs"), col("n_tokens"),
+          graft.util.D.r(col("n_docs").cast(DoubleType) / col("tot"), 6).as("doc_share"))
+        .orderBy(col("n_docs").desc, col("domain"))
+    }),
+
     QDef("q_vocab_build",
       Some(graft.text.Vocab.vocabBuildSql("documents", minCount = 3)),
       (s, dir) => graft.text.Vocab.vocabBuild(t(s, dir, "documents"), minCount = 3)),

@@ -98,4 +98,48 @@ object Vocab {
        |      GROUP BY pair)
        |ORDER BY n DESC, pair LIMIT $k""".stripMargin
   }
+  /** Vocabulary coverage curve — the tokenizer-sizing measurement: for
+    * each candidate vocab cutoff, how many corpus token OCCURRENCES the
+    * top-`cutoff` frequency-ranked entries cover (the share an OOV/byte
+    * fallback would have to absorb at that size). Runs on
+    * [[vocabBuild]]'s ranked vocab table (term-cardinality, ≪ corpus):
+    * one conditional-sum aggregation over it, melted to a row per
+    * cutoff. */
+  def vocabCoverage(docs: DataFrame,
+      cutoffs: Seq[Long] = Seq(100L, 1000L, 10000L)): DataFrame = {
+    require(cutoffs.nonEmpty, "vocabCoverage: need at least one cutoff")
+    val v = vocabBuild(docs)
+    val aggs = sum(col("c")).as("total") +:
+      cutoffs.flatMap(k => Seq(
+        sum(when(col("id") < k, col("c")).otherwise(0L)).as(s"cov_$k"),
+        sum(when(col("id") < k, 1L).otherwise(0L)).as(s"nt_$k")))
+    val one = v.agg(aggs.head, aggs.tail: _*)
+    val melted = explode(array(cutoffs.map(k => struct(
+      lit(k).as("cutoff"), col(s"nt_$k").cast(LongType).as("n_terms"),
+      col(s"cov_$k").cast(LongType).as("covered_tokens"),
+      col("total").cast(LongType).as("total_tokens"))): _*)).as("m")
+    one.select(melted)
+      .select(col("m.cutoff"), col("m.n_terms"), col("m.covered_tokens"),
+        col("m.total_tokens"),
+        graft.util.D.r(col("m.covered_tokens").cast(DoubleType) /
+          col("m.total_tokens"), 6).as("share"))
+      .orderBy("cutoff")
+  }
+
+  /** DuckDB mirror of [[vocabCoverage]]. */
+  def vocabCoverageSql(table: String,
+      cutoffs: Seq[Long] = Seq(100L, 1000L, 10000L)): String = {
+    val cells = cutoffs.map(k =>
+      s"""SELECT $k AS cutoff,
+         |  CAST(SUM(CASE WHEN id < $k THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
+         |  CAST(SUM(CASE WHEN id < $k THEN c ELSE 0 END) AS BIGINT) AS covered_tokens
+         |FROM vb""".stripMargin).mkString("\n  UNION ALL\n  ")
+    s"""WITH vb AS (${vocabBuildSql(table).replace("\n", "\n  ")}),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vb),
+       |cells AS (${cells.replace("\n", "\n  ")})
+       |SELECT CAST(cutoff AS BIGINT) AS cutoff, n_terms, covered_tokens,
+       |  tot.total AS total_tokens,
+       |  ROUND(CAST(covered_tokens AS DOUBLE) / tot.total, 6) AS share
+       |FROM cells, tot ORDER BY cutoff""".stripMargin
+  }
 }

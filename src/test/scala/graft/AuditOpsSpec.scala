@@ -629,4 +629,29 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(out.getAs[Double]("var_c") === 0.0)
     assert(out.getAs[Double]("dispersion") === 0.0)
   }
+  test("vocab coverage is monotone in the cutoff and consistent with the vocab") {
+    val out = graft.SparkEntry.queries("q_vocab_coverage")(spark, sf).collect()
+    val shares = out.map(_.getAs[Double]("share"))
+    assert(shares.sorted.toSeq === shares.toSeq, "share must grow with the cutoff")
+    out.foreach { r0 =>
+      assert(r0.getAs[Long]("n_terms") <= r0.getAs[Long]("cutoff"))
+      assert(r0.getAs[Long]("covered_tokens") <= r0.getAs[Long]("total_tokens"))
+    }
+    // totals equal the raw token count of the corpus
+    val docs = graft.util.D.t(spark, sf, "documents")
+    val nTok = docs.select(org.apache.spark.sql.functions.size(
+      graft.text.TextOps.tokens(col("text"))).cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(out.head.getAs[Long]("total_tokens") === nTok)
+  }
+
+  test("top domains: shares sum to 1 and rollup covers all docs") {
+    val out = graft.SparkEntry.queries("q_top_domains")(spark, sf).collect()
+    val shareSum = out.map(_.getAs[Double]("doc_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4)
+    val docs = graft.util.D.t(spark, sf, "documents").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs)
+    // multi-label hosts roll up to registrable domains
+    assert(out.map(_.getString(0)).toSet.contains("wikipedia.org"))
+  }
 }

@@ -179,7 +179,8 @@ class ScaleSpec extends AnyFunSuite {
     // window's child subtree must contain a Limit, or an Aggregate
     // grouped solely by the spark_partition_id-derived pid key or the
     // fixed-bucket key b.
-    val allowed = Set("q_seq_pack", "q_vocab_build", "q_bm25", "q_bpe_pairs", "q_dsir")
+    val allowed = Set("q_seq_pack", "q_vocab_build", "q_vocab_coverage",
+      "q_bm25", "q_bpe_pairs", "q_dsir")
     def boundedBelow(child: LogicalPlan): Boolean =
       child.collect {
         case _: GlobalLimit => true
