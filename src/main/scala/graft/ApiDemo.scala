@@ -108,6 +108,20 @@ object ApiDemo {
     println("== multimodal: exact payload dedup + pHash blocking profile ==")
     graft.multimodal.Multimodal.payloadDedup(docs).show(false)
     graft.multimodal.Multimodal.payloadPhashProfile(docs).show(false)
+    println("== ExactSubstr-style duplicated spans (merged >= 8-token) ==")
+    graft.dedup.Dedup.substrSpans(docs).filter(col("n_spans") > 0).show(3, false)
+    println("== quality funnel: where documents die, by source and rule ==")
+    graft.text.Corpus.qualityFunnel(docs).show(8, false)
+    println("== snapshot diff between two corpus versions ==")
+    graft.text.Corpus.snapshotDiff(
+      docs.filter(col("doc_id") % 11 =!= 0).select("doc_id", "text"),
+      docs.filter(col("doc_id") % 13 =!= 0).select("doc_id", "text")).show(false)
+    println("== full IVF-PQ serving: probe coarse lists, ADC over codes ==")
+    graft.sim.Quantize.adcTopKIvf(emb, 8, 125, 7, 25, 7, 40, 3, 5).show(3, false)
+    println("== contrastive triplets (positive + hard negative + margin) ==")
+    graft.sim.Ann.triplets(emb, 40).show(3, false)
+    println("== PMI collocations ==")
+    graft.text.Search.pmiPairs(docs, k = 5).show(false)
     spark.stop()
   }
 }
