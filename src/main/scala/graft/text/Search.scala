@@ -217,8 +217,17 @@ object Search {
     val dt = docs.select(col("doc_id"), explode(toks).as("tok"))
     val nd = docs.agg(count(lit(1)).cast(LongType).as("n_docs"))
     val ca = dt.groupBy("tok").agg(count(lit(1)).cast(LongType).as("cnt"))
-    val pairs = dt.select(col("doc_id"), col("tok").as("tok_a"))
-      .join(dt.select(col("doc_id"), col("tok").as("tok_b")), "doc_id")
+    // frequent-token prefilter BEFORE pairing: a pair can only reach
+    // cnt_ab >= minCount if BOTH tokens have df >= minCount, so
+    // dropping rarer tokens first changes nothing in the output while
+    // pruning the singleton tail that dominates a diverse corpus —
+    // without it the pair GROUP BY's cardinality is the raw pair count
+    // (measured: the un-prefiltered oracle exhausts memory on the 10×
+    // perturbed-vocabulary corpus; marginals still come from the FULL
+    // capped set, computed before the filter)
+    val dtk = dt.join(ca.filter(col("cnt") >= minCount).select("tok"), "tok")
+    val pairs = dtk.select(col("doc_id"), col("tok").as("tok_a"))
+      .join(dtk.select(col("doc_id"), col("tok").as("tok_b")), "doc_id")
       .filter(col("tok_a") < col("tok_b"))
       .groupBy("tok_a", "tok_b").agg(count(lit(1)).cast(LongType).as("cnt_ab"))
       .filter(col("cnt_ab") >= minCount)
@@ -242,8 +251,10 @@ object Search {
        |  FROM $table),
        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM $table),
        |ca AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM dt GROUP BY 1),
+       |dtk AS (SELECT dt.doc_id, dt.tok FROM dt
+       |  JOIN (SELECT tok FROM ca WHERE cnt >= $minCount) f ON dt.tok = f.tok),
        |prs AS (SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS cnt_ab
-       |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+       |  FROM dtk a JOIN dtk b ON a.doc_id = b.doc_id AND a.tok < b.tok
        |  GROUP BY 1, 2 HAVING COUNT(*) >= $minCount)
        |SELECT tok_a, tok_b, ca.cnt AS cnt_a, cb.cnt AS cnt_b, cnt_ab,
        |  ROUND(LN(CAST(cnt_ab AS DOUBLE) * nd.n_docs
