@@ -962,6 +962,93 @@ object Relational extends QFamily {
         .orderBy("bucket")
     },
 
+    // ---- grouping sets (explicit set list, rollup/cube's general form) --
+    // pandas parity: pd.concat of per-level groupbys; here ONE pass — the
+    // Expand operator replicates each input row once per grouping set
+    // before a single hash aggregation, so no re-scan per level
+    q("q_grouping_sets",
+      s"""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COUNT(*) AS n,
+        |  ${Sq.dsum("o_totalprice")} AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        |ORDER BY priority, status""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq.empty[Column]),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsumd(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("total"))
+        .orderBy("priority", "status")
+    },
+
+    // ---- per-group mode (pandas groupby().agg(pd.Series.mode)) ----------
+    // modal order priority per customer, tie-break (count desc, value asc).
+    // Scale: the window runs over the (customer × ≤5 priorities) COUNT
+    // table, not the corpus — the heavy lifting is one map-side-combined
+    // groupBy
+    q("q_group_mode",
+      """SELECT o_custkey, mode_priority, n FROM (
+        |  SELECT o_custkey, o_orderpriority AS mode_priority, COUNT(*) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+        |  FROM orders GROUP BY o_custkey, o_orderpriority)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val counts = t(s, dir, "orders")
+        .groupBy("o_custkey", "o_orderpriority").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("n").desc, col("o_orderpriority"))
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderpriority").as("mode_priority"), col("n"))
+        .orderBy("o_custkey")
+    },
+
+    // ---- ordered list aggregation (pandas groupby().agg(','.join)) ------
+    // collect_set is unordered by contract; array_sort makes the emitted
+    // string deterministic. Bounded state: ≤ distinct containers per brand
+    q("q_string_agg",
+      """SELECT p_brand,
+        |  string_agg(DISTINCT CAST(p_size AS VARCHAR), ','
+        |             ORDER BY CAST(p_size AS VARCHAR)) AS sizes,
+        |  COUNT(DISTINCT p_size) AS n_sizes
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      t(s, dir, "part").groupBy("p_brand")
+        .agg(array_join(array_sort(collect_set(col("p_size").cast(StringType))), ",").as("sizes"),
+          countDistinct(col("p_size")).as("n_sizes"))
+        .orderBy("p_brand")
+    },
+
+    // ---- robust scaling ((x − median) / IQR, sklearn RobustScaler) ------
+    // exact per-group quantiles (the qcut convention: percentile ==
+    // quantile_cont interpolation, 6dp-rounded); the stats table is
+    // group-cardinality-sized and broadcast back — rows never shuffle
+    q("q_robust_scale",
+      """WITH st AS (SELECT l_returnflag,
+        |    ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS med,
+        |    ROUND(quantile_cont(l_extendedprice, 0.75)
+        |          - quantile_cont(l_extendedprice, 0.25), 6) AS iqr
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, st.med, st.iqr,
+        |  ROUND((l.l_extendedprice - st.med) / st.iqr, 6) AS robust
+        |FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag
+        |WHERE l.l_orderkey % 50 = 7
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val st = li.groupBy("l_returnflag").agg(
+        r(percentile(col("l_extendedprice"), lit(0.5)), 6).as("med"),
+        r(percentile(col("l_extendedprice"), lit(0.75))
+          - percentile(col("l_extendedprice"), lit(0.25)), 6).as("iqr"))
+      li.filter(col("l_orderkey") % 50 === 7)
+        .join(broadcast(st), Seq("l_returnflag"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("med"), col("iqr"),
+          r((col("l_extendedprice") - col("med")) / col("iqr"), 6).as("robust"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // ---- z-order write layout -------------------------------------------
     // Morton-code locality profile: the bucket table that proves a
     // z-ordered write prunes on BOTH o_custkey and order-day at once
