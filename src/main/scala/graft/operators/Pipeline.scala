@@ -282,6 +282,18 @@ object Pipeline extends QFamily {
       Some(Ann.labelProfileSql("embeddings")),
       (s, dir) => Ann.labelProfile(t(s, dir, "embeddings"))),
 
+    // embedding-norm QA histogram: the unnormalized/near-zero-vector
+    // detector run before trusting cosine retrieval; ≤ 31 output rows
+    QDef("q_embed_norm_qa",
+      Some(Ann.normQaSql("embeddings")),
+      (s, dir) => Ann.normQa(t(s, dir, "embeddings"))),
+
+    // per-dimension component profile: the dead/collapsed-dimension
+    // detector (all-integer aggregation, dims output rows)
+    QDef("q_embed_dims",
+      Some(Ann.dimProfileSql("embeddings")),
+      (s, dir) => Ann.dimProfile(t(s, dir, "embeddings"))),
+
     // IVF recall@k vs the exact top-k — the nprobe-tuning diagnostic;
     // joins the two registered retrieval forms' Q x k outputs only
     QDef("q_ann_recall",
@@ -300,6 +312,29 @@ object Pipeline extends QFamily {
     // language-ID eval: the (actual, predicted) confusion matrix over
     // the langid heuristic's output — the accuracy diagnostic run before
     // trusting per-lang corpus slices downstream; bounded cell table
+    // tokenizer fertility by predicted language: tokens per 100 chars
+    // per langid bucket — the per-language tokenizer-efficiency table
+    // that decides whether a vocab under-serves a language slice.
+    // Integer-exact sums; one corpus scan feeding langid + char counts
+    QDef("q_tok_fertility",
+      Some(s"""WITH li AS ($langidSqlStr)
+              |SELECT li.predicted AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(li.n_tokens) AS BIGINT) AS tot_tokens,
+              |  CAST(SUM(d.n_chars) AS BIGINT) AS tot_chars,
+              |  ROUND(CAST(SUM(li.n_tokens) AS DOUBLE) / CAST(SUM(d.n_chars) AS DOUBLE) * 100, 6) AS tokens_per_100_chars
+              |FROM li JOIN documents d ON li.doc_id = d.doc_id
+              |GROUP BY 1 ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        langidDf(s, dir).select(col("doc_id"), col("n_tokens"), col("predicted"))
+          .join(t(s, dir, "documents").select("doc_id", "n_chars"), "doc_id")
+          .groupBy(col("predicted").as("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tot_tokens"),
+            sum("n_chars").as("tot_chars"),
+            graft.util.D.r(sum("n_tokens").cast(DoubleType)
+              / sum("n_chars").cast(DoubleType) * 100, 6).as("tokens_per_100_chars"))
+          .orderBy("lang")
+      }),
+
     QDef("q_langid_confusion",
       Some(s"""WITH li AS ($langidSqlStr)
               |SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n,
@@ -724,6 +759,13 @@ object Pipeline extends QFamily {
     QDef("q_seq_pack",
       Some(graft.text.Corpus.seqPackSql("documents", 512)),
       (s, dir) => graft.text.Corpus.seqPack(t(s, dir, "documents"), 512)),
+
+    // token-balanced sharding: docs dealt round-robin by token-count
+    // rank into 16 shards (sorted-greedy LPT), emitting the per-shard
+    // balance profile a sharded dataloader write is judged by
+    QDef("q_shard_balance",
+      Some(graft.text.Corpus.shardBalanceSql("documents", 16)),
+      (s, dir) => graft.text.Corpus.shardBalance(t(s, dir, "documents"), 16)),
 
     // epoch-based domain resampling: target mix expressed as epochs per
     // source (fractional = deterministic subsample), LLaMA-style

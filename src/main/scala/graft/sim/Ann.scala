@@ -618,6 +618,69 @@ object Ann {
        |  MIN(cos) AS min_cos
        |FROM sc GROUP BY label ORDER BY label""".stripMargin
 
+  /** Embedding-norm QA histogram: L2 norms in 0.1-wide buckets
+    * (bucket = floor(10·‖v‖), capped at 30), with per-bucket count and
+    * norm extremes — the sanity table that catches unnormalized or
+    * near-zero vectors before they poison cosine retrieval (a zero
+    * vector cosines to 0 against everything; an unnormalized one
+    * dominates dot-product rankings). Norms come from the family's
+    * fixed-point nsq (exact integer sum of squares), so the bucket
+    * boundary decision is bit-identical in any engine. One scan, one
+    * bounded aggregation — ≤ 31 output rows at any corpus size. */
+  def normQa(vecs: DataFrame): DataFrame = {
+    val base = scaledBase(vecs)
+      .withColumn("nrm", graft.util.D.r(sqrt(col("nsq").cast(DoubleType)) / lit(1e8), 6))
+    base.select(least(floor(col("nrm") * 10), lit(30)).cast(LongType).as("bucket"), col("nrm"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB mirror of [[normQa]]. */
+  def normQaSql(table: String): String =
+    s"""WITH ${normSqSql(table)},
+       |nr AS (SELECT vec_id, ROUND(SQRT(CAST(nsq AS DOUBLE)) / 100000000.0, 6) AS nrm
+       |  FROM norms)
+       |SELECT CAST(LEAST(FLOOR(nrm * 10), 30) AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+       |FROM nr GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** Per-dimension component profile: count, exact fixed-point mean,
+    * zero fraction, and component extremes per embedding dimension — the
+    * dead/collapsed-dimension detector (a dimension whose values are all
+    * zero or constant carries no signal and flags an upstream encoder or
+    * serialization bug). All-integer aggregation until the final emit;
+    * output is dims rows regardless of corpus size. */
+  def dimProfile(vecs: DataFrame): DataFrame =
+    scaledBase(vecs)
+      .select(posexplode(col("fxe")).as(Seq("dim", "fx")))
+      .groupBy("dim")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(col("fx")).cast(LongType).as("sfx"),
+        sum(when(col("fx") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min(col("fx")).as("minfx"), max(col("fx")).as("maxfx"))
+      .select(col("dim").cast(LongType).as("dim"), col("n"),
+        graft.util.D.r(col("sfx").cast(DoubleType) / lit(1e8) / col("n").cast(DoubleType), 6).as("mean_val"),
+        graft.util.D.r(col("n_zero").cast(DoubleType) / col("n").cast(DoubleType), 6).as("zero_frac"),
+        graft.util.D.r(col("minfx").cast(DoubleType) / lit(1e8), 6).as("min_val"),
+        graft.util.D.r(col("maxfx").cast(DoubleType) / lit(1e8), 6).as("max_val"))
+      .orderBy("dim")
+
+  /** DuckDB mirror of [[dimProfile]]. */
+  def dimProfileSql(table: String): String =
+    s"""WITH md AS (SELECT
+       |    CAST(unnest(generate_series(1, len(embedding))) - 1 AS BIGINT) AS dim,
+       |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 100000000) AS BIGINT) AS fx
+       |  FROM $table)
+       |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ROUND(CAST(SUM(fx) AS DOUBLE) / 100000000.0 / COUNT(*), 6) AS mean_val,
+       |  ROUND(CAST(SUM(CASE WHEN fx = 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS zero_frac,
+       |  ROUND(CAST(MIN(fx) AS DOUBLE) / 100000000.0, 6) AS min_val,
+       |  ROUND(CAST(MAX(fx) AS DOUBLE) / 100000000.0, 6) AS max_val
+       |FROM md GROUP BY dim ORDER BY dim""".stripMargin
+
   /** Seed centroid table (cid, cembedding) for [[kmeansFit]] /
     * [[kmeansIter]]: the family's deterministic vec_id-mod seeding.
     * For K ~ √N seeding (the scale guidance — assignment cost O(N·K)

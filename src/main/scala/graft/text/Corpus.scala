@@ -439,6 +439,56 @@ object Corpus {
        |        FROM $table))
        |ORDER BY doc_id""".stripMargin
 
+  /** Token-balanced shard assignment: rank docs by (n_tokens desc,
+    * doc_id asc) and deal them round-robin into `shards` shards — the
+    * sorted-greedy approximation of LPT bin packing that dataloader
+    * sharding uses (largest docs spread first, so shard token totals
+    * stay within one max-doc of each other). Emits the per-shard balance
+    * profile (doc/token totals + extremes), which is the QA artifact a
+    * sharded training-data write is judged by.
+    *
+    * Scale: the global rank uses the [[seqPack]] machinery — range
+    * repartition on the rank key, partition-local row_number, bounded
+    * per-partition offset table broadcast back. No single-reducer
+    * window ever sees corpus rows; the output is `shards` rows. */
+  def shardBalance(docs: DataFrame, shards: Int): DataFrame = {
+    require(shards > 0, "shardBalance: shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
+    val parted = toks.repartitionByRange(col("n_tokens").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    // localCheckpoint pins ONE execution of the range exchange for both
+    // consumers of pid — same contract note as [[seqPack]]
+    val local = parted.withColumn("local_rn",
+        row_number().over(Window.partitionBy("pid")
+          .orderBy(col("n_tokens").desc, col("doc_id"))).cast(LongType))
+      .localCheckpoint(true)
+    val offsets = local.groupBy("pid").agg(max("local_rn").as("pn"))
+      .withColumn("offset", coalesce(
+        sum("pn").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    local.join(broadcast(offsets), Seq("pid"))
+      .withColumn("shard", (col("local_rn") + col("offset") - 1) % shards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tot_tokens"),
+        max("n_tokens").as("max_tokens"), min("n_tokens").as("min_tokens"))
+      .orderBy("shard")
+  }
+
+  /** DuckDB mirror of [[shardBalance]]. */
+  def shardBalanceSql(table: String, shards: Int): String =
+    s"""WITH toks AS (SELECT doc_id, CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM $table),
+       |r AS (SELECT doc_id, n_tokens,
+       |    ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn FROM toks)
+       |SELECT CAST((rn - 1) % $shards AS BIGINT) AS shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+       |  MAX(n_tokens) AS max_tokens, MIN(n_tokens) AS min_tokens
+       |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
+
   /** The 8 function words behind the Gopher stopword rule (Rae et al.
     * 2021, "Scaling Language Models: ... Gopher", Appendix A quality
     * heuristics). */
