@@ -279,6 +279,17 @@ object Explainers extends QFamily {
         Nil, Seq("c_acctbal"), covTh = 0.05, sepTh = 0.95,
         pruningMethod = "max_silhouette")),
 
+    // pruning_method='min_silhouette': the parity completion — keep the
+    // WORST-clustered labels (ascending mean simplified silhouette),
+    // the reference's "explain the labels the clustering is least sure
+    // about" mode; shares silhouetteLabels with maxSil=false
+    QDef("q_many_to_one_pruned_min_silhouette",
+      Some(ManyToOne.silhouettePrunedSql("customer", "c_nationkey", "c_acctbal",
+        covTh = 0.05, sepTh = 0.95, maxLabels = 10, maxSil = false)),
+      (s, dir) => ManyToOne.explain(t(s, dir, "customer"), "c_nationkey",
+        Nil, Seq("c_acctbal"), covTh = 0.05, sepTh = 0.95,
+        pruningMethod = "min_silhouette")),
+
     // pruning_method='random': seeded-md5-rank label draw (deterministic
     // re-expression of the reference's fixed-seed .sample() — see
     // ManyToOne.randomLabels)

@@ -192,6 +192,99 @@ object Multimodal {
        |FROM g GROUP BY band ORDER BY band""".stripMargin
   }
 
+  /** Bits in the payload pHash-shaped signature (60 = 4 bands × 15,
+    * the [[graft.dedup.Dedup]] SimHash convention — stays clear of
+    * BIGINT sign in both engines). */
+  val PhashBits = 60
+  val PhashBands = 4
+  val PhashBandBits = 15
+
+  /** Max Hamming distance (of [[PhashBits]]) for a verified near-dup
+    * pair. RECALL CONTRACT: with 4 bands of 15 bits, a pair is a
+    * candidate only if ≥ 1 band matches exactly; at hamming ≤ 6 the
+    * probability all 4 bands differ is small but nonzero — the standard
+    * LSH trade, identical in both engines. */
+  val PhashHammingMax = 6L
+
+  /** 60-bit payload signature (doc_id, psig): byte samples at stride
+    * len/60 (the [[payloadPhashProfile]] sampling convention widened to
+    * 60 taps), bit j = sample_j ≥ mean of the samples — the SHAPE of a
+    * perceptual hash (DCT sign pattern) computed from raw bytes because
+    * decode is stubbed. Scan-local codegen'd expressions; empty
+    * payloads excluded (no signal). */
+  def payloadPhashSig(docs: DataFrame): DataFrame = {
+    val payload = col("text").cast(BinaryType)
+    val len = octet_length(col("text")).cast(LongType)
+    val stride = greatest(floor(len / PhashBits).cast(LongType), lit(1L))
+    def byteAt(o: org.apache.spark.sql.Column) =
+      when(o < len,
+        conv(hex(payload).substr((o * 2 + 1).cast(IntegerType), lit(2)), 16, 10)
+          .cast(LongType))
+        .otherwise(lit(0L))
+    val samples = (0 until PhashBits).map(i => byteAt(stride * i))
+    val meanXn = samples.reduce(_ + _) // mean·60, exact integer
+    val sig = samples.zipWithIndex.map { case (b, i) =>
+      when(b * PhashBits >= meanXn, 1L << i).otherwise(0L) }.reduce(_ + _)
+    docs.filter(len > 0).select(col("doc_id"), sig.as("psig"))
+  }
+
+  /** Banded pHash near-dup PAIRS — the checked near-dup artifact the
+    * blocking profile ([[payloadPhashProfile]]) only forecasts:
+    * signature → 4×15-bit band self-join → Hamming verify ≤
+    * [[PhashHammingMax]], exactly the [[graft.dedup.Dedup.simhashPairs]]
+    * shape over binary payloads. The band join shuffles 16 bytes/doc
+    * (id + sig), never payloads; candidate volume is bounded by the
+    * band-bucket sizes the profile reports. */
+  def payloadPhashPairs(docs: DataFrame): DataFrame = {
+    val sh = payloadPhashSig(docs).repartition(col("doc_id"))
+    val mask = (1L << PhashBandBits) - 1
+    val bandStructs = (0 until PhashBands).map(k =>
+      struct(lit(k).as("k"),
+        shiftright(col("psig"), PhashBandBits * k).bitwiseAND(lit(mask)).as("band")))
+    val bs = sh.select(col("doc_id"), col("psig"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("psig"), col("b.k").as("k"), col("b.band").as("band"))
+    val cand = bs.alias("a").join(bs.alias("b"),
+        col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.psig").as("sa"), col("b.psig").as("sb"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast(LongType))
+      .filter(col("hamming") <= PhashHammingMax)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB mirror of [[payloadPhashPairs]]. Staged CTEs (samples →
+    * mean → signature) keep the binder's expression depth flat — the
+    * inlined 60-tap form exceeds DuckDB's recursion limit. */
+  def payloadPhashPairsSql(table: String): String = {
+    val sampleCols = (0 until PhashBits).map { i =>
+      s"""(CASE WHEN GREATEST(strlen(text) // $PhashBits, 1) * $i < strlen(text)
+         | THEN ('0x' || substr(hex(CAST(text AS BLOB)), GREATEST(strlen(text) // $PhashBits, 1) * $i * 2 + 1, 2))::BIGINT
+         | ELSE 0 END) AS s$i""".stripMargin.replaceAll("\n", " ")
+    }.mkString(",\n|    ")
+    val meanXn = (0 until PhashBits).map(i => s"s$i").mkString(" + ")
+    val sigExpr = (0 until PhashBits)
+      .map(i => s"(CASE WHEN s$i * $PhashBits >= mx THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    val mask = (1L << PhashBandBits) - 1
+    val bandBranches = (0 until PhashBands).map(k =>
+      s"SELECT doc_id, psig, $k AS k, (psig >> ${PhashBandBits * k}) & $mask AS band FROM sh")
+    s"""WITH samp AS (SELECT doc_id,
+       |    $sampleCols
+       |  FROM $table WHERE strlen(text) > 0),
+       |m AS (SELECT *, ($meanXn) AS mx FROM samp),
+       |sh AS (SELECT doc_id, ($sigExpr) AS psig FROM m),
+       |bands AS (${bandBranches.mkString("\nUNION ALL\n")}),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.psig AS sa, b.psig AS sb
+       |  FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= $PhashHammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def frameSampleSql(table: String): String =
     s"""SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, off AS "offset", byte_len FROM (
        |  SELECT doc_id, byte_len, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY off) - 1 AS frame_idx, off

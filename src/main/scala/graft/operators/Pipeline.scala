@@ -846,9 +846,8 @@ object Pipeline extends QFamily {
              |    ($dl)[CAST(doc_id % 6 AS INT) + 1] AS host,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
              |  FROM documents),
-             |g AS (SELECT CASE WHEN len(string_split(host, '.')) <= 2 THEN host
-             |    ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
-             |    END AS domain, COUNT(*) AS n_docs, SUM(ntok) AS n_tokens
+             |g AS (SELECT ${graft.text.Url.regDomainSql("host")} AS domain,
+             |    COUNT(*) AS n_docs, SUM(ntok) AS n_tokens
              |  FROM d GROUP BY 1),
              |t0 AS (SELECT SUM(n_docs) AS tot FROM g)
              |SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
@@ -932,6 +931,14 @@ object Pipeline extends QFamily {
     QDef("q_multimodal_phash",
       Some(Multimodal.payloadPhashProfileSql("documents")),
       (s, dir) => Multimodal.payloadPhashProfile(t(s, dir, "documents"))),
+
+    // banded pHash near-dup PAIRS: 60-bit payload signature → 4×15-bit
+    // band self-join → hamming ≤ 6 verify — the checked near-dup
+    // artifact the blocking profile only forecasts (q_dedup_simhash
+    // shape over binary payloads; band join ships 16 bytes/doc)
+    QDef("q_multimodal_phash_pairs",
+      Some(Multimodal.payloadPhashPairsSql("documents")),
+      (s, dir) => Multimodal.payloadPhashPairs(t(s, dir, "documents"))),
 
     // ------------------------------------- dataset assembly / serving --
 
@@ -1091,6 +1098,14 @@ object Pipeline extends QFamily {
     QDef("q_triplets",
       Some(Ann.tripletsSql("embeddings", 40)),
       (s, dir) => Ann.triplets(t(s, dir, "embeddings"), 40)),
+
+    // sub-quadratic triplets: anchors probe their nprobe nearest IVF
+    // lists and pick positive/negative among probed-list members only
+    // (the 100 TB path, oracled end-to-end — the q_hard_negatives_ivf
+    // completion applied to the triplet builder)
+    QDef("q_triplets_ivf",
+      Some(Ann.tripletsIvfSql("embeddings", 40, 25, 7, 3)),
+      (s, dir) => Ann.tripletsIvf(t(s, dir, "embeddings"), 40, 25, 7, 3)),
 
     // the full IVF-PQ serving path: probe nprobe coarse lists (the
     // q_ann_ivf coarse quantizer), ADC only within probed lists —

@@ -1024,7 +1024,10 @@ object Relational extends QFamily {
     // ---- robust scaling ((x − median) / IQR, sklearn RobustScaler) ------
     // exact per-group quantiles (the qcut convention: percentile ==
     // quantile_cont interpolation, 6dp-rounded); the stats table is
-    // group-cardinality-sized and broadcast back — rows never shuffle
+    // group-cardinality-sized and broadcast back — rows never shuffle.
+    // Degenerate guard: a constant group (IQR = 0) emits NULL rather
+    // than ±Infinity/NaN — sklearn's RobustScaler leaves unit scale
+    // for a zero IQR; NULL is the SQL-honest flag for "scale undefined"
     q("q_robust_scale",
       """WITH st AS (SELECT l_returnflag,
         |    ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS med,
@@ -1032,7 +1035,8 @@ object Relational extends QFamily {
         |          - quantile_cont(l_extendedprice, 0.25), 6) AS iqr
         |  FROM lineitem GROUP BY 1)
         |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, st.med, st.iqr,
-        |  ROUND((l.l_extendedprice - st.med) / st.iqr, 6) AS robust
+        |  CASE WHEN st.iqr = 0 THEN NULL
+        |       ELSE ROUND((l.l_extendedprice - st.med) / st.iqr, 6) END AS robust
         |FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag
         |WHERE l.l_orderkey % 50 = 7
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin) { (s, dir) =>
@@ -1045,7 +1049,9 @@ object Relational extends QFamily {
         .join(broadcast(st), Seq("l_returnflag"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("med"), col("iqr"),
-          r((col("l_extendedprice") - col("med")) / col("iqr"), 6).as("robust"))
+          when(col("iqr") === 0, lit(null))
+            .otherwise(r((col("l_extendedprice") - col("med")) / col("iqr"), 6))
+            .as("robust"))
         .orderBy("l_orderkey", "l_linenumber")
     },
 

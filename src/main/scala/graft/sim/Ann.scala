@@ -434,6 +434,85 @@ object Ann {
        |    - MAX(CASE WHEN is_pos = 0 THEN cosine END), 6) AS margin
        |FROM top GROUP BY 1, 2 ORDER BY anchor_id""".stripMargin
 
+  /** IVF-blocked contrastive triplets — the sub-quadratic form of
+    * [[triplets]], registered end-to-end (the same completion
+    * [[hardNegativesIvf]] gave [[hardNegatives]]): every vector is
+    * assigned to its max-cosine IVF list via the native hash-aggregable
+    * argmax, each anchor probes its `nprobe` nearest lists, and ONLY
+    * members of the probed lists are scored — N·nprobe/K candidate rows
+    * instead of the brute-force N·Q. ONE window partitioned by
+    * (anchor, same-label?) takes both top-1s (WindowGroupLimit 1-row
+    * heap), the 2-rows-per-anchor pivot emits the triplet. Anchors whose
+    * probed lists hold no same-label partner keep a NULL positive
+    * (margin NULL) — the standard ANN recall trade, surfaced rather
+    * than hidden. At cluster scale list_id is the partition key, so the
+    * probe join prunes to the probed lists at the scan (the
+    * [[hardNegativesIvf]] ScaleSpec contract). */
+  def tripletsIvf(vecs: DataFrame, queryMod: Int, centMod: Int,
+                  centOff: Int, nprobe: Int): DataFrame = {
+    val base = scaledBase(vecs, Seq("label"))
+    val cents = base.filter(col("vec_id") % centMod === centOff)
+      .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
+    def scoreCents(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
+    val assign = scoreCents(base).groupBy("vec_id")
+      .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("list_id"))
+    val members = base.join(assign, "vec_id")
+    val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val probes = scoreCents(base.filter(col("vec_id") % queryMod === 0))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("anchor_id"), col("label").as("alabel"),
+        col("fxe").as("qe"), col("nsq").as("qn"), col("cid").as("list_id"))
+    val joined = members.join(broadcast(probes), "list_id")
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .withColumn("cosine", cosExpr(FixedDot(col("qe"), col("fxe")), col("qn"), col("nsq")))
+      .withColumn("is_pos", (col("label") === col("alabel")).cast(IntegerType))
+    val w = Window.partitionBy("anchor_id", "is_pos")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("anchor_id"), col("alabel"))
+      .agg(max(when(col("is_pos") === 1, col("vec_id"))).as("pos_id"),
+        max(when(col("is_pos") === 1, col("cosine"))).as("pc"),
+        max(when(col("is_pos") === 0, col("vec_id"))).as("neg_id"),
+        max(when(col("is_pos") === 0, col("cosine"))).as("nc"))
+      .select(col("anchor_id"), col("alabel").cast(LongType).as("anchor_label"),
+        col("pos_id"), graft.util.D.r(col("pc"), 6).as("pos_cos"),
+        col("neg_id"), graft.util.D.r(col("nc"), 6).as("neg_cos"),
+        graft.util.D.r(col("pc") - col("nc"), 6).as("margin"))
+      .orderBy("anchor_id")
+  }
+
+  /** DuckDB mirror of [[tripletsIvf]]. */
+  def tripletsIvfSql(table: String, queryMod: Int, centMod: Int,
+                     centOff: Int, nprobe: Int): String =
+    s"""WITH ${normSqSql(table)},
+       |base AS (SELECT e.vec_id, e.label, e.embedding, n.nsq FROM $table e JOIN norms n ON e.vec_id = n.vec_id),
+       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE vec_id % $centMod = $centOff),
+       |scored_c AS (SELECT b.vec_id, b.label, b.embedding, b.nsq, c.cid,
+       |    ${cosSql(dotFixSql("c.ce", "b.embedding"), "c.cn", "b.nsq")} AS ccos
+       |  FROM base b CROSS JOIN cents c),
+       |ranked_c AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored_c),
+       |assign AS (SELECT vec_id, cid AS list_id FROM ranked_c WHERE rn = 1),
+       |members AS (SELECT b.vec_id, b.label, b.embedding, b.nsq, a.list_id FROM base b JOIN assign a ON b.vec_id = a.vec_id),
+       |probes AS (SELECT vec_id AS anchor_id, label AS alabel, embedding AS qe, nsq AS qn, cid AS list_id
+       |  FROM ranked_c WHERE vec_id % $queryMod = 0 AND rn <= $nprobe),
+       |scored AS (SELECT p.anchor_id, p.alabel, m.vec_id,
+       |    CASE WHEN m.label = p.alabel THEN 1 ELSE 0 END AS is_pos,
+       |    ${cosSql(dotFixSql("p.qe", "m.embedding"), "p.qn", "m.nsq")} AS cosine
+       |  FROM members m JOIN probes p ON m.list_id = p.list_id AND m.vec_id <> p.anchor_id),
+       |top AS (SELECT * FROM (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY anchor_id, is_pos
+       |      ORDER BY cosine DESC, vec_id) AS rn FROM scored) WHERE rn = 1)
+       |SELECT anchor_id, CAST(alabel AS BIGINT) AS anchor_label,
+       |  MAX(CASE WHEN is_pos = 1 THEN vec_id END) AS pos_id,
+       |  ROUND(MAX(CASE WHEN is_pos = 1 THEN cosine END), 6) AS pos_cos,
+       |  MAX(CASE WHEN is_pos = 0 THEN vec_id END) AS neg_id,
+       |  ROUND(MAX(CASE WHEN is_pos = 0 THEN cosine END), 6) AS neg_cos,
+       |  ROUND(MAX(CASE WHEN is_pos = 1 THEN cosine END)
+       |    - MAX(CASE WHEN is_pos = 0 THEN cosine END), 6) AS margin
+       |FROM top GROUP BY 1, 2 ORDER BY anchor_id""".stripMargin
+
   /** Per-query probed IVF lists: the `nprobe` highest-cosine centroids
     * (ties → smaller centroid id) for every query vector — the coarse
     * quantizer step [[ivfTopK]] runs inline, exposed for composition

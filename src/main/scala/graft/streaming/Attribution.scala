@@ -58,7 +58,14 @@ object Attribution {
     (out.result(), AttrState(touches))
   }
 
-  /** Streaming form: append-mode per-purchase touch counts on arrival. */
+  /** Streaming form: append-mode per-purchase touch counts on arrival.
+    *
+    * State eviction: event-time timeout at (last touch + horizon) — once
+    * the watermark passes that point no future purchase can count any
+    * retained touch, so the user's entry is dropped. Idle users
+    * therefore cost state only for one horizon past their last touch,
+    * keeping total state bounded by (active users × touch rate ×
+    * horizon) rather than all users ever seen. */
   def attrStream(spark: SparkSession, events: Dataset[AttrEvent],
                  horizonUs: Long = 3600000000L): Dataset[AttrOut] = {
     import spark.implicits._
@@ -66,11 +73,26 @@ object Attribution {
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AttrState, AttrOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: Long, it: Iterator[AttrEvent], state: GroupState[AttrState]) =>
-          val (out, next) = foldAttr(it.toSeq, state.getOption, horizonUs)
-          state.update(next)
-          out.iterator
+          if (state.hasTimedOut) {
+            // watermark passed lastTouch + horizon: no future purchase
+            // can see these touches — evict.
+            state.remove()
+            Iterator.empty
+          } else {
+            val (out, next) = foldAttr(it.toSeq, state.getOption, horizonUs)
+            if (next.touches.isEmpty) state.remove()
+            else {
+              state.update(next)
+              val lastTouchMs = next.touches.map(_._1).max / 1000
+              val expireMs = lastTouchMs + horizonUs / 1000 + 1
+              // setTimeoutTimestamp must stay ahead of the watermark
+              state.setTimeoutTimestamp(
+                math.max(expireMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
       }
   }
 

@@ -90,16 +90,28 @@ object Bloom {
     * probe side shrunk before the shuffle. */
   def filterByBloom(df: DataFrame, hCol: Column, bitmapDf: DataFrame,
                     m: Int = DefaultBits): DataFrame = {
-    val rows = df.withColumn("__h", hCol).crossJoin(broadcast(bitmapDf))
+    // Collision-free temp names: suffix the working columns until none
+    // clashes with the input schema, and alias the broadcast bitmap
+    // column away from any user column named "bm".
+    val taken = df.columns.toSet
+    val sfx = Iterator.from(0).map(i => if (i == 0) "" else s"_$i")
+      .find { s =>
+        val names = s"__h$s" +: s"__bm$s" +: (0 until NumHashes).map(j => s"__b$j$s")
+        names.forall(!taken.contains(_))
+      }.get
+    val hN = s"__h$sfx"; val bmN = s"__bm$sfx"
+    def bN(j: Int) = s"__b$j$sfx"
+    val rows = df.withColumn(hN, hCol)
+      .crossJoin(broadcast(bitmapDf.select(col("bm").as(bmN))))
     val withBits = (0 until NumHashes).foldLeft(rows) { (d, j) =>
-      d.withColumn(s"__b$j", bitJ(col("__h"), j, m))
+      d.withColumn(bN(j), bitJ(col(hN), j, m))
     }
     val tests = (0 until NumHashes).map { j =>
-      expr(s"(shiftright(element_at(bm, cast(__b$j div 64 as int) + 1), " +
-        s"cast(__b$j % 64 as int)) & 1) = 1")
+      expr(s"(shiftright(element_at($bmN, cast(${bN(j)} div 64 as int) + 1), " +
+        s"cast(${bN(j)} % 64 as int)) & 1) = 1")
     }
     withBits.filter(tests.reduce(_ && _))
-      .drop(("__h" +: "bm" +: (0 until NumHashes).map(j => s"__b$j")): _*)
+      .drop((hN +: bmN +: (0 until NumHashes).map(bN)): _*)
   }
 
   /** Per-shingle Bloom test rows: the (doc_id, source, h) rows of

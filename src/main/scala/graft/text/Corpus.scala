@@ -440,10 +440,11 @@ object Corpus {
        |ORDER BY doc_id""".stripMargin
 
   /** Token-balanced shard assignment: rank docs by (n_tokens desc,
-    * doc_id asc) and deal them round-robin into `shards` shards — the
-    * sorted-greedy approximation of LPT bin packing that dataloader
-    * sharding uses (largest docs spread first, so shard token totals
-    * stay within one max-doc of each other). Emits the per-shard balance
+    * doc_id asc) and deal them round-robin into `shards` shards —
+    * sorted round-robin dealing (NOT true LPT, which assigns each doc
+    * to the currently-least-loaded shard; dealing spreads the largest
+    * docs first and the telescoping argument bounds shard token totals
+    * within one max-doc of each other). Emits the per-shard balance
     * profile (doc/token totals + extremes), which is the QA artifact a
     * sharded training-data write is judged by.
     *

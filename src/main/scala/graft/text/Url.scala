@@ -18,21 +18,48 @@ import org.apache.spark.sql.types._
   * TLD ban list is a literal IN. No corpus shuffle anywhere — the
   * output preserves the input partitioning for downstream stages.
   *
-  * Registrable domain = last two host labels (example.co.uk →
-  * "co.uk"): the real system consults the public-suffix list; the
-  * 2-label rule is the deterministic stand-in (same trade as the
-  * stubbed multimodal decode) and is where a PSL table would join.
+  * Registrable domain: public-suffix-aware last labels — when the
+  * host's last two labels form a multi-label public suffix (co.uk,
+  * com.au, …, from the embedded [[PslTwoLabel]] excerpt of the
+  * public-suffix list) the registrable domain is the last THREE
+  * labels (news.example.co.uk → example.co.uk); otherwise the last
+  * two. The full PSL table (~10^4 rows, broadcastable) swaps in for
+  * the excerpt in production without changing the shape.
   */
 object Url {
 
   def hostOf(url: Column): Column =
     regexp_extract(url, "^[a-z]+://([^/]+)", 1)
 
-  /** Last two dot-labels of the host (the host itself when it has
-    * fewer than two labels). */
+  /** Embedded excerpt of the multi-label public-suffix list: a
+    * two-label suffix here means the registrable domain needs three
+    * labels. Deterministic, identical in both engines. */
+  val PslTwoLabel: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tr", "com.ar", "co.za")
+
+  /** Public-suffix-aware registrable domain: last three labels when
+    * the last two are a [[PslTwoLabel]] public suffix and a third
+    * exists; else last two; the host itself when it has fewer. */
   def regDomainOf(host: Column): Column = {
     val parts = split(host, "\\.")
-    when(size(parts) >= 2, concat_ws(".", slice(parts, -2, 2))).otherwise(host)
+    val lastTwo = concat_ws(".", slice(parts, -2, 2))
+    when(size(parts) >= 3 && lastTwo.isin(PslTwoLabel: _*),
+        concat_ws(".", slice(parts, -3, 3)))
+      .when(size(parts) >= 2, lastTwo)
+      .otherwise(host)
+  }
+
+  /** DuckDB mirror of [[regDomainOf]] over a host expression. */
+  def regDomainSql(host: String): String = {
+    val psl = PslTwoLabel.map(s => s"'$s'").mkString(", ")
+    s"""CASE WHEN len(string_split($host, '.')) >= 3
+       |       AND array_to_string(string_split($host, '.')[-2:], '.') IN ($psl)
+       |    THEN array_to_string(string_split($host, '.')[-3:], '.')
+       |    WHEN len(string_split($host, '.')) >= 2
+       |    THEN array_to_string(string_split($host, '.')[-2:], '.')
+       |    ELSE $host END""".stripMargin.replaceAll("\\s+", " ").trim
   }
 
   def tldOf(host: Column): Column = element_at(split(host, "\\."), -1)
@@ -72,9 +99,7 @@ object Url {
        |    regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
        |  FROM $table),
        |parts AS (SELECT doc_id, host,
-       |    CASE WHEN len(string_split(host, '.')) >= 2
-       |      THEN array_to_string(string_split(host, '.')[-2:], '.')
-       |      ELSE host END AS reg_domain,
+       |    ${regDomainSql("host")} AS reg_domain,
        |    string_split(host, '.')[-1] AS tld
        |  FROM base),
        |flagged AS (SELECT p.doc_id, p.host, p.reg_domain, p.tld,

@@ -174,13 +174,16 @@ class ScaleSpec extends AnyFunSuite {
     //  - q_bm25 / q_bpe_pairs / q_dsir: the rank-stamping window runs
     //    over an upstream limit(k) table (k rows); q_dsir additionally
     //    sums its global token masses over the per-bucket distribution
-    //    table (≤ `buckets` rows — a fixed parameter, key `b`).
+    //    table (≤ `buckets` rows — a fixed parameter, key `b`);
+    //  - q_shard_balance: the prefix-offset window runs over the
+    //    per-partition totals table (seq_pack shape — one row per
+    //    Spark partition, grouped solely by pid).
     // The structural check below proves boundedness per hit: the
     // window's child subtree must contain a Limit, or an Aggregate
     // grouped solely by the spark_partition_id-derived pid key or the
     // fixed-bucket key b.
     val allowed = Set("q_seq_pack", "q_vocab_build", "q_vocab_coverage",
-      "q_bm25", "q_bpe_pairs", "q_dsir")
+      "q_bm25", "q_bpe_pairs", "q_dsir", "q_shard_balance")
     def boundedBelow(child: LogicalPlan): Boolean =
       child.collect {
         case _: GlobalLimit => true
