@@ -33,8 +33,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t = try {
-          val df = fn(spark, sfDir) // fresh build per rep
+          // the timed window includes CONSTRUCTION: several operators
+          // legitimately collect a bounded stat table while building
+          // (qcut boundaries, correlation cells) — timing only count()
+          // would let that work escape the measurement
           val t0 = System.nanoTime()
+          val df = fn(spark, sfDir) // fresh build per rep
           df.count()
           (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>

@@ -55,8 +55,10 @@ object Probe {
     qs.foreach { n =>
       val fn = SparkEntry.queries(n)
       val times = (1 to reps).map { _ =>
-        val df = fn(spark, sfDir) // fresh build per rep (stale-AQE trap)
+        // construction inside the window (Bench convention: bounded
+        // build-time collects must not escape the measurement)
         val t0 = System.nanoTime()
+        val df = fn(spark, sfDir) // fresh build per rep (stale-AQE trap)
         df.count()
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
