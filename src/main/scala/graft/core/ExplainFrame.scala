@@ -599,6 +599,19 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
     // whole grid costs ~2 corpus scans instead of one per scope
     // (MetaInsight.gridTables; bit-identical decimal re-aggregation)
     val usableBs = bs.filterNot(b => fs.size == 1 && b == fs.head)
+    val allDims = (fs ++ bs).distinct
+    // multi-filter-dim scan sharing + driver finish: one master cube
+    // over all candidate dims feeds every scope, and the whole
+    // pattern/mine/rank tail runs on the driver over the collected
+    // KB-scale cube (MetaInsight.masterRanked — bit-identical expression
+    // mirrors, pinned by MetaInsightSpec). Dim/trend bounds keep the
+    // cube small for real categorical dims; combo breakdowns keep the
+    // in-plan path.
+    if (!useAllGroupbyCombinations && fs.size >= 2 &&
+      allDims.size <= 3 && dateCols.size <= 2 && scopes.nonEmpty)
+      return MetaInsight.masterRanked(df, fs, bs, ms, dateCols, topK,
+        minCommonness, noExceptionPenaltyWeight, balanceFactor,
+        allowMultipleAggregations, allowMultipleGroupbys)
     val autoTables =
       if (fs.size == 1 && usableBs.nonEmpty && usableBs.size <= 2 && ms.nonEmpty)
         MetaInsight.gridTables(df, fs.head, usableBs, ms, dateCols)

@@ -445,6 +445,24 @@ class ExplainFrameSpec extends AnyFunSuite {
     assert(dev.map(_.getString(0)).toSet === Set("solo", "multi"))
   }
 
+  test("masterRanked equals the in-plan autoTables + rank chain bit-for-bit") {
+    import graft.explain.MetaInsight
+    val o = graft.util.D.t(spark, sf, "orders")
+    val fs = Seq("o_orderpriority", "o_orderstatus")
+    val bs = Seq("o_orderstatus", "o_orderpriority")
+    val ms = Seq("o_totalprice")
+    val scopes = for (f <- fs; b <- bs if f != b; m <- ms) yield (f, b, m)
+    val trendScopes = for (f <- fs; m <- ms)
+      yield (f, org.apache.spark.sql.functions.month(col("o_orderdate")), "o_orderdate_month", m)
+    def key(r: org.apache.spark.sql.Row) = (0 until r.length).map(r.get).toList
+    val inPlan = MetaInsight.rank(
+      MetaInsight.autoTables(o, scopes, trendScopes), 50).collect().map(key)
+    val driver = MetaInsight.masterRanked(o, fs, bs, ms, Seq("o_orderdate"), 50)
+      .collect().map(key)
+    assert(driver.toSeq === inPlan.toSeq,
+      "driver-side masterRanked diverged from the in-plan chain")
+  }
+
   test("metainsight excludes NULL filter-dim subspaces") {
     import spark.implicits._
     // NULL subspace values must not become pattern scopes (the SQL
