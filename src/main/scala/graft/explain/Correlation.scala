@@ -149,6 +149,13 @@ object Correlation {
       .otherwise(y.cast(LongType))
   }
 
+  // narrow private[graft] surface so other one-scan aggregators (the
+  // Scorpion cube in explain.Outlier) reuse the exact-sum machinery
+  // without re-deriving its envelope notes
+  private[graft] def quant6Col(c: Column): Column = momentQuant(c)
+  private[graft] def chunkSumAggs(name: String): Seq[Column] = chunkAggs(name)
+  private[graft] def recombineUnscaled(name: String): Column = recombine(name)
+
   /** One-row moment table (s_c, ss_c, sp_x__y, n) with all quantizers in
     * a single projection pass under one aggregate. Values identical to
     * the dsum/dsumBig forms (within the documented moment envelope). */

@@ -33,16 +33,40 @@ object Outlier {
               dir: Int, attrs: Seq[String], nb: Int = 10): DataFrame = {
     val stats = Fedex.statsDf(src, attrs.map(Fedex.Attr(_, numeric = true))).get
 
-    // (grp, attribute, bin, cnt, sm) — one scan
-    val structs = attrs.map { a =>
-      struct(lit(a).as("attribute"),
-        Fedex.binExpr(col(a), col(s"lo_$a"), col(s"hi_$a"), nb).cast("string").as("bin"))
-    }
-    val cube = src.crossJoin(broadcast(stats))
-      .select(col(groupCol).as("grp"), col(aggCol).as("y"), explode(array(structs: _*)).as("ab"))
-      .select(col("grp"), col("y"), col("ab.attribute").as("attribute"), col("ab.bin").as("bin"))
-      .groupBy("grp", "attribute", "bin")
-      .agg(count(lit(1)).as("cnt"), sum(col("y").cast(D.dec25)).as("sm"))
+    // (grp, attribute, bin, cnt, sm) — ONE scan, hot path all-int/long:
+    //  - posexplode of the INT bin array (the r6 form exploded
+    //    struct(attribute STRING, bin STRING) and aggregated on string
+    //    keys — string construction + hashing per exploded row was the
+    //    measured bulk of a 1.6 s cube job at sf0.1);
+    //  - the measure sums use the Correlation chunked-long machinery
+    //    (exact Σ of the scale-6 quantization == the former
+    //    sum(cast(y AS DECIMAL(25,6))) bit-for-bit; grouped decimal
+    //    buffers are the documented 4× slowdown). Envelope: per-value
+    //    |y| < 9.2e12 and |Σy| < 10^19, fail-loud beyond (the
+    //    Correlation moment contract).
+    // Attribute names and string bins re-enter in the tiny post-select.
+    val binCols = attrs.map(a => Fedex.binExpr(col(a), col(s"lo_$a"), col(s"hi_$a"), nb))
+    val attrArr = array(attrs.map(lit): _*)
+    val cubePlan = src.crossJoin(broadcast(stats))
+      .select(col(groupCol).as("grp"), Correlation.quant6Col(col(aggCol)).as("fy"),
+        posexplode(array(binCols: _*)))
+      .withColumnRenamed("pos", "ai").withColumnRenamed("col", "bin")
+      .groupBy("grp", "ai", "bin")
+      .agg(count(lit(1)).as("cnt"), Correlation.chunkSumAggs("fy"): _*)
+      .select(col("grp"), element_at(attrArr, col("ai") + 1).as("attribute"),
+        col("bin").cast("string").as("bin"), col("cnt"),
+        Correlation.value6(Correlation.recombineUnscaled("fy")).cast(D.dec25).as("sm"))
+    // collect + LocalRelation re-entry: the cube feeds three consumers
+    // (cands, tot, and the grid's join side) whose column pruning / join
+    // null-filters make the subtrees NON-identical, so runtime exchange
+    // reuse does NOT collapse them — the r6 plan executed the exploded
+    // corpus scan THREE times (the measured q_outlier_explain
+    // regression; an eager localCheckpoint measured slower still). The
+    // cube is |groups|·|attrs|·(nb+1) rows — ~100 at any corpus size
+    // (the qcut-boundary bounded-collect convention), so it re-enters as
+    // a LocalRelation the tiny downstream algebra references freely.
+    val cube = src.sparkSession.createDataFrame(
+      java.util.Arrays.asList(cubePlan.collect(): _*), cubePlan.schema)
 
     // per-group totals (tiny) — RE-AGGREGATED from the cube over one
     // attribute's bins rather than scanned from src again: the cube
