@@ -572,4 +572,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(ws.contains("WindowGroupLimit"),
       "q_sample_weighted lost its WindowGroupLimit rank cut")
   }
+  test("round-7 operators: IVF triplets list-keyed; phash pairs band-joined") {
+    // q_triplets_ivf is the registered sub-quadratic path: candidates
+    // must meet anchors through the list_id equi-join (the
+    // hardNegativesIvf contract) with the native hash-aggregable argmax
+    // assignment — the only BroadcastNestedLoopJoin allowed is the N×K
+    // centroid scoring
+    val ti = graft.SparkEntry.queries("q_triplets_ivf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ti.contains("BroadcastHashJoin [list_id"),
+      s"q_triplets_ivf probe join not list-keyed:\n${ti.take(1600)}")
+    assert(ti.contains("argmax_by") && !ti.contains("SortAggregate"),
+      s"q_triplets_ivf lost the hash-aggregable list assignment:\n${ti.take(1600)}")
+    assert(!ti.contains("CartesianProduct"))
+    // q_multimodal_phash_pairs: candidates come from the 4×15-bit band
+    // self-join on (k, band) — never an unkeyed pair join over payloads;
+    // the band join ships (doc_id, psig) only (no text/payload column
+    // may cross the exchange)
+    val pp = graft.SparkEntry.queries("q_multimodal_phash_pairs")(spark, sf)
+      .queryExecution.executedPlan
+    val ppStr = pp.toString
+    assert(!ppStr.contains("CartesianProduct") && !ppStr.contains("BroadcastNestedLoopJoin"),
+      s"phash pair join is not key-based:\n${ppStr.take(1600)}")
+    assert(ppStr.contains("band"), s"band key missing:\n${ppStr.take(1200)}")
+    val shuffled = pp.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.child.output.map(_.name)
+    }
+    shuffled.foreach { cols =>
+      assert(!cols.contains("text") && !cols.contains("payload"),
+        s"payload column crosses an exchange: $cols")
+    }
+  }
 }
