@@ -215,17 +215,10 @@ object Multimodal {
   def payloadPhashSig(docs: DataFrame): DataFrame = {
     val payload = col("text").cast(BinaryType)
     val len = octet_length(col("text")).cast(LongType)
-    val stride = greatest(floor(len / PhashBits).cast(LongType), lit(1L))
-    def byteAt(o: org.apache.spark.sql.Column) =
-      when(o < len,
-        conv(hex(payload).substr((o * 2 + 1).cast(IntegerType), lit(2)), 16, 10)
-          .cast(LongType))
-        .otherwise(lit(0L))
-    val samples = (0 until PhashBits).map(i => byteAt(stride * i))
-    val meanXn = samples.reduce(_ + _) // mean·60, exact integer
-    val sig = samples.zipWithIndex.map { case (b, i) =>
-      when(b * PhashBits >= meanXn, 1L << i).otherwise(0L) }.reduce(_ + _)
-    docs.filter(len > 0).select(col("doc_id"), sig.as("psig"))
+    // native single-pass signature — the 60-tap hex/substr Column chain
+    // re-hexed the whole payload per tap (see PayloadPhash's scaladoc)
+    docs.filter(len > 0).select(col("doc_id"),
+      graft.functions.PayloadPhash(payload).as("psig"))
   }
 
   /** Banded pHash near-dup PAIRS — the checked near-dup artifact the

@@ -882,11 +882,18 @@ object Relational extends QFamily {
       // doubles, never corpus-sized) and re-enter as literals — a
       // broadcast-join of the 1-row stat table plans as a non-codegen
       // BroadcastNestedLoopJoin that measured 9x slower than this
-      // literal comparison chain (3.5 s vs 0.4 s at sf0.1)
-      val ths = li.agg(percentile(col("l_extendedprice"),
-          array((1 to 9).map(i => lit(i / 10.0)): _*)).as("ths"))
-        .select(transform(col("ths"), x => r(x, 4)).as("ths"))
-        .head().getSeq[Double](0)
+      // literal comparison chain (3.5 s vs 0.4 s at sf0.1).
+      // Boundary computation is histogram-refined, NOT percentile():
+      // the exact-percentile aggregate buffers every value in one state
+      // and measured ~2.8 s alone at sf0.1. ExactQuantile is three
+      // linear codegen'd passes with bounded driver data (see its
+      // scaladoc); interpolation is quantile_cont's lo + frac·(hi−lo),
+      // 4dp-rounded with the exact D.r mirror.
+      def rDriver(x: Double): Double =
+        new java.math.BigDecimal(x * 1e4)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 1e4
+      val ths = graft.util.ExactQuantile.quantiles(li, "l_extendedprice",
+        (1 to 9).map(_ / 10.0)).map(rDriver)
       val bucket = ths.map(t0 => (col("l_extendedprice") > lit(t0)).cast("int"))
         .reduce(_ + _) + lit(1)
       li.select(bucket.cast(LongType).as("bucket"), col("l_extendedprice"))

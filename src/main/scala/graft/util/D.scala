@@ -15,8 +15,19 @@ object D {
   val dec25: DecimalType = DecimalType(25, 6)
   val dec18: DecimalType = DecimalType(18, 6)
 
+  // per-session memo of table loads: spark.read.parquet pays file
+  // listing + footer schema read on EVERY call (~50 ms/table locally,
+  // a real round-trip cost against object storage) — the returned
+  // DataFrame is an immutable plan, so reusing it per (session, path)
+  // is safe. Callers that need to see NEW files under the same path
+  // (none in this library — inputs are immutable snapshots) would read
+  // directly. Keyed by session so a plan never crosses sessions.
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    tableCache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      k => k._1.read.parquet(k._2))
 
   /** Exact decimal sum of a double column. */
   def dsum(c: Column): Column = sum(c.cast(dec25))

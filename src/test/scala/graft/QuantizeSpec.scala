@@ -98,6 +98,30 @@ class QuantizeSpec extends AnyFunSuite {
     assert(pairs.filter(col("vec_b") === col("vec_a") + 1000000L).count() === 50)
   }
 
+  test("ExactQuantile matches percentile() and survives skewed columns") {
+    import graft.util.ExactQuantile
+    val li = graft.util.D.t(spark, sf, "lineitem")
+    val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val got = ExactQuantile.quantiles(li, "l_extendedprice", ps)
+    val ref = li.agg(percentile(col("l_extendedprice"),
+        array(ps.map(lit): _*)).as("q")).head().getSeq[Double](0)
+    got.zip(ref).zip(ps).foreach { case ((g, r), p) =>
+      assert(math.abs(g - r) <= math.abs(r) * 1e-12 + 1e-9, s"p=$p: $g vs $r")
+    }
+    import spark.implicits._
+    // pathological concentration: 99.9% identical values still resolve —
+    // lower the gather cap so the refinement path actually runs
+    val oldCap = graft.util.Guard.MaxGatheredCells
+    try {
+      graft.util.Guard.MaxGatheredCells = 1000
+      val skew = (Seq.fill(5000)(7.0) ++ Seq(1.0, 2.0, 100.0)).toDF("v")
+      val sq = ExactQuantile.quantiles(skew, "v", Seq(0.0, 0.5, 1.0))
+      assert(sq(0) === 1.0 && sq(1) === 7.0 && sq(2) === 100.0)
+    } finally graft.util.Guard.MaxGatheredCells = oldCap
+    val const = Seq.fill(100)(3.25).toDF("v")
+    assert(ExactQuantile.quantiles(const, "v", Seq(0.1, 0.9)) === Seq(3.25, 3.25))
+  }
+
   test("chunked-long sum equals decimal sum on seeded random batches") {
     val rng = new scala.util.Random(42)
     (1 to 20).foreach { round =>

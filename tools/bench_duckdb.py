@@ -38,8 +38,11 @@ def main():
                     f"(TIMESTAMP '1970-01-01' + to_microseconds(ts // 1000) AS ts) "
                     f"FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = set(sys.argv[4:])  # optional: restrict to named queries
     times, cold = {}, {}
     for name in sorted(oracle):
+        if only and name not in only:
+            continue
         for r in range(reps):
             t0 = time.time()
             con.sql(oracle[name]).df()
