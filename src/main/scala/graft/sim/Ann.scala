@@ -606,17 +606,22 @@ object Ann {
       .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("cluster_id"),
         first(col("fxe")).as("fxe"))
 
-  /** Update half of a Lloyd iteration: per-(cluster, dim) exact long
-    * sums of the fixed-point components, one double division at the
-    * end (see [[kmeansStep]]'s envelope note). */
+  /** Update half of a Lloyd iteration: per-cluster exact element-wise
+    * long sums via the native bounded-state [[graft.functions.ArraySumAgg]]
+    * (ONE d-long buffer per cluster, map-side combined — the former
+    * posexplode → groupBy(cluster, dim) form shuffled N·d rows, 38M at
+    * sf1, just to add longs), one double division at the end (see
+    * [[kmeansStep]]'s envelope note). The explode now runs on the
+    * |clusters|-row aggregate only. Sums are identical long adds →
+    * bit-identical centroids. */
   private def meansOf(assigned: DataFrame): DataFrame =
-    assigned.select(col("cluster_id"), posexplode(col("fxe")).as(Seq("dim", "fx")))
-      .groupBy("cluster_id", "dim")
+    assigned.groupBy("cluster_id")
       .agg(count(lit(1)).cast(LongType).as("n_members"),
-        sum(col("fx")).cast(LongType).as("sfx"))
-      .select(col("cluster_id"), col("dim").cast(LongType).as("dim"),
+        graft.functions.ArraySumAgg.arraySum(col("fxe")).as("sfxs"))
+      .select(col("cluster_id"), col("n_members"), posexplode(col("sfxs")))
+      .select(col("cluster_id"), col("pos").cast(LongType).as("dim"),
         col("n_members"),
-        graft.util.D.r(col("sfx").cast(DoubleType) / lit(1e8) /
+        graft.util.D.r(col("col").cast(DoubleType) / lit(1e8) /
           col("n_members").cast(DoubleType), 6).as("centroid"))
       .orderBy("cluster_id", "dim")
 
@@ -641,15 +646,16 @@ object Ann {
     * the family's bounded-HOF convention. */
   def labelProfile(vecs: DataFrame): DataFrame = {
     val base = scaledBase(vecs, Seq("label"))
-    val means = base.select(col("label"), posexplode(col("fxe")).as(Seq("dim", "fx")))
-      .groupBy("label", "dim")
-      .agg(count(lit(1)).cast(LongType).as("n"), sum(col("fx")).cast(LongType).as("sfx"))
-      .select(col("label"), col("dim"),
-        graft.util.D.r(col("sfx").cast(DoubleType) / lit(1e8) / col("n").cast(DoubleType), 6)
-          .as("m"))
-    val cents = means.groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-        s => s.getField("m")).as("cemb"))
+    // per-label element-wise sums via the bounded-state ArraySumAgg (the
+    // meansOf convention: no N·d explode shuffle; the mean/requantize
+    // transform runs on the label-cardinality aggregate only — the
+    // family's bounded-HOF rule). Same long sums → identical centroids.
+    val cents = base.groupBy("label")
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        graft.functions.ArraySumAgg.arraySum(col("fxe")).as("sfxs"))
+      .select(col("label"),
+        transform(col("sfxs"), fx => graft.util.D.r(
+          fx.cast(DoubleType) / lit(1e8) / col("n").cast(DoubleType), 6)).as("cemb"))
       .select(col("label"), scaled(col("cemb")).as("ce"))
       .withColumn("cn", FixedDot(col("ce"), col("ce")))
     base.join(cents, "label")
