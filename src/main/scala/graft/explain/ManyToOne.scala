@@ -53,17 +53,18 @@ object ManyToOne {
       boundaries.foldLeft(lit(0))((acc, b) => acc + when(col(name) > b, 1).otherwise(0)))
   }
 
-  /** Quantile boundaries for the given numeric attrs (ONE aggregation). */
+  /** Quantile boundaries for the given numeric attrs — histogram-refined
+    * exact quantiles ([[graft.util.ExactQuantile]]; percentile()'s
+    * buffer-everything aggregate was the measured bulk of the binned
+    * family at sf1), 6dp-rounded with the exact driver-side D.r mirror.
+    * Duplicate boundaries are KEPT (a value above a doubled boundary
+    * advances two bins) — the SQL mirror counts every boundary the same
+    * way, so dedup here would desynchronize bin indices across engines. */
   def quantileBins(src: DataFrame, numAttrs: Seq[String], nb: Int): Seq[NumBin] = {
     if (numAttrs.isEmpty) return Nil
     val ps = (1 until nb).map(_.toDouble / nb)
-    val aggs = numAttrs.flatMap(a => ps.zipWithIndex.map { case (p, i) =>
-      graft.util.D.r(percentile(col(a), lit(p)), 6).as(s"${a}__q$i") })
-    val row = src.agg(aggs.head, aggs.tail: _*).head()
-    // duplicate boundaries are KEPT (a value above a doubled boundary
-    // advances two bins) — the SQL mirror counts every boundary the same
-    // way, so dedup here would desynchronize bin indices across engines
-    numAttrs.map(a => NumBin(a, ps.indices.map(i => row.getDouble(row.fieldIndex(s"${a}__q$i")))))
+    numAttrs.map(a => NumBin(a,
+      graft.util.ExactQuantile.quantiles(src, a, ps).map(graft.util.D.rDriver(_, 6))))
   }
 
   def quantileBinSql(a: String, ps: Seq[Double]): String =
@@ -80,21 +81,17 @@ object ManyToOne {
     if (binningMethod != "quantile" && binningMethod != "uniform")
       throw new IllegalArgumentException(
         "The binning method must be either 'uniform' or 'quantile'.")
-    // ONE aggregation pass computes the distinct count AND the bin
-    // boundaries; the boundaries are simply unused when no binning is
-    // needed
     val ps = (1 until numBins).map(_.toDouble / numBins)
-    val boundAggs =
-      if (binningMethod == "quantile")
-        ps.zipWithIndex.map { case (p, i) =>
-          graft.util.D.r(percentile(col(labelCol), lit(p)), 6).as(s"q$i") }
-      else Seq(min(col(labelCol)).cast("double").as("lo"), max(col(labelCol)).cast("double").as("hi"))
-    val aggs = countDistinct(col(labelCol)).as("nd") +: boundAggs
-    val row = src.agg(aggs.head, aggs.tail: _*).head()
+    val row = src.agg(countDistinct(col(labelCol)).as("nd"),
+      min(col(labelCol)).cast("double").as("lo"),
+      max(col(labelCol)).cast("double").as("hi")).head()
     if (row.getLong(0) <= numBins) return col(labelCol).cast("string")
     val bin =
       if (binningMethod == "quantile")
-        NumBin(labelCol, ps.indices.map(i => row.getDouble(row.fieldIndex(s"q$i")))).expr
+        // histogram-refined exact quantiles (see [[quantileBins]] — the
+        // former percentile() aggregate buffered every label value)
+        NumBin(labelCol, graft.util.ExactQuantile.quantiles(src, labelCol, ps)
+          .map(graft.util.D.rDriver(_, 6))).expr
       else when(col(labelCol).isNotNull, Fedex.binExpr(col(labelCol),
         lit(row.getDouble(row.fieldIndex("lo"))), lit(row.getDouble(row.fieldIndex("hi"))), numBins))
     // concat propagates the NULL bin, so NULL labels stay NULL and are

@@ -69,6 +69,16 @@ object D {
     round(c.cast(DoubleType) * f, 0) / f
   }
 
+  /** DRIVER-side mirror of [[r]] for values finished in Scala (the
+    * bounded-collect operators): Spark's Round on a double rounds the
+    * exact binary expansion HALF_UP — pinned by the Correlation suite
+    * and masterRanked parity tests. */
+  def rDriver(x: Double, s: Int = 6): Double = {
+    val f = math.pow(10, s)
+    new java.math.BigDecimal(x * f)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / f
+  }
+
   /** Exact sum of squares as decimal, emitted as double (scale-0 rescale —
     * see emit0; both engines round the decimal identically, so the double
     * inputs to downstream variance math are identical). */
