@@ -371,7 +371,7 @@ class ScaleSpec extends AnyFunSuite {
     // aggregate (identical subtrees) precisely so the runtime exchange
     // reuse collapses them to one scan — assert the final adaptive
     // plan actually contains ReusedExchange nodes
-    for (name <- Seq("q_value_counts", "q_many_to_one", "q_outlier_explain", "q_dsir",
+    for (name <- Seq("q_value_counts", "q_many_to_one", "q_dsir",
                      "q_tfidf_terms", "q_bm25", "q_semdedup", "q_dedup_embedding_ivf")) {
       val df = graft.SparkEntry.queries(name)(spark, sf)
       df.collect()
@@ -379,6 +379,21 @@ class ScaleSpec extends AnyFunSuite {
       assert(p.contains("ReusedExchange"),
         s"$name: no runtime exchange reuse — identical-subtree property regressed:\n${p.take(1200)}")
     }
+    // q_outlier_explain left the ReusedExchange list in round 7: reuse
+    // never actually collapsed its three differently-pruned cube
+    // consumers (the r6 regression — the exploded corpus scan ran three
+    // times), so Outlier.explain now collects the ~100-row cube ONCE and
+    // re-enters it as a LocalRelation. The sharp pin for that design:
+    // the returned plan touches NO file source at all — every leaf is
+    // the local cube, so the corpus scan provably ran exactly once
+    // (inside the single bounded collect).
+    val outlier = graft.SparkEntry.queries("q_outlier_explain")(spark, sf)
+    outlier.collect()
+    val outlierPlan = outlier.queryExecution.executedPlan.toString
+    assert(!outlierPlan.contains("FileScan") && !outlierPlan.contains("Scan parquet"),
+      s"q_outlier_explain's finish plan re-reads the corpus — the one-scan " +
+        s"LocalRelation contract regressed:\n${outlierPlan.take(1200)}")
+
     // contains("ReusedExchange") is a weak pin (one reuse can coexist
     // with duplicated corpus scans — exactly how dsir's lang-filtered
     // target branch regressed to FOUR tokenize-aggregates in round 5).
