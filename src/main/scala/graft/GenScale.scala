@@ -62,12 +62,21 @@ object GenScale {
         else d.withColumn("text",
           translate(col("text"), cons + cons.toUpperCase,
             perm(i) + perm(i).toUpperCase))),
-      "embeddings" -> scaled("embeddings", Seq("vec_id"), (d, i) =>
+      "embeddings" -> scaled("embeddings", Seq("vec_id"), (d, i) => {
+        // rotation alone has only dim distinct values (copy i >= dim
+        // degenerates to identity — 37 exact-duplicate copies at
+        // copies=100); compose with a norm-preserving sign flip per
+        // rotation cycle so every copy stays near-orthogonal to copy 0.
+        val r = i % 64
+        val rot =
+          if (r == 0) col("embedding")
+          else concat(slice(col("embedding"), r + 1, 10000),
+            slice(col("embedding"), 1, r))
+        val emb = if ((i / 64) % 2 == 0) rot
+                  else transform(rot, x => -x)
         d.withColumn("label", col("label") + lit(i * 1000))
-          .withColumn("embedding",
-            if (i == 0) col("embedding")
-            else concat(slice(col("embedding"), i + 1, 10000),
-              slice(col("embedding"), 1, i))))
+          .withColumn("embedding", emb)
+      })
     )
     tables.foreach { case (n, df) =>
       df.write.mode("overwrite").parquet(s"$out/$n.parquet")
