@@ -28,9 +28,17 @@ object Bench {
     // JIT/classloading warmup so the first timed query isn't penalized
     spark.range(1000000L).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
+    // Optional subset: SPARK_GRAFT_QUERIES="q_a,q_b" benches only the
+    // named queries — used for targeted scale spot-checks (e.g. the
+    // sf10 heavy-query pass) where a full 187-query run would thrash
+    // the page cache for hours without adding information.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     // deterministic order: map iteration order varies across JVMs and
     // would shuffle which queries absorb residual warmup
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t = try {
           // the timed window includes CONSTRUCTION: several operators

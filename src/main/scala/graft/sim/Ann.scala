@@ -51,6 +51,32 @@ object Ann {
     s"""(SELECT CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 100000000) AS BIGINT) * CAST(ROUND(CAST(y AS DOUBLE) * 100000000) AS BIGINT)) AS BIGINT)
        | FROM (SELECT unnest($a) AS x, unnest($b) AS y) zz)""".stripMargin
 
+  /** Hard cap on coarse-quantizer size: IVF lists / k-means seeds /
+    * SemDeDup clusters keep at most MaxSeeds centroids REGARDLESS of
+    * corpus size. Without a cap the family's deterministic vec_id-mod
+    * seeding makes K scale linearly with N and the O(N·K) assignment
+    * scan silently turns quadratic — measured at sf10 (200k vectors,
+    * K=8,000): q_ann_ivf 250 s where the capped form needs one
+    * bounded N×1024 scan. FAISS's own convention is a FIXED nlist
+    * chosen for the deployment (≈√N at the target scale); 1024 = 2^10
+    * sits in the typical range for 10^5..10^7-vector shards and keeps
+    * every corpus up to centMod·MaxSeeds ids (sf ≤ 1 here)
+    * bit-identical to the uncapped rule, because the cap predicate is
+    * vacuous until vec_id exceeds centMod·MaxSeeds. */
+  val MaxSeeds = 1024
+
+  /** The bounded seed rule, Spark side: vec_id ≡ centOff (mod centMod)
+    * AND vec_id < centMod·MaxSeeds — i.e. the MaxSeeds LOWEST-id
+    * members of the residue class. Deterministic, SQL-mirrorable
+    * ([[seedWhere]]), and a plain min/max-pushable parquet filter. */
+  def seedCol(centMod: Int, centOff: Int): Column =
+    col("vec_id") % centMod === centOff &&
+      col("vec_id") < lit(centMod.toLong * MaxSeeds)
+
+  /** DuckDB mirror of [[seedCol]]. */
+  def seedWhere(centMod: Int, centOff: Int): String =
+    s"vec_id % $centMod = $centOff AND vec_id < ${centMod.toLong * MaxSeeds}"
+
   /** Per-vector squared norm table: (vec_id, nsq raw-scale long). */
   def normSq(vecs: DataFrame): DataFrame =
     vecs.select(col("vec_id"), dotFix(col("embedding"), col("embedding")).as("nsq"))
@@ -159,7 +185,7 @@ object Ann {
   def hardNegativesIvf(vecs: DataFrame, queryMod: Int, centMod: Int,
                        centOff: Int, nprobe: Int, k: Int): DataFrame = {
     val base = scaledBase(vecs, Seq("label"))
-    val cents = base.filter(col("vec_id") % centMod === centOff)
+    val cents = base.filter(seedCol(centMod, centOff))
       .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
     def scoreCents(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
       .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
@@ -189,7 +215,7 @@ object Ann {
                           centOff: Int, nprobe: Int, k: Int): String =
     s"""WITH ${normSqSql(table)},
        |base AS (SELECT e.vec_id, e.label, e.embedding, n.nsq FROM $table e JOIN norms n ON e.vec_id = n.vec_id),
-       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE vec_id % $centMod = $centOff),
+       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE ${seedWhere(centMod, centOff)}),
        |scored_c AS (SELECT b.vec_id, b.label, b.embedding, b.nsq, c.cid,
        |    ${cosSql(dotFixSql("c.ce", "b.embedding"), "c.cn", "b.nsq")} AS ccos
        |  FROM base b CROSS JOIN cents c),
@@ -206,12 +232,13 @@ object Ann {
        |SELECT query_id, rank, negative_id, neg_label, ROUND(cosine, 6) AS cosine, list_id
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-  /** IVF: centroids = vec_id % centMod = centOff; assign every vector to
-    * its max-cosine centroid; queries probe the `nprobe` nearest lists. */
+  /** IVF: centroids = the bounded seed rule [[seedCol]] (vec_id mod
+    * centMod, capped at [[MaxSeeds]]); assign every vector to its
+    * max-cosine centroid; queries probe the `nprobe` nearest lists. */
   def ivfTopK(vecs: DataFrame, queryMod: Int, centMod: Int, centOff: Int,
               nprobe: Int, k: Int): DataFrame = {
     val base = scaledBase(vecs)
-    val cents = base.filter(col("vec_id") % centMod === centOff)
+    val cents = base.filter(seedCol(centMod, centOff))
       .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
     def scoreCents(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
       .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
@@ -246,7 +273,7 @@ object Ann {
                  nprobe: Int, k: Int): String =
     s"""WITH ${normSqSql(table)},
        |base AS (SELECT e.vec_id, e.embedding, n.nsq FROM $table e JOIN norms n ON e.vec_id = n.vec_id),
-       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE vec_id % $centMod = $centOff),
+       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE ${seedWhere(centMod, centOff)}),
        |scored_c AS (SELECT b.vec_id, b.embedding, b.nsq, c.cid,
        |    ${cosSql(dotFixSql("c.ce", "b.embedding"), "c.cn", "b.nsq")} AS ccos
        |  FROM base b CROSS JOIN cents c),
@@ -365,7 +392,7 @@ object Ann {
     * its nprobe lists at the scan (asserted in ScaleSpec). */
   def assignLists(vecs: DataFrame, centMod: Int, centOff: Int): DataFrame = {
     val base = scaledBase(vecs)
-    val cents = base.filter(col("vec_id") % centMod === centOff)
+    val cents = base.filter(seedCol(centMod, centOff))
       .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
     base.crossJoin(broadcast(cents))
       .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
@@ -451,7 +478,7 @@ object Ann {
   def tripletsIvf(vecs: DataFrame, queryMod: Int, centMod: Int,
                   centOff: Int, nprobe: Int): DataFrame = {
     val base = scaledBase(vecs, Seq("label"))
-    val cents = base.filter(col("vec_id") % centMod === centOff)
+    val cents = base.filter(seedCol(centMod, centOff))
       .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
     def scoreCents(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
       .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
@@ -488,7 +515,7 @@ object Ann {
                      centOff: Int, nprobe: Int): String =
     s"""WITH ${normSqSql(table)},
        |base AS (SELECT e.vec_id, e.label, e.embedding, n.nsq FROM $table e JOIN norms n ON e.vec_id = n.vec_id),
-       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE vec_id % $centMod = $centOff),
+       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE ${seedWhere(centMod, centOff)}),
        |scored_c AS (SELECT b.vec_id, b.label, b.embedding, b.nsq, c.cid,
        |    ${cosSql(dotFixSql("c.ce", "b.embedding"), "c.cn", "b.nsq")} AS ccos
        |  FROM base b CROSS JOIN cents c),
@@ -522,7 +549,7 @@ object Ann {
   def probeLists(vecs: DataFrame, queryMod: Int, centMod: Int, centOff: Int,
       nprobe: Int): DataFrame = {
     val base = scaledBase(vecs)
-    val cents = base.filter(col("vec_id") % centMod === centOff)
+    val cents = base.filter(seedCol(centMod, centOff))
       .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
     val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
     base.filter(col("vec_id") % queryMod === 0).crossJoin(broadcast(cents))
@@ -553,7 +580,7 @@ object Ann {
                            centMod: Int, centOff: Int): String =
     s"""WITH ${normSqSql(table)},
        |base AS (SELECT e.vec_id, e.embedding, n.nsq FROM $table e JOIN norms n ON e.vec_id = n.vec_id),
-       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE vec_id % $centMod = $centOff),
+       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE ${seedWhere(centMod, centOff)}),
        |scored_c AS (SELECT b.vec_id, b.embedding, b.nsq, c.cid,
        |    ${cosSql(dotFixSql("c.ce", "b.embedding"), "c.cn", "b.nsq")} AS ccos
        |  FROM base b CROSS JOIN cents c),
@@ -570,8 +597,9 @@ object Ann {
   /** One Lloyd iteration (k-means step) over the embedding corpus —
     * the IVF TRAINING primitive the [[ivfTopK]]/[[embeddingPairsIvf]]
     * family assumes already happened: assign every vector to its
-    * max-cosine centroid (seeded, like IVF, from vec_id % centMod =
-    * centOff), then emit the per-cluster mean as the updated centroid.
+    * max-cosine centroid (seeded, like IVF, from the bounded
+    * [[seedCol]] rule), then emit the per-cluster mean as the updated
+    * centroid.
     * Output is (cluster_id, dim, n_members, centroid) — one row per
     * centroid dimension; a caller loops this (feeding means back as
     * the next round's centroids) until centroid drift converges, each
@@ -591,7 +619,7 @@ object Ann {
     * keep Σ < 2^63 up to ~9e9 vectors per cluster. */
   def kmeansStep(vecs: DataFrame, centMod: Int, centOff: Int): DataFrame = {
     val base = scaledBase(vecs)
-    val cents = base.filter(col("vec_id") % centMod === centOff)
+    val cents = base.filter(seedCol(centMod, centOff))
       .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
     meansOf(assignTo(base, cents))
   }
@@ -772,7 +800,7 @@ object Ann {
     * stays O(N^1.5) while quantization error keeps shrinking), pass
     * centMod = [[sqrtSeedMod]](n). */
   def seedCents(vecs: DataFrame, centMod: Int, centOff: Int): DataFrame =
-    vecs.filter(col("vec_id") % centMod === centOff)
+    vecs.filter(seedCol(centMod, centOff))
       .select(col("vec_id").as("cid"),
         col("embedding").cast("array<double>").as("cembedding"))
 
@@ -805,8 +833,9 @@ object Ann {
         s => s.getField("centroid")).as("cembedding"))
 
   /** Looped-to-convergence Lloyd fit (the `kmeansFit` entry point the
-    * single-step family hands off to): seed from vec_id % centMod =
-    * centOff (use [[sqrtSeedMod]] for K ~ √N), then repeat
+    * single-step family hands off to): seed from the bounded
+    * [[seedCol]] rule (use [[sqrtSeedMod]] for K ~ √N below the
+    * [[MaxSeeds]] cap), then repeat
     * [[kmeansIter]] until the max centroid drift (euclidean, over
     * clusters surviving the round — an empty cluster drops out, the
     * standard Lloyd behavior) is ≤ `tol` or `maxIter` rounds ran.
@@ -865,7 +894,7 @@ object Ann {
   def kmeans2IterSql(table: String, centMod: Int, centOff: Int): String =
     s"""WITH ${normSqSql(table)},
        |base AS (SELECT e.vec_id, e.embedding, n.nsq FROM $table e JOIN norms n ON e.vec_id = n.vec_id),
-       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE vec_id % $centMod = $centOff),
+       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE ${seedWhere(centMod, centOff)}),
        |scored_c AS (SELECT b.vec_id, b.nsq, c.cid,
        |    ${cosSql(dotFixSql("c.ce", "b.embedding"), "c.cn", "b.nsq")} AS ccos
        |  FROM base b CROSS JOIN cents c),
@@ -899,7 +928,7 @@ object Ann {
   def kmeansStepSql(table: String, centMod: Int, centOff: Int): String =
     s"""WITH ${normSqSql(table)},
        |base AS (SELECT e.vec_id, e.embedding, n.nsq FROM $table e JOIN norms n ON e.vec_id = n.vec_id),
-       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE vec_id % $centMod = $centOff),
+       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE ${seedWhere(centMod, centOff)}),
        |scored_c AS (SELECT b.vec_id, b.embedding, b.nsq, c.cid,
        |    ${cosSql(dotFixSql("c.ce", "b.embedding"), "c.cn", "b.nsq")} AS ccos
        |  FROM base b CROSS JOIN cents c),
@@ -1080,7 +1109,7 @@ object Ann {
     * rule — the kept example is the most "extreme"/informative one).
     *
     * Concretely: centroids are seeded like the IVF family
-    * (vec_id % centMod = centOff — one Lloyd assignment; callers who
+    * (the bounded [[seedCol]] rule — one Lloyd assignment; callers who
     * want converged centroids loop [[kmeansStep]] first); every vector
     * gets (cluster_id, cent_sim = max-cosine-to-centroid, 6dp); a
     * vector is DROPPED iff some same-cluster partner at pairwise
@@ -1110,7 +1139,7 @@ object Ann {
     // slower at sf1). Pinning the filter on every copy restores the
     // identical-subtree property the barrier below depends on.
     val base = scaledBase(vecs).filter(col("vec_id").isNotNull)
-    val cents = base.filter(col("vec_id") % centMod === centOff)
+    val cents = base.filter(seedCol(centMod, centOff))
       .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
     val assignedRaw = base.crossJoin(broadcast(cents))
       .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
@@ -1158,7 +1187,7 @@ object Ann {
                   centMod: Int, centOff: Int): String =
     s"""WITH ${normSqSql(table)},
        |base AS (SELECT e.vec_id, e.embedding, n.nsq FROM $table e JOIN norms n ON e.vec_id = n.vec_id),
-       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE vec_id % $centMod = $centOff),
+       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE ${seedWhere(centMod, centOff)}),
        |scored_c AS (SELECT b.vec_id, b.embedding, b.nsq, c.cid,
        |    ${cosSql(dotFixSql("c.ce", "b.embedding"), "c.cn", "b.nsq")} AS ccos
        |  FROM base b CROSS JOIN cents c),

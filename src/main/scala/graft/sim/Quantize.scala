@@ -94,11 +94,31 @@ object Quantize {
         fx4(slice(col("_e"), col("s") * dsub + 1, dsub)).as("fxs"))
   }
 
-  /** Seeded per-subspace codebook: (s, cid, ce, cn=‖ce‖²) — m×K rows,
-    * broadcast at any corpus size. */
+  /** Hard cap on PQ codebook size: at most MaxCodes codes per
+    * subspace regardless of corpus size — FAISS's own ks = 2^8
+    * convention (one byte per subspace code). Without it the
+    * vec_id-mod seeding grows K with N, and BOTH the per-(vec,s)
+    * argmin (O(N·m·K) → quadratic) and the broadcast Q×m×K ADC
+    * distance table (64M rows at sf10 — the measured q_ann_pq
+    * failure) blow up. The cap predicate is vacuous below
+    * centMod·MaxCodes ids (sf ≤ 1 here), so small-SF results are
+    * bit-identical to the uncapped rule. */
+  val MaxCodes = 256
+
+  /** Bounded codebook membership — [[Ann.seedCol]]'s rule at the PQ
+    * cap: the MaxCodes lowest-id members of the residue class. */
+  private def codeSeedCol(centMod: Int, centOff: Int): Column =
+    col("vec_id") % centMod === centOff &&
+      col("vec_id") < lit(centMod.toLong * MaxCodes)
+
+  private def codeSeedWhere(centMod: Int, centOff: Int): String =
+    s"vec_id % $centMod = $centOff AND vec_id < ${centMod.toLong * MaxCodes}"
+
+  /** Seeded per-subspace codebook: (s, cid, ce, cn=‖ce‖²) — m×K rows
+    * with K ≤ [[MaxCodes]], broadcast at any corpus size. */
   private def codebook(vecs: DataFrame, m: Int, centMod: Int, centOff: Int): DataFrame = {
     import graft.functions.FixedDot
-    subs(vecs.filter(col("vec_id") % centMod === centOff)
+    subs(vecs.filter(codeSeedCol(centMod, centOff))
         .select(col("vec_id").as("cid"), col("embedding")), "cid", m)
       .select(col("s"), col("cid"), col("fxs").as("ce"))
       .withColumn("cn", FixedDot(col("ce"), col("ce")))
@@ -129,9 +149,11 @@ object Quantize {
     * vector instead of 4d — the storage step between [[int8Report]]'s
     * scalar quantization and a full ANN index.
     *
-    * Codebook: the family's deterministic seeding — vectors with
-    * vec_id % centMod = centOff contribute their s-th subvector as
-    * subspace s's code (code id = contributor's vec_id); a real
+    * Codebook: the family's deterministic seeding bounded at
+    * [[MaxCodes]] — the MaxCodes lowest-id vectors of the residue
+    * class vec_id ≡ centOff (mod centMod) contribute their s-th
+    * subvector as subspace s's code (code id = contributor's vec_id);
+    * a real
     * deployment trains per-subspace k-means ([[Ann.kmeansFit]] per
     * subspace composes for that), the seeded form keeps the operator
     * oracle-checkable.
@@ -181,7 +203,7 @@ object Quantize {
        |xs AS (SELECT e.vec_id, t.s, e.embedding, len(e.embedding) // 8 AS dsub
        |  FROM $table e, sers t),
        |cb AS (SELECT vec_id AS cid, embedding AS cemb FROM $table
-       |  WHERE vec_id % $centMod = $centOff),
+       |  WHERE ${codeSeedWhere(centMod, centOff)}),
        |scored AS (SELECT x.vec_id, x.s, c.cid,
        |    ${sqDistSql("x.embedding", "c.cemb")} AS dist
        |  FROM xs x, cb c),

@@ -24,13 +24,28 @@ import org.apache.spark.sql.types._
   * stage reuses the library-wide exact cosine. The whole two-stage
   * result hash-matches the mirrored oracle.
   *
-  * Scale notes: one corpus scan (codes + norms + scaled arrays in the
-  * same pass); queries broadcast; the coarse top-C is a
-  * WindowGroupLimit-cut window, so each map partition forwards at most
-  * coarseC rows per query into the rank shuffle — the carried exact
-  * arrays are bounded by Q·coarseC·partitions rows, never N·Q.
+  * Scale notes: the coarse stage never shuffles the corpus at all —
+  * each (query, vector) int8 dot is packed with the vector id into ONE
+  * long and reduced map-side by the bounded [[KMinAgg]] top-C sketch
+  * (per-task state: Q·coarseC longs), so the only shuffled coarse data
+  * is Q partial sketches per task. The exact arrays are then joined
+  * back for the Q·coarseC winners only, via a BROADCAST of the tiny
+  * candidate table against the corpus scan (again no corpus shuffle).
+  * The first sf10 run (200k vectors, Q=5k) proved the predecessor
+  * design wrong: ranking through a window carried the 1 KB scaled
+  * arrays on every one of the 10^9 scored rows into the rank sort.
+  *
+  * Packing: key = (2^30 − coarse_dot)·2^32 + vec_id. |coarse_dot| ≤
+  * d·127² (≈1.03e6 at d=64) keeps the biased dot in [0, 2^31), and
+  * vec_id < 2^32 keeps the fields disjoint, so ascending key order IS
+  * lexicographic (coarse_dot DESC, vec_id ASC) — the k smallest keys
+  * are exactly the oracle's ROW_NUMBER ≤ C rows. The dot bound holds
+  * for any dimension ≤ 66,560 (d·127² < 2^30); ids satisfy the
+  * registered tables' contract (BIGINT surrogate < 2^32 per shard).
   */
 object Refine {
+
+  private val DotBias = 1L << 30
 
   /** (query_id, rank, neighbor_id, cosine, coarse_dot) — exact top-k
     * of the int8-coarse candidate set; query set = vec_id % queryMod = 0. */
@@ -46,16 +61,29 @@ object Refine {
               floor((abs(x) * lit(254L) + col("amax")).cast(DoubleType) /
                 (col("amax") * 2).cast(DoubleType)).cast(LongType))))
       .drop("amax")
-    val queries = base.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), col("q8").as("qq8"),
-        col("fxe").as("qe"), col("nsq").as("qn"))
-    val scored = base.crossJoin(broadcast(queries))
+    // coarse stage: narrow (query_id, packed-key) rows reduced map-side
+    // into a bounded top-C sketch — the corpus is scanned, never shuffled
+    val qCodes = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("q8").as("qq8"))
+    val packed = (lit(DotBias) - FixedDot(col("qq8"), col("q8"))) * lit(1L << 32) +
+      col("vec_id")
+    val topC = base.select(col("vec_id"), col("q8"))
+      .crossJoin(broadcast(qCodes))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("coarse_dot", FixedDot(col("qq8"), col("q8")))
-      .drop("q8", "qq8")
-    val wc = Window.partitionBy("query_id").orderBy(col("coarse_dot").desc, col("vec_id"))
-    val cands = scored.withColumn("crank", row_number().over(wc))
-      .filter(col("crank") <= coarseC)
+      .select(col("query_id"), packed.as("pk"))
+      .groupBy("query_id")
+      .agg(graft.functions.KMinAgg.kmin(col("pk"), coarseC).as("pks"))
+    val cand = topC.select(col("query_id"), explode(col("pks")).as("pk"))
+      .select(col("query_id"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("neighbor_id"),
+        (lit(DotBias) - shiftright(col("pk"), 32)).as("coarse_dot"))
+    // exact re-rank: arrays join back for the Q·coarseC winners only;
+    // the candidate table broadcasts, so the corpus scan stays local
+    val exact = base.select(col("vec_id"), col("fxe"), col("nsq"))
+    val queries = exact.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("fxe").as("qe"), col("nsq").as("qn"))
+    val cands = exact.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(queries), "query_id")
       .withColumn("cosine", Ann.cosExpr(FixedDot(col("qe"), col("fxe")), col("qn"), col("nsq")))
     val wr = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     cands.withColumn("rank", row_number().over(wr).cast(LongType))

@@ -619,4 +619,34 @@ class ScaleSpec extends AnyFunSuite {
         s"payload column crosses an exchange: $cols")
     }
   }
+
+  test("sf10 fixes: seeds and PQ codebooks bounded; refine coarse stage is a sketch, not a sort") {
+    import graft.sim.Ann
+    // 1. the seed rule itself is capped: a 100k-id corpus yields exactly
+    //    MaxSeeds centroids where the uncapped mod rule would yield 4,000
+    //    (K ∝ N is how the sf10 run turned every O(N·K) assignment scan
+    //    quadratic: q_ann_ivf measured 250 s before the cap)
+    val ids = spark.range(0, 100000L).select(col("id").as("vec_id"))
+    assert(ids.filter(Ann.seedCol(25, 7)).count() === Ann.MaxSeeds.toLong)
+    // 2. the cap reaches the plan as a plain comparison filter in the
+    //    registered IVF query (min/max-pushable on the centroid branch),
+    //    and BOTH engines' texts carry the same bound
+    val ivf = graft.SparkEntry.queries("q_ann_ivf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ivf.contains("25600"), s"seed cap missing from q_ann_ivf plan:\n${ivf.take(1600)}")
+    assert(graft.SparkEntry.oracleSql("q_ann_ivf").contains("vec_id < 25600"))
+    assert(graft.SparkEntry.oracleSql("q_pq_codes").contains("vec_id < 32000"))
+    // 3. q_ann_refine's coarse ranking is the bounded kmin sketch — the
+    //    N×Q scored rows are reduced map-side, never sorted or shuffled
+    //    (the predecessor window carried 1 KB arrays per scored row into
+    //    the rank sort and did not complete at sf10); the only Window
+    //    left is the exact re-rank over Q×coarseC candidates
+    val ref = graft.SparkEntry.queries("q_ann_refine")(spark, sf).queryExecution
+    assert(ref.executedPlan.toString.contains("kmin("),
+      s"refine lost the bounded coarse sketch:\n${ref.executedPlan.toString.take(1600)}")
+    val wins = ref.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(wins.size === 1,
+      s"refine should plan exactly the one re-rank window, got ${wins.size}")
+  }
 }
