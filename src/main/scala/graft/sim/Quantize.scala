@@ -227,41 +227,75 @@ object Quantize {
     * touches corpus embeddings, which is the whole point at 100 TB:
     * the scan reads m longs per vector (the PQ index), not 4d bytes.
     *
-    * Plan shape: the codebook (m×K rows) and the per-query distance
-    * table (Q×m×K rows) both broadcast; the corpus side is the code
-    * table — one narrow join + one map-side-combined sum per
-    * (query, vec), then WindowGroupLimit keeps k rows per query per
+    * Plan shape — exactly how a FAISS flat-PQ scan works (per-query
+    * distance tables + a running top-k heap over the code scan), with
+    * ZERO corpus shuffles: codes are re-indexed to DENSE per-subspace
+    * positions so each query's lookup table is an m-array of K-arrays
+    * (O(1) `element_at`, not an O(K) map probe); the Q lookup tables
+    * (Q·m·K longs — 82 MB at Q=5k, m=8, K=256) broadcast against the
+    * one-row-per-vector code table; the ADC sum is an unrolled m-term
+    * codegen'd expression; and the per-query top-k is the bounded
+    * [[graft.functions.KMinAgg]] sketch over (dist, vec_id) packed
+    * longs, reduced map-side. The predecessor design aggregated the
+    * Q×N×m joined rows through a (query, vec) hash shuffle — at sf10
+    * (10^9 groups) the shuffle write filled 78 GB of disk and the
+    * query failed; this form shuffles only Q bounded sketches per
     * task. IVF-list blocking composes in front exactly as in
-    * [[graft.sim.Ann.ivfTopK]] (probe lists, then ADC within lists).
+    * [[graft.sim.Ann.ivfTopK]] (probe lists, then ADC within lists —
+    * [[adcTopKIvf]]).
     *
     * Determinism: everything stays in the 1e4 fixed-point domain —
-    * distances are exact longs (≤ ~dsub·(2e4)²·m ≈ 5e10 ≪ 2^53, so the
-    * double emit is exact), ranking ties break to the smaller
-    * neighbor id, and the query's own vector is excluded (its ADC
-    * distance is its reconstruction error, not 0 — including it would
-    * only measure the quantizer). */
+    * distances are exact longs (≤ d_model·(2e4)² ≈ 2.6e10 at d=64,
+    * ≪ 2^53, so the double emit is exact), ranking ties break to the
+    * smaller neighbor id, and the query's own vector is excluded (its
+    * ADC distance is its reconstruction error, not 0 — including it
+    * would only measure the quantizer). Packing key = dist·2^28 +
+    * vec_id: dist < 2^35 (any d_model ≤ 85 at unit scale) and
+    * vec_id < 2^28 (the per-shard id contract) keep the fields
+    * disjoint and ascending key order lexicographic on
+    * (dist ASC, vec_id ASC) — the oracle's ORDER BY. */
   def adcTopK(vecs: DataFrame, m: Int, centMod: Int, centOff: Int,
       queryMod: Int, k: Int): DataFrame = {
     require(m >= 1, s"m must be >= 1, got $m")
     val cb = codebook(vecs, m, centMod, centOff)
+    // dense per-subspace code index (1..K): the window runs over the
+    // broadcast-scale m×K codebook, partitioned by subspace
+    val wIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy("s").orderBy("cid")
+    val cbIdx = cb.withColumn("idx", row_number().over(wIdx))
+    // one row per corpus vector: its m dense code indices, s-ordered
     val codes = nearestCode(subs(vecs, "vec_id", m), cb)
-      .select("vec_id", "s", "code")
+      .join(broadcast(cbIdx.select(col("s"), col("cid").as("code"), col("idx"))),
+        Seq("s", "code"))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("idx")))),
+        t => t.getField("idx")).as("cidx"))
+    // one row per query: m K-arrays of exact subspace distances,
+    // positioned by dense code index
     val qd = subs(vecs.filter(col("vec_id") % queryMod === 0)
         .select(col("vec_id").as("query_id"), col("embedding")), "query_id", m)
-      .join(cb, "s")
-      .select(col("query_id"), col("s").as("qs"), col("cid"),
+      .join(broadcast(cbIdx), "s")
+      .select(col("query_id"), col("s"), col("idx"),
         sqDist(col("fxs"), col("cn"), col("ce")).as("qdist"))
-    val adc = codes
-      .join(broadcast(qd), col("s") === col("qs") && col("code") === col("cid"))
+      .groupBy("query_id", "s")
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("qdist")))),
+        t => t.getField("qdist")).as("dl"))
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("dl")))),
+        t => t.getField("dl")).as("dtab"))
+    // unrolled m-term ADC sum: all O(1) array indexing, codegen'd
+    val dSum = (0 until m).map(i =>
+      element_at(element_at(col("dtab"), i + 1), element_at(col("cidx"), i + 1)))
+      .reduce(_ + _)
+    val topk = codes.crossJoin(broadcast(qd))
       .filter(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum(col("qdist")).as("d"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("d"), col("vec_id"))
-    adc.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        graft.util.D.r(col("d").cast(DoubleType) / lit(1e8), 6).as("adc_dist"))
+      .select(col("query_id"), (dSum * lit(1L << 28) + col("vec_id")).as("pk"))
+      .groupBy("query_id")
+      .agg(graft.functions.KMinAgg.kmin(col("pk"), k).as("pks"))
+    topk.select(col("query_id"), posexplode(col("pks")).as(Seq("pos", "pk")))
+      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("pk").bitwiseAND(lit((1L << 28) - 1)).as("neighbor_id"),
+        graft.util.D.r(shiftright(col("pk"), 28).cast(DoubleType) / lit(1e8), 6).as("adc_dist"))
       .orderBy("query_id", "rank")
   }
 
