@@ -311,40 +311,58 @@ object Quantize {
     *
     * Scale: the coarse assignment is the one-shuffle native argmax;
     * the candidate join is an EQUI-join on list_id (never a corpus
-    * cross join); the ADC join keys on (query, subspace, code) against
-    * the broadcast Q×m×K distance table; per-query top-k is a
-    * WindowGroupLimit-cut window. With the corpus written
-    * partitionBy("list_id"), the candidate scan prunes to probed
-    * lists. Recall is the standard IVF trade — at nprobe ≥ K the
-    * result equals [[adcTopK]] exactly (spec-pinned). */
+    * cross join); ADC scoring reuses [[adcTopK]]'s shape — dense code
+    * indices on the candidate rows, the per-query m×K lookup ARRAYS
+    * broadcast (82 MB at Q=5k vs the predecessor's 10M-row
+    * (query,subspace,code)-keyed hash relation, whose single-threaded
+    * build dominated the sf10 run), an unrolled codegen'd m-term sum,
+    * and the bounded [[graft.functions.KMinAgg]] per-query top-k —
+    * the only post-candidate shuffle is Q bounded sketches per task.
+    * With the corpus written partitionBy("list_id"), the candidate
+    * scan prunes to probed lists. Recall is the standard IVF trade —
+    * at nprobe ≥ K the result equals [[adcTopK]] exactly
+    * (spec-pinned). */
   def adcTopKIvf(vecs: DataFrame, m: Int, cbMod: Int, cbOff: Int,
       listMod: Int, listOff: Int, queryMod: Int, nprobe: Int, k: Int): DataFrame = {
     require(m >= 1, s"m must be >= 1, got $m")
     val cb = codebook(vecs, m, cbMod, cbOff)
+    val wIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy("s").orderBy("cid")
+    val cbIdx = cb.withColumn("idx", row_number().over(wIdx))
     val codes = nearestCode(subs(vecs, "vec_id", m), cb)
-      .select("vec_id", "s", "code")
+      .join(broadcast(cbIdx.select(col("s"), col("cid").as("code"), col("idx"))),
+        Seq("s", "code"))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("idx")))),
+        t => t.getField("idx")).as("cidx"))
     val lists = Ann.assignLists(vecs, listMod, listOff)
     val probes = Ann.probeLists(vecs, queryMod, listMod, listOff, nprobe)
     val cand = lists.join(probes, "list_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")
     val qd = subs(vecs.filter(col("vec_id") % queryMod === 0)
-        .select(col("vec_id").as("qid"), col("embedding")), "qid", m)
-      .join(cb, "s")
-      .select(col("qid"), col("s").as("qs"), col("cid"),
+        .select(col("vec_id").as("query_id"), col("embedding")), "query_id", m)
+      .join(broadcast(cbIdx), "s")
+      .select(col("query_id"), col("s"), col("idx"),
         sqDist(col("fxs"), col("cn"), col("ce")).as("qdist"))
-    val adc = codes.join(cand, "vec_id")
-      .join(broadcast(qd),
-        col("query_id") === col("qid") && col("s") === col("qs") &&
-          col("code") === col("cid"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum(col("qdist")).as("d"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("d"), col("vec_id"))
-    adc.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        graft.util.D.r(col("d").cast(DoubleType) / lit(1e8), 6).as("adc_dist"))
+      .groupBy("query_id", "s")
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("qdist")))),
+        t => t.getField("qdist")).as("dl"))
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("dl")))),
+        t => t.getField("dl")).as("dtab"))
+    val dSum = (0 until m).map(i =>
+      element_at(element_at(col("dtab"), i + 1), element_at(col("cidx"), i + 1)))
+      .reduce(_ + _)
+    val topk = cand.join(codes, "vec_id")
+      .join(broadcast(qd), "query_id")
+      .select(col("query_id"), (dSum * lit(1L << 28) + col("vec_id")).as("pk"))
+      .groupBy("query_id")
+      .agg(graft.functions.KMinAgg.kmin(col("pk"), k).as("pks"))
+    topk.select(col("query_id"), posexplode(col("pks")).as(Seq("pos", "pk")))
+      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("pk").bitwiseAND(lit((1L << 28) - 1)).as("neighbor_id"),
+        graft.util.D.r(shiftright(col("pk"), 28).cast(DoubleType) / lit(1e8), 6).as("adc_dist"))
       .orderBy("query_id", "rank")
   }
 
