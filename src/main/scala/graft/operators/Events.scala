@@ -308,13 +308,18 @@ object Events extends QFamily {
     // Weekly cohort retention: users cohorted by first-active week
     // (date_trunc 'week' — Monday in both engines); each (cohort_week,
     // week_offset) cell counts the distinct users active that week,
-    // plus the retention fraction of the cohort. Scale: the only
-    // corpus-sized shuffle is the (user, week) distinct; everything
-    // after runs on user-cardinality tables (cohort assignment is a
-    // second user-keyed agg, the cell count a small-cardinality agg,
-    // the cohort-size join AQE-planned). week_offset division is exact
-    // (both operands week-truncated, so the day diff is a multiple of
-    // 7 — small-int doubles are exact in IEEE).
+    // plus the retention fraction of the cohort. Scale: ONE corpus
+    // scan — the (user, week) distinct is the only corpus-sized
+    // shuffle; the cohort week is a user-partitioned window MIN over
+    // the deduped rows (the predecessor derived cohorts and cohort
+    // sizes as separate aggregate branches and re-joined them, which
+    // planned THREE FileScans of the events table with no exchange
+    // reuse — a 3× corpus read at 100 TB, caught by plan audit);
+    // cohort_size needs no join either: every user appears in their
+    // own cohort week, so it IS the offset-0 cell, read back via a
+    // window over the bounded (weeks²) cell table. week_offset
+    // division is exact (both operands week-truncated, so the day
+    // diff is a multiple of 7 — small-int doubles are exact in IEEE).
     QDef("q_events_retention",
       Some(s"""WITH $evSql,
              |uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week_start FROM ev),
@@ -329,18 +334,19 @@ object Events extends QFamily {
              |FROM cell JOIN cs ON cell.cohort_week = cs.cohort_week
              |ORDER BY cell.cohort_week, cell.week_offset""".stripMargin),
       (s, dir) => {
-        val uw = ev(s, dir)
+        val cell = ev(s, dir)
           .select(col("user_id"), date_trunc("week", col("ts")).as("week_start"))
           .distinct()
-        val coh = uw.groupBy("user_id").agg(min(col("week_start")).as("cohort_week"))
-        val cs = coh.groupBy("cohort_week")
-          .agg(count(lit(1)).cast(LongType).as("cohort_size"))
-        uw.join(coh, Seq("user_id"))
+          .withColumn("cohort_week",
+            min(col("week_start")).over(Window.partitionBy("user_id")))
           .groupBy(col("cohort_week"),
             (datediff(col("week_start"), col("cohort_week")).cast(DoubleType) / 7)
               .cast(LongType).as("week_offset"))
           .agg(count(lit(1)).cast(LongType).as("n_users"))
-          .join(cs, Seq("cohort_week"))
+        cell
+          .withColumn("cohort_size",
+            max(when(col("week_offset") === 0, col("n_users")))
+              .over(Window.partitionBy("cohort_week")))
           .select(col("cohort_week"), col("week_offset"), col("n_users"),
             graft.util.D.r(col("n_users").cast(DoubleType) / col("cohort_size"), 6)
               .as("retention"))

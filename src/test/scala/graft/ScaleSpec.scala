@@ -405,6 +405,18 @@ class ScaleSpec extends AnyFunSuite {
     val corpusAggs = "partial_count".r.findAllIn(finalPlan).size
     assert(corpusAggs == 1,
       s"q_dsir runs the corpus aggregate $corpusAggs times (want 1):\n${finalPlan.take(1600)}")
+
+    // q_events_retention regressed the same way in round 7's plan
+    // audit: cohorts and cohort sizes were separate aggregate branches
+    // re-joined to the deduped rows — THREE events FileScans, zero
+    // reuse. The one-scan design (window-min cohort + offset-0-cell
+    // cohort size) must keep exactly ONE corpus leaf.
+    val ret = graft.SparkEntry.queries("q_events_retention")(spark, sf)
+    ret.collect()
+    val retPlan = ret.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val retScans = "FileScan parquet".r.findAllIn(retPlan).size
+    assert(retScans == 1,
+      s"q_events_retention scans the events table $retScans times (want 1):\n${retPlan.take(1600)}")
   }
 
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
@@ -648,5 +660,17 @@ class ScaleSpec extends AnyFunSuite {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
     assert(wins.size === 1,
       s"refine should plan exactly the one re-rank window, got ${wins.size}")
+    // 4. both ADC serving paths (flat and probed) rank through the
+    //    bounded sketch, never a (query, vec) hash-agg + rank window —
+    //    the flat form's agg shuffle wrote Q·N·m rows (78 GB at sf10)
+    for (q <- Seq("q_ann_pq", "q_ann_ivfpq")) {
+      val p = graft.SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(p.executedPlan.toString.contains("kmin("),
+        s"$q lost the bounded ADC top-k sketch:\n${p.executedPlan.toString.take(1600)}")
+      val adcWins = p.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.exists(_.references.map(_.name).toSeq == Seq("query_id")) => w }
+      assert(adcWins.isEmpty, s"$q still ranks through a per-query window")
+    }
   }
 }
