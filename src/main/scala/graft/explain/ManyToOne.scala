@@ -1,6 +1,7 @@
 package graft.explain
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -528,13 +529,37 @@ object ManyToOne {
                   binningMethod: String = "equal_width"): DataFrame = {
     val vcols = attrs.indices.map(i => s"val_${('a' + i).toChar}")
     val base = conjBase(src, labelCol, attrs, nb, binningMethod, vcols)
-    val lc = base.groupBy("label", vcols: _*).agg(count(lit(1)).as("n_match"))
-    val lt = base.groupBy("label").agg(count(lit(1)).as("n_label"))
-    val ct = base.groupBy(vcols.head, vcols.tail: _*).agg(count(lit(1)).as("n_cond"))
-    lc.join(lt, Seq("label")).join(ct, vcols)
-      .select((col("label") +: vcols.map(col)) ++ Seq(col("n_match"),
-        graft.util.D.r(col("n_match").cast("double") / col("n_label"), 6).as("coverage"),
-        graft.util.D.r((col("n_cond") - col("n_match")).cast("double") / col("n_cond"), 6).as("separation_err")): _*)
+    // ONE Expand + hash aggregation over GROUPING SETS
+    // ((label, v1..vK), (label), (v1..vK)) — the predecessor planned
+    // lc/lt/ct as three separate aggregations of the corpus-sized
+    // projection, which re-planned the source scan per branch (plan
+    // audit measured 4+ FileScans on q_many_to_one_conj). The label
+    // and condition totals are then read back from the BOUNDED cell
+    // table by two windows (never a self-join: a gid-filter pushed
+    // below the aggregate re-splits the subtree into per-consumer
+    // scans — measured before this form landed). gid, not null-ness,
+    // selects the slice, so genuine NULL labels/values group exactly
+    // as before; the final filter reproduces the predecessor
+    // equi-join semantics (NULL label/value rows emit no rule row).
+    // Bit layout: grouping_id's MSB is the FIRST groupBy column
+    // (label), so the (label) set = 2^K − 1 and the (v*) set = 2^K.
+    val vc = vcols.map(col)
+    val k = vcols.size
+    val cells = base.groupingSets(
+        Seq(col("label") +: vc, Seq(col("label")), vc), (col("label") +: vc): _*)
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+    cells
+      .withColumn("n_label",
+        max(when(col("gid") === ((1 << k) - 1), col("n")))
+          .over(Window.partitionBy("label")))
+      .withColumn("n_cond",
+        max(when(col("gid") === (1 << k), col("n")))
+          .over(Window.partitionBy(vc: _*)))
+      .filter(col("gid") === 0 &&
+        (col("label").isNotNull +: vc.map(_.isNotNull)).reduce(_ && _))
+      .select((col("label") +: vc) ++ Seq(col("n").as("n_match"),
+        graft.util.D.r(col("n").cast("double") / col("n_label"), 6).as("coverage"),
+        graft.util.D.r((col("n_cond") - col("n")).cast("double") / col("n_cond"), 6).as("separation_err")): _*)
       .withColumn("passes", (col("coverage") >= covTh && col("separation_err") <= sepTh).cast("int"))
       .orderBy(col("label") +: vcols.map(col): _*)
   }

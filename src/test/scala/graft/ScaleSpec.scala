@@ -417,6 +417,21 @@ class ScaleSpec extends AnyFunSuite {
     val retScans = "FileScan parquet".r.findAllIn(retPlan).size
     assert(retScans == 1,
       s"q_events_retention scans the events table $retScans times (want 1):\n${retPlan.take(1600)}")
+
+    // q_many_to_one_conj: lc/lt/ct were three aggregations of the
+    // corpus projection (4 FileScans — and the first grouping-sets
+    // attempt still split into per-consumer scans because the gid
+    // filters pushed below the aggregate). The landed form is ONE
+    // Expand aggregation + windows over the bounded cell table: the
+    // plan may touch the corpus at most twice (binning stats + cells).
+    val conj = graft.SparkEntry.queries("q_many_to_one_conj")(spark, sf)
+    conj.collect()
+    val conjPlan = conj.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val conjScans = "FileScan parquet".r.findAllIn(conjPlan).size
+    assert(conjScans <= 2,
+      s"q_many_to_one_conj scans the corpus $conjScans times (want <= 2):\n${conjPlan.take(1600)}")
+    assert(conjPlan.contains("Expand"),
+      s"q_many_to_one_conj lost the grouping-sets Expand:\n${conjPlan.take(1200)}")
   }
 
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
