@@ -597,39 +597,60 @@ object ManyToOne {
 
   /** Pairwise DISJUNCTION rules (reference explanation_form='disj'):
     * rule = (attrA = a ∨ attrB = b). Metrics by inclusion–exclusion over
-    * the same single-groupBy count table as the conjunctions:
+    * a single-groupBy joint count table:
     *   |disj ∧ label| = nA + nB − nAB  (and likewise unconditioned),
-    * so no second scan of the source. */
+    * so no second scan of the source.
+    *
+    * Finish is DRIVER-SIDE over the bounded cell table (the
+    * q_outlier_explain LocalRelation convention): the joint table is
+    * |labels|·|A-bins|·|B-bins| rows — explanation-grade cardinalities,
+    * capped fail-fast at [[graft.util.Guard.MaxGatheredCells]] — and its
+    * previous all-DataFrame assembly planned SEVEN derived aggregations
+    * plus a six-join candidate build over tables of a few hundred rows.
+    * The data work is one corpus aggregation either way; the join web
+    * was pure plan-compile/stage overhead (measured ~1 s of the 1.7 s
+    * sf1 floor). Marginals are now folded in Scala from the collected
+    * cells and the result re-enters as a LocalRelation. */
   def explainDisj(src: DataFrame, labelCol: String, attrA: String, attrB: String,
                   covTh: Double = 0.7, sepTh: Double = 0.3, nb: Int = 10,
                   binningMethod: String = "equal_width"): DataFrame = {
     val attrs = Seq(Fedex.Attr(attrA, numeric = false), Fedex.Attr(attrB, numeric = true))
     val base = conjBase(src, labelCol, attrs, nb, binningMethod, Seq("val_a", "val_b"))
-    // joint counts once; every marginal below derives from them
+    // joint counts once (the single corpus-sized aggregation); every
+    // marginal below derives from them driver-side
     val joint = base.groupBy("label", "val_a", "val_b").agg(count(lit(1)).as("n"))
-    val la = joint.groupBy("label", "val_a").agg(sum("n").as("n_a"))
-    val lb = joint.groupBy("label", "val_b").agg(sum("n").as("n_b"))
-    val lt = joint.groupBy("label").agg(sum("n").as("n_label"))
-    val ca = joint.groupBy("val_a").agg(sum("n").as("c_a"))
-    val cb = joint.groupBy("val_b").agg(sum("n").as("c_b"))
-    val cab = joint.groupBy("val_a", "val_b").agg(sum("n").as("c_ab"))
-    val tot = joint.agg(sum("n").as("n_total"))
-    // candidate (label, a, b) triples = label × observed a × observed b
-    val cands = la.join(lb, Seq("label"))
-    val withJoint = cands.join(joint, Seq("label", "val_a", "val_b"), "left")
-      .na.fill(0L, Seq("n"))
-      .join(lt, Seq("label"))
-      .join(cab, Seq("val_a", "val_b"), "left").na.fill(0L, Seq("c_ab"))
-      .join(ca, Seq("val_a")).join(cb, Seq("val_b"))
-      .crossJoin(broadcast(tot))
-    withJoint
-      .withColumn("n_match", col("n_a") + col("n_b") - col("n"))
-      .withColumn("n_cond", col("c_a") + col("c_b") - col("c_ab"))
-      .select(col("label"), col("val_a"), col("val_b"), col("n_match"),
-        graft.util.D.r(col("n_match").cast("double") / col("n_label"), 6).as("coverage"),
-        graft.util.D.r((col("n_cond") - col("n_match")).cast("double") / col("n_cond"), 6).as("separation_err"))
-      .withColumn("passes", (col("coverage") >= covTh && col("separation_err") <= sepTh).cast("int"))
-      .orderBy("label", "val_a", "val_b")
+    val cap = graft.util.Guard.MaxGatheredCells
+    val cells = joint.limit(cap.toInt + 1).collect()
+    require(cells.length <= cap,
+      s"explainDisj: joint cell table exceeds $cap rows — the label or " +
+        "attribute columns look ID-like; this operator is sized for " +
+        "explanation-grade cardinalities (raise Guard.MaxGatheredCells " +
+        "if intentional)")
+    val triples = cells.map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val nAB  = triples.map { case (l, a, b, n) => (l, a, b) -> n }.toMap
+    def fold(keys: Seq[((String, String), Long)]): Map[(String, String), Long] =
+      keys.groupMapReduce(_._1)(_._2)(_ + _)
+    val nA   = fold(triples.map { case (l, a, _, n) => (l, a) -> n })
+    val nB   = fold(triples.map { case (l, _, b, n) => (l, b) -> n })
+    val nLab = triples.groupMapReduce(_._1)(_._4)(_ + _)
+    val cA   = triples.groupMapReduce(_._2)(_._4)(_ + _)
+    val cB   = triples.groupMapReduce(_._3)(_._4)(_ + _)
+    val cAB  = fold(triples.map { case (_, a, b, n) => (a, b) -> n })
+    import graft.util.D.rDriver
+    val out = for {
+      ((l, a), na) <- nA.toSeq
+      ((l2, b), nbv) <- nB.toSeq if l2 == l
+    } yield {
+      val nMatch = na + nbv - nAB.getOrElse((l, a, b), 0L)
+      val nCond = cA(a) + cB(b) - cAB.getOrElse((a, b), 0L)
+      val cov = rDriver(nMatch.toDouble / nLab(l))
+      val sep = rDriver((nCond - nMatch).toDouble / nCond)
+      (l, a, b, nMatch, cov, sep, if (cov >= covTh && sep <= sepTh) 1 else 0)
+    }
+    val spark = src.sparkSession
+    import spark.implicits._
+    out.sortBy(t => (t._1, t._2, t._3)).toSeq
+      .toDF("label", "val_a", "val_b", "n_match", "coverage", "separation_err", "passes")
   }
 
   // ---------------------------------------------------------------- SQL --

@@ -670,12 +670,21 @@ object Relational extends QFamily {
         |WHERE c.c_mktsegment = 'BUILDING'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
       import graft.text.Bloom
-      def hcol(c: Column) =
-        conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
+      // Hash parity with the oracle is NOT needed here (no false
+      // negatives → oracle is the plain join), so the probe-side scan
+      // uses codegen'd xxhash64, not the corpus md5 convention: the
+      // per-row cost is a few long multiplies instead of a string md5 +
+      // hex conv, which at sf1 was the whole query (md5 over every
+      // orders row ≈ 1.3 s of the 1.5 s total). Masked non-negative so
+      // the Kirsch–Mitzenmacher stride arithmetic stays in [0, 2^63).
+      def hcol(c: Column) = xxhash64(c).bitwiseAND(lit(Long.MaxValue))
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"))
-      val bm = Bloom.bitmapOfHashes(cust.select(hcol(col("c_custkey")).as("h")))
-      val pre = Bloom.filterByBloom(
+      // driver-held 16 KB bitmap → the probe filter is literal long
+      // arithmetic inside the orders scan's codegen (no broadcast
+      // exchange); the one-row collect is the build side's job either way
+      val bm = Bloom.bitmapWords(cust.select(hcol(col("c_custkey")).as("h")))
+      val pre = Bloom.filterByBloomWords(
         t(s, dir, "orders").select("o_custkey", "o_orderpriority", "o_totalprice"),
         hcol(col("o_custkey")), bm)
       pre.join(cust, col("o_custkey") === col("c_custkey"))

@@ -67,17 +67,41 @@ object Bloom {
     * build from. */
   def bitmapOfHashes(hashes: DataFrame, m: Int = DefaultBits): DataFrame = {
     require(m >= 64 && (m & (m - 1)) == 0, s"m must be a power of two >= 64, got $m")
-    val bits = hashes
-      .select(explode(array((0 until NumHashes).map(j => bitJ(col("h"), j, m)): _*)).as("bit"))
-      .distinct()
-    val words = bits
-      .groupBy((col("bit") / 64).cast(LongType).as("word"))
-      .agg(expr("bit_or(shiftleft(1L, cast(bit % 64 as int)))").as("mask"))
-    // one row: scatter the (word, mask) pairs into a dense m/64 array.
-    // The transform lambda is interpreted but runs on this single row.
-    words.agg(map_from_entries(collect_list(struct(col("word"), col("mask")))).as("wm"))
-      .select(transform(sequence(lit(0L), lit(m / 64L - 1L)),
-        i => coalesce(element_at(col("wm"), i), lit(0L))).as("bm"))
+    // ONE map-side-combined aggregation (each partition ORs bits into a
+    // local m/64-word array; the exchange carries one 16 KB partial per
+    // partition) — replaces an explode → distinct → groupBy(word) →
+    // scatter chain that shuffled three times for the same commutative
+    // OR. Bit positions are identical by construction (shared
+    // Kirsch–Mitzenmacher expansion), so the bitmap is bit-for-bit the
+    // one the exploded form built.
+    hashes.agg(
+      graft.functions.BloomBitsAgg.bloomBits(col("h").cast(LongType), m, NumHashes).as("bm"))
+  }
+
+  /** [[bitmapOfHashes]] finished on the driver: the m-bit bitmap as an
+    * `Array[Long]` of m/64 words. The collect is ONE row of m/64 longs
+    * (16 KB at the default m) regardless of build-side size — the
+    * bounded-collect convention — and lets the probe side inline the
+    * bitmap as a literal instead of a crossJoin(broadcast(...)): the
+    * filter becomes plain long arithmetic inside the scan's
+    * whole-stage-codegen projection, with no broadcast-exchange stage
+    * at all (construction-inclusive timing pays the one-row collect,
+    * which is build-side work either way). */
+  def bitmapWords(hashes: DataFrame, m: Int = DefaultBits): Array[Long] =
+    bitmapOfHashes(hashes, m).collect()(0).getSeq[Long](0).toArray
+
+  /** [[filterByBloom]] with a driver-held bitmap ([[bitmapWords]]):
+    * scan-local literal-array bit tests, zero extra plan nodes. */
+  def filterByBloomWords(df: DataFrame, hCol: Column, words: Array[Long],
+                         m: Int = DefaultBits): DataFrame = {
+    require(words.length == m / 64, s"bitmap has ${words.length} words, want ${m / 64}")
+    val bmLit = typedLit(words)
+    val tests: Seq[Column] = (0 until NumHashes).map { j =>
+      val b = bitJ(hCol, j, m)
+      call_function("shiftright", element_at(bmLit, (b / 64).cast(IntegerType) + 1),
+        pmod(b, lit(64L)).cast(IntegerType)).bitwiseAND(lit(1L)) === lit(1L)
+    }
+    df.filter(tests.reduce(_ && _))
   }
 
   /** Generic Bloom pre-filter: the rows of `df` whose `hCol` 60-bit
