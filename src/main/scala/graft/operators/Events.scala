@@ -634,8 +634,10 @@ object Events extends QFamily {
           .filter(col("from_type").isNotNull)
         val tc = seq0.groupBy("from_type", "to_type")
           .agg(count(lit(1)).cast(LongType).as("n"))
-        val ft = tc.groupBy("from_type").agg(sum(col("n")).as("tot"))
-        tc.join(ft, "from_type")
+        // per-from totals via a window over the KB-sized (types×types)
+        // table — an agg+self-join here re-planned tc's corpus subtree
+        // for a second consumer
+        tc.withColumn("tot", sum(col("n")).over(Window.partitionBy("from_type")))
           .select(col("from_type"), col("to_type"), col("n"),
             r(col("n").cast(DoubleType) / col("tot"), 6).as("p"))
           .orderBy("from_type", "to_type")
@@ -735,24 +737,31 @@ object Events extends QFamily {
         val tch = e.filter(col("event_type").isin("view", "click"))
           .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
             col("event_type").as("touch_type"))
+        // LEFT OUTER join keeps untouched purchases as touch_type-NULL
+        // rows, so the __unattributed__ leg falls out of the SAME
+        // grouped table instead of a second purchase scan + anti-join;
+        // the per-purchase touch total is a window over the
+        // purchase-cardinality group table (one shuffle on event_id)
+        // rather than an agg + self-join. Values are unchanged: the
+        // NULL-type group exists exactly when a purchase had no touch,
+        // and the window total ignores it.
         val j = p.join(tch, col("t_user") === col("user_id") &&
-            col("t_ts") >= (col("ts") - expr("INTERVAL 1 HOUR")) && col("t_ts") < col("ts"))
+            col("t_ts") >= (col("ts") - expr("INTERVAL 1 HOUR")) && col("t_ts") < col("ts"),
+          "left_outer")
         val pt = j.groupBy("event_id", "value", "touch_type")
           .agg(count(lit(1)).as("c"))
-        val n = pt.groupBy("event_id").agg(sum(col("c")).as("n"))
-        val credit = pt.join(n, "event_id")
-          .select(col("touch_type"), col("c"),
-            r(col("value") * col("c") / col("n"), 6).as("cr"))
-        val attributed = credit.groupBy(col("touch_type").as("credit_to"))
+        val pt2 = pt.withColumn("n",
+          sum(when(col("touch_type").isNotNull, col("c"))).over(Window.partitionBy("event_id")))
+        pt2.select(
+            coalesce(col("touch_type"), lit("__unattributed__")).as("credit_to"),
+            when(col("touch_type").isNotNull, col("c")).otherwise(lit(0L)).as("c"),
+            when(col("touch_type").isNotNull, r(col("value") * col("c") / col("n"), 6))
+              .otherwise(col("value")).as("cr"))
+          .groupBy("credit_to")
           .agg(sum(col("c")).cast(LongType).as("n_touches"),
             count(lit(1)).cast(LongType).as("n_purchases"),
             dsumd(col("cr")).as("credit"))
-        val unattr = p.join(n, Seq("event_id"), "left_anti")
-          .agg(count(lit(1)).cast(LongType).as("n_purchases"),
-            dsumd(col("value")).as("credit"))
-          .select(lit("__unattributed__").as("credit_to"),
-            lit(0L).as("n_touches"), col("n_purchases"), col("credit"))
-        attributed.unionByName(unattr).orderBy("credit_to")
+          .orderBy("credit_to")
       }),
 
     // salted two-phase distinct count — the skew answer q_key_skew's
