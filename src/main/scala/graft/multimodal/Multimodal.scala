@@ -278,6 +278,51 @@ object Multimodal {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Near-dup survivor selection over the [[payloadPhashPairs]] edge
+    * set: greedy keep-min — any payload appearing as the LARGER doc_id
+    * of a verified pair is dropped (pairwise, NOT transitive closure;
+    * the closure form is the q_dedup_cluster_keep shape and costs its
+    * iteration — this is the one-pass rule media pipelines actually
+    * run first). Reported per decoded format so the artifact shows
+    * WHAT is being deduplicated, not just how much.
+    *
+    * Scale: the pair table is band-blocked (pair-bounded, tiny for a
+    * clean corpus), so the drop set broadcasts; the corpus side is one
+    * metadata scan. */
+  def payloadKeep(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val drops = payloadPhashPairs(docs)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("dropped", lit(1L))
+    decodeMeta(spark, docs).select(col("doc_id"), col("format"))
+      .join(broadcast(drops), Seq("doc_id"), "left_outer")
+      .groupBy("format")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(coalesce(col("dropped"), lit(0L))).cast(LongType).as("n_dropped"),
+        (count(lit(1)) - sum(coalesce(col("dropped"), lit(0L)))).cast(LongType).as("n_kept"))
+      .orderBy("format")
+  }
+
+  /** DuckDB mirror of [[payloadKeep]] — same pairs CTE, same keep-min
+    * drop rule, same stub format derivation. */
+  def payloadKeepSql(table: String): String = {
+    val pairs = payloadPhashPairsSql(table)
+    // strip the trailing ORDER BY of the pairs query for CTE embedding
+    val pairsCte = pairs.substring(0, pairs.lastIndexOf("ORDER BY"))
+    s"""WITH pr AS ($pairsCte),
+       |drops AS (SELECT DISTINCT doc_b AS doc_id FROM pr),
+       |meta AS (SELECT doc_id,
+       |    CASE (CASE WHEN strlen(text) = 0 THEN 0
+       |          ELSE ('0x' || substr(hex(CAST(text AS BLOB)), 1, 2))::INT END) % 3
+       |      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+       |  FROM $table)
+       |SELECT format, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  CAST(COUNT(*) - SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM meta m LEFT JOIN drops d ON m.doc_id = d.doc_id
+       |GROUP BY format ORDER BY format""".stripMargin
+  }
+
   def frameSampleSql(table: String): String =
     s"""SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, off AS "offset", byte_len FROM (
        |  SELECT doc_id, byte_len, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY off) - 1 AS frame_idx, off

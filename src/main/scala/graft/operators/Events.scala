@@ -776,6 +776,66 @@ object Events extends QFamily {
              |SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nunique
              |FROM ev GROUP BY 1 ORDER BY event_type""".stripMargin),
       (s, dir) => graft.util.Scale.saltedNunique(ev(s, dir), "event_type", "user_id", 16)
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // per-user exponential smoothing (decayed moving average over the
+    // last EwmaLags events, α = 1/2): the streaming-telemetry smoother
+    // (EWMA anomaly baselines, rate limiters) as ONE user-keyed window
+    // pass — the recurrence form is unrollable because α^k weights
+    // vanish past EwmaLags, so each row's smoothed value is a fixed
+    // linear combination of its lag window. All arithmetic is exact
+    // decimal: α = 0.5 makes every weight a terminating decimal
+    // (5^k·10^-k, scale ≤ 15 at 16 lags), each term is a
+    // DECIMAL(18,6)×DECIMAL(16,15) product (precision 35 — exact in
+    // both engines), and term sums are chunked 4-at-a-time with a
+    // width-reducing cast so neither engine's decimal-add widening
+    // passes 38. No recurrence, no interpreted HOF, no self-join: the
+    // corpus cost is one shuffle on user_id and 16 codegen'd lags in a
+    // single WindowExec. Scale: per-user state is the 16-row frame;
+    // partitions are user-hash, unbounded user counts spread evenly.
+    QDef("q_events_ewma", Some(ewmaSql), (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      def wk(k: Int) = lit(new java.math.BigDecimal(0.5).pow(k))
+        .cast(DecimalType(16, 15))
+      val terms = (0 until EwmaLags).map { k =>
+        val lagv = lag(col("value"), k).over(w).cast(DecimalType(18, 6))
+        (coalesce(lagv * wk(k), lit(0).cast(DecimalType(35, 21))),
+         when(lagv.isNotNull, wk(k)).otherwise(lit(0).cast(DecimalType(16, 15))))
+      }
+      val num = terms.map(_._1).grouped(4)
+        .map(_.reduce(_ + _).cast(DecimalType(32, 21))).reduce(_ + _)
+      val den = terms.map(_._2).reduce(_ + _)
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          r(round(num, 6).cast(DoubleType) / den.cast(DoubleType), 6).as("ewma"))
+        .orderBy("user_id", "event_id")
+    })
   )
+
+  /** Number of lag terms the EWMA unrolls (α^16 < 2e-5 — below the 6dp
+    * emit precision for any value in the telemetry envelope). A def,
+    * not a val: it is read during `defs` initialization, which runs
+    * before later-declared vals would be assigned. */
+  private def EwmaLags = 16
+
+  /** DuckDB mirror of q_events_ewma — the same 16-lag unrolled window,
+    * decimal-exact with the identical 4-chunk add grouping. */
+  private lazy val ewmaSql: String = {
+    def wkLit(k: Int) =
+      s"CAST(${new java.math.BigDecimal(0.5).pow(k).toPlainString} AS DECIMAL(16,15))"
+    def lagK(k: Int) = s"LAG(value, $k) OVER w"
+    val terms = (0 until EwmaLags).map { k =>
+      s"COALESCE(CAST(${lagK(k)} AS DECIMAL(18,6)) * ${wkLit(k)}, CAST(0 AS DECIMAL(35,21)))"
+    }
+    val num = terms.grouped(4)
+      .map(g => s"CAST(${g.mkString(" + ")} AS DECIMAL(32,21))").mkString(" + ")
+    val den = (0 until EwmaLags).map { k =>
+      s"CASE WHEN ${lagK(k)} IS NOT NULL THEN ${wkLit(k)} ELSE CAST(0 AS DECIMAL(16,15)) END"
+    }.mkString(" + ")
+    s"""WITH $evSql
+       |SELECT user_id, event_id, ts, value,
+       |  ROUND(CAST(ROUND($num, 6) AS DOUBLE) / CAST($den AS DOUBLE), 6) AS ewma
+       |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |ORDER BY user_id, event_id""".stripMargin
+  }
 }

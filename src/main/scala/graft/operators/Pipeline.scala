@@ -940,6 +940,13 @@ object Pipeline extends QFamily {
       Some(Multimodal.payloadPhashPairsSql("documents")),
       (s, dir) => Multimodal.payloadPhashPairs(t(s, dir, "documents"))),
 
+    // near-dup survivor selection over the pHash pair set (greedy
+    // keep-min, per decoded format) — the "what do we keep" artifact
+    // that completes signature → pairs → keep for binary payloads
+    QDef("q_multimodal_keep",
+      Some(Multimodal.payloadKeepSql("documents")),
+      (s, dir) => Multimodal.payloadKeep(s, t(s, dir, "documents"))),
+
     // ------------------------------------- dataset assembly / serving --
 
     // deterministic stratified train/val/test split report
@@ -953,6 +960,15 @@ object Pipeline extends QFamily {
     QDef("q_split_hash",
       Some(graft.text.Profile.splitHashSql("documents")),
       (s, dir) => graft.text.Profile.splitHash(t(s, dir, "documents"))),
+
+    // EXACT-quota stratified split (ranked within stratum, cut at
+    // floor(frac·n)) — the small-stratum complement to q_split_hash's
+    // doc-stable threshold coin; distributed rank via the seqPack
+    // range-partition + offset-table machinery, never a per-stratum
+    // single-reducer window
+    QDef("q_split_stratified",
+      Some(graft.text.Profile.stratifiedSplitSql("documents")),
+      (s, dir) => graft.text.Profile.stratifiedSplit(t(s, dir, "documents"))),
 
     // cross-split near-duplicate leakage audit: minhash near-dup pairs
     // that straddle the q_split_hash train/val/test boundary — the
@@ -1048,6 +1064,49 @@ object Pipeline extends QFamily {
           lit("/p/"), col("doc_id").cast(StringType)).as("url"))
       graft.text.Url.urlFilter(withUrl, blocked, Seq("xyz"))
     }),
+
+    // blocked fuzzy record linkage (entity resolution): reconcile a
+    // dirty name list against the clean catalog by candidate BLOCKING
+    // (same first char + length band ±2) then edit-distance scoring,
+    // keeping each query's best match (min distance, name asc
+    // tie-break). The dirty side is synthesized deterministically from
+    // the catalog itself (drop the 2nd char, append a char) so both
+    // engines match the same corruption. This is the ER shape that
+    // scales: candidates are block-bounded (never |A|×|B|), the
+    // expensive levenshtein runs only inside blocks, and the survivor
+    // pick is a window over the bounded candidate table. At corpus
+    // scale the block key would be a phonetic/qgram key with the same
+    // plan; the clean side broadcasts when dim-sized.
+    QDef("q_fuzzy_match",
+      Some("""WITH names AS (SELECT DISTINCT p_name FROM part),
+             |dirty AS (SELECT substr(p_name, 1, 1) || substr(p_name, 3) || 'x' AS q
+             |  FROM names),
+             |cand AS (SELECT d.q, n.p_name AS cand,
+             |    CAST(levenshtein(d.q, n.p_name) AS INT) AS dist
+             |  FROM dirty d JOIN names n
+             |    ON substr(d.q, 1, 1) = substr(n.p_name, 1, 1)
+             |    AND abs(length(d.q) - length(n.p_name)) <= 2),
+             |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY dist, cand) AS rn
+             |  FROM cand)
+             |SELECT q AS query_name, cand AS matched_name, dist
+             |FROM rk WHERE rn = 1 ORDER BY query_name""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val names = t(s, dir, "part").select("p_name").distinct()
+        val dirty = names.select(
+          concat(substring(col("p_name"), 1, 1),
+            expr("substring(p_name, 3)"), lit("x")).as("q"))
+        val cand = dirty.join(broadcast(names),
+            substring(col("q"), 1, 1) === substring(col("p_name"), 1, 1) &&
+              abs(length(col("q")) - length(col("p_name"))) <= 2)
+          .select(col("q"), col("p_name").as("cand"),
+            levenshtein(col("q"), col("p_name")).cast(IntegerType).as("dist"))
+        val rk = cand.withColumn("rn",
+          row_number().over(Window.partitionBy("q").orderBy("dist", "cand")))
+        rk.filter(col("rn") === 1)
+          .select(col("q").as("query_name"), col("cand").as("matched_name"), col("dist"))
+          .orderBy("query_name")
+      }),
 
     // crawl-level URL dedup: canonicalize (lowercase, strip fragment /
     // tracking params / dangling separators / trailing slash) then ONE

@@ -694,6 +694,142 @@ object Relational extends QFamily {
         .orderBy("o_orderpriority")
     },
 
+    // ---- market-basket pair mining (co-occurrence + lift) --------------
+    // frequent brand PAIRS across order baskets: support (orders holding
+    // both brands) and lift (support·N / (n_a·n_b)) per unordered pair —
+    // the association-rule first step (Apriori's k=2 layer, which at
+    // LLM-corpus scale is also the doc-level tag/domain co-occurrence
+    // miner). Pair enumeration is a basket-keyed self-join of the
+    // DISTINCT (order, brand) table: per-basket fanout is bounded by
+    // basket size (≤ items/order, TPC-H ≤ 7·brands), never corpus².
+    // The distinct table feeds three consumers (pairs, per-brand
+    // marginals, the order total), so it is localCheckpoint-pinned to
+    // ONE execution — without it each consumer re-plans the
+    // lineitem⋈part scan (the q_dsir lesson). Marginal joins are
+    // broadcast (|brands| rows); lift math is double with the same
+    // operation order in both engines.
+    q("q_basket_pairs",
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |pairs AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |    CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand GROUP BY 1, 2),
+        |bc AS (SELECT brand, COUNT(*) AS cnt FROM ob GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM ob)
+        |SELECT brand_a, brand_b, support,
+        |  ROUND(CAST(support AS DOUBLE) * n.n_orders / (ca.cnt * cb.cnt), 6) AS lift
+        |FROM pairs
+        |JOIN bc ca ON ca.brand = pairs.brand_a
+        |JOIN bc cb ON cb.brand = pairs.brand_b
+        |CROSS JOIN n
+        |ORDER BY brand_a, brand_b""".stripMargin) { (s, dir) =>
+      val ob = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+        .localCheckpoint(true)
+      val pairs = ob.select(col("ok"), col("brand").as("brand_a"))
+        .join(ob.select(col("ok"), col("brand").as("brand_b")), Seq("ok"))
+        .filter(col("brand_a") < col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(count(lit(1)).cast(LongType).as("support"))
+      val bc = ob.groupBy("brand").agg(count(lit(1)).as("cnt"))
+      val n = ob.agg(countDistinct(col("ok")).as("n_orders"))
+      pairs
+        .join(broadcast(bc.select(col("brand").as("brand_a"), col("cnt").as("ca"))), Seq("brand_a"))
+        .join(broadcast(bc.select(col("brand").as("brand_b"), col("cnt").as("cb"))), Seq("brand_b"))
+        .crossJoin(broadcast(n))
+        .select(col("brand_a"), col("brand_b"), col("support"),
+          r(col("support").cast(DoubleType) * col("n_orders") / (col("ca") * col("cb")), 6).as("lift"))
+        .orderBy("brand_a", "brand_b")
+    },
+
+    // ---- data-quality constraint suite (Deequ-style) -------------------
+    // declarative pipeline-gate checks melted into one report:
+    // completeness (NULL counts), key uniqueness (rows − distinct),
+    // domain membership (priority enum), value range (quantity, price),
+    // and referential integrity (orphan FK rows) — the pre-ingest
+    // contract a 100 TB nightly load is accepted or quarantined by.
+    // Cost shape: ONE aggregation scan per table for every scalar check
+    // on it (the checks share the pass, melted after), plus one
+    // anti-join per FK edge — orders→customer broadcasts the dim side;
+    // lineitem→orders is a key-shuffle anti-join (both sides fact-sized,
+    // the unavoidable shuffle, AQE-skew-safe). Violation counts are
+    // exact longs; frac is violations/rows rounded 6dp identically.
+    q("q_dq_suite",
+      """WITH o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ck,
+        |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_ok,
+        |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+        |    CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
+        |      '4-NOT SPECIFIED', '5-LOW') OR o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_prio
+        |  FROM orders),
+        |l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 OR l_quantity IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty
+        |  FROM lineitem),
+        |fk1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |fk2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |m AS (
+        |  SELECT 'complete_custkey' AS constraint_id, 'orders' AS table_name,
+        |    'o_custkey' AS column_name, null_ck AS violations, n FROM o
+        |  UNION ALL SELECT 'unique_orderkey', 'orders', 'o_orderkey', dup_ok, n FROM o
+        |  UNION ALL SELECT 'range_totalprice', 'orders', 'o_totalprice', bad_price, n FROM o
+        |  UNION ALL SELECT 'domain_priority', 'orders', 'o_orderpriority', bad_prio, n FROM o
+        |  UNION ALL SELECT 'range_quantity', 'lineitem', 'l_quantity', bad_qty, n FROM l
+        |  UNION ALL SELECT 'fk_orders_customer', 'orders', 'o_custkey', fk1.v, o.n FROM fk1, o
+        |  UNION ALL SELECT 'fk_lineitem_orders', 'lineitem', 'l_orderkey', fk2.v, l.n FROM fk2, l)
+        |SELECT constraint_id, table_name, column_name, violations,
+        |  ROUND(CAST(violations AS DOUBLE) / n, 6) AS frac,
+        |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INT) AS passes
+        |FROM m ORDER BY constraint_id""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders").agg(
+        count(lit(1)).cast(LongType).as("n"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).cast(LongType).as("null_ck"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).cast(LongType).as("dup_ok"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).cast(LongType).as("bad_price"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM",
+            "4-NOT SPECIFIED", "5-LOW") || col("o_orderpriority").isNull, 1L)
+          .otherwise(0L)).cast(LongType).as("bad_prio"))
+      val l = t(s, dir, "lineitem").agg(
+        count(lit(1)).cast(LongType).as("n"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50 || col("l_quantity").isNull,
+          1L).otherwise(0L)).cast(LongType).as("bad_qty"))
+      val fk1 = t(s, dir, "orders").select("o_custkey")
+        .join(broadcast(t(s, dir, "customer").select("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).cast(LongType).as("v"))
+      val fk2 = t(s, dir, "lineitem").select("l_orderkey")
+        .join(t(s, dir, "orders").select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).cast(LongType).as("v"))
+      // four one-row collects (the bounded-collect convention;
+      // construction-inclusive timing pays them) → LocalRelation
+      // report: a melted-union finish would re-plan the orders scan
+      // once PER constraint row (the multi-consumer re-scan disease) —
+      // this way each table is scanned exactly twice: its scalar
+      // check pass and its FK anti-join.
+      val or = o.collect()(0); val lr = l.collect()(0)
+      val v1 = fk1.collect()(0).getLong(0); val v2 = fk2.collect()(0).getLong(0)
+      val (no, nl) = (or.getLong(0), lr.getLong(0))
+      val rows = Seq(
+        ("complete_custkey", "orders", "o_custkey", or.getLong(1), no),
+        ("unique_orderkey", "orders", "o_orderkey", or.getLong(2), no),
+        ("range_totalprice", "orders", "o_totalprice", or.getLong(3), no),
+        ("domain_priority", "orders", "o_orderpriority", or.getLong(4), no),
+        ("range_quantity", "lineitem", "l_quantity", lr.getLong(1), nl),
+        ("fk_orders_customer", "orders", "o_custkey", v1, no),
+        ("fk_lineitem_orders", "lineitem", "l_orderkey", v2, nl))
+      import s.implicits._
+      rows.map { case (c, tbl, cn, v, n) =>
+          (c, tbl, cn, v, graft.util.D.rDriver(v.toDouble / n), if (v == 0L) 1 else 0)
+        }.sortBy(_._1)
+        .toDF("constraint_id", "table_name", "column_name", "violations", "frac", "passes")
+    },
+
     // ---- deterministic sampling ----------------------------------------
     q("q_sample_det",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag

@@ -57,6 +57,76 @@ object Profile {
        |  FROM $table)
        |GROUP BY lang, split ORDER BY lang, split""".stripMargin
 
+  /** EXACT-proportion stratified split: within each lang stratum, rank
+    * documents by the ([[Corpus.hashFrac]] coin, doc_id) order and cut
+    * at FLOOR(trainFrac·n) / FLOOR((trainFrac+valFrac)·n) — every
+    * stratum gets exactly its quota, unlike [[splitHash]]'s
+    * threshold coin whose per-stratum proportions drift by
+    * O(1/√n) (material for small strata: a 200-doc language can miss
+    * its val set entirely). The rank is STILL a pure function of the
+    * corpus content: same docs → same ranks → same assignment in both
+    * engines; appending documents can shift assignments near the
+    * boundary (the price of exactness — the doc-stable variant is
+    * splitHash).
+    *
+    * Scale: the per-stratum rank never serializes a stratum onto one
+    * reducer — range-repartition on (lang, coin, doc_id), partition-
+    * local row_number, per-(partition, lang) offset table (bounded:
+    * partitions × langs-touching-partition rows) broadcast back with
+    * per-lang totals; the [[Corpus.seqPack]] machinery applied
+    * per-stratum. localCheckpoint pins one execution of the range
+    * exchange for both offset consumers (same contract note). */
+  def stratifiedSplit(docs: DataFrame, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), col("lang"),
+      size(TextOps.tokens(col("text"))).cast(LongType).as("ntok"),
+      Corpus.hashFrac(col("doc_id")).as("h"))
+    val parted = d.repartitionByRange(col("lang"), col("h"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = parted.withColumn("local_rn",
+        row_number().over(Window.partitionBy("pid", "lang")
+          .orderBy(col("h"), col("doc_id"))).cast(LongType))
+      .localCheckpoint(true)
+    val offsets = local.groupBy("pid", "lang").agg(max("local_rn").as("pn"))
+      .withColumn("offset", coalesce(
+        sum("pn").over(Window.partitionBy("lang").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_lang", sum("pn").over(Window.partitionBy("lang")))
+      .select("pid", "lang", "offset", "n_lang")
+    local.join(broadcast(offsets), Seq("pid", "lang"))
+      .withColumn("rnk", col("local_rn") + col("offset"))
+      .withColumn("split",
+        when(col("rnk") <= floor(lit(trainFrac) * col("n_lang")), "train")
+          .when(col("rnk") <= floor(lit(trainFrac + valFrac) * col("n_lang")), "val")
+          .otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("ntok")).cast(LongType).as("n_tokens"))
+      .orderBy("lang", "split")
+  }
+
+  /** DuckDB mirror of [[stratifiedSplit]] — the single-node form IS the
+    * per-stratum ranked window the Spark side decomposes. Cut fractions
+    * interpolate as Scala Double.toString so both engines floor the
+    * bit-identical double product. */
+  def stratifiedSplitSql(table: String, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1): String =
+    s"""SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(ntok) AS BIGINT) AS n_tokens
+       |FROM (SELECT lang, ntok,
+       |    CASE WHEN rnk <= FLOOR($trainFrac * n_lang) THEN 'train'
+       |         WHEN rnk <= FLOOR(${trainFrac + valFrac} * n_lang) THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT lang, ntok,
+       |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk,
+       |      COUNT(*) OVER (PARTITION BY lang) AS n_lang
+       |    FROM (SELECT doc_id, lang,
+       |        CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS ntok,
+       |        ${Corpus.hashFracSql("doc_id")} AS h
+       |      FROM $table)))
+       |GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
   // power-of-2 bucket floors for tokenHist; the cascade is integer
   // CASE logic, so both engines bucket identically (no float log2)
   private val HistBounds = Seq(16L, 32L, 64L, 128L, 256L, 512L)
