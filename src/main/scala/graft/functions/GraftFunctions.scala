@@ -123,7 +123,15 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         arity("kmin(col, k)", 2, exprs)
         val k = constInt("kmin(col, k)", "k", exprs(1))
-        KMinAgg(exprs.head, k).toAggregateExpression() })
+        KMinAgg(exprs.head, k).toAggregateExpression() }),
+    // mask_pair_count(mask, width): triangular pair co-occurrence counts
+    // over set-bitmask rows (basket mining k=2 kernel); width must be a
+    // constant integer in [1, 63] — validated in the constructor.
+    ("mask_pair_count", classOf[MaskPairCountAgg],
+      (exprs: Seq[Expression]) => {
+        arity("mask_pair_count(mask, width)", 2, exprs)
+        val w = constInt("mask_pair_count(mask, width)", "width", exprs(1))
+        MaskPairCountAgg(exprs.head, w).toAggregateExpression() })
   )
 
   /** Registers the native expressions in the session's FunctionRegistry so

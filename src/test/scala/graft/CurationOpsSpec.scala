@@ -119,4 +119,30 @@ class CurationOpsSpec extends AnyFunSuite {
       .select("doc_b").distinct().count()
     assert(keep.map(_.getAs[Long]("n_dropped")).sum === wantDropped)
   }
+
+  test("MaskPairCountAgg: triangular cells match brute-force pair counts " +
+    "across many partitions; nulls skipped; out-of-width masks fail loud") {
+    import graft.functions.MaskPairCountAgg
+    import spark.implicits._
+    val w = 6
+    val tri = MaskPairCountAgg.tri(w) _
+    val rnd = new scala.util.Random(7)
+    val masks = Seq.fill(5000)(rnd.nextInt(1 << w).toLong)
+    // 64 partitions forces real partial-buffer merges
+    val got = masks.map(Option(_)).:+(Option.empty[Long]).toDF("mask")
+      .repartition(64)
+      .agg(MaskPairCountAgg.maskPairCount(col("mask"), w))
+      .head().getSeq[Long](0)
+    assert(got.length === w * (w + 1) / 2)
+    for (i <- 0 until w; j <- i until w) {
+      val want = masks.count(m => (m >> i & 1) == 1 && (m >> j & 1) == 1).toLong
+      assert(got(tri(i, j)) === want, s"cell ($i,$j)")
+    }
+    val err = intercept[org.apache.spark.SparkException] {
+      Seq(1L << w).toDF("mask")
+        .agg(MaskPairCountAgg.maskPairCount(col("mask"), w)).head()
+    }
+    assert(err.getMessage.contains("mask_pair_count") ||
+      Option(err.getCause).exists(_.getMessage.contains("mask_pair_count")))
+  }
 }

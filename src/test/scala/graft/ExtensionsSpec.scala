@@ -48,6 +48,12 @@ class ExtensionsSpec extends AnyFunSuite {
           |FROM VALUES (1L, 1.0D), (2L, 5.0D), (3L, 2.0D) AS t(id, s)""".stripMargin).head()
       assert(agg.getLong(0) == 2L)
       assert(agg.getSeq[Long](1) == Seq(1L, 2L))
+      // masks {0,1} and {0}: cells (0,0)=2, (0,1)=1, (1,1)=1
+      val mpc = s2.sql(
+        """SELECT mask_pair_count(m, 2) AS c
+          |FROM VALUES (CAST(3 AS BIGINT)), (CAST(1 AS BIGINT)) AS t(m)""".stripMargin)
+        .head().getSeq[Long](0)
+      assert(mpc == Seq(2L, 1L, 1L))
 
       // injected functions are registry-level, not session-temp: a child
       // session still resolves them (temp functions would vanish)
