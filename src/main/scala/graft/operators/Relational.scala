@@ -1225,6 +1225,33 @@ object Relational extends QFamily {
     q("q_zorder_layout",
       graft.sources.Layout.zProfileSql("orders")) { (s, dir) =>
       graft.sources.Layout.zProfile(t(s, dir, "orders"))
+    },
+
+    // ---- skew-aware hybrid join (hot keys broadcast, cold keys shuffle) --
+    // the big-big join under key skew: Scale.skewJoin samples the fact
+    // side, routes detected hot keys through a broadcast join of the
+    // hot dim slice (their rows never enter the exchange), and shuffles
+    // only the cold remainder — the pre-shuffle mitigation AQE's
+    // post-shuffle SMJ-partition splitting cannot express. Routing is
+    // semantics-preserving by construction, so the oracle is the PLAIN
+    // join + aggregate: any hot set (including the empty one this
+    // uniform testdata yields) must hash-match it. JoinPropertySpec
+    // proves the routing on a synthetic hot key: union of one
+    // BroadcastHashJoin and one shuffle join, row-identical to the
+    // plain join.
+    q("q_skew_join",
+      s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  ${Sq.revsum("l_extendedprice", "l_discount")} AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      graft.util.Scale.skewJoin(
+          t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+          t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          "l_orderkey", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          dsumprod(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
+        .orderBy("o_orderpriority")
     }
   )
 }

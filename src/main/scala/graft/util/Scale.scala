@@ -55,4 +55,49 @@ object Scale {
       .agg(count_distinct(col(valCol)).as("_d"))
       .groupBy(col(keyCol))
       .agg(sum(col("_d")).cast("long").as("nunique"))
+
+  /** Hot/cold hybrid inner equi-join for skewed fact keys — the
+    * big-big-join mitigation AQE cannot give you: AQE's skew join
+    * splits oversized SMJ partitions AFTER both sides are fully
+    * shuffled; here rows of detected hot keys never enter the
+    * exchange at all (they broadcast-join against the hot slice of
+    * the dim side), and only the cold remainder shuffles.
+    *
+    * Detection is a deterministic ~1/sampleMod ROW sample of the fact
+    * (xxhash64 of the whole row — a key-hash sample takes keys
+    * all-or-nothing and would miss 1−1/sampleMod of the hot keys):
+    * a key with global count c appears ~c/sampleMod times, so
+    * `hotSampleMin` ≈ (hot threshold)/sampleMod. The hot set is
+    * bounded twice — by the threshold and by the `maxHotKeys` limit —
+    * and the cap is a ROUTING choice, not a correctness one: keys
+    * past it (or missed by the sample) simply take the cold path.
+    * Result is row-identical to `fact.join(dim, cond)` for any hot
+    * set, which is what the oracle checks.
+    *
+    * Contract: `dimKey` is unique (or near-unique) in `dim`, so the
+    * hot dim slice is ≤ maxHotKeys rows — broadcastable by
+    * construction. With no detected skew the plan IS the plain join. */
+  def skewJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+               sampleMod: Int = 20, hotSampleMin: Long = 50,
+               maxHotKeys: Int = 1000): DataFrame = {
+    val cond = col(factKey) === col(dimKey)
+    val rowHash = xxhash64(fact.columns.map(col): _*)
+    val hot = fact
+      .filter(pmod(rowHash, lit(sampleMod.toLong)) === 0L)
+      .groupBy(col(factKey)).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= hotSampleMin)
+      .orderBy(col("_c").desc, col(factKey))
+      .limit(maxHotKeys) // bounded collect: ≤ maxHotKeys key literals
+      .select(col(factKey)).collect().map(_.get(0))
+    if (hot.isEmpty) fact.join(dim, cond)
+    else {
+      // null-key rows fail both isin branches AND the plain join's
+      // equi-condition, so dropping them in the cold filter is the
+      // same inner-join semantics
+      val hotF = col(factKey).isin(hot.toSeq: _*)
+      val hotD = col(dimKey).isin(hot.toSeq: _*)
+      fact.filter(!hotF).join(dim.filter(!hotD), cond)
+        .unionByName(fact.filter(hotF).join(broadcast(dim.filter(hotD)), cond))
+    }
+  }
 }

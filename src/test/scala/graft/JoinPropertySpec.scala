@@ -71,4 +71,42 @@ class JoinPropertySpec extends AnyFunSuite {
       assert(got == naive(dir, tol), s"as-of divergence for dir=$dir tol=$tol")
     }
   }
+
+  test("skewJoin routes detected hot keys through a broadcast join and " +
+    "stays row-identical to the plain join") {
+    // one pathological key (60% of the fact) + a uniform tail, so the
+    // 1/5 row sample detects key 1 far past hotSampleMin
+    val rnd = new scala.util.Random(11)
+    val fact = ((1 to 6000).map(i => (1L, i.toLong)) ++
+      (1 to 4000).map(i => (2L + rnd.nextInt(500).toLong, 10000L + i)))
+      .toDF("k", "payload")
+    val dim = (1L to 501L).map(k => (k, s"attr$k")).toDF("dk", "attr")
+    val hybrid = graft.util.Scale.skewJoin(fact, dim, "k", "dk",
+      sampleMod = 5, hotSampleMin = 100, maxHotKeys = 16)
+    val plain = fact.join(dim, col("k") === col("dk"))
+    assert(hybrid.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      plain.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    // plan shape under a big-big regime (auto-broadcast off so the toy
+    // dim behaves like a corpus-sized side): a union of one broadcast
+    // hash join (the EXPLICIT hot-slice hint survives the conf) and one
+    // shuffle join (cold remainder) — hot rows never enter the exchange
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = graft.util.Scale.skewJoin(fact, dim, "k", "dk",
+          sampleMod = 5, hotSampleMin = 100, maxHotKeys = 16)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"no broadcast hot path:\n${plan.take(1200)}")
+      assert(plan.contains("Union"), s"no hot/cold union:\n${plan.take(1200)}")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"no shuffle cold path:\n${plan.take(1200)}")
+      // no detected skew -> the plan IS the plain join (no union, no split)
+      val uniformPlan = graft.util.Scale.skewJoin(
+          (1 to 2000).map(i => (i.toLong % 400, i.toLong)).toDF("k", "payload"),
+          dim, "k", "dk", sampleMod = 5, hotSampleMin = 100, maxHotKeys = 16)
+        .queryExecution.executedPlan.toString
+      assert(!uniformPlan.contains("Union"))
+      assert(!uniformPlan.contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }

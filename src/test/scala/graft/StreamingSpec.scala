@@ -566,4 +566,46 @@ class StreamingSpec extends AnyFunSuite {
         s"${streamed.diff(batch).take(3)} / ${batch.diff(streamed).take(3)}")
     } finally q.stop()
   }
+
+  test("streaming EWMA matches the batch fold and q_events_ewma") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Ewma, EwmaEvent}
+    val raw = graft.util.D.normTs(graft.util.D.t(spark, sf, "events"))
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[EwmaEvent].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id)) // event-time-order feeding
+
+    def key(id: Long, v: Double) = id -> math.rint(v * 1e6) / 1e6
+    val batch = Ewma.ewmaBatch(spark, spark.createDataset(raw)).collect()
+      .map(o => key(o.event_id, o.ewma)).toMap
+
+    // three-way leg 1: the typed fold equals q_events_ewma's rows
+    // (exactly — both sides share the decimal contract)
+    val sqlRows = SparkEntry.queries("q_events_ewma")(spark, sf)
+      .filter(col("user_id") < 10).collect()
+      .map(r => key(r.getLong(1), r.getDouble(4))).toMap
+    assert(batch === sqlRows, "typed batch fold diverges from q_events_ewma: " +
+      s"${batch.toSet.diff(sqlRows.toSet).take(3)} / ${sqlRows.toSet.diff(batch.toSet).take(3)}")
+
+    // three-way leg 2: the stream equals the batch fold across a
+    // two-batch split (per-user event-time order preserved by the
+    // global time sort; split at a micros boundary so same-instant
+    // events of one user fold in one batch, the documented contract)
+    val mem = MemoryStream[EwmaEvent]
+    val q = Ewma.ewmaStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("ewma_out").outputMode("append").start()
+    try {
+      var cut = raw.size / 2
+      while (cut < raw.size && raw(cut).ts == raw(cut - 1).ts) cut += 1
+      val (a, b) = raw.splitAt(cut)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      val streamed = spark.table("ewma_out").collect()
+        .map(r => key(r.getLong(1), r.getDouble(3))).toMap
+      assert(streamed === batch, "stream/batch divergence: " +
+        s"${streamed.toSet.diff(batch.toSet).take(3)} / ${batch.toSet.diff(streamed.toSet).take(3)}")
+    } finally q.stop()
+  }
 }
