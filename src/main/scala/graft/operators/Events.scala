@@ -815,8 +815,10 @@ object Events extends QFamily {
   /** Number of lag terms the EWMA unrolls (α^16 < 2e-5 — below the 6dp
     * emit precision for any value in the telemetry envelope). A def,
     * not a val: it is read during `defs` initialization, which runs
-    * before later-declared vals would be assigned. */
-  private def EwmaLags = 16
+    * before later-declared vals would be assigned. Shared with the
+    * streaming twin (`streaming.Ewma.Lags` references this), so the
+    * batch window and the stateful fold cannot silently diverge. */
+  private[graft] def EwmaLags = 16
 
   /** DuckDB mirror of q_events_ewma — the same 16-lag unrolled window,
     * decimal-exact with the identical 4-chunk add grouping. */

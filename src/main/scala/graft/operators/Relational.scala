@@ -830,10 +830,13 @@ object Relational extends QFamily {
       // not the sum of all four — sequential collects measured 2.3 s
       // at sf1 vs ~1.2 s concurrent, and on a real cluster the gap is
       // the whole point of a multi-table DQ gate.
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.{Await, Future, blocking}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
-      val fs = Seq(o, l, fk1, fk2).map(df => Future(df.collect()(0)))
+      // blocking{}: each collect parks a pool thread on a Spark job;
+      // without the hint a low-parallelism fork-join pool (1-2 core
+      // driver) would run the "concurrent" jobs 2-at-a-time
+      val fs = Seq(o, l, fk1, fk2).map(df => Future(blocking { df.collect()(0) }))
       val Seq(or, lr, r1, r2) = fs.map(Await.result(_, Duration.Inf))
       val (v1, v2) = (r1.getLong(0), r2.getLong(0))
       val (no, nl) = (or.getLong(0), lr.getLong(0))

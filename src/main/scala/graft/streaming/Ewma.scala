@@ -43,50 +43,78 @@ final case class EwmaState(recent: List[Long])
   * EventTimeTimeout at its own retention horizon. */
 object Ewma {
 
-  /** Lag terms the EWMA unrolls — must match q_events_ewma's EwmaLags
-    * (α^16 < 2e-5, below the 6dp emit precision). */
-  val Lags = 16
+  /** Lag terms the EWMA unrolls — THE batch constant (q_events_ewma's
+    * EwmaLags), referenced rather than duplicated so the twin cannot
+    * silently diverge from the window it mirrors. */
+  val Lags: Int = graft.operators.Events.EwmaLags
 
   private def micros(ts: Timestamp): Long =
     ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
 
-  /** value → exact scale-6 long (the batch DECIMAL(18,6) cast). */
-  private def v6(v: Double): Long =
-    new java.math.BigDecimal(v).setScale(6, java.math.RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
+  /** value → exact scale-6 long, mirroring the batch DECIMAL(18,6)
+    * cast INCLUDING its null-producing edges: a NaN/±Inf double or a
+    * value past DECIMAL(18,6)'s range casts to NULL batch-side (ANSI
+    * off), which drops both the term and its weight — so here those
+    * values become None rather than an exception. */
+  private def v6(v: Double): Option[Long] = {
+    if (v.isNaN || v.isInfinite) return None
+    val u = new java.math.BigDecimal(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue()
+    if (u.bitLength > 62 || math.abs(u.longValue) > 999999999999999999L) None
+    else Some(u.longValue)
+  }
 
   /** 0.5^k as the exact scale-15 decimal the batch side casts to. */
   private val wk: IndexedSeq[java.math.BigDecimal] = (0 until Lags).map(k =>
     new java.math.BigDecimal(0.5).pow(k).setScale(15))
 
   /** Fold one user's batch (any order) into emitted rows + advanced
-    * state. */
+    * state. The history keeps a NULL slot for a value the decimal cast
+    * rejects (NaN/overflow) — it still occupies a lag position, as the
+    * batch window's lag() does; its term and weight are just absent. */
   def foldEwma(events: Seq[EwmaEvent], st: Option[EwmaState]): (Seq[EwmaOut], EwmaState) = {
     var recent = st.map(_.recent).getOrElse(Nil)
     val out = Seq.newBuilder[EwmaOut]
     events.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
-      val window = v6(e.value) :: recent // k = 0 is the current event
+      val window: List[Option[Long]] =
+        v6(e.value) :: recent.map(x => if (x == NullSlot) None else Some(x))
       var num = java.math.BigDecimal.ZERO
       var den = java.math.BigDecimal.ZERO
-      window.iterator.zipWithIndex.foreach { case (v, k) =>
-        num = num.add(java.math.BigDecimal.valueOf(v, 6).multiply(wk(k)))
-        den = den.add(wk(k))
+      window.iterator.zipWithIndex.foreach {
+        case (Some(v), k) =>
+          num = num.add(java.math.BigDecimal.valueOf(v, 6).multiply(wk(k)))
+          den = den.add(wk(k))
+        case (None, _) => // null lag: no term, no weight (batch COALESCE/CASE)
       }
       // one 6dp numerator round + one decimal→double conversion per
-      // side of the quotient, exactly as the batch emission does
-      val ewma = graft.util.D.rDriver(
-        num.setScale(6, java.math.RoundingMode.HALF_UP).doubleValue / den.doubleValue)
+      // side of the quotient, exactly as the batch emission does; an
+      // all-null window divides 0.0/0.0 → NaN in BOTH engines
+      val ewma =
+        if (den.signum == 0) Double.NaN
+        else graft.util.D.rDriver(
+          num.setScale(6, java.math.RoundingMode.HALF_UP).doubleValue / den.doubleValue)
       out += EwmaOut(e.user_id, e.event_id, e.ts, ewma)
-      recent = window.take(Lags - 1)
+      recent = window.take(Lags - 1).map(_.getOrElse(NullSlot))
     }
     (out.result(), EwmaState(recent))
   }
 
-  /** Streaming form: append-mode smoothed values as each event arrives. */
+  /** In-state sentinel for a decimal-rejected (NULL) lag value — a
+    * Long the scale-6 envelope can never produce (v6 caps magnitudes
+    * below it). Kept as a plain Long so EwmaState stays a flat
+    * List[Long] (cheap encoder, stable state schema). */
+  private val NullSlot = Long.MinValue
+
+  /** Streaming form: append-mode smoothed values as each event arrives.
+    * Deliberately NO watermark: flatMapGroupsWithState only enforces a
+    * late-row bound under EventTimeTimeout, so a declared watermark
+    * here would be dead config implying protection that doesn't exist.
+    * The late-data contract is the family's documented one: per-user
+    * event-time-ordered arrival; out-of-order late data is the batch
+    * window's to resolve (the replayable source of truth). */
   def ewmaStream(spark: SparkSession, events: Dataset[EwmaEvent]): Dataset[EwmaOut] = {
     import spark.implicits._
     events
-      .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[EwmaState, EwmaOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {

@@ -82,11 +82,19 @@ object Scale {
                maxHotKeys: Int = 1000): DataFrame = {
     val cond = col(factKey) === col(dimKey)
     val rowHash = xxhash64(fact.columns.map(col): _*)
+    // collision-free temp name (the fact frame may own any plain name)
+    val cn = "__skew_cnt"
+    require(!fact.columns.contains(cn), s"skewJoin: fact already has a $cn column")
     val hot = fact
+      // null keys never match the inner join, so they must not reach
+      // detection either: a null in the hot list would poison BOTH
+      // isin routing predicates (IN-with-NULL evaluates to NULL, so
+      // NOT(hot) filters would drop every cold row)
+      .filter(col(factKey).isNotNull)
       .filter(pmod(rowHash, lit(sampleMod.toLong)) === 0L)
-      .groupBy(col(factKey)).agg(count(lit(1)).as("_c"))
-      .filter(col("_c") >= hotSampleMin)
-      .orderBy(col("_c").desc, col(factKey))
+      .groupBy(col(factKey)).agg(count(lit(1)).as(cn))
+      .filter(col(cn) >= hotSampleMin)
+      .orderBy(col(cn).desc, col(factKey))
       .limit(maxHotKeys) // bounded collect: ≤ maxHotKeys key literals
       .select(col(factKey)).collect().map(_.get(0))
     if (hot.isEmpty) fact.join(dim, cond)

@@ -15,6 +15,14 @@ final case class TypedEvent(ts: java.sql.Timestamp, event_type: String)
 class StreamingSpec extends AnyFunSuite {
   import TestSession._
 
+  /** Event-time microseconds — the SAME ordering key the stateful
+    * folds use. Feeding tests must sort by this, not Timestamp.getTime
+    * (milliseconds): two same-millisecond events with opposite
+    * micros/event_id order would otherwise cross a batch split out of
+    * fold order. */
+  private def us(t: java.sql.Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
   private def sampleEvents: Seq[SessionEvent] = {
     import spark.implicits._
     graft.util.D.normTs(graft.util.D.t(spark, sf, "events"))
@@ -312,7 +320,7 @@ class StreamingSpec extends AnyFunSuite {
         col("event_type").isin("signup", "purchase"))
       .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
       .as[AsOfEvent].collect().toSeq
-      .sortBy(e => (e.ts.getTime, e.event_id)) // event-time-order feeding
+      .sortBy(e => (us(e.ts), e.event_id)) // event-time-order feeding
 
     val batch = Enrich.enrichBatch(spark, spark.createDataset(raw)).collect()
       .map(e => e.event_id -> e.us_since_signup).toMap
@@ -369,7 +377,7 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("user_id") < 10 && col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .as[RollingEvent].collect().toSeq
-      .sortBy(e => (e.ts.getTime, e.event_id)) // event-time-order feeding
+      .sortBy(e => (us(e.ts), e.event_id)) // event-time-order feeding
 
     def key(id: Long, n: Long, s: Double) = (id, n, math.rint(s * 1e6) / 1e6)
     val batch = Rolling.rollingBatch(spark, spark.createDataset(raw)).collect()
@@ -422,7 +430,7 @@ class StreamingSpec extends AnyFunSuite {
     // same rows (points and windows derived from one MemoryStream)
     val raw = ev.select(col("event_id"), col("ts"), col("event_type"))
       .as[(Long, java.sql.Timestamp, String)].collect().toSeq
-      .sortBy(e => (e._2.getTime, e._1))
+      .sortBy(e => (us(e._2), e._1))
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
     val sdf = mem.toDS().toDF("event_id", "ts", "event_type")
     val joined = RangeEnrich.matches(
@@ -527,7 +535,7 @@ class StreamingSpec extends AnyFunSuite {
         col("event_type").isin("purchase", "view", "click"))
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
       .as[AttrEvent].collect().toSeq
-      .sortBy(e => (e.ts.getTime, e.event_id))
+      .sortBy(e => (us(e.ts), e.event_id))
 
     def key(o: graft.streaming.AttrOut) = (o.purchase_id, o.n_view, o.n_click)
     val batch = Attribution.attrBatch(spark, spark.createDataset(raw))
@@ -575,7 +583,7 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("user_id") < 10)
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .as[EwmaEvent].collect().toSeq
-      .sortBy(e => (e.ts.getTime, e.event_id)) // event-time-order feeding
+      .sortBy(e => (us(e.ts), e.event_id)) // event-time-order feeding
 
     def key(id: Long, v: Double) = id -> math.rint(v * 1e6) / 1e6
     val batch = Ewma.ewmaBatch(spark, spark.createDataset(raw)).collect()
@@ -607,5 +615,22 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed === batch, "stream/batch divergence: " +
         s"${streamed.toSet.diff(batch.toSet).take(3)} / ${batch.toSet.diff(streamed.toSet).take(3)}")
     } finally q.stop()
+  }
+
+  test("EWMA fold mirrors the batch NULL-cast semantics for NaN values") {
+    // the batch DECIMAL(18,6) cast turns NaN into NULL: the lag slot
+    // stays occupied but contributes neither term nor weight
+    import graft.streaming.{Ewma, EwmaEvent}
+    def ts(i: Int) = new java.sql.Timestamp(1000L * i)
+    val (out, _) = Ewma.foldEwma(Seq(
+      EwmaEvent(1L, ts(1), 1L, 2.0),
+      EwmaEvent(1L, ts(2), 2L, Double.NaN),
+      EwmaEvent(1L, ts(3), 3L, 4.0)), None)
+    assert(out(0).ewma === 2.0)
+    assert(out(1).ewma === 2.0) // current NaN -> only the 2.0 lag counts
+    assert(out(2).ewma === 3.6) // (4·1 + 2·0.25) / 1.25; NaN slot skipped
+    // an all-null window is 0.0/0.0 — NaN in both engines' doubles
+    val (o2, _) = Ewma.foldEwma(Seq(EwmaEvent(1L, ts(1), 1L, Double.NaN)), None)
+    assert(o2.head.ewma.isNaN)
   }
 }
