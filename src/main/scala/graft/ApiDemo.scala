@@ -122,6 +122,26 @@ object ApiDemo {
     graft.sim.Ann.triplets(emb, 40).show(3, false)
     println("== PMI collocations ==")
     graft.text.Search.pmiPairs(docs, k = 5).show(false)
+    println("== skew-aware hybrid join (hot keys broadcast, cold shuffle) ==")
+    graft.util.Scale.skewJoin(
+        util.D.t(spark, "/root/testdata/sf0.001", "lineitem")
+          .select("l_orderkey", "l_extendedprice"),
+        util.D.t(spark, "/root/testdata/sf0.001", "orders")
+          .select("o_orderkey", "o_orderpriority"),
+        "l_orderkey", "o_orderkey")
+      .groupBy("o_orderpriority").count().orderBy("o_orderpriority").show(false)
+    println("== mask_pair_count from SQL: tag co-occurrence cells ==")
+    spark.sql(
+      """SELECT mask_pair_count(m, 3) AS cells FROM VALUES
+        |(CAST(3 AS BIGINT)), (CAST(7 AS BIGINT)), (CAST(5 AS BIGINT)) AS t(m)
+        |""".stripMargin).show(false)
+    println("== streaming-twin fold reused as a typed batch op: EWMA ==")
+    import spark.implicits._
+    graft.streaming.Ewma.ewmaBatch(spark,
+        util.D.normTs(util.D.t(spark, "/root/testdata/sf0.001", "events"))
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .as[graft.streaming.EwmaEvent])
+      .orderBy("user_id", "event_id").show(3, false)
     spark.stop()
   }
 }
