@@ -1265,6 +1265,59 @@ object Relational extends QFamily {
         .agg(count(lit(1)).as("n_lines"),
           dsumprod(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
         .orderBy("o_orderpriority")
+    },
+
+    // ---- upsert / CDC merge (latest-per-key current view) ---------------
+    // the lakehouse MERGE primitive an incremental 100 TB corpus refresh
+    // is built on: base snapshot ∪ changelog (updates + deletes, each
+    // sequence-stamped) → the CURRENT view = highest-sequence row per
+    // key, delete rows dropped. Latest-per-key is a KEY-partitioned
+    // row_number window — ONE shuffle on the merge key, horizontally
+    // scalable (the partition-less global sort this family must avoid
+    // never appears), and Spark plans the rn=1 filter as a
+    // WindowGroupLimit (per-key top-1, no full per-key materialization).
+    // The changelog is synthesized deterministically from orders (every
+    // 7th key a price update, every 13th a delete) so both engines merge
+    // the identical stream; update arithmetic is an exact double add
+    // (no rounding divergence), and the report sum is the exact decimal
+    // convention. Exercises the op-precedence edge: a key hit by BOTH
+    // an update (seq 1) and a delete (seq 2) must vanish.
+    q("q_upsert_merge",
+      s"""WITH log AS (
+        |  SELECT o_orderkey AS ok, o_totalprice AS price,
+        |    o_orderpriority AS prio, 0 AS seq, 'I' AS op FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 1000.0, o_orderpriority, 1, 'U'
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority, 2, 'D'
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |cur AS (SELECT ok, price, prio, op,
+        |    ROW_NUMBER() OVER (PARTITION BY ok ORDER BY seq DESC) AS rn
+        |  FROM log)
+        |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+        |  ${Sq.dsum("price")} AS total_price
+        |FROM cur WHERE rn = 1 AND op <> 'D'
+        |GROUP BY prio ORDER BY prio""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val base = o.select(col("o_orderkey").as("ok"), col("o_totalprice").as("price"),
+        col("o_orderpriority").as("prio"), lit(0).as("seq"), lit("I").as("op"))
+      val upd = o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey").as("ok"), (col("o_totalprice") + 1000.0).as("price"),
+          col("o_orderpriority").as("prio"), lit(1).as("seq"), lit("U").as("op"))
+      val del = o.filter(pmod(col("o_orderkey"), lit(13)) === 0)
+        .select(col("o_orderkey").as("ok"), lit(null).cast(DoubleType).as("price"),
+          col("o_orderpriority").as("prio"), lit(2).as("seq"), lit("D").as("op"))
+      val w = Window.partitionBy("ok").orderBy(col("seq").desc)
+      base.unionByName(upd).unionByName(del)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .groupBy("prio")
+        .agg(count(lit(1)).cast(LongType).as("n_rows"),
+          sum(when(col("op") === "U", 1L).otherwise(0L)).cast(LongType).as("n_updated"),
+          dsumd(col("price")).as("total_price"))
+        .orderBy("prio")
     }
   )
 }

@@ -120,6 +120,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(keep.map(_.getAs[Long]("n_dropped")).sum === wantDropped)
   }
 
+  test("q_upsert_merge: deletes beat updates, counts reconcile, and the " +
+    "latest-per-key window plans a partial WindowGroupLimit") {
+    val df = run("q_upsert_merge")
+    val got = df.collect()
+    val keys = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    // current view = every key except the deleted ones; updated = the
+    // update keys that SURVIVE deletion (a key hit by both vanishes)
+    assert(keys.exists(k => k % 91 == 0), "fixture lost the update+delete edge")
+    assert(got.map(_.getAs[Long]("n_rows")).sum === keys.count(_ % 13 != 0))
+    assert(got.map(_.getAs[Long]("n_updated")).sum ===
+      keys.count(k => k % 7 == 0 && k % 13 != 0))
+    // scale pin: rn=1 over the merge key must plan as a map-side
+    // (Partial) WindowGroupLimit — per-key top-1 before the ONE shuffle
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n${plan.take(1200)}")
+    assert(plan.contains("Partial"), s"no map-side partial limit:\n${plan.take(1200)}")
+  }
+
   test("MaskPairCountAgg: triangular cells match brute-force pair counts " +
     "across many partitions; nulls skipped; out-of-width masks fail loud") {
     import graft.functions.MaskPairCountAgg
