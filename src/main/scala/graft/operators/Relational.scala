@@ -1318,6 +1318,57 @@ object Relational extends QFamily {
           sum(when(col("op") === "U", 1L).otherwise(0L)).cast(LongType).as("n_updated"),
           dsumd(col("price")).as("total_price"))
         .orderBy("prio")
+    },
+
+    // ---- SCD2 history build (versioned interval table) -------------------
+    // q_upsert_merge's temporal twin: instead of the CURRENT view, build
+    // the slowly-changing-dimension type-2 HISTORY — every non-delete
+    // changelog row becomes a version whose validity closes at the key's
+    // NEXT change (lead(seq) over the key; NULL = still current, and a
+    // delete closes the prior version without opening one). Same
+    // deterministic changelog fixture as the merge, so the two artifacts
+    // reconcile: current versions here = merge survivors there
+    // (spec-checked). ONE key-partitioned lead() window = one shuffle on
+    // the version key; the report re-aggregates the interval table.
+    q("q_scd2_history",
+      s"""WITH log AS (
+        |  SELECT o_orderkey AS ok, o_totalprice AS price,
+        |    o_orderpriority AS prio, 0 AS seq, 'I' AS op FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 1000.0, o_orderpriority, 1, 'U'
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority, 2, 'D'
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |v AS (SELECT ok, price, prio, op, seq,
+        |    LEAD(seq) OVER (PARTITION BY ok ORDER BY seq) AS valid_to
+        |  FROM log)
+        |SELECT prio,
+        |  CAST(COUNT(*) AS BIGINT) AS n_versions,
+        |  CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+        |  CAST(SUM(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+        |  ${Sq.dsum("price")} AS version_price
+        |FROM v WHERE op <> 'D'
+        |GROUP BY prio ORDER BY prio""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val base = o.select(col("o_orderkey").as("ok"), col("o_totalprice").as("price"),
+        col("o_orderpriority").as("prio"), lit(0).as("seq"), lit("I").as("op"))
+      val upd = o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey").as("ok"), (col("o_totalprice") + 1000.0).as("price"),
+          col("o_orderpriority").as("prio"), lit(1).as("seq"), lit("U").as("op"))
+      val del = o.filter(pmod(col("o_orderkey"), lit(13)) === 0)
+        .select(col("o_orderkey").as("ok"), lit(null).cast(DoubleType).as("price"),
+          col("o_orderpriority").as("prio"), lit(2).as("seq"), lit("D").as("op"))
+      val w = Window.partitionBy("ok").orderBy("seq")
+      base.unionByName(upd).unionByName(del)
+        .withColumn("valid_to", lead(col("seq"), 1).over(w))
+        .filter(col("op") =!= "D")
+        .groupBy("prio")
+        .agg(count(lit(1)).cast(LongType).as("n_versions"),
+          sum(when(col("valid_to").isNull, 1L).otherwise(0L)).cast(LongType).as("n_current"),
+          sum(when(col("valid_to").isNotNull, 1L).otherwise(0L)).cast(LongType).as("n_closed"),
+          dsumd(col("price")).as("version_price"))
+        .orderBy("prio")
     }
   )
 }

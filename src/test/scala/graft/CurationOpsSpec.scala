@@ -139,6 +139,30 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(plan.contains("Partial"), s"no map-side partial limit:\n${plan.take(1200)}")
   }
 
+  test("q_scd2_history reconciles with q_upsert_merge: current versions = " +
+    "merge survivors; closed versions = changed-or-deleted keys") {
+    val hist = run("q_scd2_history").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val cur = run("q_upsert_merge").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_rows")).toMap
+    assert(hist.keySet === cur.keySet)
+    hist.foreach { case (prio, h) =>
+      // a key's CURRENT version exists iff the key survives the merge
+      assert(h.getAs[Long]("n_current") === cur(prio),
+        s"$prio: current versions != merge survivors")
+      assert(h.getAs[Long]("n_versions") ===
+        h.getAs[Long]("n_current") + h.getAs[Long]("n_closed"))
+    }
+    // independent closed-version count: each update closes its key's
+    // insert; each delete closes its key's latest non-delete version —
+    // a key hit by BOTH (the %91 edge) genuinely closes two versions,
+    // so the two counts add with no overlap correction
+    val keys = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val wantClosed = keys.count(_ % 7 == 0) + keys.count(_ % 13 == 0)
+    assert(hist.values.map(_.getAs[Long]("n_closed")).sum === wantClosed)
+  }
+
   test("MaskPairCountAgg: triangular cells match brute-force pair counts " +
     "across many partitions; nulls skipped; out-of-width masks fail loud") {
     import graft.functions.MaskPairCountAgg
