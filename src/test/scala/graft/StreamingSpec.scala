@@ -617,6 +617,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC merge: latest-per-key with tombstones matches the " +
+    "batch view, arrival-order-free") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Merge, MergeEvent}
+    // the q_upsert_merge changelog fixture, typed
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val log = o.map { case (k, p, pr) => MergeEvent(k, 0, "I", Some(p), pr) } ++
+      o.filter(_._1 % 7 == 0).map { case (k, p, pr) =>
+        MergeEvent(k, 1, "U", Some(p + 1000.0), pr) } ++
+      o.filter(_._1 % 13 == 0).map { case (k, _, pr) =>
+        MergeEvent(k, 2, "D", None, pr) }
+    // expected current view: winner by seq per key
+    val want = log.groupBy(_.ok).view.mapValues(_.maxBy(_.seq)).toMap
+
+    // stream in REVERSE-sequence order across two batches — sequence
+    // numbers, not arrival order, decide the winner (the CDC contract)
+    val mem = MemoryStream[MergeEvent]
+    val q = Merge.mergeStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("merge_out").outputMode("append").start()
+    try {
+      mem.addData(log.filter(_.seq == 2).toSeq ++ log.filter(_.seq == 1))
+      q.processAllAvailable()
+      mem.addData(log.filter(_.seq == 0).toSeq) // stale inserts arrive LAST
+      q.processAllAvailable()
+      val rows = spark.table("merge_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      // the LAST emission per key (max seq among emissions is the final
+      // state because re-emissions are monotone in seq) is the winner
+      val finalByKey = rows.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      assert(finalByKey.size === want.size)
+      finalByKey.foreach { case (k, (_, seq, op)) =>
+        assert(seq === want(k).seq && op === want(k).op, s"key $k")
+      }
+      // tombstones present for every deleted key; survivors match the
+      // batch q_upsert_merge current view
+      val deleted = finalByKey.collect { case (k, (_, _, "D")) => k }.toSet
+      assert(deleted === o.map(_._1).filter(_ % 13 == 0).toSet)
+      val batchFold = Merge.mergeBatch(spark, spark.createDataset(log.toSeq))
+        .collect().map(m => m.ok -> (m.seq, m.op)).toMap
+      assert(finalByKey.view.mapValues(v => (v._2, v._3)).toMap === batchFold)
+    } finally q.stop()
+  }
+
   test("EWMA fold mirrors the batch NULL-cast semantics for NaN values") {
     // the batch DECIMAL(18,6) cast turns NaN into NULL: the lag slot
     // stays occupied but contributes neither term nor weight
