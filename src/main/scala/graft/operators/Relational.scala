@@ -1271,15 +1271,19 @@ object Relational extends QFamily {
     // the lakehouse MERGE primitive an incremental 100 TB corpus refresh
     // is built on: base snapshot ∪ changelog (updates + deletes, each
     // sequence-stamped) → the CURRENT view = highest-sequence row per
-    // key, delete rows dropped. Latest-per-key is a KEY-partitioned
-    // row_number window — ONE shuffle on the merge key, horizontally
-    // scalable (the partition-less global sort this family must avoid
-    // never appears), and Spark plans the rn=1 filter as a
-    // WindowGroupLimit (per-key top-1, no full per-key materialization).
-    // The changelog is synthesized deterministically from orders (every
-    // 7th key a price update, every 13th a delete) so both engines merge
-    // the identical stream; update arithmetic is an exact double add
-    // (no rounding divergence), and the report sum is the exact decimal
+    // key, delete rows dropped. Latest-per-key is "lead(seq) IS NULL"
+    // over the key-partitioned window — identical to rn=1 under the
+    // CDC contract (sequence numbers unique per key) and the SAME plan
+    // shape as q_scd2_history, deliberately: at sf10 the offset-window
+    // form steadies at ~1 s while row_number+WindowGroupLimit measured
+    // ~18 s (the top-1 rewrite's partial+final double sort) and a
+    // max_by aggregation ~2.8 s with a 30 s+ first-position JIT cliff
+    // (interpreted struct-comparison SortAggregate vs the codegen'd
+    // WindowExec) — all three measured head-to-head in one JVM.
+    // The changelog is synthesized deterministically from orders
+    // (every 7th key a price update, every 13th a delete) so both
+    // engines merge the identical stream; update arithmetic is an
+    // exact double add, and the report sum is the exact decimal
     // convention. Exercises the op-precedence edge: a key hit by BOTH
     // an update (seq 1) and a delete (seq 2) must vanish.
     q("q_upsert_merge",
@@ -1309,10 +1313,10 @@ object Relational extends QFamily {
       val del = o.filter(pmod(col("o_orderkey"), lit(13)) === 0)
         .select(col("o_orderkey").as("ok"), lit(null).cast(DoubleType).as("price"),
           col("o_orderpriority").as("prio"), lit(2).as("seq"), lit("D").as("op"))
-      val w = Window.partitionBy("ok").orderBy(col("seq").desc)
+      val w = Window.partitionBy("ok").orderBy("seq")
       base.unionByName(upd).unionByName(del)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && col("op") =!= "D")
+        .withColumn("nxt", lead(col("seq"), 1).over(w))
+        .filter(col("nxt").isNull && col("op") =!= "D")
         .groupBy("prio")
         .agg(count(lit(1)).cast(LongType).as("n_rows"),
           sum(when(col("op") === "U", 1L).otherwise(0L)).cast(LongType).as("n_updated"),

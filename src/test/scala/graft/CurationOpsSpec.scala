@@ -120,8 +120,8 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(keep.map(_.getAs[Long]("n_dropped")).sum === wantDropped)
   }
 
-  test("q_upsert_merge: deletes beat updates, counts reconcile, and the " +
-    "latest-per-key window plans a partial WindowGroupLimit") {
+  test("q_upsert_merge: deletes beat updates, counts reconcile, and " +
+    "latest-per-key is the codegen'd offset window, never a top-1 sort") {
     val df = run("q_upsert_merge")
     val got = df.collect()
     val keys = spark.read.parquet(s"$sf/orders.parquet")
@@ -132,11 +132,16 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("n_rows")).sum === keys.count(_ % 13 != 0))
     assert(got.map(_.getAs[Long]("n_updated")).sum ===
       keys.count(k => k % 7 == 0 && k % 13 != 0))
-    // scale pin: rn=1 over the merge key must plan as a map-side
-    // (Partial) WindowGroupLimit — per-key top-1 before the ONE shuffle
+    // scale pin: latest-per-key must stay the codegen'd OFFSET window
+    // (lead — q_scd2_history's shape, ~1 s steady at sf10), never
+    // row_number+WindowGroupLimit (partial+final double sort, ~18 s)
+    // nor a max_by SortAggregate (interpreted struct comparisons,
+    // ~2.8 s + a 30 s first-position JIT cliff) — measured head-to-head
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n${plan.take(1200)}")
-    assert(plan.contains("Partial"), s"no map-side partial limit:\n${plan.take(1200)}")
+    assert(plan.contains("lead("), s"offset window gone:\n${plan.take(1200)}")
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("row_number"),
+      s"latest-per-key regressed to a top-1 sort:\n${plan.take(1200)}")
+    assert(!plan.contains("max_by"), s"regressed to SortAggregate:\n${plan.take(1200)}")
   }
 
   test("q_scd2_history reconciles with q_upsert_merge: current versions = " +
