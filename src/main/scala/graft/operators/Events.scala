@@ -802,8 +802,14 @@ object Events extends QFamily {
         (coalesce(lagv * wk(k), lit(0).cast(DecimalType(35, 21))),
          when(lagv.isNotNull, wk(k)).otherwise(lit(0).cast(DecimalType(16, 15))))
       }
+      // chunk-sum cast is (35,21), NOT (32,21): a chunk of four legal
+      // DECIMAL(18,6) values (≤1e12 each) needs 14 integer digits;
+      // (32,21) leaves only 11, so a large-but-valid value would
+      // overflow to NULL in Spark (ANSI off) but raise in DuckDB.
+      // Three subsequent (35,21) adds peak at precision 38 — the max
+      // both engines carry exactly.
       val num = terms.map(_._1).grouped(4)
-        .map(_.reduce(_ + _).cast(DecimalType(32, 21))).reduce(_ + _)
+        .map(_.reduce(_ + _).cast(DecimalType(35, 21))).reduce(_ + _)
       val den = terms.map(_._2).reduce(_ + _)
       ev(s, dir)
         .select(col("user_id"), col("event_id"), col("ts"), col("value"),
@@ -830,7 +836,7 @@ object Events extends QFamily {
       s"COALESCE(CAST(${lagK(k)} AS DECIMAL(18,6)) * ${wkLit(k)}, CAST(0 AS DECIMAL(35,21)))"
     }
     val num = terms.grouped(4)
-      .map(g => s"CAST(${g.mkString(" + ")} AS DECIMAL(32,21))").mkString(" + ")
+      .map(g => s"CAST(${g.mkString(" + ")} AS DECIMAL(35,21))").mkString(" + ")
     val den = (0 until EwmaLags).map { k =>
       s"CASE WHEN ${lagK(k)} IS NOT NULL THEN ${wkLit(k)} ELSE CAST(0 AS DECIMAL(16,15)) END"
     }.mkString(" + ")

@@ -782,9 +782,11 @@ object Relational extends QFamily {
         |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty
         |  FROM lineitem),
         |fk1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders
-        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |  WHERE o_custkey IS NOT NULL
+        |    AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
         |fk2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lineitem
-        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |  WHERE l_orderkey IS NOT NULL
+        |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
         |m AS (
         |  SELECT 'complete_custkey' AS constraint_id, 'orders' AS table_name,
         |    'o_custkey' AS column_name, null_ck AS violations, n FROM o
@@ -810,11 +812,18 @@ object Relational extends QFamily {
         count(lit(1)).cast(LongType).as("n"),
         sum(when(col("l_quantity") < 1 || col("l_quantity") > 50 || col("l_quantity").isNull,
           1L).otherwise(0L)).cast(LongType).as("bad_qty"))
+      // FK legs count NON-NULL orphans only (null keys are already the
+      // complete_* constraints' finding): without the isNotNull filter
+      // the two engines diverge on dirty data — left_anti KEEPS a
+      // null-key row (null fails the equi-condition) while SQL's
+      // `NULL NOT IN (...)` evaluates to NULL and drops it silently.
       val fk1 = t(s, dir, "orders").select("o_custkey")
+        .filter(col("o_custkey").isNotNull)
         .join(broadcast(t(s, dir, "customer").select("c_custkey")),
           col("o_custkey") === col("c_custkey"), "left_anti")
         .agg(count(lit(1)).cast(LongType).as("v"))
       val fk2 = t(s, dir, "lineitem").select("l_orderkey")
+        .filter(col("l_orderkey").isNotNull)
         .join(t(s, dir, "orders").select("o_orderkey"),
           col("l_orderkey") === col("o_orderkey"), "left_anti")
         .agg(count(lit(1)).cast(LongType).as("v"))

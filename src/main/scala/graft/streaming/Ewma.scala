@@ -55,10 +55,18 @@ object Ewma {
     * cast INCLUDING its null-producing edges: a NaN/±Inf double or a
     * value past DECIMAL(18,6)'s range casts to NULL batch-side (ANSI
     * off), which drops both the term and its weight — so here those
-    * values become None rather than an exception. */
+    * values become None rather than an exception.
+    *
+    * valueOf (Double.toString shortest-decimal semantics), NOT
+    * `new BigDecimal(v)` (exact binary expansion): Spark's
+    * double→decimal cast goes through Decimal(v) = BigDecimal
+    * .decimal(v) = valueOf, so at a HALF_UP half-boundary (a double
+    * printing as ...5 whose exact expansion is ...4999…) the two
+    * constructors round DIFFERENT ways — valueOf is the one that
+    * mirrors the batch cast bit-for-bit. */
   private def v6(v: Double): Option[Long] = {
     if (v.isNaN || v.isInfinite) return None
-    val u = new java.math.BigDecimal(v)
+    val u = java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue()
     if (u.bitLength > 62 || math.abs(u.longValue) > 999999999999999999L) None
     else Some(u.longValue)

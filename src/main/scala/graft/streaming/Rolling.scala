@@ -46,9 +46,12 @@ object Rolling {
 
   /** value → exact scale-6 long (the batch side's DECIMAL(25,6) cast
     * keeps 6 fractional digits; summing the quantized longs is the same
-    * exact arithmetic). */
+    * exact arithmetic). valueOf, not `new BigDecimal`: Spark's
+    * double→decimal cast uses Double.toString shortest-decimal
+    * semantics, and the exact-binary-expansion constructor can round a
+    * HALF_UP half-boundary the other way (see streaming.Ewma.v6). */
   private def v6(v: Double): Long =
-    new java.math.BigDecimal(v).setScale(6, java.math.RoundingMode.HALF_UP)
+    java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()
 
   /** Fold one user's batch (any order) into emitted rows + advanced
