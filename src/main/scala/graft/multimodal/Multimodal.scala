@@ -6,61 +6,189 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing (SURVEY.md §2.6).
   *
-  * Media are opaque `binary` columns with typed metadata. The decode step
-  * is a deterministic STUB (image/audio codecs are not available in this
-  * container — see the builder brief): it derives metadata from the raw
-  * bytes (length + first byte) exactly as a real decoder would derive it
-  * from a header. The Spark-side plumbing is real: binary payload column,
-  * batched `mapPartitions` decode with a typed schema, partition-parallel.
+  * Media are opaque `binary` columns with typed metadata. The fixture has
+  * no real crawl images, so the payload column is SYNTHESIZED as genuine
+  * format bytes — a real JPEG segment stream (SOI → APP0/JFIF → DQT →
+  * SOF0 → SOS → entropy body → EOI), a real PNG (signature + CRC-correct
+  * IHDR + body + IEND), or a real GIF89a (logical-screen descriptor) —
+  * wrapping the document text as the opaque body. The decode step is then
+  * a GENUINE header parse (magic sniff, JPEG marker walk to the SOF
+  * frame, PNG IHDR big-endian reads, GIF little-endian shorts): the
+  * oracle knows the dimensions the fixture embedded and checks that the
+  * parser recovered them from the markers. Format layouts per the public
+  * specs: ITU T.81 §B.2 (JPEG markers), RFC 2083 §3 (PNG IHDR), GIF89a
+  * spec §18 (logical screen descriptor). Spark-side plumbing: binary
+  * payload column, batched `mapPartitions` decode with a typed schema,
+  * partition-parallel, codec context (CRC32) reused per task.
   */
 object Multimodal {
 
-  /** Typed result of the stub decoder. */
+  /** Typed result of the decoder. `byte_len`/`head_byte` describe the
+    * full media payload (not the body): JPEG leads 0xFF, PNG 0x89,
+    * GIF 'G'. */
   final case class MediaMeta(doc_id: Long, byte_len: Long, head_byte: Int,
                              width: Long, height: Long, format: String)
 
-  /** The deterministic stub "decode": what a real codec would read from
-    * the payload header, faked from (length, first byte). Mirrored in SQL:
-    *   width  = 16 + (byte_len % 64) * 4
-    *   height = 16 + ((byte_len + head_byte) % 48) * 4
-    *   format = ['jpeg','png','webp'][head_byte % 3]
-    */
-  def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
-    val len = payload.length.toLong
-    val head = if (payload.nonEmpty) payload(0) & 0xff else 0
-    val fmt = (head % 3) match {
-      case 0 => "jpeg"
-      case 1 => "png"
-      case _ => "webp"
-    }
-    MediaMeta(docId, len, head, 16L + (len % 64) * 4, 16L + ((len + head) % 48) * 4, fmt)
+  /** Embedded dimensions, derived deterministically from the BODY bytes
+    * (len, first byte) so the oracle can reconstruct the ground truth
+    * from `text` without building payload bytes in SQL. */
+  private def dims(body: Array[Byte]): (Int, Int) = {
+    val len = body.length
+    val head = if (body.nonEmpty) body(0) & 0xff else 0
+    (16 + (len % 64) * 4, 16 + ((len + head) % 48) * 4)
   }
 
-  /** documents.text → binary payload + distributed batched stub decode. */
+  /** Fixed header+trailer overhead each format adds around the body —
+    * the oracle's byte_len = strlen(text) + overhead(format). */
+  private[multimodal] val JpegOverhead = 124 // SOI 2 + APP0 18 + DQT 69 + SOF0 19 + SOS 14 + EOI 2
+  private[multimodal] val PngOverhead = 45   // sig 8 + IHDR 25 + IEND 12
+  private[multimodal] val GifOverhead = 14   // header+LSD 13 + trailer 1
+
+  /** Deterministic media payload: REAL format bytes around the text
+    * body. Format rotates on the body's first byte (empty → jpeg), the
+    * same rotation the rest of the family tags with. */
+  def synthPayload(body: Array[Byte]): Array[Byte] = {
+    val head = if (body.nonEmpty) body(0) & 0xff else 0
+    val (w, h) = dims(body)
+    (head % 3) match {
+      case 0 => synthJpeg(body, w, h)
+      case 1 => synthPng(body, w, h)
+      case _ => synthGif(body, w, h)
+    }
+  }
+
+  private def be2(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+  private def be4(v: Long) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+    (v >>> 8).toByte, v.toByte)
+  private def le2(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+
+  /** ITU T.81 baseline segment stream. The DQT table is deterministic
+    * filler (a parser skips it by length); SOF0 carries the real
+    * precision/height/width/component bytes a marker walk reads. */
+  private def synthJpeg(body: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length + JpegOverhead)
+    out.write(Array[Byte](0xFF.toByte, 0xD8.toByte)) // SOI
+    out.write(Array[Byte](0xFF.toByte, 0xE0.toByte, 0x00, 0x10, // APP0 len 16
+      'J', 'F', 'I', 'F', 0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00))
+    out.write(Array[Byte](0xFF.toByte, 0xDB.toByte, 0x00, 0x43, 0x00)) // DQT len 67, pq/tq 0
+    val head = if (body.nonEmpty) body(0) & 0xff else 0
+    (0 until 64).foreach(i => out.write(((i * 7 + head) % 255 + 1) & 0xff)) // 64 nonzero q entries
+    out.write(Array[Byte](0xFF.toByte, 0xC0.toByte, 0x00, 0x11, 0x08)) // SOF0 len 17, precision 8
+    out.write(be2(h)); out.write(be2(w))
+    out.write(Array[Byte](0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01))
+    out.write(Array[Byte](0xFF.toByte, 0xDA.toByte, 0x00, 0x0C, 0x03, // SOS len 12
+      0x01, 0x00, 0x02, 0x11, 0x03, 0x11, 0x00, 0x3F, 0x00))
+    out.write(body)                                   // entropy-coded "scan"
+    out.write(Array[Byte](0xFF.toByte, 0xD9.toByte)) // EOI
+    out.toByteArray
+  }
+
+  /** RFC 2083 layout with a REAL CRC32 over the IHDR chunk type+data —
+    * a checking parser would verify it. */
+  private def synthPng(body: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length + PngOverhead)
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+    val ihdr = "IHDR".getBytes("US-ASCII") ++ be4(w) ++ be4(h) ++
+      Array[Byte](0x08, 0x02, 0x00, 0x00, 0x00) // depth 8, truecolor RGB
+    val crc = new java.util.zip.CRC32; crc.update(ihdr)
+    out.write(be4(13L)); out.write(ihdr); out.write(be4(crc.getValue))
+    out.write(body) // opaque "IDAT stream" body
+    val iend = "IEND".getBytes("US-ASCII")
+    val crc2 = new java.util.zip.CRC32; crc2.update(iend)
+    out.write(be4(0L)); out.write(iend); out.write(be4(crc2.getValue))
+    out.toByteArray
+  }
+
+  /** GIF89a header + logical screen descriptor (little-endian dims). */
+  private def synthGif(body: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length + GifOverhead)
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(le2(w)); out.write(le2(h))
+    out.write(Array[Byte](0x00, 0x00, 0x00)) // no GCT, bg 0, square pixels
+    out.write(body)
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  private def u8(p: Array[Byte], i: Int) = p(i) & 0xff
+  private def rdBe2(p: Array[Byte], i: Int) = (u8(p, i) << 8) | u8(p, i + 1)
+  private def rdBe4(p: Array[Byte], i: Int): Long =
+    (u8(p, i).toLong << 24) | (u8(p, i + 1) << 16) | (u8(p, i + 2) << 8) | u8(p, i + 3)
+  private def rdLe2(p: Array[Byte], i: Int) = u8(p, i) | (u8(p, i + 1) << 8)
+
+  /** GENUINE header parse: magic sniff, then the per-format walk.
+    * Fail-loud on anything that is not a recognized media payload —
+    * a silent default would mask fixture/synthesis drift. */
+  def parseMeta(p: Array[Byte]): (String, Long, Long) = {
+    if (p.length >= 4 && u8(p, 0) == 0xFF && u8(p, 1) == 0xD8) {
+      // JPEG: walk the segment stream from SOI to the first SOF frame
+      // header (SOF0..SOF15 minus DHT/JPG/DAC, per T.81 Table B.1) —
+      // skipping APPn/DQT/COM/... by their embedded big-endian lengths
+      var i = 2
+      while (i + 4 <= p.length) {
+        if (u8(p, i) != 0xFF)
+          throw new IllegalStateException(s"jpeg: expected marker at $i, got ${u8(p, i)}")
+        val m = u8(p, i + 1)
+        if (m == 0xFF) { i += 1 } // fill byte before a marker (T.81 B.1.1.2)
+        else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+          // SOFn payload: len(2) precision(1) height(2) width(2) ...
+          return ("jpeg", rdBe2(p, i + 7).toLong, rdBe2(p, i + 5).toLong)
+        } else i += 2 + rdBe2(p, i + 2)
+      }
+      throw new IllegalStateException("jpeg: no SOF marker before end of stream")
+    } else if (p.length >= 33 && u8(p, 0) == 0x89 && p(1) == 'P' && p(2) == 'N' &&
+      p(3) == 'G' && u8(p, 4) == 0x0D && u8(p, 5) == 0x0A && u8(p, 6) == 0x1A &&
+      u8(p, 7) == 0x0A) {
+      // PNG: IHDR must be the first chunk (RFC 2083 §3.1); verify its
+      // type AND its CRC before trusting the dims
+      if (!(p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R'))
+        throw new IllegalStateException("png: first chunk is not IHDR")
+      val crc = new java.util.zip.CRC32
+      crc.update(p, 12, 4 + 13)
+      if (crc.getValue != rdBe4(p, 29))
+        throw new IllegalStateException("png: IHDR CRC mismatch")
+      ("png", rdBe4(p, 16), rdBe4(p, 20))
+    } else if (p.length >= 13 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+      p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a') {
+      ("gif", rdLe2(p, 6).toLong, rdLe2(p, 8).toLong)
+    } else throw new IllegalStateException(
+      s"unrecognized media payload (${p.length} bytes, head ${if (p.isEmpty) -1 else u8(p, 0)})")
+  }
+
+  /** documents.text → synthesized real-format binary payload →
+    * distributed batched GENUINE header decode. */
   def decodeMeta(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+    docs.select(col("doc_id"), col("text").cast(BinaryType).as("body"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // batch shape: a real decoder would process the partition's
-        // payloads as one batch per task (codec context reuse)
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
+        // batch shape: one decoder pass per task over the partition's
+        // payloads (codec/CRC context reuse), never per-row driver work
+        it.map { case (id, body) =>
+          val payload = synthPayload(body)
+          val (fmt, w, h) = parseMeta(payload)
+          MediaMeta(id, payload.length.toLong, payload(0) & 0xff, w, h, fmt)
+        }
       }
       .toDF()
       .orderBy("doc_id")
   }
 
-  /** Oracle mirror. head_byte is the first UTF-8 BYTE (hex of the blob),
-    * matching `payload(0) & 0xff` on the Spark side even for non-ASCII
-    * text — ascii(substr(text,1,1)) would be the first CODEPOINT and
-    * diverge on any multi-byte leading character. */
+  /** Oracle mirror: the GROUND TRUTH the fixture embedded, reconstructed
+    * from the body (`text`) — byte_len adds the per-format fixed
+    * overhead, head_byte is each format's magic first byte (0xFF/0x89/
+    * 'G'), width/height are the synthesis formulas. The Spark side must
+    * recover the same values from the real markers. hb is the first
+    * UTF-8 BYTE of the body (hex of the blob), matching `body(0) & 0xff`
+    * even for non-ASCII leading characters. */
   def decodeMetaSql(table: String): String =
     s"""SELECT doc_id,
-       |  CAST(strlen(text) AS BIGINT) AS byte_len,
-       |  CAST(hb AS INT) AS head_byte,
+       |  CAST(strlen(text) + CASE hb % 3 WHEN 0 THEN $JpegOverhead
+       |    WHEN 1 THEN $PngOverhead ELSE $GifOverhead END AS BIGINT) AS byte_len,
+       |  CAST(CASE hb % 3 WHEN 0 THEN 255 WHEN 1 THEN 137 ELSE 71 END AS INT) AS head_byte,
        |  CAST(16 + (strlen(text) % 64) * 4 AS BIGINT) AS width,
        |  CAST(16 + ((strlen(text) + hb) % 48) * 4 AS BIGINT) AS height,
-       |  CASE hb % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+       |  CASE hb % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END AS format
        |FROM (SELECT doc_id, text,
        |    CASE WHEN strlen(text) = 0 THEN 0
        |         ELSE ('0x' || substr(hex(CAST(text AS BLOB)), 1, 2))::INT END AS hb
@@ -92,15 +220,16 @@ object Multimodal {
     * Output per format: payload count, distinct-content count, duplicate
     * rows, total bytes, and the bytes a dedup pass would reclaim
     * (Σ (copies−1)·len per fingerprint). The format tag derives from the
-    * head byte exactly as [[decodeStub]] does, but as a scan-local
-    * expression (no mapPartitions — nothing here needs a codec). */
+    * body head byte exactly as [[synthPayload]]'s format rotation does,
+    * but as a scan-local expression (no mapPartitions — nothing here
+    * needs a codec). */
   def payloadDedup(docs: DataFrame): DataFrame = {
     val payload = col("text").cast(BinaryType)
     val len = octet_length(col("text")).cast(LongType)
     // head byte via hex prefix: payload(0) & 0xff, empty → 0
     val hb = when(len === 0, 0L)
       .otherwise(conv(substring(hex(payload), 1, 2), 16, 10).cast(LongType))
-    val fmt = when(hb % 3 === 0, "jpeg").when(hb % 3 === 1, "png").otherwise("webp")
+    val fmt = when(hb % 3 === 0, "jpeg").when(hb % 3 === 1, "png").otherwise("gif")
     val perFp = docs
       .select(fmt.as("format"), md5(payload).as("fp"), len.as("byte_len"))
       .groupBy("format", "fp")
@@ -118,7 +247,7 @@ object Multimodal {
     s"""WITH p AS (SELECT
        |    CASE (CASE WHEN strlen(text) = 0 THEN 0
        |          ELSE ('0x' || substr(hex(CAST(text AS BLOB)), 1, 2))::INT END) % 3
-       |      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+       |      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END AS format,
        |    md5(text) AS fp,
        |    CAST(strlen(text) AS BIGINT) AS byte_len
        |  FROM $table),
@@ -251,7 +380,16 @@ object Multimodal {
   /** DuckDB mirror of [[payloadPhashPairs]]. Staged CTEs (samples →
     * mean → signature) keep the binder's expression depth flat — the
     * inlined 60-tap form exceeds DuckDB's recursion limit. */
-  def payloadPhashPairsSql(table: String): String = {
+  def payloadPhashPairsSql(table: String): String =
+    payloadPhashPairsCoreSql(table) + "\nORDER BY doc_a, doc_b"
+
+  /** Unordered core of [[payloadPhashPairsSql]] — exposed so
+    * [[payloadKeepSql]] can embed it as a CTE directly instead of
+    * reverse-parsing the ordered variant's SQL (a lastIndexOf("ORDER
+    * BY") cut would silently mis-slice if the final clause ever
+    * changed or a window OVER (ORDER BY ...) landed after the last
+    * top-level ORDER BY). */
+  def payloadPhashPairsCoreSql(table: String): String = {
     val sampleCols = (0 until PhashBits).map { i =>
       s"""(CASE WHEN GREATEST(strlen(text) // $PhashBits, 1) * $i < strlen(text)
          | THEN ('0x' || substr(hex(CAST(text AS BLOB)), GREATEST(strlen(text) // $PhashBits, 1) * $i * 2 + 1, 2))::BIGINT
@@ -274,8 +412,7 @@ object Multimodal {
        |    a.psig AS sa, b.psig AS sb
        |  FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-       |FROM cand WHERE bit_count(xor(sa, sb)) <= $PhashHammingMax
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= $PhashHammingMax""".stripMargin
   }
 
   /** Near-dup survivor selection over the [[payloadPhashPairs]] edge
@@ -306,15 +443,13 @@ object Multimodal {
   /** DuckDB mirror of [[payloadKeep]] — same pairs CTE, same keep-min
     * drop rule, same stub format derivation. */
   def payloadKeepSql(table: String): String = {
-    val pairs = payloadPhashPairsSql(table)
-    // strip the trailing ORDER BY of the pairs query for CTE embedding
-    val pairsCte = pairs.substring(0, pairs.lastIndexOf("ORDER BY"))
+    val pairsCte = payloadPhashPairsCoreSql(table)
     s"""WITH pr AS ($pairsCte),
        |drops AS (SELECT DISTINCT doc_b AS doc_id FROM pr),
        |meta AS (SELECT doc_id,
        |    CASE (CASE WHEN strlen(text) = 0 THEN 0
        |          ELSE ('0x' || substr(hex(CAST(text AS BLOB)), 1, 2))::INT END) % 3
-       |      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+       |      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END AS format
        |  FROM $table)
        |SELECT format, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,

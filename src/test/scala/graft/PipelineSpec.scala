@@ -133,13 +133,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(tight("en") === 0.2 && tight("de") === 0.5)
   }
 
-  test("multimodal stub decode is deterministic and typed") {
-    val m = graft.multimodal.Multimodal.decodeMeta(spark, docs)
+  test("multimodal decode parses real format headers round-trip") {
+    import graft.multimodal.Multimodal
+    val m = Multimodal.decodeMeta(spark, docs)
     assert(m.schema.fieldNames.toSeq ===
       Seq("doc_id", "byte_len", "head_byte", "width", "height", "format"))
     val fmts = m.select("format").distinct().collect().map(_.getString(0)).toSet
-    assert(fmts.subsetOf(Set("jpeg", "png", "webp")))
+    assert(fmts.subsetOf(Set("jpeg", "png", "gif")))
     assert(m.count() === docs.count())
+    // head_byte must be each format's real magic byte, proving the
+    // payload is format bytes and not the raw text
+    val heads = m.select("format", "head_byte").distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(heads.subsetOf(Set(("jpeg", 0xFF), ("png", 0x89), ("gif", 'G'.toInt))))
+
+    // direct synth->parse round-trips, one per format branch + edge cases
+    def rt(body: Array[Byte]) = Multimodal.parseMeta(Multimodal.synthPayload(body))
+    assert(rt("0jpeg body".getBytes("UTF-8"))._1 === "jpeg")   // '0'=48, 48%3=0
+    assert(rt("1png body!".getBytes("UTF-8"))._1 === "png")    // '1'=49, 49%3=1
+    assert(rt("2gif body!".getBytes("UTF-8"))._1 === "gif")    // '2'=50, 50%3=2
+    assert(rt(Array.empty[Byte]) === (("jpeg", 16L, 16L)))     // empty body -> jpeg 16x16
+    // dims recovered from markers == the synthesis formulas
+    val b = "1png body!".getBytes("UTF-8")
+    assert(rt(b)._2 === 16L + (b.length % 64) * 4)
+    assert(rt(b)._3 === 16L + ((b.length + (b(0) & 0xff)) % 48) * 4)
+    // a body full of 0xFF bytes must not confuse the JPEG marker walk
+    // (the walk stops at SOF0, before the entropy body)
+    val ffBody = Array.fill[Byte](99)(0xFF.toByte); ffBody(0) = '0'
+    assert(rt(ffBody)._1 === "jpeg")
+    // fail-loud on garbage that carries no magic
+    intercept[IllegalStateException] {
+      Multimodal.parseMeta("not an image at all".getBytes("UTF-8"))
+    }
+    // corrupted PNG CRC is rejected, not silently decoded
+    val png = Multimodal.synthPayload("1png body!".getBytes("UTF-8"))
+    png(30) = (png(30) ^ 0x7f).toByte
+    intercept[IllegalStateException] { Multimodal.parseMeta(png) }
   }
 
   test("native FixedScale is bit-identical to the round-HOF quantizer") {
