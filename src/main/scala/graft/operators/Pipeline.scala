@@ -887,6 +887,12 @@ object Pipeline extends QFamily {
       Some(graft.text.Vocab.bpePairsSql("documents")),
       (s, dir) => graft.text.Vocab.bpePairs(t(s, dir, "documents"))),
 
+    // the BPE TRAINER LOOP: k merge rules learned over the corpus
+    // (one corpus reduction, then bounded rounds on the word table)
+    QDef("q_bpe_fit",
+      Some(graft.text.Vocab.bpeFitSql("documents")),
+      (s, dir) => graft.text.Vocab.bpeFit(t(s, dir, "documents"))),
+
     // per-doc top-3 keywords by tf-idf
     QDef("q_tfidf_terms",
       Some(graft.text.Search.tfidfTermsSql("documents")),

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -141,5 +141,131 @@ object Vocab {
        |  tot.total AS total_tokens,
        |  ROUND(CAST(covered_tokens AS DOUBLE) / tot.total, 6) AS share
        |FROM cells, tot ORDER BY cutoff""".stripMargin
+  }
+
+  /** Merges a [[bpeFit]] run learns. A def (read during `defs` init). */
+  private[graft] def BpeFitMerges = 8
+
+  /** Spaced-symbol encoding of a word: each character wrapped as
+    * ` c ` and concatenated, so adjacent symbols are separated by TWO
+    * spaces and the ends carry one — `"abc"` → `" a  b  c "`. The
+    * double separator is the merge-rewrite trick: the pattern
+    * `" l  r "` carries its OWN boundary characters, so consecutive
+    * merge sites share no bytes and a plain left-to-right
+    * non-overlapping `replace` (identical scan semantics in Spark's
+    * UTF8String.replace and DuckDB's replace) rewrites `a a a a` →
+    * `aa aa`, matching canonical leftmost-first BPE merging. Symbols
+    * never contain spaces (words are space-split), so the encoding is
+    * unambiguous at every round. */
+  private def bpeEncode(word: Column): Column =
+    regexp_replace(word, "(.)", " $1 ")
+
+  /** BPE TRAINER LOOP (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units", alg. 1): learn the
+    * first `merges` merge rules over the corpus — per round, count
+    * adjacent-symbol pairs weighted by word frequency, take the argmax
+    * (ties to the lexicographically smaller pair), rewrite every word,
+    * repeat. Output: the ordered merge table
+    * (merge_rank, lhs, rhs, merged, n) — the artifact a subword
+    * tokenizer ships, completing the story q_bpe_pairs (single
+    * merge-candidate scan), q_vocab_build, q_vocab_coverage and
+    * q_tok_fertility surround. Cf. reference utils text-prep scope;
+    * the trainer itself is standard public knowledge.
+    *
+    * Scale (100 TB): the corpus is reduced ONCE — a single
+    * map-side-combined (word → freq) aggregation; every training round
+    * runs on the WORD TABLE (type-cardinality, ≪ corpus — Heaps' law),
+    * never rescans documents. The loop follows the kmeansFit/pagerankFit
+    * convention: the word table stays a DataFrame with
+    * `localCheckpoint`-bounded lineage per round; only the 1-row argmax
+    * reaches the driver (a bounded scalar collect), which then enters
+    * the next round's plan as a LITERAL replace — codegen'd, no UDF, no
+    * join. Rounds are a fixed `merges` count, so the plan depth is
+    * bounded by construction. HOF lambdas appear only on the word table
+    * (array zip of adjacent symbols), never in the corpus scan.
+    *
+    * Words containing astral-plane codepoints are excluded on both
+    * engines (documented contract): Java regex `.` walks UTF-16 code
+    * units while RE2 walks codepoints, so surrogate pairs would encode
+    * differently — the standard BPE answer is byte-level fallback,
+    * out of scope for this word-level trainer. */
+  def bpeFit(docs: DataFrame, merges: Int = BpeFitMerges): DataFrame = {
+    require(merges > 0, "bpeFit: merges must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0 && !col("word").rlike("[\\uD800-\\uDFFF]"))
+      .groupBy("word").agg(count(lit(1)).cast(LongType).as("freq"))
+      .select(bpeEncode(col("word")).as("enc"), col("freq"))
+      .localCheckpoint(true)
+    val learned = Seq.newBuilder[(Long, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= merges && !exhausted) {
+      val syms = split(trim(col("enc")), "  ")
+      val pairs = words
+        .select(col("freq"), explode(arrays_zip(
+          slice(syms, lit(1), size(syms) - 1).as("l"),
+          slice(syms, lit(2), size(syms) - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("freq")).cast(LongType).as("n"))
+      val best = pairs.orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1).collect()
+      if (best.isEmpty) exhausted = true // corpus smaller than the merge budget
+      else {
+        val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((rank.toLong, l, r, l + r, n))
+        words = words
+          .select(replace(col("enc"), lit(s" $l  $r "), lit(s" $l$r ")).as("enc"),
+            col("freq"))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    learned.result()
+      .toDF("merge_rank", "lhs", "rhs", "merged", "n")
+      .orderBy("merge_rank")
+  }
+
+  /** DuckDB mirror of [[bpeFit]] — the identical loop UNROLLED into
+    * `merges` CTE stages (pairs → argmax → literal-free rewrite via a
+    * scalar subquery), since SQL has no driver. The coalesce-to-chr(1)
+    * guard makes an exhausted round's rewrite a no-op instead of a
+    * NULL poison (chr(1) cannot appear in space-split words). Every
+    * stage is AS MATERIALIZED — DuckDB inlines plain CTEs, and each
+    * round references its predecessor twice, so unmaterialized stages
+    * would expand to 2^merges corpus scans (the Spark side's
+    * localCheckpoint plays the same lineage-pinning role). */
+  def bpeFitSql(table: String, merges: Int = BpeFitMerges): String = {
+    val w = TextOps.tokensSql("text")
+    val rounds = (0 until merges).map { i =>
+      val pat = s"' ' || (SELECT lhs FROM b$i) || '  ' || (SELECT rhs FROM b$i) || ' '"
+      val rep = s"' ' || (SELECT lhs FROM b$i) || (SELECT rhs FROM b$i) || ' '"
+      s"""p$i AS MATERIALIZED (SELECT s[i] AS lhs, s[i+1] AS rhs,
+         |    CAST(SUM(freq) AS BIGINT) AS n
+         |  FROM (SELECT string_split(trim(enc), '  ') AS s, freq,
+         |          unnest(range(1, len(string_split(trim(enc), '  ')))) AS i
+         |        FROM w$i)
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT lhs, rhs, n FROM p$i
+         |  ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |w${i + 1} AS MATERIALIZED (SELECT replace(enc,
+         |    COALESCE($pat, chr(1)), COALESCE($rep, chr(1))) AS enc, freq
+         |  FROM w$i)""".stripMargin
+    }.mkString(",\n")
+    val legs = (0 until merges).map(i =>
+      s"SELECT ${i + 1} AS merge_rank, lhs, rhs, lhs || rhs AS merged, n FROM b$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS enc,
+       |    CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($w) AS word FROM $table)
+       |  WHERE strlen(word) > 0
+       |    AND NOT regexp_matches(word, '[\\x{10000}-\\x{10FFFF}]')
+       |  GROUP BY word),
+       |$rounds
+       |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs, merged, n
+       |FROM ($legs)
+       |ORDER BY merge_rank""".stripMargin
   }
 }

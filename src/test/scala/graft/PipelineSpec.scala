@@ -759,6 +759,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, "a b", 3L), (2L, "b a", 1L), (3L, "b c", 1L)))
   }
 
+  test("bpeFit learns merges in order, leftmost-nonoverlap, bounded rounds") {
+    import spark.implicits._
+    // classic Sennrich-style corpus: "lo" dominates round 1 (freq 5),
+    // then "low" (the merged symbol re-enters pair counts)
+    val rows = Seq((0L, "low low low lower lowest")).toDF("doc_id", "text")
+    val out = graft.text.Vocab.bpeFit(rows, merges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(out(0) === ((1L, "l", "o", "lo", 5L)))
+    assert(out(1) === ((2L, "lo", "w", "low", 5L)))
+    // round 3: pairs are {low+e:2, e+r:1, e+s:1, s+t:1} -> "lowe"
+    assert(out(2) === ((3L, "low", "e", "lowe", 2L)))
+
+    // leftmost non-overlapping merging: "aaaa" merges (a,a) into TWO
+    // "aa" symbols (never the overlapping middle pair), so round 2
+    // merges (aa,aa)
+    val runs = Seq((0L, "aaaa")).toDF("doc_id", "text")
+    val r2 = graft.text.Vocab.bpeFit(runs, merges = 2).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+    assert(r2.toSeq === Seq((1L, "aa", 3L), (2L, "aaaa", 1L)))
+    // ("aaaa": adjacent a-a pairs = 3 before merging; after -> [aa,aa])
+
+    // a corpus smaller than the merge budget stops early, no nulls
+    val tiny = Seq((0L, "ab")).toDF("doc_id", "text")
+    val r3 = graft.text.Vocab.bpeFit(tiny, merges = 5).collect()
+    assert(r3.length === 1 && r3(0).getString(3) === "ab")
+  }
+
   test("tfidfTerms: corpus-wide terms score zero, rare terms rank first") {
     import spark.implicits._
     // 'a' in all 3 docs -> idf 0; 'b'/'c' in one -> idf ln(3)
