@@ -800,14 +800,10 @@ object Relational extends QFamily {
         |  ROUND(CAST(violations AS DOUBLE) / n, 6) AS frac,
         |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INT) AS passes
         |FROM m ORDER BY constraint_id""".stripMargin) { (s, dir) =>
-      val o = t(s, dir, "orders").agg(
-        count(lit(1)).cast(LongType).as("n"),
-        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).cast(LongType).as("null_ck"),
-        (count(lit(1)) - countDistinct(col("o_orderkey"))).cast(LongType).as("dup_ok"),
-        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).cast(LongType).as("bad_price"),
-        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM",
-            "4-NOT SPECIFIED", "5-LOW") || col("o_orderpriority").isNull, 1L)
-          .otherwise(0L)).cast(LongType).as("bad_prio"))
+      val o = t(s, dir, "orders").agg(orderDqScalarAggs.head,
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).cast(LongType).as("dup_ok")
+          +: orderDqScalarAggs.tail: _*)
+        .select("n", "null_ck", "dup_ok", "bad_price", "bad_prio")
       val l = t(s, dir, "lineitem").agg(
         count(lit(1)).cast(LongType).as("n"),
         sum(when(col("l_quantity") < 1 || col("l_quantity") > 50 || col("l_quantity").isNull,
@@ -1384,4 +1380,26 @@ object Relational extends QFamily {
         .orderBy("prio")
     }
   )
+
+  /** The orders-side SCALAR DQ constraint aggregates of q_dq_suite —
+    * shared VERBATIM with the streaming gate (`streaming.Dq`) so the
+    * two forms cannot silently diverge: n, null o_custkey count,
+    * non-positive o_totalprice count, out-of-domain o_orderpriority
+    * count. Sums are coalesced to 0 so an EMPTY micro-batch folds as a
+    * zero delta instead of a null (a global agg over zero rows sums to
+    * null; the batch table is never empty, so the batch result is
+    * unchanged). Uniqueness and the FK check are deliberately NOT here:
+    * they are the stateful/join constraints each form implements with
+    * its own scale machinery (countDistinct / seen-key store;
+    * anti-join per pass / per micro-batch). A def, not a val: read
+    * during `defs` initialization. */
+  private[graft] def orderDqScalarAggs: Seq[Column] = Seq(
+    count(lit(1)).cast(LongType).as("n"),
+    coalesce(sum(when(col("o_custkey").isNull, 1L).otherwise(0L)), lit(0L))
+      .cast(LongType).as("null_ck"),
+    coalesce(sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)), lit(0L))
+      .cast(LongType).as("bad_price"),
+    coalesce(sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW") || col("o_orderpriority").isNull, 1L)
+      .otherwise(0L)), lit(0L)).cast(LongType).as("bad_prio"))
 }

@@ -663,6 +663,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming DQ gate totals match the batch q_dq_suite orders rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val customers = spark.read.parquet(s"$sf/customer.parquet")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .as[(Long, Long, Double, String)].collect().toSeq
+
+    val gate = new graft.streaming.Dq.Gate(customers)
+    val mem = MemoryStream[(Long, Long, Double, String)]
+    val q = gate.start(mem.toDS()
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"))
+    try {
+      // three uneven batches, deliberately NOT in table order
+      val shuffled = orders.sortBy(o => (o._1 * 2654435761L) % 1000003)
+      val (a, rest) = shuffled.splitAt(shuffled.size / 3)
+      val (b, c) = rest.splitAt(rest.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      mem.addData(c); q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = SparkEntry.queries("q_dq_suite")(spark, sf)
+      .filter(col("table_name") === "orders")
+      .collect().map(_.mkString("|")).toSet
+    val streamed = gate.reportDf.collect().map(_.mkString("|")).toSet
+    assert(streamed === batch,
+      s"gate diverges from batch suite: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
+  }
+
+  test("DQ fold counts dirty data exactly: null keys, cross-batch dups, orphans") {
+    import spark.implicits._
+    import graft.streaming.Dq
+    val customers = Seq(1L, 2L).toDF("c_custkey")
+    // (o_orderkey, o_custkey, o_totalprice, o_orderpriority)
+    val b1 = Seq(
+      (Option(10L), Option(1L), 5.0, "1-URGENT"),
+      (Option(10L), Option(2L), 5.0, "2-HIGH"),     // in-batch dup key
+      (Option.empty[Long], Option(1L), 5.0, "5-LOW"), // null key -> dup_ok (COUNT(*)−COUNT(DISTINCT))
+      (Option(11L), Option.empty[Long], 5.0, "5-LOW") // null ck: completeness, NOT an fk orphan
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    val b2 = Seq(
+      (Option(10L), Option(9L), -1.0, "BOGUS"),     // cross-batch dup + orphan + bad price + bad prio
+      (Option(12L), Option(2L), 5.0, "3-MEDIUM")
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+    val (d1, seen1) = Dq.foldBatch(b1, customers, Dq.emptySeen(spark))
+    assert(d1 === Dq.DqCounts(n = 4, nullCk = 1, dupOk = 2, badPrice = 0,
+      badPrio = 0, fkOrphans = 0))
+    val (d2, seen2) = Dq.foldBatch(b2, customers, seen1)
+    assert(d2 === Dq.DqCounts(n = 2, nullCk = 0, dupOk = 1, badPrice = 1,
+      badPrio = 1, fkOrphans = 1))
+    // totals telescope to the batch-suite semantics on the union:
+    // 6 rows, distinct non-null keys {10,11,12} -> dup_ok = 6 − 3
+    val tot = d1 + d2
+    assert(tot.dupOk === 3L && tot.n === 6L)
+    assert(seen2.count() === 3L)
+    // an empty micro-batch folds as a zero delta, not a null poison
+    val (d3, _) = Dq.foldBatch(b2.limit(0), customers, seen2)
+    assert(d3 === Dq.Zero)
+  }
+
   test("EWMA fold mirrors the batch NULL-cast semantics for NaN values") {
     // the batch DECIMAL(18,6) cast turns NaN into NULL: the lag slot
     // stays occupied but contributes neither term nor weight
