@@ -20,15 +20,58 @@ import org.apache.spark.sql.functions._
   *    cosine to the original in high-d), and labels offset per copy so
   *    label-blocked dedup keeps its block-size contract;
   *  - nation/region stay fixed (dimension tables don't scale with SF).
+  *
+  * Optional 4th arg `zipf` produces the SKEWED-KEY variant the skew
+  * remedies (q_skew_join's hybrid router, q_salted_nunique's two-stage
+  * distinct) exist for: after the copy-union, 40% of lineitem rows are
+  * remapped onto 10 GLOBAL hot orderkeys and 40% of events rows onto 10
+  * global hot users, Zipf(s=1)-weighted (hot key k+1 gets weight
+  * 1/(k+1)), deterministic by row hash. The hot keys are copy-0 keys, so
+  * they exist on the dimension side and the hot mass CONCENTRATES as
+  * copies grow — the adversarial shape a uniform scale-up never shows
+  * (at 10 copies the hottest orderkey carries ~8% of all lineitem rows,
+  * ~4000× a uniform key's share).
   */
 object GenScale {
 
   private val OFF = 10000000L
 
+  /** Zipf bucket space and hot fraction: a row is remapped iff its
+    * 4096-bucket hash lands below 40%, then ranked into 10 hot keys by
+    * harmonic cumulative cuts. */
+  private val ZipfB = 4096
+  private val ZipfHotCut = (0.4 * ZipfB).toInt
+  private val ZipfHotN = 10
+
+  /** Cumulative bucket cut for hot rank k (0-based): cut(k) =
+    * hotCut · H(k+1)/H(n) with H the harmonic sum. */
+  private def zipfCuts: Seq[Int] = {
+    val h = (1 to ZipfHotN).map(1.0 / _)
+    val total = h.sum
+    (1 to ZipfHotN).map(k => math.round(h.take(k).sum / total * ZipfHotCut).toInt)
+  }
+
+  /** bucket (< hotCut) → the Zipf-ranked hot key literal. */
+  private def zipfPick(bucket: org.apache.spark.sql.Column, hot: Seq[Long]) =
+    zipfCuts.zipWithIndex.init.foldRight(lit(hot.last)) {
+      case ((cut, k), els) => when(bucket < cut, hot(k)).otherwise(els)
+    }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/root/repo/bench-sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val mode = if (args.length > 3) args(3) else ""
+    val zipf = mode == "zipf"
+    // seed=N: shift every copy's perturbation index by N — at copies=1
+    // this yields a CONTENT-PERTURBED fixture (permuted consonants,
+    // rotated embeddings, offset keys/labels) of the SAME shape, the
+    // fixture-overfit audit input: an operator that is accidentally
+    // right only on the original data (hash ties, %-mod alignments,
+    // empty edge buckets) fails its oracle there.
+    val seed = if (mode.startsWith("seed=")) mode.drop(5).toInt else 0
+    require(mode.isEmpty || zipf || mode.startsWith("seed="),
+      s"unknown mode '$mode' (supported: zipf, seed=N)")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -43,7 +86,8 @@ object GenScale {
 
     def scaled(name: String, keyCols: Seq[String],
                tweak: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
-      (0 until copies).map { i =>
+      (0 until copies).map { i0 =>
+        val i = i0 + seed // seed shifts every copy's perturbation index
         val base = keyCols.foldLeft(t(name))((d, k) => d.withColumn(k, col(k) + lit(i * OFF)))
         tweak(base, i)
       }.reduce(_ unionByName _)
@@ -55,8 +99,25 @@ object GenScale {
       "supplier" -> scaled("supplier", Seq("s_suppkey")),
       "part" -> scaled("part", Seq("p_partkey")),
       "orders" -> scaled("orders", Seq("o_orderkey", "o_custkey")),
-      "lineitem" -> scaled("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")),
-      "events" -> scaled("events", Seq("event_id", "user_id")),
+      "lineitem" -> scaled("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"),
+        (d, _) => if (!zipf) d else {
+          // hot keys = the 10 smallest copy-0 orderkeys (exist in orders
+          // at every copy count); the remap coin is the unique
+          // (orderkey, linenumber) row identity, so re-runs are stable
+          val hotKeys = t("orders").select(col("o_orderkey")).orderBy("o_orderkey")
+            .limit(ZipfHotN).collect().map(_.getLong(0)).toSeq
+          val bucket = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(ZipfB))
+          d.withColumn("l_orderkey",
+            when(bucket < ZipfHotCut, zipfPick(bucket, hotKeys))
+              .otherwise(col("l_orderkey")))
+        }),
+      "events" -> scaled("events", Seq("event_id", "user_id"),
+        (d, _) => if (!zipf) d else {
+          val bucket = pmod(xxhash64(col("event_id")), lit(ZipfB))
+          d.withColumn("user_id",
+            when(bucket < ZipfHotCut, zipfPick(bucket, (1L to ZipfHotN.toLong)))
+              .otherwise(col("user_id")))
+        }),
       "documents" -> scaled("documents", Seq("doc_id"), (d, i) =>
         if (i == 0) d
         else d.withColumn("text",

@@ -37,6 +37,14 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     only = sys.argv[3:] or None
+    # optional CORRECTNESS-style JSON evidence dump (driver format)
+    json_out = os.environ.get("CHECK_ORACLE_JSON")
+    results = {}
+    def record(name, rows=False, schema=False, values=False,
+               spark_rows=None, oracle_rows=None, err=None):
+        results[name] = {"rows_match": rows, "schema_match": schema,
+                         "hash_match": values, "spark_rows": spark_rows,
+                         "oracle_rows": oracle_rows, "err": err}
     for name in sorted(oracle):
         if only and name not in only:
             continue
@@ -44,6 +52,7 @@ def main():
         dump = f"{out_dir}/{name}"
         if not glob.glob(f"{dump}/*.parquet"):
             print(f"FAIL {name}: no spark dump at {dump}")
+            record(name, err="no spark dump")
             n_fail += 1
             continue
         got = con.sql(f"SELECT * FROM '{dump}/*.parquet'").df()
@@ -51,15 +60,20 @@ def main():
             want = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            record(name, err=f"oracle SQL error: {e}")
             n_fail += 1
             continue
         a, b = norm(got), norm(want)
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: columns spark={list(a.columns)} oracle={list(b.columns)}")
+            record(name, spark_rows=a.shape[0], oracle_rows=b.shape[0],
+                   err="column mismatch")
             n_fail += 1
             continue
         if a.shape != b.shape:
             print(f"FAIL {name}: shape spark={a.shape} oracle={b.shape}")
+            record(name, schema=True, spark_rows=a.shape[0],
+                   oracle_rows=b.shape[0], err="row count mismatch")
             n_fail += 1
             continue
         bad_dtypes = [(c, str(a[c].dtype), str(b[c].dtype)) for c in a.columns
@@ -88,6 +102,8 @@ def main():
                                          b.loc[diff_idx, [c]].add_suffix('_oracle')], axis=1))
                     eq = False
                     break
+            record(name, rows=True, schema=True, values=eq,
+                   spark_rows=a.shape[0], oracle_rows=b.shape[0])
             if eq:
                 print(f"PASS {name} ({a.shape[0]} rows)")
                 n_pass += 1
@@ -95,7 +111,11 @@ def main():
                 n_fail += 1
         except Exception as e:
             print(f"FAIL {name}: compare error {e}")
+            record(name, err=f"compare error: {e}")
             n_fail += 1
+    if json_out:
+        json.dump(results, open(json_out, "w"), indent=2, sort_keys=True)
+        print(f"wrote {json_out}")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
