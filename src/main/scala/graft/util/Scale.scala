@@ -63,47 +63,70 @@ object Scale {
     * exchange at all (they broadcast-join against the hot slice of
     * the dim side), and only the cold remainder shuffles.
     *
-    * Detection is a deterministic ~1/sampleMod ROW sample of the fact
-    * (xxhash64 of the whole row — a key-hash sample takes keys
-    * all-or-nothing and would miss 1−1/sampleMod of the hot keys):
-    * a key with global count c appears ~c/sampleMod times, so
+    * Detection is a ~1/sampleMod ROW sample of the fact over the KEY
+    * COLUMN ONLY — a single-column pruned scan (`select(factKey)`
+    * first, so ReadSchema carries one field) sampled per row with a
+    * seeded `rand()` (per-row, so a hot key's rows are sampled
+    * proportionally; a key-hash sample would take keys all-or-nothing
+    * and miss 1−1/sampleMod of the hot keys; a whole-row xxhash64 —
+    * the previous form — was deterministic but forced the detection
+    * scan to READ EVERY COLUMN, tripling detection IO on a wide fact;
+    * measured at sf10-zipf it was the dominant hybrid overhead). The
+    * sample is deterministic per partition layout (Rand seeds by
+    * partition index), and the hot SET only routes — any set yields
+    * row-identical results, which is what the oracle checks.
+    * A key with global count c appears ~c/sampleMod times, so
     * `hotSampleMin` ≈ (hot threshold)/sampleMod. The hot set is
     * bounded twice — by the threshold and by the `maxHotKeys` limit —
     * and the cap is a ROUTING choice, not a correctness one: keys
     * past it (or missed by the sample) simply take the cold path.
-    * Result is row-identical to `fact.join(dim, cond)` for any hot
-    * set, which is what the oracle checks.
     *
     * Contract: `dimKey` is unique (or near-unique) in `dim`, so the
     * hot dim slice is ≤ maxHotKeys rows — broadcastable by
-    * construction. With no detected skew the plan IS the plain join. */
+    * construction. With no detected skew the plan IS the plain join.
+    *
+    * When the hot keys are already known (yesterday's detection, table
+    * statistics, a monitoring feed), pass them via [[skewJoinKnown]]
+    * and skip the detection scan entirely — on a steady pipeline the
+    * hot set changes far slower than the data. */
   def skewJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
                sampleMod: Int = 20, hotSampleMin: Long = 50,
                maxHotKeys: Int = 1000): DataFrame = {
-    val cond = col(factKey) === col(dimKey)
-    val rowHash = xxhash64(fact.columns.map(col): _*)
     // collision-free temp name (the fact frame may own any plain name)
     val cn = "__skew_cnt"
     require(!fact.columns.contains(cn), s"skewJoin: fact already has a $cn column")
     val hot = fact
+      .select(col(factKey)) // prune FIRST: detection reads one column
       // null keys never match the inner join, so they must not reach
       // detection either: a null in the hot list would poison BOTH
       // isin routing predicates (IN-with-NULL evaluates to NULL, so
       // NOT(hot) filters would drop every cold row)
       .filter(col(factKey).isNotNull)
-      .filter(pmod(rowHash, lit(sampleMod.toLong)) === 0L)
+      .filter(rand(42L) < 1.0 / sampleMod)
       .groupBy(col(factKey)).agg(count(lit(1)).as(cn))
       .filter(col(cn) >= hotSampleMin)
       .orderBy(col(cn).desc, col(factKey))
       .limit(maxHotKeys) // bounded collect: ≤ maxHotKeys key literals
-      .select(col(factKey)).collect().map(_.get(0))
+      .select(col(factKey)).collect().map(_.get(0)).toSeq
+    skewJoinKnown(fact, dim, factKey, dimKey, hot)
+  }
+
+  /** The routing half of [[skewJoin]]: hot rows broadcast-join the hot
+    * dim slice and never enter the exchange, cold rows take the plain
+    * shuffle join. Row-identical to `fact.join(dim)` for ANY `hot`
+    * (including empty → the plain join plan). */
+  def skewJoinKnown(fact: DataFrame, dim: DataFrame, factKey: String,
+                    dimKey: String, hot: Seq[Any]): DataFrame = {
+    val cond = col(factKey) === col(dimKey)
+    require(!hot.contains(null), "skewJoinKnown: null is never a hot key " +
+      "(it would poison the isin routing predicates)")
     if (hot.isEmpty) fact.join(dim, cond)
     else {
       // null-key rows fail both isin branches AND the plain join's
       // equi-condition, so dropping them in the cold filter is the
       // same inner-join semantics
-      val hotF = col(factKey).isin(hot.toSeq: _*)
-      val hotD = col(dimKey).isin(hot.toSeq: _*)
+      val hotF = col(factKey).isin(hot: _*)
+      val hotD = col(dimKey).isin(hot: _*)
       fact.filter(!hotF).join(dim.filter(!hotD), cond)
         .unionByName(fact.filter(hotF).join(broadcast(dim.filter(hotD)), cond))
     }
