@@ -70,8 +70,15 @@ object GenScale {
     // right only on the original data (hash ties, %-mod alignments,
     // empty edge buckets) fails its oracle there.
     val seed = if (mode.startsWith("seed=")) mode.drop(5).toInt else 0
-    require(mode.isEmpty || zipf || mode.startsWith("seed="),
-      s"unknown mode '$mode' (supported: zipf, seed=N)")
+    // rev: the VOCABULARY-PRESERVING content audit — reverse token
+    // order in documents and dimension order in embeddings, keys and
+    // every other column untouched. Complements seed=N (which offsets
+    // keys and permutes consonants): queries whose literals are query
+    // TERMS (bm25) or key ranges keep nonzero results here while still
+    // seeing genuinely different shingles/pairs/vectors.
+    val rev = mode == "rev"
+    require(mode.isEmpty || zipf || rev || mode.startsWith("seed="),
+      s"unknown mode '$mode' (supported: zipf, rev, seed=N)")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -119,11 +126,14 @@ object GenScale {
               .otherwise(col("user_id")))
         }),
       "documents" -> scaled("documents", Seq("doc_id"), (d, i) =>
-        if (i == 0) d
+        if (rev) d.withColumn("text",
+          array_join(reverse(split(col("text"), " ")), " "))
+        else if (i == 0) d
         else d.withColumn("text",
           translate(col("text"), cons + cons.toUpperCase,
             perm(i) + perm(i).toUpperCase))),
-      "embeddings" -> scaled("embeddings", Seq("vec_id"), (d, i) => {
+      "embeddings" -> scaled("embeddings", Seq("vec_id"), (d, i) =>
+      if (rev) d.withColumn("embedding", reverse(col("embedding"))) else {
         // rotation alone has only dim distinct values (copy i >= dim
         // degenerates to identity — 37 exact-duplicate copies at
         // copies=100); compose with a norm-preserving sign flip per

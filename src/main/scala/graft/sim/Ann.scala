@@ -65,17 +65,27 @@ object Ann {
     * vacuous until vec_id exceeds centMod·MaxSeeds. */
   val MaxSeeds = 1024
 
-  /** The bounded seed rule, Spark side: vec_id ≡ centOff (mod centMod)
-    * AND vec_id < centMod·MaxSeeds — i.e. the MaxSeeds LOWEST-id
-    * members of the residue class. Deterministic, SQL-mirrorable
-    * ([[seedWhere]]), and a plain min/max-pushable parquet filter. */
-  def seedCol(centMod: Int, centOff: Int): Column =
-    col("vec_id") % centMod === centOff &&
-      col("vec_id") < lit(centMod.toLong * MaxSeeds)
+  /** The bounded seed rule, Spark side: the [[MaxSeeds]] LOWEST-id
+    * members of the vec_id ≡ centOff (mod centMod) residue class —
+    * RANK-capped via orderBy+limit (TakeOrderedAndProject: bounded
+    * per-partition heaps, never a full sort), NOT the previous
+    * absolute-id bound `vec_id < centMod·MaxSeeds`. That bound assumed
+    * a 0-based id space and silently selected ZERO seeds on offset ids
+    * (snowflake ids, shard key offsets) — every IVF/k-means/PQ/SemDeDup
+    * query quietly returned an empty result. Caught by the round-8
+    * alternate-seed fixture audit (keys +7·10^7: 11 vector queries went
+    * 0-row on BOTH engines). On 0-based fixtures the two rules pick the
+    * identical set (the first MaxSeeds multiples of the slice), so all
+    * tabled BASELINE numbers carry over. */
+  def seedRows(base: DataFrame, centMod: Int, centOff: Int): DataFrame =
+    base.filter(col("vec_id") % centMod === centOff)
+      .orderBy("vec_id").limit(MaxSeeds)
 
-  /** DuckDB mirror of [[seedCol]]. */
+  /** DuckDB mirror of [[seedRows]] — the predicate + rank cap, valid as
+    * the tail of a single-table SELECT (every call site embeds it as
+    * `FROM base WHERE <this>`). */
   def seedWhere(centMod: Int, centOff: Int): String =
-    s"vec_id % $centMod = $centOff AND vec_id < ${centMod.toLong * MaxSeeds}"
+    s"vec_id % $centMod = $centOff ORDER BY vec_id LIMIT $MaxSeeds"
 
   /** Per-vector squared norm table: (vec_id, nsq raw-scale long). */
   def normSq(vecs: DataFrame): DataFrame =
@@ -185,7 +195,7 @@ object Ann {
   def hardNegativesIvf(vecs: DataFrame, queryMod: Int, centMod: Int,
                        centOff: Int, nprobe: Int, k: Int): DataFrame = {
     val base = scaledBase(vecs, Seq("label"))
-    val cents = base.filter(seedCol(centMod, centOff))
+    val cents = seedRows(base, centMod, centOff)
       .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
     def scoreCents(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
       .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
@@ -232,13 +242,13 @@ object Ann {
        |SELECT query_id, rank, negative_id, neg_label, ROUND(cosine, 6) AS cosine, list_id
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-  /** IVF: centroids = the bounded seed rule [[seedCol]] (vec_id mod
+  /** IVF: centroids = the bounded seed rule [[seedRows]] (vec_id mod
     * centMod, capped at [[MaxSeeds]]); assign every vector to its
     * max-cosine centroid; queries probe the `nprobe` nearest lists. */
   def ivfTopK(vecs: DataFrame, queryMod: Int, centMod: Int, centOff: Int,
               nprobe: Int, k: Int): DataFrame = {
     val base = scaledBase(vecs)
-    val cents = base.filter(seedCol(centMod, centOff))
+    val cents = seedRows(base, centMod, centOff)
       .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
     def scoreCents(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
       .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
@@ -392,7 +402,7 @@ object Ann {
     * its nprobe lists at the scan (asserted in ScaleSpec). */
   def assignLists(vecs: DataFrame, centMod: Int, centOff: Int): DataFrame = {
     val base = scaledBase(vecs)
-    val cents = base.filter(seedCol(centMod, centOff))
+    val cents = seedRows(base, centMod, centOff)
       .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
     base.crossJoin(broadcast(cents))
       .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
@@ -478,7 +488,7 @@ object Ann {
   def tripletsIvf(vecs: DataFrame, queryMod: Int, centMod: Int,
                   centOff: Int, nprobe: Int): DataFrame = {
     val base = scaledBase(vecs, Seq("label"))
-    val cents = base.filter(seedCol(centMod, centOff))
+    val cents = seedRows(base, centMod, centOff)
       .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
     def scoreCents(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
       .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
@@ -549,7 +559,7 @@ object Ann {
   def probeLists(vecs: DataFrame, queryMod: Int, centMod: Int, centOff: Int,
       nprobe: Int): DataFrame = {
     val base = scaledBase(vecs)
-    val cents = base.filter(seedCol(centMod, centOff))
+    val cents = seedRows(base, centMod, centOff)
       .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
     val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
     base.filter(col("vec_id") % queryMod === 0).crossJoin(broadcast(cents))
@@ -598,7 +608,7 @@ object Ann {
     * the IVF TRAINING primitive the [[ivfTopK]]/[[embeddingPairsIvf]]
     * family assumes already happened: assign every vector to its
     * max-cosine centroid (seeded, like IVF, from the bounded
-    * [[seedCol]] rule), then emit the per-cluster mean as the updated
+    * [[seedRows]] rule), then emit the per-cluster mean as the updated
     * centroid.
     * Output is (cluster_id, dim, n_members, centroid) — one row per
     * centroid dimension; a caller loops this (feeding means back as
@@ -619,7 +629,7 @@ object Ann {
     * keep Σ < 2^63 up to ~9e9 vectors per cluster. */
   def kmeansStep(vecs: DataFrame, centMod: Int, centOff: Int): DataFrame = {
     val base = scaledBase(vecs)
-    val cents = base.filter(seedCol(centMod, centOff))
+    val cents = seedRows(base, centMod, centOff)
       .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
     meansOf(assignTo(base, cents))
   }
@@ -800,7 +810,7 @@ object Ann {
     * stays O(N^1.5) while quantization error keeps shrinking), pass
     * centMod = [[sqrtSeedMod]](n). */
   def seedCents(vecs: DataFrame, centMod: Int, centOff: Int): DataFrame =
-    vecs.filter(seedCol(centMod, centOff))
+    seedRows(vecs, centMod, centOff)
       .select(col("vec_id").as("cid"),
         col("embedding").cast("array<double>").as("cembedding"))
 
@@ -834,7 +844,7 @@ object Ann {
 
   /** Looped-to-convergence Lloyd fit (the `kmeansFit` entry point the
     * single-step family hands off to): seed from the bounded
-    * [[seedCol]] rule (use [[sqrtSeedMod]] for K ~ √N below the
+    * [[seedRows]] rule (use [[sqrtSeedMod]] for K ~ √N below the
     * [[MaxSeeds]] cap), then repeat
     * [[kmeansIter]] until the max centroid drift (euclidean, over
     * clusters surviving the round — an empty cluster drops out, the
@@ -1109,7 +1119,7 @@ object Ann {
     * rule — the kept example is the most "extreme"/informative one).
     *
     * Concretely: centroids are seeded like the IVF family
-    * (the bounded [[seedCol]] rule — one Lloyd assignment; callers who
+    * (the bounded [[seedRows]] rule — one Lloyd assignment; callers who
     * want converged centroids loop [[kmeansStep]] first); every vector
     * gets (cluster_id, cent_sim = max-cosine-to-centroid, 6dp); a
     * vector is DROPPED iff some same-cluster partner at pairwise
@@ -1139,7 +1149,7 @@ object Ann {
     // slower at sf1). Pinning the filter on every copy restores the
     // identical-subtree property the barrier below depends on.
     val base = scaledBase(vecs).filter(col("vec_id").isNotNull)
-    val cents = base.filter(seedCol(centMod, centOff))
+    val cents = seedRows(base, centMod, centOff)
       .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
     val assignedRaw = base.crossJoin(broadcast(cents))
       .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))

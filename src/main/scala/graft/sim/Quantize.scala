@@ -100,25 +100,32 @@ object Quantize {
     * vec_id-mod seeding grows K with N, and BOTH the per-(vec,s)
     * argmin (O(N·m·K) → quadratic) and the broadcast Q×m×K ADC
     * distance table (64M rows at sf10 — the measured q_ann_pq
-    * failure) blow up. The cap predicate is vacuous below
-    * centMod·MaxCodes ids (sf ≤ 1 here), so small-SF results are
-    * bit-identical to the uncapped rule. */
+    * failure) blow up. The rank cap takes every residue-class member
+    * while fewer than MaxCodes exist (sf ≤ 1 here), so small-SF
+    * results are bit-identical to the uncapped rule. */
   val MaxCodes = 256
 
-  /** Bounded codebook membership — [[Ann.seedCol]]'s rule at the PQ
-    * cap: the MaxCodes lowest-id members of the residue class. */
-  private def codeSeedCol(centMod: Int, centOff: Int): Column =
-    col("vec_id") % centMod === centOff &&
-      col("vec_id") < lit(centMod.toLong * MaxCodes)
+  /** Bounded codebook membership — [[Ann.seedRows]]'s rule at the PQ
+    * cap: the MaxCodes lowest-id members of the residue class,
+    * RANK-capped (orderBy+limit → TakeOrderedAndProject) rather than
+    * the previous absolute-id bound, which assumed 0-based ids and
+    * selected an EMPTY codebook on offset id spaces (the same bug the
+    * round-8 alternate-seed audit caught in Ann.seedRows). Identical
+    * set on 0-based fixtures. */
+  private def codeSeedRows(vecs: DataFrame, centMod: Int, centOff: Int): DataFrame =
+    vecs.filter(col("vec_id") % centMod === centOff)
+      .orderBy("vec_id").limit(MaxCodes)
 
+  /** Mirror of [[codeSeedRows]] — predicate + rank cap, embedded as the
+    * tail of its single-table CTE SELECT. */
   private def codeSeedWhere(centMod: Int, centOff: Int): String =
-    s"vec_id % $centMod = $centOff AND vec_id < ${centMod.toLong * MaxCodes}"
+    s"vec_id % $centMod = $centOff ORDER BY vec_id LIMIT $MaxCodes"
 
   /** Seeded per-subspace codebook: (s, cid, ce, cn=‖ce‖²) — m×K rows
     * with K ≤ [[MaxCodes]], broadcast at any corpus size. */
   private def codebook(vecs: DataFrame, m: Int, centMod: Int, centOff: Int): DataFrame = {
     import graft.functions.FixedDot
-    subs(vecs.filter(codeSeedCol(centMod, centOff))
+    subs(codeSeedRows(vecs, centMod, centOff)
         .select(col("vec_id").as("cid"), col("embedding")), "cid", m)
       .select(col("s"), col("cid"), col("fxs").as("ce"))
       .withColumn("cn", FixedDot(col("ce"), col("ce")))

@@ -654,15 +654,23 @@ class ScaleSpec extends AnyFunSuite {
     //    (K ∝ N is how the sf10 run turned every O(N·K) assignment scan
     //    quadratic: q_ann_ivf measured 250 s before the cap)
     val ids = spark.range(0, 100000L).select(col("id").as("vec_id"))
-    assert(ids.filter(Ann.seedCol(25, 7)).count() === Ann.MaxSeeds.toLong)
-    // 2. the cap reaches the plan as a plain comparison filter in the
-    //    registered IVF query (min/max-pushable on the centroid branch),
-    //    and BOTH engines' texts carry the same bound
+    assert(Ann.seedRows(ids, 25, 7).count() === Ann.MaxSeeds.toLong)
+    // 1b. the cap is RANK-based, not an absolute id bound: an OFFSET id
+    //     space (snowflake ids, shard offsets) must still yield seeds —
+    //     the absolute bound silently selected ZERO (caught by the
+    //     round-8 alternate-seed audit: 11 vector queries went 0-row)
+    val offIds = spark.range(70000000L, 70100000L).select(col("id").as("vec_id"))
+    assert(Ann.seedRows(offIds, 25, 7).count() === Ann.MaxSeeds.toLong)
+    // ...and it picks the LOWEST-id members (deterministic, order-free)
+    assert(Ann.seedRows(ids, 25, 7).agg(max("vec_id")).collect()(0).getLong(0)
+      === 25L * (Ann.MaxSeeds - 1) + 7L)
+    // 2. the cap reaches both engines' texts as the same rank limit
     val ivf = graft.SparkEntry.queries("q_ann_ivf")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(ivf.contains("25600"), s"seed cap missing from q_ann_ivf plan:\n${ivf.take(1600)}")
-    assert(graft.SparkEntry.oracleSql("q_ann_ivf").contains("vec_id < 25600"))
-    assert(graft.SparkEntry.oracleSql("q_pq_codes").contains("vec_id < 32000"))
+    assert(ivf.contains("TakeOrderedAndProject") || ivf.contains("Limit"),
+      s"seed rank cap missing from q_ann_ivf plan:\n${ivf.take(1600)}")
+    assert(graft.SparkEntry.oracleSql("q_ann_ivf").contains(s"LIMIT ${Ann.MaxSeeds}"))
+    assert(graft.SparkEntry.oracleSql("q_pq_codes").contains("LIMIT 256"))
     // 3. q_ann_refine's coarse ranking is the bounded kmin sketch — the
     //    N×Q scored rows are reduced map-side, never sorted or shuffled
     //    (the predecessor window carried 1 KB arrays per scored row into
