@@ -74,9 +74,15 @@ object Ann {
     * (snowflake ids, shard key offsets) — every IVF/k-means/PQ/SemDeDup
     * query quietly returned an empty result. Caught by the round-8
     * alternate-seed fixture audit (keys +7·10^7: 11 vector queries went
-    * 0-row on BOTH engines). On 0-based fixtures the two rules pick the
-    * identical set (the first MaxSeeds multiples of the slice), so all
-    * tabled BASELINE numbers carry over. */
+    * 0-row on BOTH engines). On a CONTIGUOUS 0-based id space — the
+    * sf0.001/sf0.01 correctness fixtures — the two rules pick the
+    * identical set, so every oracle result is unchanged. On the
+    * multi-copy bench fixtures (ids offset 10⁷ per copy) the absolute
+    * bound had been silently admitting COPY-0 SEEDS ONLY (K=80 at sf1,
+    * not the documented 1024), so round-7's tabled vector rows
+    * under-measured the real nlist=1024 assignment cost — see the
+    * BASELINE round-8 erratum; K is capped either way, the cost is
+    * linear in N at fixed K. */
   def seedRows(base: DataFrame, centMod: Int, centOff: Int): DataFrame =
     base.filter(col("vec_id") % centMod === centOff)
       .orderBy("vec_id").limit(MaxSeeds)
@@ -636,13 +642,18 @@ object Ann {
 
   /** Assignment half of a Lloyd iteration: (vec_id, cluster_id, fxe)
     * via the native hash-aggregable argmax over broadcast pre-scaled
-    * centroids (ccos desc, cid asc tie-break). */
-  private def assignTo(base: DataFrame, cents: DataFrame): DataFrame =
-    base.crossJoin(broadcast(cents))
+    * centroids (ccos desc, cid asc tie-break). SLIM aggregate + rejoin
+    * (see [[semDedup]]'s note): argmax-only ~24-byte buffers stay
+    * hash-based; fxe re-attaches from base by vec_id instead of riding
+    * a first() buffer through 200M-row partial aggregation. */
+  private def assignTo(base: DataFrame, cents: DataFrame): DataFrame = {
+    val slim = base.crossJoin(broadcast(cents))
       .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
       .groupBy("vec_id")
-      .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("cluster_id"),
-        first(col("fxe")).as("fxe"))
+      .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("cluster_id"))
+    base.select(col("vec_id"), col("fxe")).join(slim, Seq("vec_id"))
+      .select(col("vec_id"), col("cluster_id"), col("fxe"))
+  }
 
   /** Update half of a Lloyd iteration: per-cluster exact element-wise
     * long sums via the native bounded-state [[graft.functions.ArraySumAgg]]
@@ -1151,12 +1162,21 @@ object Ann {
     val base = scaledBase(vecs).filter(col("vec_id").isNotNull)
     val cents = seedRows(base, centMod, centOff)
       .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
-    val assignedRaw = base.crossJoin(broadcast(cents))
+    // SLIM assignment aggregate (argmax + max only, ~24-byte buffers),
+    // then re-attach fxe/nsq by joining base back on vec_id. Carrying
+    // the vector through the aggregate (first(fxe)) put a d-long array
+    // in every hash-map buffer — measured 6× slower than the slim form
+    // at sf10 (137 s vs 23 s) once the aggregate actually runs
+    // hash-based; and under the default 128-key fallback it was
+    // per-partition SORTS of the N×K scored table. The rejoin is
+    // broadcast-sized at bench SFs (N slim rows) and one reused
+    // key-shuffle at cluster scale.
+    val slim = base.crossJoin(broadcast(cents))
       .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
       .groupBy("vec_id")
       .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("cluster_id"),
-        graft.util.D.r(max(col("ccos")), 6).as("cent_sim"),
-        first(col("fxe")).as("fxe"), first(col("nsq")).as("nsq"))
+        graft.util.D.r(max(col("ccos")), 6).as("cent_sim"))
+    val assignedRaw = base.join(slim, Seq("vec_id"))
     // Identical-subtree barrier (the tfidf/bm25 idiom): four consumers
     // read the assignment — block counts, both pair sides, and the
     // final report. Column pruning would specialize each copy's
