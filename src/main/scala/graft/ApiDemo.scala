@@ -5,14 +5,7 @@ import org.apache.spark.sql.functions._
 object ApiDemo {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      // ObjectHashAggregate falls back to SORT-BASED aggregation at 128
-      // hash-map keys by default -- every high-cardinality argmax/sketch
-      // aggregate (IVF assignment: one key per vector) silently became
-      // per-partition sorts of the NxK scored table (superlinear at
-      // sf10). Buffers here are tens of bytes, so an 8M-key map is
-      // ~200 MB worst case: keep it hash-based.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8388608").config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.sql.shuffle.partitions", "4").config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val li = ExplainFrame(util.D.t(spark, "/root/testdata/sf0.001", "lineitem"), "lineitem")
     val filtered = li.filter(col("l_quantity") >= 30)

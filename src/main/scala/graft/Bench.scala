@@ -21,10 +21,6 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // keep high-cardinality object aggregates (IVF argmax, sketches)
-      // HASH-based: the default fallback threshold is 128 keys, which
-      // silently degrades them to per-partition sorts (see TestSession)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8388608")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -46,13 +46,6 @@ object Probe {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      // ObjectHashAggregate falls back to SORT-BASED aggregation at 128
-      // hash-map keys by default -- every high-cardinality argmax/sketch
-      // aggregate (IVF assignment: one key per vector) silently became
-      // per-partition sorts of the NxK scored table (superlinear at
-      // sf10). Buffers here are tens of bytes, so an 8M-key map is
-      // ~200 MB worst case: keep it hash-based.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8388608")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
