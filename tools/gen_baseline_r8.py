@@ -32,7 +32,7 @@ print(f"<!-- full pass: {len(qs)} queries -->")
 print(f"<!-- spark sf0.1 warm {s01['value']:.1f} cold {s01.get('cold_total')} | "
       f"sf1 warm {s1['value']:.1f} cold {s1.get('cold_total')} -->")
 print(f"<!-- duck sf0.1 warm {d01['warm_total']:.1f} cold {d01['cold_total']:.1f} | "
-      f"sf1 warm {d1['warm_total']:.1f} cold {d1['cold_total']:.1f} -->")
+      f"sf1 warm {d1['warm_total']:.1f} cold {d1.get('cold_total', float('nan')):.1f} -->")
 print(f"<!-- ratio sf0.1 {s01['value']/d01['warm_total']:.2f}x | "
       f"sf1 {s1['value']/d1['warm_total']:.3f}x | "
       f"spark growth {s1['value']/s01['value']:.2f}x | "
