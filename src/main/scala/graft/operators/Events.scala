@@ -543,13 +543,17 @@ object Events extends QFamily {
     // scoring): per purchasing user recency (μs since their last
     // purchase, against the corpus max-purchase-ts "now"), purchase
     // count, and exact decimal spend; each dimension scored 1-4 by its
-    // EXACT quartiles over the per-user table (boundaries = 3 bounded
-    // doubles collected once, re-entering as a codegen'd literal chain
-    // — the q_qcut shape; recency scored inversely so 4 = most recent).
-    // Output = per (r, f, m) segment user count + mean spend. Corpus
-    // pays one purchase-filtered scan into a user-cardinality
-    // aggregate; quartiles + scoring run on that table (its two
-    // consumers collapse via exchange reuse)
+    // EXACT quartiles over the per-user table (recency scored inversely
+    // so 4 = most recent). Output = per (r, f, m) segment user count +
+    // mean spend. ONE action: "now" and the three quartile triples are
+    // 1-row aggregates re-entering as broadcast cross joins (not
+    // collect-and-literal, which costs a full extra plan per collect —
+    // the old 3-action form rescanned the corpus once per stage), so
+    // the user-cardinality aggregate's exchange is planned once and
+    // REUSED by all its consumers: the corpus pays a single
+    // purchase-filtered scan. Scoring compares against element_at on
+    // the broadcast 3-element arrays — plain codegen'd comparisons,
+    // no interpreted HOF on the scored rows.
     QDef("q_orders_rfm",
       Some(s"""WITH $evSql,
              |u AS (SELECT user_id, MAX(ts) AS last_ts, CAST(COUNT(*) AS BIGINT) AS freq,
@@ -579,10 +583,11 @@ object Events extends QFamily {
           .groupBy("user_id")
           .agg(max(col("ts")).as("last_ts"), count(lit(1)).cast(LongType).as("freq"),
             graft.util.D.emit6(sum(col("value").cast(graft.util.D.dec25))).as("mon"))
-        val now = u.agg(max(col("last_ts"))).head().getTimestamp(0)
-        val ur = u.withColumn("rec",
-          (lit(now.getTime * 1000 + (now.getNanos / 1000) % 1000) -
-            unix_micros(col("last_ts"))).cast(DoubleType))
+        val nw = u.agg(max(col("last_ts")).as("now_ts"))
+        val ur = u.crossJoin(broadcast(nw))
+          .withColumn("rec",
+            (unix_micros(col("now_ts")) - unix_micros(col("last_ts"))).cast(DoubleType))
+          .drop("now_ts")
         def quart(c: org.apache.spark.sql.Column) =
           percentile(c, array(lit(0.25), lit(0.5), lit(0.75)))
         val qs = ur.agg(quart(col("rec")).as("rq"),
@@ -590,15 +595,14 @@ object Events extends QFamily {
           .select(transform(col("rq"), x => r(x, 4)).as("rq"),
             transform(col("fq"), x => r(x, 4)).as("fq"),
             transform(col("mq"), x => r(x, 4)).as("mq"))
-          .head()
-        val (rq, fq, mq) = (qs.getSeq[Double](0), qs.getSeq[Double](1), qs.getSeq[Double](2))
-        def scoreUp(c: org.apache.spark.sql.Column, ts0: Seq[Double]) =
-          ts0.map(t0 => (c > lit(t0)).cast("int")).reduce(_ + _) + lit(1)
-        def scoreDown(c: org.apache.spark.sql.Column, ts0: Seq[Double]) =
-          ts0.map(t0 => (c < lit(t0)).cast("int")).reduce(_ + _) + lit(1)
-        ur.select(scoreDown(col("rec"), rq).cast(LongType).as("r_score"),
-            scoreUp(col("freq").cast(DoubleType), fq).cast(LongType).as("f_score"),
-            scoreUp(col("mon"), mq).cast(LongType).as("m_score"),
+        def scoreUp(c: org.apache.spark.sql.Column, arr: String) =
+          (1 to 3).map(i => (c > element_at(col(arr), i)).cast("int")).reduce(_ + _) + lit(1)
+        def scoreDown(c: org.apache.spark.sql.Column, arr: String) =
+          (1 to 3).map(i => (c < element_at(col(arr), i)).cast("int")).reduce(_ + _) + lit(1)
+        ur.crossJoin(broadcast(qs))
+          .select(scoreDown(col("rec"), "rq").cast(LongType).as("r_score"),
+            scoreUp(col("freq").cast(DoubleType), "fq").cast(LongType).as("f_score"),
+            scoreUp(col("mon"), "mq").cast(LongType).as("m_score"),
             col("mon"))
           .groupBy("r_score", "f_score", "m_score")
           .agg(count(lit(1)).cast(LongType).as("n_users"),

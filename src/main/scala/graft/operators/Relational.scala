@@ -210,11 +210,17 @@ object Relational extends QFamily {
         |) GROUP BY c_mktsegment, kind ORDER BY c_mktsegment, kind""".stripMargin) { (s, dir) =>
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
-      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
-        .withColumn("kind", lit("with_orders"))
-      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
-        .withColumn("kind", lit("without_orders"))
-      semi.unionByName(anti)
+      // ONE pass, not a semi + anti pair: the two EXISTS legs partition
+      // customer by the same membership test, so a single left join
+      // against the distinct purchaser keys (orders aggregated
+      // map-side-combined to key cardinality before the shuffle) labels
+      // every row in one go — half the scans and half the shuffled
+      // bytes of running the join twice with opposite polarity.
+      val keys = o.select(col("o_custkey")).where(col("o_custkey").isNotNull).distinct()
+      c.join(keys, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_mktsegment"),
+          when(col("o_custkey").isNotNull, "with_orders")
+            .otherwise("without_orders").as("kind"))
         .groupBy("c_mktsegment", "kind").agg(count(lit(1)).as("n"))
         .orderBy("c_mktsegment", "kind")
     },
@@ -818,11 +824,18 @@ object Relational extends QFamily {
         .join(broadcast(t(s, dir, "customer").select("c_custkey")),
           col("o_custkey") === col("c_custkey"), "left_anti")
         .agg(count(lit(1)).cast(LongType).as("v"))
+      // The big side folds to KEY cardinality (cnt-weighted,
+      // map-side-combined — lineitem carries ~4 rows/key, and each map
+      // partition combines before the exchange) BEFORE the anti-join,
+      // so the join shuffles grouped keys instead of every raw row and
+      // the orphan count is recovered as sum(cnt). At 60M-row sf10 this
+      // is the difference between shuffling 60M probe rows and ~15M.
       val fk2 = t(s, dir, "lineitem").select("l_orderkey")
         .filter(col("l_orderkey").isNotNull)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
         .join(t(s, dir, "orders").select("o_orderkey"),
           col("l_orderkey") === col("o_orderkey"), "left_anti")
-        .agg(count(lit(1)).cast(LongType).as("v"))
+        .agg(coalesce(sum(col("cnt")), lit(0L)).cast(LongType).as("v"))
       // four one-row collects (the bounded-collect convention;
       // construction-inclusive timing pays them) → LocalRelation
       // report: a melted-union finish would re-plan the orders scan
