@@ -53,8 +53,15 @@ object Cluster {
                           aCol: String = "doc_a",
                           bCol: String = "doc_b"): DataFrame = {
     val e0 = pairs.select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
-    // undirected: keep both orientations so labels flow both ways
+    // undirected: keep both orientations so labels flow both ways.
+    // Pre-partitioned ON THE JOIN KEY before the one-time checkpoint:
+    // the materialized blocks keep their hash partitioning (LogicalRDD
+    // carries the physical partitioning through localCheckpoint), so
+    // the per-round label join re-shuffles only the LABEL side — the
+    // edge table, 2× the pair count and the bigger side every round,
+    // is shuffled once for the whole loop instead of once per round.
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
@@ -66,17 +73,19 @@ object Cluster {
       val prev = labels
       // each node's best neighbor label this round (map-side combined min)
       val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("lbl").as("nl")), Seq("dst"))
+        .join(prev.select(col("id").as("dst"), col("lbl").as("nl")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nl"))
-      labels = prev
+      // `changed` rides the same materialization: labels only decrease,
+      // so convergence = "no row took a smaller neighbor label" — a
+      // column scan of the frame this round just checkpointed, not the
+      // labels×prev re-join the check used to pay per round.
+      val next = prev
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .select(col("id"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"),
+          (col("nl") < col("lbl")).as("changed"))
         .localCheckpoint(true)
-      // labels only decrease, so any difference means another round
-      converged = labels
-        .join(prev.withColumnRenamed("lbl", "prev_lbl"), Seq("id"))
-        .filter(col("lbl") =!= col("prev_lbl"))
-        .isEmpty
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("id"), col("lbl"))
     }
     if (!converged) throw new IllegalStateException(
       s"Cluster.connectedComponents: not converged after $MaxIterations rounds — " +
