@@ -35,6 +35,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MisraGriesAgg(
     child: Expression,
     cap: Int,
+    withCounts: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.HashMap[String, java.lang.Long]]
@@ -75,37 +76,19 @@ case class MisraGriesAgg(
 
   override def merge(
       buf: java.util.HashMap[String, java.lang.Long],
-      other: java.util.HashMap[String, java.lang.Long]): java.util.HashMap[String, java.lang.Long] = {
-    val it = other.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val cur = buf.get(e.getKey)
-      buf.put(e.getKey, if (cur == null) e.getValue else cur + e.getValue)
-    }
-    if (buf.size() > cap) {
-      // subtract the (cap+1)-th largest counter from all and evict <= 0
-      // (the mergeable-summaries rule: at most cap counters stay > 0,
-      // and the total error keeps the additive N/(cap+1) bound)
-      val counts = new Array[Long](buf.size())
-      var i = 0
-      val vs = buf.values().iterator()
-      while (vs.hasNext) { counts(i) = vs.next().longValue(); i += 1 }
-      java.util.Arrays.sort(counts)
-      val sub = counts(counts.length - (cap + 1)) // (cap+1)-th largest
-      val es = buf.entrySet().iterator()
-      while (es.hasNext) {
-        val e = es.next()
-        if (e.getValue <= sub) es.remove() else e.setValue(e.getValue - sub)
-      }
-    }
-    buf
-  }
+      other: java.util.HashMap[String, java.lang.Long]): java.util.HashMap[String, java.lang.Long] =
+    MisraGriesAgg.mergeInto(buf, other, cap)
 
   override def eval(buf: java.util.HashMap[String, java.lang.Long]): Any = {
     val keys = new Array[String](buf.size())
     buf.keySet().toArray(keys)
     java.util.Arrays.sort(keys, java.util.Comparator.naturalOrder[String]())
-    new GenericArrayData(keys.map(UTF8String.fromString(_).asInstanceOf[AnyRef]))
+    if (!withCounts)
+      new GenericArrayData(keys.map(UTF8String.fromString(_).asInstanceOf[AnyRef]))
+    else
+      new GenericArrayData(keys.map { k =>
+        InternalRow(UTF8String.fromString(k), buf.get(k).longValue()).asInstanceOf[AnyRef]
+      })
   }
 
   override def serialize(buf: java.util.HashMap[String, java.lang.Long]): Array[Byte] = {
@@ -131,7 +114,11 @@ case class MisraGriesAgg(
     buf
   }
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType =
+    if (!withCounts) ArrayType(StringType, containsNull = false)
+    else ArrayType(StructType(Seq(
+      StructField("token", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))), containsNull = false)
   override def nullable: Boolean = false
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
@@ -149,4 +136,45 @@ object MisraGriesAgg {
     * a guaranteed superset of every token with frequency > N/(cap+1). */
   def mgCandidates(c: Column, cap: Int): Column =
     GraftShims.column(MisraGriesAgg(GraftShims.expression(c), cap).toAggregateExpression())
+
+  /** The summary WITH its counters — array<struct<token,cnt>> sorted by
+    * token. Each counter UNDERESTIMATES the token's true frequency by at
+    * most N/(cap+1). This is the mergeable form a caller holds across
+    * scans/micro-batches ([[graft.streaming.HeavyHitters]]): two
+    * summaries combine with [[mergeInto]] and keep the additive bound
+    * (Agarwal et al. 2012). */
+  def mgSummary(c: Column, cap: Int): Column =
+    GraftShims.column(
+      MisraGriesAgg(GraftShims.expression(c), cap, withCounts = true).toAggregateExpression())
+
+  /** The mergeable-summaries combine rule, shared by the aggregate's
+    * executor-side merge and driver-side stream folds: add `other`'s
+    * counters into `buf`, then — if over cap — subtract the (cap+1)-th
+    * largest counter from all and evict ≤ 0, so at most cap counters
+    * stay > 0 and the total error keeps the additive N/(cap+1) bound. */
+  def mergeInto(
+      buf: java.util.HashMap[String, java.lang.Long],
+      other: java.util.HashMap[String, java.lang.Long],
+      cap: Int): java.util.HashMap[String, java.lang.Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = buf.get(e.getKey)
+      buf.put(e.getKey, if (cur == null) e.getValue else cur + e.getValue)
+    }
+    if (buf.size() > cap) {
+      val counts = new Array[Long](buf.size())
+      var i = 0
+      val vs = buf.values().iterator()
+      while (vs.hasNext) { counts(i) = vs.next().longValue(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val sub = counts(counts.length - (cap + 1)) // (cap+1)-th largest
+      val es = buf.entrySet().iterator()
+      while (es.hasNext) {
+        val e = es.next()
+        if (e.getValue <= sub) es.remove() else e.setValue(e.getValue - sub)
+      }
+    }
+    buf
+  }
 }

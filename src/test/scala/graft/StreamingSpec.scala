@@ -693,6 +693,55 @@ class StreamingSpec extends AnyFunSuite {
       s"gate diverges from batch suite: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
   }
 
+  test("streaming heavy-hitter gate: superset + error bound; exact finish matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cap = 64
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect().toSeq
+
+    val gate = new graft.streaming.HeavyHitters.Gate(cap)
+    val mem = MemoryStream[(Long, String)]
+    val q = gate.start(mem.toDS().toDF("doc_id", "text"))
+    try {
+      // three uneven batches, deliberately NOT in table order
+      val shuffled = rows.sortBy(r => (r._1 * 2654435761L) % 1000003)
+      val (a, rest) = shuffled.splitAt(shuffled.size / 3)
+      val (b, c) = rest.splitAt(rest.size / 2)
+      mem.addData(a); q.processAllAvailable()
+      mem.addData(b); q.processAllAvailable()
+      mem.addData(c); q.processAllAvailable()
+    } finally q.stop()
+
+    // exact ground truth over the same rows
+    val exact = docs
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    assert(gate.total === n)
+
+    val cands = gate.candidates.map(c => c._1 -> c._2).toMap
+    assert(cands.size <= cap)
+    // guarantee 1: every token with true frequency > n/(cap+1) is present
+    val guaranteed = exact.filter { case (_, c) => c * (cap + 1) > n }.keySet
+    assert(guaranteed.subsetOf(cands.keySet),
+      s"missing guaranteed hitters: ${guaranteed.diff(cands.keySet)}")
+    // guarantee 2: each counter is a lower bound within n/(cap+1)
+    cands.foreach { case (tok, lower) =>
+      val truth = exact.getOrElse(tok, 0L)
+      assert(lower <= truth, s"$tok counter $lower above truth $truth")
+      assert((truth - lower) * (cap + 1) <= n,
+        s"$tok error ${truth - lower} beyond n/(cap+1) bound")
+    }
+    // reconciliation: the stream's candidates recounted exactly over the
+    // corpus equal the batch q_heavy_hitters report row-for-row
+    val streamedFinish = gate.finishExact(docs).collect().map(_.mkString("|")).toSet
+    val batch = graft.text.Heavy.heavyHitters(docs, cap).collect().map(_.mkString("|")).toSet
+    assert(streamedFinish === batch,
+      s"finishExact diverges: ${streamedFinish.diff(batch)} vs ${batch.diff(streamedFinish)}")
+  }
+
   test("DQ fold counts dirty data exactly: null keys, cross-batch dups, orphans") {
     import spark.implicits._
     import graft.streaming.Dq
