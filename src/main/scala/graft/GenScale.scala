@@ -77,8 +77,17 @@ object GenScale {
     // TERMS (bm25) or key ranges keep nonzero results here while still
     // seeing genuinely different shingles/pairs/vectors.
     val rev = mode == "rev"
-    require(mode.isEmpty || zipf || rev || mode.startsWith("seed="),
-      s"unknown mode '$mode' (supported: zipf, rev, seed=N)")
+    // dirty: the DATA-QUALITY audit fixture — inject a deterministic
+    // violation slice for EVERY q_dq_suite constraint (null FKs, orphan
+    // FKs on both legs, duplicate orderkeys, out-of-range and null
+    // quantities, negative prices, out-of-domain and null priorities),
+    // keyed by row-identity hash so re-runs are stable. The clean
+    // fixture proves the suite reports zeros; this one proves Spark and
+    // the DuckDB oracle COUNT THE SAME VIOLATIONS — the cross-engine
+    // NULL/NOT-IN semantics the FK legs align explicitly.
+    val dirty = mode == "dirty"
+    require(mode.isEmpty || zipf || rev || dirty || mode.startsWith("seed="),
+      s"unknown mode '$mode' (supported: zipf, rev, dirty, seed=N)")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -105,9 +114,41 @@ object GenScale {
       "customer" -> scaled("customer", Seq("c_custkey")),
       "supplier" -> scaled("supplier", Seq("s_suppkey")),
       "part" -> scaled("part", Seq("p_partkey")),
-      "orders" -> scaled("orders", Seq("o_orderkey", "o_custkey")),
+      "orders" -> scaled("orders", Seq("o_orderkey", "o_custkey"),
+        (d, _) => if (!dirty) d else {
+          // disjoint ~1% hash slices per defect; orphan custkeys are
+          // negative (never a customer key), duplicate orderkeys
+          // collapse to their 1000-block base (guaranteed collisions
+          // within a slice-dense block, and the vacated keys orphan a
+          // matching lineitem slice as a side effect — dirt compounds,
+          // as real dirt does)
+          val b = pmod(xxhash64(col("o_orderkey")), lit(4096))
+          d.withColumn("o_custkey",
+              when(b < 40, lit(null).cast("bigint"))
+                .when(b >= 40 && b < 80, -pmod(col("o_orderkey"), lit(997)) - 1)
+                .otherwise(col("o_custkey")))
+            .withColumn("o_totalprice",
+              when(b >= 80 && b < 120, -col("o_totalprice")).otherwise(col("o_totalprice")))
+            .withColumn("o_orderpriority",
+              when(b >= 120 && b < 140, lit("9-INVALID"))
+                .when(b >= 140 && b < 160, lit(null).cast("string"))
+                .otherwise(col("o_orderpriority")))
+            .withColumn("o_orderkey",
+              when(b >= 160 && b < 200,
+                col("o_orderkey") - pmod(col("o_orderkey"), lit(1000)))
+                .otherwise(col("o_orderkey")))
+        }),
       "lineitem" -> scaled("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"),
-        (d, _) => if (!zipf) d else {
+        (d, _) => if (dirty) {
+          val b = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(4096))
+          d.withColumn("l_quantity",
+              when(b < 40, lit(0.0)).when(b >= 40 && b < 60, lit(null).cast("double"))
+                .when(b >= 60 && b < 100, lit(99.0)).otherwise(col("l_quantity")))
+            .withColumn("l_orderkey",
+              when(b >= 100 && b < 120, lit(null).cast("bigint"))
+                .when(b >= 120 && b < 160, -pmod(col("l_orderkey"), lit(997)) - 1)
+                .otherwise(col("l_orderkey")))
+        } else if (!zipf) d else {
           // hot keys = the 10 smallest copy-0 orderkeys (exist in orders
           // at every copy count); the remap coin is the unique
           // (orderkey, linenumber) row identity, so re-runs are stable
