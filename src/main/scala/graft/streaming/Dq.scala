@@ -122,5 +122,37 @@ object Dq {
         .queryName(queryName)
         .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
         .start()
+
+    /** Persist the gate's state — six counter longs + the seen-key
+      * store as parquet — so a restarted driver resumes the fold
+      * instead of replaying the stream ([[Dq.load]]). The counters ride
+      * along as a one-row table; the key store IS the unavoidable
+      * exact-uniqueness state and writes at key cardinality. */
+    def save(path: String): Unit = synchronized {
+      val spark = customers.sparkSession
+      import spark.implicits._
+      seen.write.mode("overwrite").parquet(s"$path/seen.parquet")
+      Seq((counts.n, counts.nullCk, counts.dupOk, counts.badPrice,
+          counts.badPrio, counts.fkOrphans))
+        .toDF("n", "null_ck", "dup_ok", "bad_price", "bad_prio", "fk_orphans")
+        .write.mode("overwrite").parquet(s"$path/counts.parquet")
+    }
+
+    private[Dq] def restore(c: DqCounts, s: DataFrame): Unit = synchronized {
+      counts = c
+      seen = s.localCheckpoint(true)
+    }
+  }
+
+  /** Restore a [[Gate]] from [[Gate.save]] output. */
+  def load(customers: DataFrame, path: String): Gate = {
+    val spark = customers.sparkSession
+    val r = spark.read.parquet(s"$path/counts.parquet").collect()(0)
+    val gate = new Gate(customers)
+    gate.restore(
+      DqCounts(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)),
+      spark.read.parquet(s"$path/seen.parquet"))
+    gate
   }
 }

@@ -67,6 +67,11 @@ object HeavyHitters {
       n += dn
     }
 
+    private[HeavyHitters] def restore(
+        m: java.util.HashMap[String, java.lang.Long], total: Long): Unit = synchronized {
+      summary.clear(); summary.putAll(m); n = total
+    }
+
     /** Total tokens folded so far. */
     def total: Long = synchronized(n)
 
@@ -117,5 +122,39 @@ object HeavyHitters {
         .queryName(queryName)
         .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
         .start()
+
+    /** Persist the gate's entire state — ≤ cap (token, counter) lines +
+      * the total — to one small text file, so a restarted driver
+      * resumes the fold instead of replaying the stream ([[load]]).
+      * Tokens are URL-escaped: any token (newlines, tabs, unicode)
+      * round-trips. */
+    def save(path: String): Unit = synchronized {
+      val sb = new StringBuilder
+      sb.append(cap).append('\t').append(n).append('\n')
+      val it = summary.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        sb.append(java.net.URLEncoder.encode(e.getKey, "UTF-8"))
+          .append('\t').append(e.getValue).append('\n')
+      }
+      val p = java.nio.file.Paths.get(path)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, sb.toString)
+    }
+  }
+
+  /** Restore a [[Gate]] from [[Gate.save]] output. */
+  def load(path: String): Gate = {
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+    require(!lines.isEmpty, s"HeavyHitters.load: empty state file $path")
+    val head = lines.get(0).split('\t')
+    val gate = new Gate(head(0).toInt)
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    (1 until lines.size).foreach { i =>
+      val Array(tok, cnt) = lines.get(i).split('\t')
+      m.put(java.net.URLDecoder.decode(tok, "UTF-8"), cnt.toLong)
+    }
+    gate.restore(m, head(1).toLong)
+    gate
   }
 }

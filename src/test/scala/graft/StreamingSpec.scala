@@ -742,6 +742,43 @@ class StreamingSpec extends AnyFunSuite {
       s"finishExact diverges: ${streamedFinish.diff(batch)} vs ${batch.diff(streamedFinish)}")
   }
 
+  test("gate save/load resumes the fold exactly (heavy hitters + DQ)") {
+    import spark.implicits._
+    // heavy hitters: fold a, save, load, fold b == fold a+b straight
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (da, db) = docs.splitAt(docs.size / 2)
+    def toDf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val hhDir = java.nio.file.Files.createTempDirectory("hh_gate").toString
+    val g1 = new graft.streaming.HeavyHitters.Gate(64)
+    g1.processBatch(toDf(da), 0L)
+    g1.save(s"$hhDir/state.tsv")
+    val g2 = graft.streaming.HeavyHitters.load(s"$hhDir/state.tsv")
+    g2.processBatch(toDf(db), 1L)
+    val straight = new graft.streaming.HeavyHitters.Gate(64)
+    straight.processBatch(toDf(da), 0L)
+    straight.processBatch(toDf(db), 1L)
+    assert(g2.total === straight.total)
+    assert(g2.candidates === straight.candidates)
+
+    // DQ: same contract over the orders constraint counters + key store
+    val customers = spark.read.parquet(s"$sf/customer.parquet")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    val oa = orders.filter(col("o_orderkey") % 2 === 0)
+    val ob = orders.filter(col("o_orderkey") % 2 =!= 0)
+    val dqDir = java.nio.file.Files.createTempDirectory("dq_gate").toString
+    val d1 = new graft.streaming.Dq.Gate(customers)
+    d1.processBatch(oa, 0L)
+    d1.save(dqDir)
+    val d2 = graft.streaming.Dq.load(customers, dqDir)
+    d2.processBatch(ob, 1L)
+    val dStraight = new graft.streaming.Dq.Gate(customers)
+    dStraight.processBatch(oa, 0L)
+    dStraight.processBatch(ob, 1L)
+    assert(d2.totals === dStraight.totals)
+  }
+
   test("DQ fold counts dirty data exactly: null keys, cross-batch dups, orphans") {
     import spark.implicits._
     import graft.streaming.Dq
