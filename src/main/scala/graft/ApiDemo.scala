@@ -142,6 +142,25 @@ object ApiDemo {
           .select(col("user_id"), col("ts"), col("event_id"), col("value"))
           .as[graft.streaming.EwmaEvent])
       .orderBy("user_id", "event_id").show(3, false)
+    println("== BPE trainer: first 8 learned merge rules ==")
+    graft.text.Vocab.bpeFit(docs, merges = 8).show(false)
+    println("== heavy-hitter gate: fold two batches, persist, resume ==")
+    val gate = new graft.streaming.HeavyHitters.Gate(16)
+    gate.processBatch(docs.filter(col("doc_id") % 2 === 0), 0L)
+    val hhState = java.nio.file.Files.createTempDirectory("demo_hh") + "/state.tsv"
+    gate.save(hhState)
+    val resumed = graft.streaming.HeavyHitters.load(hhState)
+    resumed.processBatch(docs.filter(col("doc_id") % 2 =!= 0), 1L)
+    println(s"   streamed ${resumed.total} tokens; exact finish:")
+    resumed.finishExact(docs).show(5, false)
+    println("== DQ gate over a dirty micro-batch: the report an operator pages on ==")
+    val dq = new graft.streaming.Dq.Gate(
+      util.D.t(spark, "/root/testdata/sf0.001", "customer"))
+    dq.processBatch(util.D.t(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 97 === 0, lit(-1L)).otherwise(col("o_custkey"))), 0L)
+    dq.reportDf.show(false)
     spark.stop()
   }
 }
