@@ -19,10 +19,13 @@ import org.apache.spark.sql.types.LongType
   * round is one join + one aggregation of the edge table, and the
   * edge table is pair-bounded (it inherits whatever bound produced the
   * pairs: banded LSH, rare-shingle dfCap, IVF blocks — never the
-  * corpus). Rounds = component diameter; dup clusters are
-  * near-cliques (diameter 2-3 in practice), and [[MaxIterations]]
-  * turns a pathological chain into a diagnosable error instead of an
-  * endless job. Each round is `localCheckpoint`ed: iterative lineage
+  * corpus). Rounds run the one-hop neighbor-min flood, ESCALATING to a
+  * per-round POINTER JUMP (path halving) from round 3, so total rounds
+  * = O(log₂ diameter): dup clusters are near-cliques (2-3 plain
+  * rounds, no jump cost), and even a chain-shaped component
+  * (CDC-overlap chains) converges in ~log₂(length) rounds instead of
+  * needing one round per hop; [[MaxIterations]] stays as a regression
+  * fail-fast. Each round is `localCheckpoint`ed: iterative lineage
   * doubles per round (the label frame feeds the next round twice), so
   * an unpruned plan would grow 2^rounds nodes — the checkpoint pins
   * each round to its materialized result and keeps the plan
@@ -32,13 +35,12 @@ import org.apache.spark.sql.types.LongType
   */
 object Cluster {
 
-  /** Fail-fast bound on propagation rounds. Labels flood one hop per
-    * round, so rounds needed = component diameter; real dup clusters
-    * are near-cliques (diameter 2-3), so 30 covers them with an order
-    * of magnitude to spare — a graph still unconverged here is
-    * pathological (an adversarial long path), and the error names the
-    * knob. Mutable so a caller who truly has chain-shaped duplicates
-    * can raise it knowingly. */
+  /** Fail-fast bound on propagation rounds. Each round floods one hop
+    * AND pointer-jumps (path halving), so rounds needed =
+    * O(log₂ diameter): 30 rounds cover any component a real corpus can
+    * contain (diameter beyond 2³⁰ would need more nodes than exist).
+    * A graph still unconverged here indicates a logic regression, not
+    * data shape — the error names the knob anyway. */
   @volatile var MaxIterations: Int = 30
 
   /** Connected components of an undirected pair graph. Input: one row
@@ -75,23 +77,46 @@ object Cluster {
       val nbrMin = edges
         .join(prev.select(col("id").as("dst"), col("lbl").as("nl")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nl"))
+      val stepped = prev
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lbl").as("prev_lbl"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+      // POINTER JUMP (path halving) from round 3 on: follow each node's
+      // label to that label's own label. Labels are node ids with
+      // lbl(x) ≤ x invariant (start = own id, monotone decreasing min),
+      // so the jump target is never larger — one extra self-join of the
+      // NODE table per round turns label reach from one hop to doubling,
+      // making total rounds O(log diameter): a chain-shaped component
+      // (CDC-overlap chains, adversarial paths) converges in
+      // ~log₂(length) rounds instead of hitting the MaxIterations
+      // fail-fast at diameter > 30. Near-clique dup clusters — the
+      // overwhelmingly common shape — finish inside the first two PLAIN
+      // rounds and never pay the jump join; a component still moving at
+      // round 3 is evidently not a clique, which is exactly when the
+      // halving earns its cost.
+      val jump = round >= 3
       // `changed` rides the same materialization: labels only decrease,
-      // so convergence = "no row took a smaller neighbor label" — a
+      // so convergence = "no row ended below its round-start label" — a
       // column scan of the frame this round just checkpointed, not the
       // labels×prev re-join the check used to pay per round.
-      val next = prev
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"),
-          (col("nl") < col("lbl")).as("changed"))
-        .localCheckpoint(true)
+      val next = (if (!jump) {
+        stepped.select(col("id"), col("lbl"),
+          (col("lbl") < col("prev_lbl")).as("changed"))
+      } else {
+        val parent = stepped.select(col("id").as("pid"), col("lbl").as("plbl"))
+        stepped
+          .join(parent, stepped("lbl") === parent("pid"), "left")
+          .select(col("id"), coalesce(col("plbl"), col("lbl")).as("lbl"),
+            (coalesce(col("plbl"), col("lbl")) < col("prev_lbl")).as("changed"))
+      }).localCheckpoint(true)
       converged = next.filter(col("changed")).isEmpty
       labels = next.select(col("id"), col("lbl"))
     }
     if (!converged) throw new IllegalStateException(
       s"Cluster.connectedComponents: not converged after $MaxIterations rounds — " +
-        "the pair graph contains a component with diameter beyond the bound " +
-        "(dup clusters are near-cliques; a chain this long is pathological). " +
-        "Raise graft.dedup.Cluster.MaxIterations if the shape is intentional.")
+        "with pointer jumping that needs a component diameter beyond 2^" +
+        s"$MaxIterations, which no real pair graph reaches: suspect a logic " +
+        "regression. graft.dedup.Cluster.MaxIterations raises the bound.")
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("lbl"))
       .select(col("lbl").as("cluster_id"), col("id").as("doc_id"),

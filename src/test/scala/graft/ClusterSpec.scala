@@ -38,6 +38,15 @@ class ClusterSpec extends AnyFunSuite {
       Seq((1L, 1L), (1L, 2L), (1L, 3L)))
   }
 
+  test("pointer jumping converges a 512-node chain inside the 30-round bound") {
+    // diameter 511: one-hop flooding alone would need 511 rounds and hit
+    // the fail-fast; path halving needs ~log2(511) + slack
+    val es = (1L until 512L).map(i => i -> (i + 1))
+    val cc = Cluster.connectedComponents(pairsOf(es: _*))
+    assert(cc.filter(col("cluster_id") === 1L).count() === 512)
+    assert(cc.select("cluster_id").distinct().count() === 1)
+  }
+
   test("MaxIterations turns a beyond-bound diameter into a loud error") {
     val prev = Cluster.MaxIterations
     Cluster.MaxIterations = 2
