@@ -62,6 +62,12 @@ object Bench {
         // window and removes the cross-query interference.
         spark.catalog.clearCache()
         System.gc()
+        // the GC only ENQUEUES broadcast/shuffle cleanup; the
+        // ContextCleaner thread drains it asynchronously, and without a
+        // pause that deletion IO lands inside the NEXT query's timed
+        // window — a measurable slice of the shared-pass vs isolated-
+        // probe gap. 150 ms outside the window lets the queue drain.
+        Thread.sleep(150)
         t
       }
       (name, times)
