@@ -63,6 +63,10 @@ object Probe {
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         System.gc()
+        // let the ContextCleaner drain outside the next rep's window
+        // (the Bench convention — the deletion IO otherwise lands
+        // inside the next measurement)
+        Thread.sleep(150)
         t
       }
       println(f"$n%-32s ${times.map(t => f"$t%8.3f").mkString(" ")}")
