@@ -55,15 +55,14 @@ object Cluster {
                           aCol: String = "doc_a",
                           bCol: String = "doc_b"): DataFrame = {
     val e0 = pairs.select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
-    // undirected: keep both orientations so labels flow both ways.
-    // Pre-partitioned ON THE JOIN KEY before the one-time checkpoint:
-    // the materialized blocks keep their hash partitioning (LogicalRDD
-    // carries the physical partitioning through localCheckpoint), so
-    // the per-round label join re-shuffles only the LABEL side — the
-    // edge table, 2× the pair count and the bigger side every round,
-    // is shuffled once for the whole loop instead of once per round.
+    // undirected: keep both orientations so labels flow both ways. The
+    // checkpointed blocks do NOT keep a hash partitioning contract
+    // (verified: a localCheckpoint'd frame re-exchanges under a
+    // shuffle join — LogicalRDD drops outputPartitioning), so the
+    // per-round join re-shuffles the edge table; that cost is bounded
+    // by the PAIR table (never the corpus) and at bench scale the
+    // joins go broadcast under AQE anyway.
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("dst"))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
