@@ -94,6 +94,61 @@ class KMinAggSpec extends AnyFunSuite {
     }
   }
 
+  test("misra-gries summary: counters are lower bounds within N/(cap+1); driver merge matches") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    (1 to 10).foreach { round =>
+      val hot = Seq.fill(3)(s"hot${rng.nextInt(50)}").distinct
+      val vals = rng.shuffle(
+        hot.zipWithIndex.flatMap { case (t, i) => Seq.fill(150 * (i + 1))(t) } ++
+          Seq.fill(400)(s"tail${rng.nextInt(50000)}"))
+      val cap = 8 + rng.nextInt(16)
+      val n = vals.size.toLong
+      val trueCounts = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // (a) the aggregate's counted summary: every counter a lower bound
+      // within the additive N/(cap+1) error, under shuffled partitioning
+      val rows = vals.toDF("t").repartition(3)
+        .agg(graft.functions.MisraGriesAgg.mgSummary(col("t"), cap).as("s"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      assert(rows.size <= cap)
+      rows.foreach { r =>
+        val (tok, cnt) = (r.getString(0), r.getLong(1))
+        val truth = trueCounts(tok)
+        assert(cnt <= truth, s"round $round: $tok counter $cnt above truth $truth")
+        assert((truth - cnt) * (cap + 1) <= n, s"round $round: $tok error beyond bound")
+      }
+      // (b) driver-side mergeInto of per-slice summaries obeys the same
+      // bound — the streaming gate's fold path
+      val slices = vals.grouped(math.max(1, vals.size / 4)).toSeq
+      val acc = new java.util.HashMap[String, java.lang.Long]()
+      slices.foreach { sl =>
+        val m = new java.util.HashMap[String, java.lang.Long]()
+        sl.foreach { t =>
+          val cur = m.get(t)
+          if (cur != null) m.put(t, cur + 1L)
+          else if (m.size < cap) m.put(t, 1L)
+          else {
+            val it = m.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+            }
+          }
+        }
+        graft.functions.MisraGriesAgg.mergeInto(acc, m, cap)
+      }
+      assert(acc.size <= cap)
+      val guaranteed = trueCounts.filter(_._2 * (cap + 1) > n).keySet
+      assert(guaranteed.forall(acc.containsKey),
+        s"round $round: merged summary lost a guaranteed hitter")
+      acc.forEach { (tok, cnt) =>
+        val truth = trueCounts(tok)
+        assert(cnt <= truth && (truth - cnt) * (cap + 1) <= n,
+          s"round $round: merged counter for $tok out of bound")
+      }
+    }
+  }
+
   test("misra-gries: cap >= distinct count keeps exact candidate set; null-safe") {
     import spark.implicits._
     assert(mgCands(Seq("a", "b", "a", "c", "a"), 10, 2) === Seq("a", "b", "c"))
