@@ -160,14 +160,37 @@ object GenScale {
               .otherwise(col("l_orderkey")))
         }),
       "events" -> scaled("events", Seq("event_id", "user_id"),
-        (d, _) => if (!zipf) d else {
+        (d, _) => if (dirty) {
+          // null value / null event_type slices (ts and user_id stay
+          // non-null — they are the fold-ordering contract)
+          val b = pmod(xxhash64(col("event_id")), lit(4096))
+          d.withColumn("value",
+              when(b < 30, lit(null).cast(d.schema("value").dataType))
+                .otherwise(col("value")))
+            .withColumn("event_type",
+              when(b >= 30 && b < 50, lit(null).cast("string"))
+                .otherwise(col("event_type")))
+        } else if (!zipf) d else {
           val bucket = pmod(xxhash64(col("event_id")), lit(ZipfB))
           d.withColumn("user_id",
             when(bucket < ZipfHotCut, zipfPick(bucket, (1L to ZipfHotN.toLong)))
               .otherwise(col("user_id")))
         }),
       "documents" -> scaled("documents", Seq("doc_id"), (d, i) =>
-        if (rev) d.withColumn("text",
+        if (dirty) {
+          // text-family audit dirt: null / empty / whitespace-only text
+          // and null lang — the cross-engine null-semantics slice for
+          // every tokenize/shingle/quality/langid scan
+          val b = pmod(xxhash64(col("doc_id")), lit(4096))
+          d.withColumn("text",
+              when(b < 20, lit(null).cast("string"))
+                .when(b >= 20 && b < 40, lit(""))
+                .when(b >= 40 && b < 60, lit("   "))
+                .otherwise(col("text")))
+            .withColumn("lang",
+              when(b >= 60 && b < 80, lit(null).cast("string")).otherwise(col("lang")))
+        }
+        else if (rev) d.withColumn("text",
           array_join(reverse(split(col("text"), " ")), " "))
         else if (i == 0) d
         else d.withColumn("text",

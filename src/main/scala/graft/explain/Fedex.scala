@@ -37,9 +37,16 @@ object Fedex {
 
   private val termDec = DecimalType(18, 9)
 
+  /** NULL-PRESERVING: Spark's least() skips nulls, so an unguarded
+    * least(floor(null/...), nb-1) silently bins a NULL value into the
+    * TOP bin (and `when(hi = lo, 0)` would bin it 0) — while every SQL
+    * mirror filters the raw attribute IS NOT NULL first. A null value
+    * has no bin; downstream isNotNull filters then agree with the
+    * mirrors on dirty data. */
   def binExpr(c: Column, lo: Column, hi: Column, nb: Int = 10): Column =
-    when(hi === lo, lit(0)).otherwise(
-      least(floor((c - lo) / ((hi - lo) / nb.toDouble)).cast("int"), lit(nb - 1)))
+    when(c.isNull, lit(null).cast("int")).otherwise(
+      when(hi === lo, lit(0)).otherwise(
+        least(floor((c - lo) / ((hi - lo) / nb.toDouble)).cast("int"), lit(nb - 1))))
 
   def binSql(c: String, lo: String, hi: String, nb: Int = 10): String =
     s"CASE WHEN $hi = $lo THEN 0 ELSE LEAST(CAST(FLOOR(($c - $lo) / (($hi - $lo) / $nb.0)) AS INT), ${nb - 1}) END"

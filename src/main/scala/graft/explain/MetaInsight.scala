@@ -799,7 +799,7 @@ object MetaInsight {
          |ts$i AS (SELECT subspace, measure, COUNT(*) AS k, SUM(x) AS sx,
          |    SUM(CAST(x * x AS BIGINT)) AS sxx,
          |    ${dvalSql("v")} AS sv, ${dbigSql("v * v")} AS svv, ${dvalSql("x * v")} AS sxv
-         |  FROM tm$i GROUP BY 1, 2),
+         |  FROM tm$i WHERE subspace IS NOT NULL GROUP BY 1, 2),
          |tr$i AS (SELECT subspace, measure,
          |    CASE WHEN SQRT(CAST(k * sxx - sx * sx AS DOUBLE)) * SQRT(GREATEST(k * svv - sv * sv, 0)) > 1e-9
          |         THEN (k * sxv - sx * sv) /

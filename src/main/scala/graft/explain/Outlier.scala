@@ -46,11 +46,18 @@ object Outlier {
     //    Correlation moment contract).
     // Attribute names and string bins re-enter in the tiny post-select.
     val binCols = attrs.map(a => Fedex.binExpr(col(a), col(s"lo_$a"), col(s"hi_$a"), nb))
-    val attrArr = array(attrs.map(lit): _*)
+    // sentinel "__total__" pseudo-attribute with a constant bin: every
+    // row contributes to it, so the per-group TOTALS (the oracle's
+    // whole-table tot) ride the same single scan even though null
+    // attribute values are excluded from the real attributes' bins
+    val attrArr = array((attrs :+ "__total__").map(lit): _*)
     val cubePlan = src.crossJoin(broadcast(stats))
       .select(col(groupCol).as("grp"), Correlation.quant6Col(col(aggCol)).as("fy"),
-        posexplode(array(binCols: _*)))
+        posexplode(array(binCols :+ lit(0): _*)))
       .withColumnRenamed("pos", "ai").withColumnRenamed("col", "bin")
+      // a NULL attribute value has no bin (binExpr is null-preserving);
+      // the SQL mirror's per-attribute IS NOT NULL filter is this line
+      .filter(col("bin").isNotNull)
       .groupBy("grp", "ai", "bin")
       .agg(count(lit(1)).as("cnt"), Correlation.chunkSumAggs("fy"): _*)
       .select(col("grp"), element_at(attrArr, col("ai") + 1).as("attribute"),
@@ -68,12 +75,10 @@ object Outlier {
     val cube = src.sparkSession.createDataFrame(
       java.util.Arrays.asList(cubePlan.collect(): _*), cubePlan.schema)
 
-    // per-group totals (tiny) — RE-AGGREGATED from the cube over one
-    // attribute's bins rather than scanned from src again: the cube
-    // subtrees are then identical, so runtime exchange reuse collapses
-    // every consumer to ONE scan (decimal sums make the two-level total
-    // exactly equal to a direct one)
-    val tot = cube.filter(col("attribute") === attrs.head)
+    // per-group totals (tiny) — read from the sentinel rows of the SAME
+    // collected cube (all rows contribute to "__total__" regardless of
+    // attribute nulls, so this equals the oracle's whole-table tot)
+    val tot = cube.filter(col("attribute") === "__total__")
       .groupBy("grp")
       .agg(sum(col("cnt")).as("cnt_g"), sum(col("sm")).as("sm_g"))
 
@@ -89,7 +94,8 @@ object Outlier {
         sigmaExpr(col("sv"), col("svv"), col("k"))).as("s_full"))
 
     // candidate grid × groups (left join so groups missing a bin keep all rows)
-    val cands = cube.select("attribute", "bin").distinct()
+    val cands = cube.filter(col("attribute") =!= "__total__")
+      .select("attribute", "bin").distinct()
     val grid = cands.crossJoin(tot)
       .join(cube, Seq("attribute", "bin", "grp"), "left")
       .na.fill(0L, Seq("cnt"))
@@ -125,7 +131,7 @@ object Outlier {
       s"""SELECT $groupCol AS grp, '$a' AS attribute,
          |  CAST(${Fedex.binSql(a, s"lo_$a", s"hi_$a", nb)} AS VARCHAR) AS bin,
          |  COUNT(*) AS cnt, SUM(CAST($aggCol AS DECIMAL(25,6))) AS sm
-         |FROM $table, st GROUP BY 1, 2, 3""".stripMargin
+         |FROM $table, st WHERE $a IS NOT NULL GROUP BY 1, 2, 3""".stripMargin
     }.mkString("\nUNION ALL\n")
     val v = "CAST(CAST((t.sm_g - COALESCE(c.sm, 0)) AS DECIMAL(25,6)) AS DOUBLE) / (t.cnt_g - COALESCE(c.cnt, 0))"
     s"""WITH st AS (SELECT $statCols FROM $table),

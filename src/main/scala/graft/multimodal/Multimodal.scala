@@ -159,7 +159,8 @@ object Multimodal {
     * distributed batched GENUINE header decode. */
   def decodeMeta(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text").cast(BinaryType).as("body"))
+    val decoded = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("body"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // batch shape: one decoder pass per task over the partition's
@@ -171,7 +172,16 @@ object Multimodal {
         }
       }
       .toDF()
-      .orderBy("doc_id")
+    // a NULL body has no payload to decode: all-null metadata, the row
+    // kept — exactly what the oracle's strlen(NULL) arithmetic yields
+    val nulls = docs.filter(col("text").isNull)
+      .select(col("doc_id"),
+        lit(null).cast(LongType).as("byte_len"),
+        lit(null).cast("int").as("head_byte"),
+        lit(null).cast(LongType).as("width"),
+        lit(null).cast(LongType).as("height"),
+        lit(null).cast("string").as("format"))
+    decoded.unionByName(nulls).orderBy("doc_id")
   }
 
   /** Oracle mirror: the GROUND TRUTH the fixture embedded, reconstructed
@@ -184,11 +194,11 @@ object Multimodal {
   def decodeMetaSql(table: String): String =
     s"""SELECT doc_id,
        |  CAST(strlen(text) + CASE hb % 3 WHEN 0 THEN $JpegOverhead
-       |    WHEN 1 THEN $PngOverhead ELSE $GifOverhead END AS BIGINT) AS byte_len,
-       |  CAST(CASE hb % 3 WHEN 0 THEN 255 WHEN 1 THEN 137 ELSE 71 END AS INT) AS head_byte,
+       |    WHEN 1 THEN $PngOverhead WHEN 2 THEN $GifOverhead END AS BIGINT) AS byte_len,
+       |  CAST(CASE hb % 3 WHEN 0 THEN 255 WHEN 1 THEN 137 WHEN 2 THEN 71 END AS INT) AS head_byte,
        |  CAST(16 + (strlen(text) % 64) * 4 AS BIGINT) AS width,
        |  CAST(16 + ((strlen(text) + hb) % 48) * 4 AS BIGINT) AS height,
-       |  CASE hb % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END AS format
+       |  CASE hb % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'gif' END AS format
        |FROM (SELECT doc_id, text,
        |    CASE WHEN strlen(text) = 0 THEN 0
        |         ELSE ('0x' || substr(hex(CAST(text AS BLOB)), 1, 2))::INT END AS hb
@@ -229,7 +239,8 @@ object Multimodal {
     // head byte via hex prefix: payload(0) & 0xff, empty → 0
     val hb = when(len === 0, 0L)
       .otherwise(conv(substring(hex(payload), 1, 2), 16, 10).cast(LongType))
-    val fmt = when(hb % 3 === 0, "jpeg").when(hb % 3 === 1, "png").otherwise("gif")
+    val fmt = when(hb % 3 === 0, "jpeg").when(hb % 3 === 1, "png")
+      .when(hb % 3 === 2, "gif") // NULL payload -> NULL format (no otherwise)
     val perFp = docs
       .select(fmt.as("format"), md5(payload).as("fp"), len.as("byte_len"))
       .groupBy("format", "fp")
@@ -247,7 +258,7 @@ object Multimodal {
     s"""WITH p AS (SELECT
        |    CASE (CASE WHEN strlen(text) = 0 THEN 0
        |          ELSE ('0x' || substr(hex(CAST(text AS BLOB)), 1, 2))::INT END) % 3
-       |      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END AS format,
+       |      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'gif' END AS format,
        |    md5(text) AS fp,
        |    CAST(strlen(text) AS BIGINT) AS byte_len
        |  FROM $table),
@@ -449,7 +460,7 @@ object Multimodal {
        |meta AS (SELECT doc_id,
        |    CASE (CASE WHEN strlen(text) = 0 THEN 0
        |          ELSE ('0x' || substr(hex(CAST(text AS BLOB)), 1, 2))::INT END) % 3
-       |      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END AS format
+       |      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'gif' END AS format
        |  FROM $table)
        |SELECT format, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,

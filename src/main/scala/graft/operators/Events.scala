@@ -503,7 +503,7 @@ object Events extends QFamily {
              |  FROM ev WHERE event_id % 2 = 0),
              |binned AS (SELECT event_id % 2 AS slice,
              |    1 + len(list_filter(th.th, t -> t < e.value)) AS bin
-             |  FROM ev e, th),
+             |  FROM ev e, th WHERE e.value IS NOT NULL),
              |cell AS (SELECT bin,
              |    SUM(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS n_ref,
              |    SUM(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS n_cur
@@ -517,7 +517,11 @@ object Events extends QFamily {
              |  ROUND((p_cur - p_ref) * LN(p_cur / p_ref), 6) AS psi_term
              |FROM terms ORDER BY bin""".stripMargin),
       (s, dir) => {
+        // a NULL value has no bin (Spark would make a NULL bin, SQL's
+        // list_filter would silently call it bin 1) — missing values
+        // are out of scope for a PSI over the feature, both engines
         val e = ev(s, dir).select(col("event_id"), col("value"))
+          .filter(col("value").isNotNull)
         val ths = e.filter(col("event_id") % 2 === 0)
           .agg(percentile(col("value"), array((1 to 9).map(i => lit(i / 10.0)): _*)).as("th"))
           .select(transform(col("th"), x => r(x, 4)).as("th"))

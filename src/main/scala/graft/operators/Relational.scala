@@ -96,14 +96,18 @@ object Relational extends QFamily {
         |  ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS median_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       val n = count(lit(1))
+      // stats denominators are COUNT(col) — null-skipping, the SQL
+      // AVG/VAR convention the oracle states; COUNT(*) is only the
+      // reported row count (they differ on dirty data with null values)
+      val nq = count(col("l_quantity"))
       val sm = dsumd(col("l_quantity"))
       val sq = dsumsq(col("l_quantity"))
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(n.as("n"),
-          r(sm / n).as("mean_qty"),
-          r(varSamp(sm, sq, n)).as("var_qty"),
-          r(sqrt(varSamp(sm, sq, n))).as("std_qty"),
+          r(sm / nq).as("mean_qty"),
+          r(varSamp(sm, sq, nq)).as("var_qty"),
+          r(sqrt(varSamp(sm, sq, nq))).as("std_qty"),
           r(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"))
         .orderBy("l_returnflag")
     },
@@ -347,12 +351,18 @@ object Relational extends QFamily {
         |  CAST(row_number() OVER w AS BIGINT) AS rn,
         |  lag(l_quantity) OVER w AS prev_qty,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6)))
-        |       OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |       OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey NULLS LAST, l_linenumber, l_quantity NULLS LAST, l_partkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(25,6)) AS DOUBLE) AS run_qty
         |FROM lineitem WHERE l_suppkey <= 2
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey NULLS LAST, l_linenumber, l_quantity NULLS LAST, l_partkey)
         |ORDER BY l_suppkey, rn""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      // the window ordering is explicit about NULL placement (Spark
+      // defaults NULLS FIRST, SQL NULLS LAST — divergent on dirty keys)
+      // and extended to a near-total key so duplicate (orderkey,
+      // linenumber) rows from dirty data cannot make lag() order-dependent
+      val w = Window.partitionBy("l_suppkey").orderBy(col("l_shipdate"),
+        col("l_orderkey").asc_nulls_last, col("l_linenumber"),
+        col("l_quantity").asc_nulls_last, col("l_partkey"))
       val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "lineitem")
         .filter(col("l_suppkey") <= 2)
@@ -556,8 +566,10 @@ object Relational extends QFamily {
     // deterministic md5 arithmetic). Same estimator family as
     // q_approx_kmv/q_kmv_merge.
     q("q_join_size_est",
-      s"""WITH ha0 AS (SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h FROM orders),
-        |hb0 AS (SELECT DISTINCT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h FROM customer),
+      s"""WITH ha0 AS (SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |hb0 AS (SELECT DISTINCT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM customer WHERE c_custkey IS NOT NULL),
         |ra AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM ha0),
         |rb AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hb0),
         |sa AS (SELECT COUNT(*) AS nd_a, MAX(CASE WHEN rn = 256 THEN h END) AS kth FROM ra),
@@ -722,7 +734,8 @@ object Relational extends QFamily {
     // form instead (documented in MaskPairCountAgg).
     q("q_basket_pairs",
       """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_orderkey IS NOT NULL),
         |pairs AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
         |    CAST(COUNT(*) AS BIGINT) AS support
         |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand GROUP BY 1, 2),
@@ -745,6 +758,10 @@ object Relational extends QFamily {
       val dim = brands.zipWithIndex
         .map { case (b, i) => (b, 1L << i) }.toSeq.toDF("p_brand", "bit")
       val cells = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        // a NULL orderkey is not a basket: groupBy would pool every
+        // null-key row into one phantom mega-basket (SQL's a.ok = b.ok
+        // never matches NULL, so the oracle has no such basket)
+        .filter(col("l_orderkey").isNotNull)
         .join(broadcast(t(s, dir, "part").select("p_partkey", "p_brand")
           .join(broadcast(dim), "p_brand")),
           col("l_partkey") === col("p_partkey"))
@@ -876,8 +893,11 @@ object Relational extends QFamily {
     // ---- deterministic sampling ----------------------------------------
     q("q_sample_det",
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-        |FROM lineitem WHERE l_orderkey % 97 = 11
+        |FROM lineitem WHERE (l_orderkey % 97 + 97) % 97 = 11
         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      // pmod on both sides: SQL's % keeps the dividend's sign, so a bare
+      // `% 97 = 11` silently drops NEGATIVE keys from the sample — the
+      // double-mod makes the oracle non-negative exactly like pmod
       t(s, dir, "lineitem")
         .filter(pmod(col("l_orderkey"), lit(97)) === 11)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
@@ -1190,12 +1210,16 @@ object Relational extends QFamily {
       """SELECT o_custkey, mode_priority, n FROM (
         |  SELECT o_custkey, o_orderpriority AS mode_priority, COUNT(*) AS n,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
-        |      ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+        |      ORDER BY COUNT(*) DESC, o_orderpriority NULLS LAST) AS rn
         |  FROM orders GROUP BY o_custkey, o_orderpriority)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin) { (s, dir) =>
       val counts = t(s, dir, "orders")
         .groupBy("o_custkey", "o_orderpriority").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("o_custkey").orderBy(col("n").desc, col("o_orderpriority"))
+      // tie-break NULLS LAST explicitly: Spark's ASC default is NULLS
+      // FIRST, SQL's is NULLS LAST — a null-priority mode group (dirty
+      // data) would win ties on one engine and lose them on the other
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("n").desc, col("o_orderpriority").asc_nulls_last)
       counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("o_custkey"), col("o_orderpriority").as("mode_priority"), col("n"))
         .orderBy("o_custkey")
@@ -1315,7 +1339,8 @@ object Relational extends QFamily {
         |  SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority, 2, 'D'
         |  FROM orders WHERE o_orderkey % 13 = 0),
         |cur AS (SELECT ok, price, prio, op,
-        |    ROW_NUMBER() OVER (PARTITION BY ok ORDER BY seq DESC) AS rn
+        |    ROW_NUMBER() OVER (PARTITION BY ok
+        |      ORDER BY seq DESC, op DESC, price DESC NULLS LAST, prio DESC NULLS LAST) AS rn
         |  FROM log)
         |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
@@ -1331,7 +1356,12 @@ object Relational extends QFamily {
       val del = o.filter(pmod(col("o_orderkey"), lit(13)) === 0)
         .select(col("o_orderkey").as("ok"), lit(null).cast(DoubleType).as("price"),
           col("o_orderpriority").as("prio"), lit(2).as("seq"), lit("D").as("op"))
-      val w = Window.partitionBy("ok").orderBy("seq")
+      // TOTAL ordering (seq alone ties on dirty data with duplicate
+      // keys, making "latest" an arbitrary pick that diverges across
+      // engines): ASC NULLS FIRST here is exactly the reverse of the
+      // oracle's DESC NULLS LAST, so last-in-ASC == rn 1-in-DESC
+      val w = Window.partitionBy("ok").orderBy(col("seq"), col("op"),
+        col("price").asc_nulls_first, col("prio").asc_nulls_first)
       base.unionByName(upd).unionByName(del)
         .withColumn("nxt", lead(col("seq"), 1).over(w))
         .filter(col("nxt").isNull && col("op") =!= "D")

@@ -35,8 +35,8 @@ object Layout {
   /** 32-bit Morton code of two non-negative keys (each taken mod 2^16):
     * x occupies the even bits, y the odd bits. */
   def zvalue(x: Column, y: Column): Column =
-    spread16(x.cast(LongType) % 65536L)
-      .bitwiseOR(shiftleft(spread16(y.cast(LongType) % 65536L), 1))
+    spread16(pmod(x.cast(LongType), lit(65536L)))
+      .bitwiseOR(shiftleft(spread16(pmod(y.cast(LongType), lit(65536L))), 1))
 
   /** Cluster `df` for writing: range-partition + sort by the z-value of
     * (x, y). Each output partition (→ parquet file) then covers a
@@ -56,9 +56,12 @@ object Layout {
     * dimension — the two-sided pruning guarantee, checkable in-query.
     * Columns: zbucket, n_orders, cust_lo/hi, day_lo/hi. */
   def zProfile(orders: DataFrame): DataFrame = {
-    val x = col("o_custkey").cast(LongType) % 65536L
-    val y = datediff(col("o_orderdate"), lit("1992-01-01").cast(DateType))
-      .cast(LongType) % 65536L
+    // pmod, not %: a negative key (dirty data) must still land in the
+    // non-negative domain the mask ladder requires — SQL's %-of-negative
+    // would make the oracle's left shift ERROR out
+    val x = pmod(col("o_custkey").cast(LongType), lit(65536L))
+    val y = pmod(datediff(col("o_orderdate"), lit("1992-01-01").cast(DateType))
+      .cast(LongType), lit(65536L))
     orders.select(x.as("x"), y.as("y"), zvalue(col("o_custkey"),
         datediff(col("o_orderdate"), lit("1992-01-01").cast(DateType))).as("z"))
       .groupBy(shiftright(col("z"), 14).as("zbucket"))
@@ -70,8 +73,8 @@ object Layout {
 
   /** DuckDB mirror of [[zProfile]] (mask ladder staged through CTEs). */
   def zProfileSql(table: String): String =
-    s"""WITH z0 AS (SELECT o_custkey % 65536 AS x,
-       |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) % 65536 AS y
+    s"""WITH z0 AS (SELECT (o_custkey % 65536 + 65536) % 65536 AS x,
+       |    (CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) % 65536 + 65536) % 65536 AS y
        |  FROM $table),
        |z1 AS (SELECT x, y, (x | (x << 8)) & 16711935 AS xs, (y | (y << 8)) & 16711935 AS ys FROM z0),
        |z2 AS (SELECT x, y, (xs | (xs << 4)) & 252645135 AS xs, (ys | (ys << 4)) & 252645135 AS ys FROM z1),

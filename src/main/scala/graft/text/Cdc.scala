@@ -65,7 +65,12 @@ object Cdc {
   def chunkHashes(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, text) => chunks(text).map(c => (id, md5hex(c))) })
+      // null text → no chunks, matching the oracle (its per-position
+      // window over a NULL string yields no boundary rows)
+      .mapPartitions(_.flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else chunks(text).map(c => (id, md5hex(c)))
+      })
       .toDF("doc_id", "chunk_hash")
   }
 

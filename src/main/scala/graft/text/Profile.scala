@@ -93,8 +93,14 @@ object Profile {
         sum("pn").over(Window.partitionBy("lang").orderBy("pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("n_lang", sum("pn").over(Window.partitionBy("lang")))
-      .select("pid", "lang", "offset", "n_lang")
-    local.join(broadcast(offsets), Seq("pid", "lang"))
+      .select(col("pid").as("o_pid"), col("lang").as("o_lang"),
+        col("offset"), col("n_lang"))
+    // NULL-SAFE join on the stratum key: a plain equi-join drops every
+    // null-lang row (null fails =), silently losing the whole NULL
+    // stratum that the window ranks and the oracle reports
+    local.join(broadcast(offsets),
+        col("pid") === col("o_pid") && col("lang") <=> col("o_lang"))
+      .drop("o_pid", "o_lang")
       .withColumn("rnk", col("local_rn") + col("offset"))
       .withColumn("split",
         when(col("rnk") <= floor(lit(trainFrac) * col("n_lang")), "train")
@@ -343,7 +349,11 @@ object Profile {
         .cast(LongType) % buckets.toLong
       (b * lit(2654435761L)) % 1000003L % 2001L - 1000L
     }
-    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+    // null text has no tokens and no score row — made explicit on both
+    // sides (the oracle's unnest yields zero rows for it; an unfiltered
+    // Spark side would emit an all-null row instead)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
       .select(col("doc_id"),
         size(col("w")).cast(LongType).as("n_tokens"),
         aggregate(col("w"), lit(0L), (acc, t) => acc + weight(t)).as("score"))
@@ -361,7 +371,8 @@ object Profile {
     s"""WITH tw AS (
        |  SELECT doc_id,
        |    (('0x' || substr(md5(tok), 1, 15))::BIGINT % $buckets) AS b
-       |  FROM (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS tok FROM $table)),
+       |  FROM (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS tok
+       |        FROM $table WHERE text IS NOT NULL)),
        |sc AS (
        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        |    CAST(SUM(((b * 2654435761) % 1000003) % 2001 - 1000) AS BIGINT) AS score

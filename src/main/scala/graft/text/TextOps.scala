@@ -80,8 +80,12 @@ object TextOps {
     s"len(regexp_extract_all($c, '[\\x{4e00}-\\x{9fff}]'))"
 
   /** Bag fingerprint: md5 of the sorted distinct token set. */
+  /** NULL text → NULL fingerprint (concat_ws would silently fold a null
+    * array into "", merging null-text docs with empty-text docs — the
+    * SQL mirror's md5(NULL) keeps them distinct, so must we). */
   def bagFingerprint(c: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))).cast(BinaryType))
+    when(c.isNull, lit(null).cast("string"))
+      .otherwise(md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))).cast(BinaryType)))
 
   def bagFingerprintSql(c: String): String =
     s"md5(array_to_string(list_sort(list_distinct(${tokensSql(c)})), ' '))"
