@@ -300,6 +300,13 @@ object Pipeline extends QFamily {
       Some(Ann.ivfRecallSql("embeddings", 40, 25, 7, 3, 5)),
       (s, dir) => Ann.ivfRecall(t(s, dir, "embeddings"), 40, 25, 7, 3, 5)),
 
+    // the recall-vs-cost CURVE over nprobe ∈ {1,2,4,8,16} — the table a
+    // deployment tunes from; one corpus scoring pass at depth 16 serves
+    // all five points (see Ann.nprobeCurve)
+    QDef("q_ann_nprobe_curve",
+      Some(Ann.nprobeCurveSql("embeddings", 40, 25, 7, Seq(1, 2, 4, 8, 16), 5)),
+      (s, dir) => Ann.nprobeCurve(t(s, dir, "embeddings"), 40, 25, 7, Seq(1, 2, 4, 8, 16), 5)),
+
     // two-stage serving path: int8-quantized coarse scan (integer
     // ranking, 4x-smaller codes) -> exact re-rank of Q x 20 candidates
     QDef("q_ann_refine",

@@ -351,18 +351,23 @@ object Relational extends QFamily {
         |  CAST(row_number() OVER w AS BIGINT) AS rn,
         |  lag(l_quantity) OVER w AS prev_qty,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6)))
-        |       OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey NULLS LAST, l_linenumber, l_quantity NULLS LAST, l_partkey
+        |       OVER (PARTITION BY l_suppkey ORDER BY l_shipdate NULLS LAST, l_orderkey NULLS LAST, l_linenumber NULLS LAST, l_quantity NULLS LAST, l_partkey NULLS LAST
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(25,6)) AS DOUBLE) AS run_qty
         |FROM lineitem WHERE l_suppkey <= 2
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey NULLS LAST, l_linenumber, l_quantity NULLS LAST, l_partkey)
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate NULLS LAST, l_orderkey NULLS LAST, l_linenumber NULLS LAST, l_quantity NULLS LAST, l_partkey NULLS LAST)
         |ORDER BY l_suppkey, rn""".stripMargin) { (s, dir) =>
-      // the window ordering is explicit about NULL placement (Spark
-      // defaults NULLS FIRST, SQL NULLS LAST — divergent on dirty keys)
-      // and extended to a near-total key so duplicate (orderkey,
-      // linenumber) rows from dirty data cannot make lag() order-dependent
-      val w = Window.partitionBy("l_suppkey").orderBy(col("l_shipdate"),
-        col("l_orderkey").asc_nulls_last, col("l_linenumber"),
-        col("l_quantity").asc_nulls_last, col("l_partkey"))
+      // the window ordering is explicit about NULL placement on EVERY
+      // sort key (Spark defaults NULLS FIRST, SQL NULLS LAST — divergent
+      // on dirty keys; relying on "this column is never null today" is a
+      // latent oracle divergence) and extended to a near-total key so
+      // duplicate (orderkey, linenumber) rows from dirty data cannot make
+      // lag() order-dependent
+      val w = Window.partitionBy("l_suppkey").orderBy(
+        col("l_shipdate").asc_nulls_last,
+        col("l_orderkey").asc_nulls_last,
+        col("l_linenumber").asc_nulls_last,
+        col("l_quantity").asc_nulls_last,
+        col("l_partkey").asc_nulls_last)
       val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "lineitem")
         .filter(col("l_suppkey") <= 2)

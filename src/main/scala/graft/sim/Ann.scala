@@ -347,6 +347,124 @@ object Ann {
        |FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 
+  /** Recall-vs-cost CURVE over a set of `nprobe` values — the table a
+    * deployment actually tunes from ([[ivfRecall]] measures ONE point;
+    * this sweeps the whole speed/recall trade in a single pass).
+    *
+    * One corpus scoring pass serves every curve point: candidates are
+    * scored once at probe depth max(probes), each candidate carrying the
+    * probe RANK of its (unique) IVF list; the per-nprobe top-k is then a
+    * filter `probe_rn <= nprobe` + re-rank over that already-scored
+    * KB-scale table — no per-point rescans (verified: exactly one
+    * assignment aggregate and one member-probe join in the plan).
+    * recall is the micro-average |ivf ∩ exact| / (k·Q): every query
+    * contributes exactly k exact rows (N−1 ≥ k), so micro == macro and
+    * the division is one exact BIGINT/BIGINT — no double-summation-order
+    * hazard in the cross-engine hash. n_candidates (scored candidate
+    * rows at that depth) is the COST axis: recall/n_candidates is the
+    * measured trade, monotone in nprobe by construction (AnnSpec pins
+    * monotonicity and the full-probe recall=1.0 endpoint).
+    *
+    * Scale: identical regime to [[ivfTopK]] — centroids and the Q-row
+    * probe table broadcast, corpus streams once through the codegen'd
+    * fixed-point cosine; the nprobe explosion multiplies only the
+    * candidate OUTPUT (≤ |probes|·N·maxP/K rows of 4 scalars), never the
+    * corpus scan. At 100 TB this runs over a held-out query sample,
+    * which is exactly the queryMod-sampled shape registered here.
+    * Reference: pd-explain exposes no ANN tuning surface; this is the
+    * deployment-gap operator SURVEY §2.4 adds (FAISS nprobe sweeps are
+    * the offline-notebook analogue). */
+  def nprobeCurve(vecs: DataFrame, queryMod: Int, centMod: Int, centOff: Int,
+                  probes: Seq[Int], k: Int): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ > 0), "nprobeCurve: probes must be positive")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val maxP = probes.max
+    val base = scaledBase(vecs)
+    val cents = seedRows(base, centMod, centOff)
+      .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
+    def scoreCents(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
+    val assign = scoreCents(base).groupBy("vec_id")
+      .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("list_id"))
+    val members = base.join(assign, "vec_id")
+    val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val probeLists = scoreCents(base.filter(col("vec_id") % queryMod === 0))
+      .withColumn("probe_rn", row_number().over(wA))
+      .filter(col("probe_rn") <= maxP)
+      .select(col("vec_id").as("query_id"), col("fxe").as("qe"),
+        col("nsq").as("qn"), col("cid").as("list_id"), col("probe_rn"))
+    // scored ONCE at depth maxP; probe_rn = rank of the candidate's list
+    val cand = members.join(broadcast(probeLists), "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosExpr(FixedDot(col("qe"), col("fxe")), col("qn"), col("nsq")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cosine"), col("probe_rn"))
+    val np = probes.distinct.sorted.toDF("nprobe")
+    val expanded = cand.join(broadcast(np), col("probe_rn") <= col("nprobe"))
+    val wR = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val ivfTop = expanded
+      .withColumn("rank", row_number().over(wR)).filter(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val ex = bruteTopK(vecs, queryMod, k).select(col("query_id"), col("neighbor_id"))
+    val recall = ex.crossJoin(broadcast(np))
+      .join(ivfTop, Seq("nprobe", "query_id", "neighbor_id"), "left")
+      .groupBy("nprobe")
+      .agg(countDistinct(col("query_id")).cast(LongType).as("n_queries"),
+        count(lit(1)).cast(LongType).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_hit"))
+    val costs = expanded.groupBy("nprobe")
+      .agg(count(lit(1)).cast(LongType).as("n_candidates"))
+    recall.join(costs, Seq("nprobe"))
+      .select(col("nprobe").cast(LongType).as("nprobe"), col("n_queries"),
+        graft.util.D.r(col("n_hit").cast(DoubleType) / col("n_exact"), 6).as("mean_recall"),
+        col("n_candidates"))
+      .orderBy("nprobe")
+  }
+
+  /** DuckDB mirror of [[nprobeCurve]] (retrieval CTEs shared with
+    * [[ivfTopKSql]]; the exact top-k nested as a self-contained
+    * subquery so CTE names cannot collide). */
+  def nprobeCurveSql(table: String, queryMod: Int, centMod: Int, centOff: Int,
+                     probes: Seq[Int], k: Int): String = {
+    val maxP = probes.max
+    val vals = probes.distinct.sorted.map(p => s"($p)").mkString(", ")
+    s"""WITH ${normSqSql(table)},
+       |base AS (SELECT e.vec_id, e.embedding, n.nsq FROM $table e JOIN norms n ON e.vec_id = n.vec_id),
+       |cents AS (SELECT vec_id AS cid, embedding AS ce, nsq AS cn FROM base WHERE ${seedWhere(centMod, centOff)}),
+       |scored_c AS (SELECT b.vec_id, b.embedding, b.nsq, c.cid,
+       |    ${cosSql(dotFixSql("c.ce", "b.embedding"), "c.cn", "b.nsq")} AS ccos
+       |  FROM base b CROSS JOIN cents c),
+       |ranked_c AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM scored_c),
+       |assign AS (SELECT vec_id, cid AS list_id FROM ranked_c WHERE rn = 1),
+       |members AS (SELECT b.vec_id, b.embedding, b.nsq, a.list_id FROM base b JOIN assign a ON b.vec_id = a.vec_id),
+       |probes AS (SELECT vec_id AS query_id, embedding AS qe, nsq AS qn, cid AS list_id, rn AS probe_rn
+       |  FROM ranked_c WHERE vec_id % $queryMod = 0 AND rn <= $maxP),
+       |cand AS (SELECT p.query_id, m.vec_id AS neighbor_id, p.probe_rn,
+       |    ${cosSql(dotFixSql("p.qe", "m.embedding"), "p.qn", "m.nsq")} AS cosine
+       |  FROM members m JOIN probes p ON m.list_id = p.list_id AND m.vec_id <> p.query_id),
+       |np AS (SELECT nprobe FROM (VALUES $vals) AS t(nprobe)),
+       |expanded AS (SELECT np.nprobe, c.query_id, c.neighbor_id, c.cosine
+       |  FROM cand c JOIN np ON c.probe_rn <= np.nprobe),
+       |ivf_top AS (SELECT nprobe, query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY nprobe, query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM expanded) WHERE rank <= $k),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |${bruteTopKSql(table, queryMod, k)})),
+       |joined AS (SELECT np.nprobe, ex.query_id,
+       |    CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM ex CROSS JOIN np
+       |  LEFT JOIN ivf_top i ON i.nprobe = np.nprobe AND i.query_id = ex.query_id AND i.neighbor_id = ex.neighbor_id),
+       |cost AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM expanded GROUP BY nprobe)
+       |SELECT CAST(j.nprobe AS BIGINT) AS nprobe,
+       |  CAST(COUNT(DISTINCT j.query_id) AS BIGINT) AS n_queries,
+       |  ROUND(CAST(SUM(j.hit) AS DOUBLE) / COUNT(*), 6) AS mean_recall,
+       |  c.n_candidates
+       |FROM joined j JOIN cost c ON j.nprobe = c.nprobe
+       |GROUP BY j.nprobe, c.n_candidates ORDER BY nprobe""".stripMargin
+  }
+
   /** Shared hot path of [[fastTopK]]/[[fastTopKChecked]]: native
     * float-cosine scoring of the N·|queries| table and the top-k
     * window — ONE definition so the timed path and the oracle-checked

@@ -147,7 +147,12 @@ object Dq {
   /** Restore a [[Gate]] from [[Gate.save]] output. */
   def load(customers: DataFrame, path: String): Gate = {
     val spark = customers.sparkSession
-    val r = spark.read.parquet(s"$path/counts.parquet").collect()(0)
+    // Select by NAME, not position: the saved column order must never be
+    // load-bearing — a field added or reordered in save() would otherwise
+    // silently scramble the counters here.
+    val r = spark.read.parquet(s"$path/counts.parquet")
+      .select("n", "null_ck", "dup_ok", "bad_price", "bad_prio", "fk_orphans")
+      .collect()(0)
     val gate = new Gate(customers)
     gate.restore(
       DqCounts(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -99,12 +99,14 @@ object HeavyHitters {
     def finishExact(corpus: DataFrame): DataFrame = {
       val spark = corpus.sparkSession
       import spark.implicits._
-      val cand = synchronized {
+      // Candidate set and running total must be read under ONE lock:
+      // a concurrent processBatch between two separate reads would pair
+      // stale candidates with a newer n, breaking the superset guarantee.
+      val (cand, nTotal) = synchronized {
         val keys = new Array[String](summary.size())
         summary.keySet().toArray(keys)
-        keys.toSeq
+        (keys.toSeq, n)
       }
-      val nTotal = total
       val toks = corpus.select(explode(graft.text.TextOps.tokens(col("text"))).as("token"))
       toks.join(broadcast(cand.toDF("token")), "token")
         .groupBy("token")

@@ -193,8 +193,11 @@ object Vocab {
     * corpus words — Heaps-law sublinear in corpus size; at 4M entries
     * the trainer state is ~hundreds of MB and a bigger vocabulary means
     * the tokenizer should train on a word-count SAMPLE anyway). Mutable
-    * for callers who knowingly train on a larger universe. */
-  @volatile var MaxTrainWords: Long = 4000000L
+    * for callers who knowingly train on a larger universe. Declared Int
+    * (not Long): the bound feeds `.limit(...)`, whose argument is an Int,
+    * and the driver-side collect can't hold >2^31 rows anyway — a Long
+    * here would silently overflow at `.toInt`. */
+  @volatile var MaxTrainWords: Int = 4000000
 
   def bpeFit(docs: DataFrame, merges: Int = BpeFitMerges): DataFrame = {
     require(merges > 0, "bpeFit: merges must be positive")
@@ -213,7 +216,7 @@ object Vocab {
       .filter(length(col("word")) > 0 && !col("word").rlike("[\\uD800-\\uDFFF]"))
       .groupBy("word").agg(count(lit(1)).cast(LongType).as("freq"))
       .select(bpeEncode(col("word")).as("enc"), col("freq"))
-      .limit(MaxTrainWords.toInt + 1)
+      .limit(MaxTrainWords + 1)
       .collect()
     if (collected.length > MaxTrainWords) throw new IllegalStateException(
       s"bpeFit: word-frequency table exceeds $MaxTrainWords distinct words — " +

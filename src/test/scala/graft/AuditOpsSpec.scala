@@ -60,6 +60,32 @@ class AuditOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("nprobeCurve: recall and cost monotone in nprobe; full probe endpoint = 1.0; points match ivfRecall") {
+    val vecs = graft.util.D.t(spark, sf, "embeddings")
+    // 32 probes >= the 20 lists at this SF (500 vectors / centMod 25),
+    // so the last point is a FULL probe: candidate set == brute force
+    val curve = Ann.nprobeCurve(vecs, 40, 25, 7, Seq(1, 2, 4, 8, 32), 5).collect()
+    assert(curve.length === 5)
+    val byP = curve.map(r => r.getAs[Long]("nprobe") ->
+      (r.getAs[Double]("mean_recall"), r.getAs[Long]("n_candidates"))).toSeq
+    assert(byP.map(_._1) === Seq(1L, 2L, 4L, 8L, 32L), "sorted by nprobe")
+    // monotone non-decreasing in BOTH axes (deeper probe = superset)
+    byP.sliding(2).foreach { case Seq((_, (r1, c1)), (_, (r2, c2))) =>
+      assert(r2 >= r1, s"recall must be monotone: $byP")
+      assert(c2 >= c1, s"cost must be monotone: $byP")
+    }
+    assert(byP.last._2._1 === 1.0, "full probe recalls the exact top-k")
+    // every query contributes exactly k exact rows (micro == macro)
+    curve.foreach(r => assert(r.getAs[Long]("n_queries") > 0))
+    // each curve point must equal the single-point ivfRecall diagnostic
+    val p4 = Ann.ivfRecall(vecs, 40, 25, 7, 4, 5).collect()
+    val micro = p4.map(_.getAs[Long]("n_hit")).sum.toDouble /
+      p4.map(_.getAs[Long]("n_exact")).sum
+    val curve4 = byP.find(_._1 == 4L).get._2._1
+    assert(math.abs(curve4 - math.rint(micro * 1e6) / 1e6) < 1e-9,
+      s"curve point nprobe=4 ($curve4) must equal ivfRecall micro-average ($micro)")
+  }
+
   test("q_anomaly_mad counts exactly the rows beyond the reported cutoff") {
     val rows = SparkEntry.queries("q_anomaly_mad")(spark, sf).collect()
     assert(rows.nonEmpty)

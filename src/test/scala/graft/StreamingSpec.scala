@@ -811,6 +811,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(d3 === Dq.Zero)
   }
 
+  test("streaming near-dedup (stream-static LSH band join) matches batch minhashPairsAgainst") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.Dedup
+    import graft.streaming.StreamNearDedup
+    val docs = graft.util.D.t(spark, sf, "documents")
+    val arrivingDf = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val store = Dedup.minhashSig(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getAs[Double]("est_jaccard"), r.getAs[Int]("is_dup"))
+    // batch truth: the registered q_dedup_incremental operator
+    val want = Dedup.minhashPairsAgainst(arrivingDf, store).collect().map(key).toSet
+    assert(want.nonEmpty, "fixture must produce cross-store near-dup candidates")
+    // batch leg of the streaming operator: same rows (pins the stateless
+    // min-matching-band dedup against the batch .distinct())
+    val index = StreamNearDedup.indexBands(store).cache()
+    try {
+      val batchLeg = StreamNearDedup
+        .matches(arrivingDf.select(col("doc_id"), col("text")), index)
+        .collect().map(key).toSet
+      assert(batchLeg === want, "batch-leg divergence: " +
+        s"extra=${batchLeg.diff(want).take(3)} missing=${want.diff(batchLeg).take(3)}")
+      // streaming leg: two-chunk replay through a MemoryStream, append
+      // mode, ZERO state store rows by construction
+      val arriving = arrivingDf.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      val mem = MemoryStream[(Long, String)]
+      val out = StreamNearDedup.matches(mem.toDS().toDF("doc_id", "text"), index)
+      val q = out.writeStream.format("memory")
+        .queryName("neardup_out").outputMode("append").start()
+      try {
+        val (a, b) = arriving.splitAt(arriving.size / 2)
+        mem.addData(a); q.processAllAvailable()
+        mem.addData(b); q.processAllAvailable()
+        val got = spark.table("neardup_out").collect().map(key).toSet
+        assert(got === want, "stream/batch divergence: " +
+          s"extra=${got.diff(want).take(3)} missing=${want.diff(got).take(3)}")
+        assert(q.lastProgress.stateOperators.isEmpty ||
+          q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+          "near-dedup must not accumulate state-store rows")
+      } finally q.stop()
+    } finally index.unpersist()
+  }
+
   test("EWMA fold mirrors the batch NULL-cast semantics for NaN values") {
     // the batch DECIMAL(18,6) cast turns NaN into NULL: the lag slot
     // stays occupied but contributes neither term nor weight
