@@ -61,22 +61,33 @@ object GenScale {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/root/repo/bench-sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // Modes compose with '+' (e.g. "dirty+zipf+seed=5"): the five
+    // independently-proven shapes leave exactly one untested PRODUCT —
+    // hot-key × null-key interaction (a null-heavy hot stratum
+    // exercising <=> joins under skew) × perturbed content/keys.
+    // Composition order per table: content perturbation (seed/rev) is
+    // part of the copy construction; then zipf remaps keys; then dirty
+    // injects its violation slices ON TOP (so dirt lands INSIDE the hot
+    // stratum — both coins share the row-identity bucket). Each
+    // single-mode fixture is bit-identical to the pre-composition form.
     val mode = if (args.length > 3) args(3) else ""
-    val zipf = mode == "zipf"
+    val parts = mode.split('+').filter(_.nonEmpty).toSeq
+    // zipf: the SKEWED-KEY variant (see object doc)
+    val zipf = parts.contains("zipf")
     // seed=N: shift every copy's perturbation index by N — at copies=1
     // this yields a CONTENT-PERTURBED fixture (permuted consonants,
     // rotated embeddings, offset keys/labels) of the SAME shape, the
     // fixture-overfit audit input: an operator that is accidentally
     // right only on the original data (hash ties, %-mod alignments,
     // empty edge buckets) fails its oracle there.
-    val seed = if (mode.startsWith("seed=")) mode.drop(5).toInt else 0
+    val seed = parts.find(_.startsWith("seed=")).map(_.drop(5).toInt).getOrElse(0)
     // rev: the VOCABULARY-PRESERVING content audit — reverse token
     // order in documents and dimension order in embeddings, keys and
     // every other column untouched. Complements seed=N (which offsets
     // keys and permutes consonants): queries whose literals are query
     // TERMS (bm25) or key ranges keep nonzero results here while still
     // seeing genuinely different shingles/pairs/vectors.
-    val rev = mode == "rev"
+    val rev = parts.contains("rev")
     // dirty: the DATA-QUALITY audit fixture — inject a deterministic
     // violation slice for EVERY q_dq_suite constraint (null FKs, orphan
     // FKs on both legs, duplicate orderkeys, out-of-range and null
@@ -85,9 +96,10 @@ object GenScale {
     // fixture proves the suite reports zeros; this one proves Spark and
     // the DuckDB oracle COUNT THE SAME VIOLATIONS — the cross-engine
     // NULL/NOT-IN semantics the FK legs align explicitly.
-    val dirty = mode == "dirty"
-    require(mode.isEmpty || zipf || rev || dirty || mode.startsWith("seed="),
-      s"unknown mode '$mode' (supported: zipf, rev, dirty, seed=N)")
+    val dirty = parts.contains("dirty")
+    require(parts.forall(p =>
+      p == "zipf" || p == "rev" || p == "dirty" || p.startsWith("seed=")),
+      s"unknown mode '$mode' (supported: zipf, rev, dirty, seed=N, '+'-composed)")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -139,50 +151,76 @@ object GenScale {
                 .otherwise(col("o_orderkey")))
         }),
       "lineitem" -> scaled("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"),
-        (d, _) => if (dirty) {
-          val b = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(4096))
-          d.withColumn("l_quantity",
-              when(b < 40, lit(0.0)).when(b >= 40 && b < 60, lit(null).cast("double"))
-                .when(b >= 60 && b < 100, lit(99.0)).otherwise(col("l_quantity")))
-            .withColumn("l_orderkey",
-              when(b >= 100 && b < 120, lit(null).cast("bigint"))
-                .when(b >= 120 && b < 160, -pmod(col("l_orderkey"), lit(997)) - 1)
-                .otherwise(col("l_orderkey")))
-        } else if (!zipf) d else {
+        (d0, _) => if (!dirty && !zipf) d0 else {
+          // ONE row-identity bucket drives both coins, materialized
+          // BEFORE any remap: zipf first concentrates 40% of rows on 10
+          // hot keys, then dirty's slices (the same low buckets, all
+          // inside the hot range) null/negate keys and corrupt
+          // quantities INSIDE that hot stratum — the hot-key × null-key
+          // product the single-mode fixtures never exercise. Each
+          // single mode alone is bit-identical to its pre-composition
+          // form (same bucket, same slices).
+          val d = d0.withColumn("__b",
+            pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(4096)))
+          val b = col("__b")
           // hot keys = the 10 smallest copy-0 orderkeys (exist in orders
-          // at every copy count); the remap coin is the unique
-          // (orderkey, linenumber) row identity, so re-runs are stable
-          val hotKeys = t("orders").select(col("o_orderkey")).orderBy("o_orderkey")
-            .limit(ZipfHotN).collect().map(_.getLong(0)).toSeq
-          val bucket = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(ZipfB))
-          d.withColumn("l_orderkey",
-            when(bucket < ZipfHotCut, zipfPick(bucket, hotKeys))
-              .otherwise(col("l_orderkey")))
+          // at every copy count; +seed·OFF tracks the seed key shift)
+          val z = if (!zipf) d else {
+            val hotKeys = t("orders").select(col("o_orderkey")).orderBy("o_orderkey")
+              .limit(ZipfHotN).collect().map(_.getLong(0) + seed * OFF).toSeq
+            d.withColumn("l_orderkey",
+              when(b < ZipfHotCut, zipfPick(b, hotKeys))
+                .otherwise(col("l_orderkey")))
+          }
+          val out = if (!dirty) z else
+            z.withColumn("l_quantity",
+                when(b < 40, lit(0.0)).when(b >= 40 && b < 60, lit(null).cast("double"))
+                  .when(b >= 60 && b < 100, lit(99.0)).otherwise(col("l_quantity")))
+              .withColumn("l_orderkey",
+                when(b >= 100 && b < 120, lit(null).cast("bigint"))
+                  .when(b >= 120 && b < 160, -pmod(col("l_orderkey"), lit(997)) - 1)
+                  .otherwise(col("l_orderkey")))
+          out.drop("__b")
         }),
       "events" -> scaled("events", Seq("event_id", "user_id"),
-        (d, _) => if (dirty) {
-          // null value / null event_type slices (ts and user_id stay
-          // non-null — they are the fold-ordering contract)
-          val b = pmod(xxhash64(col("event_id")), lit(4096))
-          d.withColumn("value",
-              when(b < 30, lit(null).cast(d.schema("value").dataType))
-                .otherwise(col("value")))
-            .withColumn("event_type",
-              when(b >= 30 && b < 50, lit(null).cast("string"))
-                .otherwise(col("event_type")))
-        } else if (!zipf) d else {
-          val bucket = pmod(xxhash64(col("event_id")), lit(ZipfB))
-          d.withColumn("user_id",
-            when(bucket < ZipfHotCut, zipfPick(bucket, (1L to ZipfHotN.toLong)))
-              .otherwise(col("user_id")))
+        (d0, _) => if (!dirty && !zipf) d0 else {
+          // same shared-bucket composition as lineitem; the dirty slices
+          // (null value / null event_type — ts and user_id stay non-null,
+          // they are the fold-ordering contract) land inside the zipf
+          // hot-user stratum since both coins read the same bucket
+          val d = d0.withColumn("__b", pmod(xxhash64(col("event_id")), lit(4096)))
+          val b = col("__b")
+          val z = if (!zipf) d else
+            d.withColumn("user_id",
+              when(b < ZipfHotCut,
+                zipfPick(b, (1L to ZipfHotN.toLong).map(_ + seed * OFF)))
+                .otherwise(col("user_id")))
+          val out = if (!dirty) z else
+            z.withColumn("value",
+                when(b < 30, lit(null).cast(d0.schema("value").dataType))
+                  .otherwise(col("value")))
+              .withColumn("event_type",
+                when(b >= 30 && b < 50, lit(null).cast("string"))
+                  .otherwise(col("event_type")))
+          out.drop("__b")
         }),
-      "documents" -> scaled("documents", Seq("doc_id"), (d, i) =>
-        if (dirty) {
+      "documents" -> scaled("documents", Seq("doc_id"), (d0, i) => {
+        // content perturbation first (it reads text), dirt second (it
+        // overwrites text for its slices) — so dirty composes with
+        // seed/rev instead of masking them
+        val content =
+          if (rev) d0.withColumn("text",
+            array_join(reverse(split(col("text"), " ")), " "))
+          else if (i == 0) d0
+          else d0.withColumn("text",
+            translate(col("text"), cons + cons.toUpperCase,
+              perm(i) + perm(i).toUpperCase))
+        if (!dirty) content else {
           // text-family audit dirt: null / empty / whitespace-only text
           // and null lang — the cross-engine null-semantics slice for
           // every tokenize/shingle/quality/langid scan
           val b = pmod(xxhash64(col("doc_id")), lit(4096))
-          d.withColumn("text",
+          content.withColumn("text",
               when(b < 20, lit(null).cast("string"))
                 .when(b >= 20 && b < 40, lit(""))
                 .when(b >= 40 && b < 60, lit("   "))
@@ -190,12 +228,7 @@ object GenScale {
             .withColumn("lang",
               when(b >= 60 && b < 80, lit(null).cast("string")).otherwise(col("lang")))
         }
-        else if (rev) d.withColumn("text",
-          array_join(reverse(split(col("text"), " ")), " "))
-        else if (i == 0) d
-        else d.withColumn("text",
-          translate(col("text"), cons + cons.toUpperCase,
-            perm(i) + perm(i).toUpperCase))),
+      }),
       "embeddings" -> scaled("embeddings", Seq("vec_id"), (d, i) =>
       if (rev) d.withColumn("embedding", reverse(col("embedding"))) else {
         // rotation alone has only dim distinct values (copy i >= dim

@@ -379,8 +379,14 @@ object Pipeline extends QFamily {
       t(s, dir, "documents").select(
           col("doc_id"), nTok.cast(LongType).as("n_tokens"),
           graft.util.D.r((length(col("text")) - nTok + lit(1.0)) / nTok, 6).as("avg_token_len"),
-          graft.util.D.r(graft.functions.StrippedCount(col("text"))
-            .cast(DoubleType) / length(col("text")), 6).as("punct_ratio"),
+          // length guard: zero-length text must yield NULL (DuckDB's
+          // x/0), not an ANSI DIVIDE_BY_ZERO crash — empty-text docs
+          // reach this only on dirty fixtures whose doc_id hashes land
+          // in the empty-text slice (the combo audit's catch: the r8
+          // dirty fixture had NONE by hash luck)
+          graft.util.D.r(when(length(col("text")) > 0,
+            graft.functions.StrippedCount(col("text"))
+              .cast(DoubleType) / length(col("text"))), 6).as("punct_ratio"),
           graft.util.D.r(TextOps.langHitsText(col("text"), "en").cast(DoubleType) / nTok, 6).as("stopword_ratio"))
         .withColumn("quality",
           graft.util.D.r(lit(0.3) * least(col("n_tokens") / 100.0, lit(1.0)) +
@@ -552,8 +558,12 @@ object Pipeline extends QFamily {
       val nTok = size(toks)
       val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"),
         graft.util.D.r(lit(0.3) * least(nTok.cast(LongType) / 100.0, lit(1.0)) +
-          lit(0.4) * (lit(1.0) - graft.util.D.r(graft.functions.StrippedCount(col("text"))
-            .cast(DoubleType) / length(col("text")), 6)) +
+          // same zero-length guard as q_text_quality's punct_ratio:
+          // NULL quality (dropped by the >= 0.5 keep filter, as in
+          // DuckDB) instead of an ANSI DIVIDE_BY_ZERO crash
+          lit(0.4) * (lit(1.0) - graft.util.D.r(when(length(col("text")) > 0,
+            graft.functions.StrippedCount(col("text"))
+              .cast(DoubleType) / length(col("text"))), 6)) +
           lit(0.3) * least(graft.util.D.r(TextOps.langHitsText(col("text"), "en").cast(DoubleType) / nTok, 6) * 5.0, lit(1.0)), 6)
           .as("quality"))
       val kept = scored.filter(col("quality") >= 0.5)

@@ -1,0 +1,144 @@
+package graft
+
+import graft.core.{AutoExplore, ExplainFrame, QueryRecommender}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end replay of the reference's example-notebook FLOWS through
+  * the library's user surface — USER-visible parity, not per-operator
+  * parity (the per-operator oracle already covers the latter).
+  *
+  * Mirrored flows (cell order preserved, our tables standing in for the
+  * CSV datasets):
+  *  - Examples/Notebooks/Fedex Explainer Examples/Adults Dataset
+  *    Demo.ipynb: load → groupby().mean().explain(top_k=4,
+  *    use_sampling=True) → filter.explain(top_k=4) → filter →
+  *    value_counts() → groupby().col.count().explain(explainer=
+  *    'outlier', target=…, dir='high').
+  *  - Examples/Notebooks/LLM Features Examples/… Query Recommender +
+  *    Automated Exploration: recommend follow-up queries off a flow
+  *    frame, apply the top one, auto-explore — the deterministic
+  *    equivalents (QueryRecommender / AutoExplore) of the reference's
+  *    LLM-backed loops.
+  *
+  * Every cell's OUTPUT is asserted: shape, ordering contract, score
+  * finiteness, cross-checks against directly-computed truths, and
+  * whole-flow run-twice determinism (the reference notebooks re-run to
+  * identical cells; so must we).
+  */
+class NotebookParitySpec extends AnyFunSuite {
+  import TestSession._
+
+  /** The Adults-demo cells, returning each cell's collected output. */
+  private def adultsFlow(): Seq[Array[Row]] = {
+    // cells 1-2: import + load (adults := customer)
+    val adults = ExplainFrame(graft.util.D.t(spark, sf, "customer"), "customer")
+    // cell 3: by_income = adults.groupby('workclass').mean()
+    //         by_income.explain(top_k=4, use_sampling=True)
+    val byIncome = adults.groupBy("c_nationkey").mean("c_acctbal")
+    val ex1 = byIncome.explain(topK = 4, useSampling = true).collect()
+    // cells 4-5: low_income = adults[adults['label'] == '<=50K']
+    //            low_income.explain(top_k=4)
+    val lowIncome = adults.filter(col("c_mktsegment") === "BUILDING")
+    val ex2 = lowIncome.explain(topK = 4, useSampling = false).collect()
+    // cell 6: thirties = adults[adults['age'] >= 70]
+    //         thirties['label'].value_counts()
+    val seniors = adults.filter(col("c_acctbal") >= 5000)
+    val vc = seniors.valueCounts("c_mktsegment").collect()
+    // cells 7-8: young_by_income = thirties.groupby('education').age.count()
+    //            young_by_income.explain(explainer='outlier', target=…, dir='high')
+    // (the notebook targets a literal group; the fixture-stable pick is
+    // the value_counts leader — same kind of "a group I just saw" choice.
+    // Counting c_custkey = the notebook's count-a-column shape while
+    // leaving c_acctbal free as the default numeric outlier attribute —
+    // customer's only non-key numeric, like 'age' on adults)
+    val bySeg = seniors.groupBy("c_mktsegment").agg("c_custkey" -> "count")
+    val ex3 = bySeg.explain(explainer = "outlier",
+      target = vc.head.getString(0), dir = "high").collect()
+    Seq(ex1, ex2, vc, ex3)
+  }
+
+  test("Adults notebook flow: every cell yields its contracted output; whole flow is run-twice deterministic") {
+    val out = adultsFlow()
+    val Seq(ex1, ex2, vc, ex3) = out
+
+    // cell 3 (groupby exceptionality): ≤4 rows, zdev finite + desc
+    assert(ex1.nonEmpty && ex1.length <= 4)
+    val zdevs = ex1.map(r => r.getDouble(r.fieldIndex("zdev"))).toSeq
+    assert(zdevs.forall(z => !z.isNaN && !z.isInfinite))
+    assert(zdevs === zdevs.sorted(Ordering[Double].reverse), "zdev must be ranked desc")
+
+    // cell 5 (filter fedex): ≤4 rows, kl_score finite + desc, and the
+    // reference's one-sentence rendering works off the top row
+    assert(ex2.nonEmpty && ex2.length <= 4)
+    val kls = ex2.map(r => r.getDouble(r.fieldIndex("kl_score"))).toSeq
+    assert(kls.forall(k => !k.isNaN && !k.isInfinite))
+    assert(kls === kls.sorted(Ordering[Double].reverse), "kl_score must be ranked desc")
+    val adults = ExplainFrame(graft.util.D.t(spark, sf, "customer"), "customer")
+    val lowIncome = adults.filter(col("c_mktsegment") === "BUILDING")
+    val sentence = lowIncome.explanationText(ex2.head)
+    assert(sentence.nonEmpty &&
+      sentence.contains(ex2.head.getString(ex2.head.fieldIndex("attribute"))))
+
+    // cell 6 (value_counts): counts desc, shares sum to ~1, and the
+    // counts equal a directly-computed truth
+    assert(vc.nonEmpty)
+    val cnts = vc.map(_.getLong(1)).toSeq
+    assert(cnts === cnts.sorted(Ordering[Long].reverse))
+    assert(math.abs(vc.map(_.getDouble(2)).sum - 1.0) < 1e-6)
+    val truth = graft.util.D.t(spark, sf, "customer")
+      .filter(col("c_acctbal") >= 5000)
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    vc.foreach(r => assert(truth(r.getString(0)) === r.getLong(1)))
+
+    // cell 8 (outlier explainer): influence desc over (attribute, bin)
+    // predicates, all finite
+    assert(ex3.nonEmpty)
+    val infl = ex3.map(r => r.getDouble(r.fieldIndex("influence"))).toSeq
+    assert(infl.forall(x => !x.isNaN && !x.isInfinite))
+    assert(infl === infl.sorted(Ordering[Double].reverse), "influence must be ranked desc")
+
+    // the whole flow re-runs to identical cells
+    val again = adultsFlow()
+    out.zip(again).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+        s"flow cell $i diverged between runs")
+    }
+  }
+
+  test("recommender + auto-explore notebook tail runs off the flow's frames") {
+    // the recommender needs ≥2 numeric non-key attributes for a 3-deep
+    // ranking — lineitem (quantity, extendedprice, discount, tax) is
+    // that frame here, standing in for the recommender notebook's own
+    // dataset
+    val li = ExplainFrame(graft.util.D.t(spark, sf, "lineitem"), "lineitem")
+    val urgent = li.filter(col("l_returnflag") === "R")
+
+    // Query Recommender notebook: recommend top-3 follow-ups, ranked
+    // desc; the displayed query round-trips structurally (attr/op/
+    // threshold fields, not string parsing), and applying the top
+    // candidate yields a runnable frame whose re-score reproduces the
+    // ranking's score
+    val recs = QueryRecommender.recommendCandidates(urgent, topK = 3)
+    assert(recs.size === 3)
+    val scores = recs.map(_._2)
+    assert(scores === scores.sorted(Ordering[Double].reverse))
+    val (top, topScore) = recs.head
+    assert(top.display === s"${top.attr} ${top.op} ${top.threshold}")
+    assert(top.frame.df.count() >= 0L)
+    assert(QueryRecommender.score(top.frame) === topScore,
+      "re-scoring the applied candidate must reproduce its ranked score")
+
+    // Automated Exploration notebook: a 2-iteration exploration off the
+    // same frame produces a deterministic mixed-step report
+    val ef = ExplainFrame(graft.util.D.t(spark, sf, "customer")
+      .select("c_acctbal", "c_nationkey", "c_mktsegment"), "customer")
+    val r1 = AutoExplore.explore(ef, iterations = 2).steps
+      .map(s => (s.iteration, s.kind, s.query, s.score))
+    val r2 = AutoExplore.explore(ef, iterations = 2).steps
+      .map(s => (s.iteration, s.kind, s.query, s.score))
+    assert(r1.nonEmpty && r1 === r2, "auto-exploration must be deterministic")
+  }
+}
