@@ -80,4 +80,51 @@ class DirtySpec extends AnyFunSuite {
     // every doc is assigned exactly once
     assert(out.agg(sum("n_docs")).head().getLong(0) === 40L)
   }
+
+  test("no documents-family query crashes on a fully-degenerate corpus (the deterministic hash-luck killer)") {
+    // The fixture audits inject dirty text into HASH-CHOSEN slices — a
+    // shape that never rolls a given degenerate doc simply isn't tested
+    // (the round-9 combo audit caught exactly such a latent ANSI
+    // DIVIDE_BY_ZERO: empty-text docs missed the r8 dirty fixture by
+    // hash luck). This pin removes the luck: EVERY degenerate text
+    // class is present, every registered query that can run on a
+    // documents-only dir must complete without an arithmetic/NPE crash.
+    val degenerate = Seq[(Long, String, String, String, Long)](
+      (1L, null, "en", "web", 0L),                      // null text
+      (2L, "", "en", "web", 0L),                        // empty
+      (3L, "   ", null, "web", 3L),                     // whitespace-only + null lang
+      (4L, "!!! ??? ///", "fr", "web", 11L),            // punctuation-only tokens
+      (5L, "a", "en", "books", 1L),                     // single char
+      (6L, "\tword\nword\t", "en", "books", 12L),       // tabs/newlines
+      (7L, "the the the the the", "en", "web", 19L),    // pure repetition
+      (8L, "0 1 2 3 4 5 6 7 8 9", "xx", "web", 19L),    // digits only
+      (9L, ("verylongtoken" * 40) + " end", "en", null, 524L), // 520-char token + null source
+      (10L, "the quick brown fox jumps over the lazy dog", "en", "web", 44L))
+    val dir = java.nio.file.Files.createTempDirectory("degen").toString
+    degenerate.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    var ran = 0
+    val crashed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try { fn(spark, dir).collect(); ran += 1 }
+      catch {
+        case e: Throwable =>
+          // unwrap Spark's wrapped task failures to the root cause
+          var c: Throwable = e
+          while (c.getCause != null && c.getCause != c) c = c.getCause
+          val m = Option(c.getMessage).getOrElse(c.getClass.getName)
+          // queries needing other tables (or nonempty-model guards that
+          // fail loud BY DESIGN) are out of scope; arithmetic crashes
+          // and NPEs are exactly in scope
+          val benign = m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist") ||
+            c.isInstanceOf[IllegalStateException] || c.isInstanceOf[IllegalArgumentException] ||
+            c.isInstanceOf[java.util.NoSuchElementException] ||
+            m.contains("UNRESOLVED_COLUMN") || m.contains("DATATYPE_MISMATCH")
+          if (!benign) crashed += name -> m.take(120)
+      }
+    }
+    assert(ran >= 40, s"expected a substantial documents-only subset to run; ran=$ran")
+    assert(crashed.isEmpty,
+      s"queries crashed on the degenerate corpus:\n${crashed.mkString("\n")}")
+  }
 }
