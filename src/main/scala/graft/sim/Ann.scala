@@ -404,21 +404,29 @@ object Ann {
     val expanded = cand.join(broadcast(np), col("probe_rn") <= col("nprobe"))
     val wR = Window.partitionBy("nprobe", "query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    val ivfTop = expanded
-      .withColumn("rank", row_number().over(wR)).filter(col("rank") <= k)
-      .select(col("nprobe"), col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-    val ex = bruteTopK(vecs, queryMod, k).select(col("query_id"), col("neighbor_id"))
-    val recall = ex.crossJoin(broadcast(np))
-      .join(ivfTop, Seq("nprobe", "query_id", "neighbor_id"), "left")
-      .groupBy("nprobe")
-      .agg(countDistinct(col("query_id")).cast(LongType).as("n_queries"),
-        count(lit(1)).cast(LongType).as("n_exact"),
-        sum(coalesce(col("hit"), lit(0))).cast(LongType).as("n_hit"))
-    val costs = expanded.groupBy("nprobe")
-      .agg(count(lit(1)).cast(LongType).as("n_candidates"))
-    recall.join(costs, Seq("nprobe"))
+    // ONE aggregate over the ranked+flagged candidate table yields BOTH
+    // axes (hits for recall, row count for cost) — a separate cost
+    // aggregate would reference the candidate subtree twice and Catalyst
+    // would plan the corpus scoring pass (scan + assignment aggregate)
+    // once per reference (ScaleSpec pins exactly one of each). The
+    // recall denominator is k·Q exactly: every query contributes k
+    // exact rows (N−1 ≥ k; AuditOpsSpec pins the ivfRecall identity),
+    // so a query with zero candidates at a shallow probe depth still
+    // counts — no per-exact-row join needed on the curve side.
+    val ex = bruteTopK(vecs, queryMod, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("exact"))
+    val flagged = expanded.withColumn("rank", row_number().over(wR))
+      .join(broadcast(ex), Seq("query_id", "neighbor_id"), "left")
+    val qCount = scaledBase(vecs).filter(col("vec_id") % queryMod === 0)
+      .agg(count(lit(1)).cast(LongType).as("n_queries"))
+    flagged.groupBy("nprobe")
+      .agg(count(lit(1)).cast(LongType).as("n_candidates"),
+        sum(when(col("rank") <= k && col("exact") === 1, 1).otherwise(0))
+          .cast(LongType).as("n_hit"))
+      .crossJoin(broadcast(qCount))
       .select(col("nprobe").cast(LongType).as("nprobe"), col("n_queries"),
-        graft.util.D.r(col("n_hit").cast(DoubleType) / col("n_exact"), 6).as("mean_recall"),
+        graft.util.D.r(col("n_hit").cast(DoubleType) / (lit(k) * col("n_queries")), 6)
+          .as("mean_recall"),
         col("n_candidates"))
       .orderBy("nprobe")
   }

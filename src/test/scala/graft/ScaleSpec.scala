@@ -696,4 +696,37 @@ class ScaleSpec extends AnyFunSuite {
       assert(adcWins.isEmpty, s"$q still ranks through a per-query window")
     }
   }
+
+  test("nprobe curve: one scoring pass serves every point — one assignment aggregate, no per-point corpus rescans") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    // the nprobeCurve scaladoc's claim, pinned: candidates are scored
+    // ONCE at depth max(probes); the per-nprobe re-rank works off that
+    // KB-scale scored table, so the |probes| curve points must NOT
+    // multiply the corpus-side work
+    val qe = graft.SparkEntry.queries("q_ann_nprobe_curve")(spark, sf).queryExecution
+    val plan = qe.optimizedPlan
+    // exactly ONE list-assignment aggregate (groupBy vec_id argmax) in
+    // the whole curve plan — a per-point rescan would plan five
+    val assigns = plan.collect {
+      case a: Aggregate
+        if a.groupingExpressions.exists(_.references.map(_.name).toSeq.contains("vec_id")) &&
+           a.aggregateExpressions.exists(_.toString.contains("argmax_by")) => a }
+    assert(assigns.size === 1,
+      s"curve should plan exactly one IVF assignment aggregate, got ${assigns.size}")
+    // the member-side probe join (members ⋈ probes on list_id) appears
+    // once, not once per nprobe point
+    val listJoins = plan.collect {
+      case j: Join if j.condition.exists(_.references.map(_.name).exists(_ == "list_id")) => j }
+    assert(listJoins.size === 1,
+      s"curve should plan exactly one member-probe list join, got ${listJoins.size}")
+    // exchanges keyed on nprobe exist ONLY above the scored candidate
+    // table (bounded: ≤ |probes|·N·maxP/K rows of scalars): the
+    // (nprobe, query_id) re-rank window shuffle and the 5-group final
+    // aggregate — the corpus-side subtrees (scoring, assignment, member
+    // join) sit entirely below them and are never re-keyed per point
+    val exec = qe.executedPlan.toString
+    val nprobeExchanges = "hashpartitioning\\(nprobe".r.findAllIn(exec).size
+    assert(nprobeExchanges <= 2,
+      s"expected only the candidate re-rank window + final aggregate exchanges keyed on nprobe, got $nprobeExchanges:\n${exec.take(1200)}")
+  }
 }
