@@ -108,6 +108,75 @@ class NotebookParitySpec extends AnyFunSuite {
     }
   }
 
+  /** The Outlier Explainer demo cells (Examples/Notebooks/Outlier
+    * Explainer Examples/Bank Churners Dataset Outlier Explainer
+    * Demo.ipynb): load → describe() → groupby(cat).count().explain(
+    * outlier, high) → filter → value_counts → groupby.count().explain(
+    * outlier, high) → numeric filter → groupby.mean().explain(
+    * use_sampling) → .explain(outlier, numeric target, low). */
+  private def churnersFlow(): Seq[Array[Row]] = {
+    // bank_all := orders; Income_Category := o_orderpriority
+    val bank = ExplainFrame(graft.util.D.t(spark, sf, "orders"), "orders")
+    val desc = bank.describeStats(Seq("o_totalprice")).collect()
+    val byCat = bank.groupBy("o_orderpriority").agg("o_orderkey" -> "count")
+    val ex1 = byCat.explain(explainer = "outlier",
+      target = "1-URGENT", dir = "high").collect()
+    // females := o_orderstatus == 'F'
+    val females = bank.filter(col("o_orderstatus") === "F")
+    val vc = females.valueCounts("o_orderpriority").collect()
+    val ex2 = females.groupBy("o_orderpriority").agg("o_orderkey" -> "count")
+      .explain(explainer = "outlier", target = "1-URGENT", dir = "high").collect()
+    // younger := numeric filter; limit_by_age := groupby.mean() — on
+    // lineitem, the numeric-rich frame (the notebook's dataset has many
+    // numerics; orders has only o_totalprice, which the mean consumes)
+    val li = ExplainFrame(graft.util.D.t(spark, sf, "lineitem"), "lineitem")
+    val younger = li.filter(col("l_quantity") <= 40)
+    val limitByAge = younger.groupBy("l_linenumber").mean("l_extendedprice")
+    val ex3 = limitByAge.explain(topK = 3, useSampling = true).collect()
+    val ex4 = limitByAge.explain(explainer = "outlier",
+      target = "3", dir = "low").collect()
+    Seq(desc, ex1, vc, ex2, ex3, ex4)
+  }
+
+  test("Bank-Churners outlier notebook flow: describe, two outlier-high cells, sampling fedex, outlier-low on a numeric group") {
+    val out = churnersFlow()
+    val Seq(desc, ex1, vc, ex2, ex3, ex4) = out
+    // describe(): one profile row per column carrying the pandas core
+    // stats (count/mean/std/min/max), n consistent with the frame
+    assert(desc.length === 1)
+    val d0 = desc.head
+    assert(Set("col", "n", "mean", "std", "min_v", "max_v")
+      .subsetOf(d0.schema.fieldNames.toSet))
+    assert(d0.getAs[String]("col") === "o_totalprice" && d0.getAs[Long]("n") > 0)
+    assert(d0.getAs[Double]("min_v") <= d0.getAs[Double]("mean") &&
+      d0.getAs[Double]("mean") <= d0.getAs[Double]("max_v"))
+    // both outlier-high cells: influence ranked desc, finite
+    for ((ex, i) <- Seq(ex1 -> 1, ex2 -> 3)) {
+      assert(ex.nonEmpty, s"cell $i outlier explanation must be non-empty")
+      val infl = ex.map(r => r.getDouble(r.fieldIndex("influence"))).toSeq
+      assert(infl.forall(x => !x.isNaN && !x.isInfinite))
+      assert(infl === infl.sorted(Ordering[Double].reverse))
+    }
+    // value_counts on the filtered frame equals a direct recount
+    val truth = graft.util.D.t(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    vc.foreach(r => assert(truth(r.getString(0)) === r.getLong(1)))
+    // the sampled groupby fedex cell: zdev contract
+    assert(ex3.nonEmpty && ex3.length <= 3)
+    val zs = ex3.map(r => r.getDouble(r.fieldIndex("zdev"))).toSeq
+    assert(zs === zs.sorted(Ordering[Double].reverse))
+    // outlier-low with a NUMERIC group target (the notebook's target=26)
+    assert(ex4.nonEmpty)
+    // whole-flow determinism
+    val again = churnersFlow()
+    out.zip(again).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+        s"churners flow cell $i diverged between runs")
+    }
+  }
+
   test("recommender + auto-explore notebook tail runs off the flow's frames") {
     // the recommender needs ≥2 numeric non-key attributes for a 3-deep
     // ranking — lineitem (quantity, extendedprice, discount, tax) is
