@@ -161,6 +161,15 @@ object ApiDemo {
       .withColumn("o_custkey",
         when(col("o_orderkey") % 97 === 0, lit(-1L)).otherwise(col("o_custkey"))), 0L)
     dq.reportDf.show(false)
+    println("== ANN nprobe tuning curve: recall vs scored candidates ==")
+    graft.sim.Ann.nprobeCurve(util.D.t(spark, "/root/testdata/sf0.001", "embeddings"),
+      40, 25, 7, Seq(1, 2, 4, 8, 16), 5).show(false)
+    println("== streaming near-dedup: arriving docs vs the persisted signature store ==")
+    val store = graft.dedup.Dedup.minhashSig(docs.filter(col("doc_id") % 3 =!= 0))
+    graft.streaming.StreamNearDedup.matches(
+        docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"), col("text")),
+        graft.streaming.StreamNearDedup.indexBands(store))
+      .orderBy("new_doc", "index_doc").show(5, false)
     spark.stop()
   }
 }
