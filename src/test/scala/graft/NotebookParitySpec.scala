@@ -177,6 +177,70 @@ class NotebookParitySpec extends AnyFunSuite {
     }
   }
 
+  /** The MetaInsight demo cells (Examples/Notebooks/MetaInsight
+    * Explainer (Beta) Examples/MetaInsight Explainer (Beta) Demo.ipynb):
+    * load → numeric filter → .explain(metainsight) auto mode →
+    * groupby().mean() → .explain(metainsight) → full-scope call with
+    * filter_columns + groupby_columns + aggregations +
+    * use_all_groupby_combinations. */
+  private def metaInsightFlow(): Seq[Array[Row]] = {
+    val adults = ExplainFrame(graft.util.D.t(spark, sf, "orders"), "orders")
+    val over30 = adults.filter(col("o_totalprice") > 100000)
+    val m1 = over30.explain(explainer = "metainsight").collect()
+    // the notebook's by_race_sex cell: a TWO-key groupby result carries
+    // two dimensions, so auto-search has scopes to mine (its single-key
+    // by_marital_status sibling has only one — see the fail-loud pin in
+    // the test body)
+    val byStatusPrio = adults.groupBy("o_orderstatus", "o_orderpriority")
+      .mean("o_totalprice")
+    val m2 = byStatusPrio.explain(explainer = "metainsight").collect()
+    // full-scope call on the numeric-rich frame (lineitem), the same
+    // scope family the registered q_metainsight_multi exercises; the
+    // notebook's min_commonness stays at the reference default except
+    // where the tiny test SF leaves too few common patterns
+    val li = ExplainFrame(graft.util.D.t(spark, sf, "lineitem"), "lineitem")
+    val m3 = li.explain(explainer = "metainsight", topK = 5,
+      filterColumns = Seq("l_returnflag"),
+      groupbyColumns = Seq("l_linestatus", "l_linenumber"),
+      aggregations = Seq("l_quantity", "l_extendedprice"),
+      minCommonness = 0.15,
+      useAllGroupbyCombinations = true).collect()
+    Seq(m1, m2, m3)
+  }
+
+  test("MetaInsight notebook flow: auto mode on a filtered frame, on a groupby result, and a full-scope call") {
+    val out = metaInsightFlow()
+    val Seq(m1, m2, m3) = out
+    // auto mode on the filtered frame mines real scopes with ranked
+    // scores; the score column is the mining objective, ranked desc
+    assert(m1.nonEmpty, "auto metainsight on the filtered frame must mine patterns")
+    def scores(rs: Array[Row]): Seq[Double] = {
+      val f = rs.head.schema.fieldNames.find(n => n == "score" || n.endsWith("score")).get
+      rs.map(r => r.getDouble(r.fieldIndex(f))).toSeq
+    }
+    assert(scores(m1) === scores(m1).sorted(Ordering[Double].reverse))
+    // the two-key groupby result mines real patterns (the notebook's
+    // by_race_sex cell)
+    assert(m2.nonEmpty, "metainsight on the two-key groupby result must mine patterns")
+    // the single-key sibling (by_marital_status) has one dimension and
+    // therefore zero (filterDim, breakdown) scopes — our engine fails
+    // loud on that rather than returning a vacuous table
+    val adults = ExplainFrame(graft.util.D.t(spark, sf, "orders"), "orders")
+    val oneDim = adults.groupBy("o_orderstatus").mean("o_totalprice")
+    val e = intercept[IllegalArgumentException](
+      oneDim.explain(explainer = "metainsight").collect())
+    assert(e.getMessage.contains("pattern table"))
+    // the full-scope call returns ≤ top_k ranked patterns
+    assert(m3.nonEmpty && m3.length <= 5)
+    assert(scores(m3) === scores(m3).sorted(Ordering[Double].reverse))
+    // run-twice determinism across the whole flow
+    val again = metaInsightFlow()
+    out.zip(again).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+        s"metainsight flow cell $i diverged between runs")
+    }
+  }
+
   test("recommender + auto-explore notebook tail runs off the flow's frames") {
     // the recommender needs ≥2 numeric non-key attributes for a 3-deep
     // ranking — lineitem (quantity, extendedprice, discount, tax) is
