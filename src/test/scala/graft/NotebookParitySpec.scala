@@ -241,6 +241,54 @@ class NotebookParitySpec extends AnyFunSuite {
     }
   }
 
+  test("Many-to-One notebook comparison: disjunctive rules dominate conjunctive rules on the shared lattice") {
+    // Examples/Notebooks/Many to One Explainer Examples/Many To One
+    // Explainer - disjunctive explanations vs conjunctive explanations
+    // comparison.ipynb: the same frame explained with explanation_form=
+    // 'conj' then 'disj' at one separation budget, outputs compared.
+    // The lattice fact the notebook measures empirically holds rowwise
+    // here BY CONSTRUCTION: (A ∨ B) ⊇ (A ∧ B), so for every shared
+    // (label, val_a, val_b) cell the disjunction's match count and
+    // coverage must dominate the conjunction's.
+    import graft.explain.ManyToOne
+    val cust = graft.util.D.t(spark, sf, "customer")
+    val conj = ManyToOne.explainConj(cust, "c_mktsegment",
+      "c_nationkey", "c_acctbal", 0.3, 0.95, 10).collect()
+    val disj = ManyToOne.explainDisj(cust, "c_mktsegment",
+      "c_nationkey", "c_acctbal", covTh = 0.3, sepTh = 0.95).collect()
+    assert(conj.nonEmpty && disj.nonEmpty)
+    def key(r: Row) = (r.getAs[String]("label"),
+      r.getAs[String]("val_a"), r.getAs[String]("val_b"))
+    val cm = conj.map(r => key(r) ->
+      (r.getAs[Long]("n_match"), r.getAs[Double]("coverage"))).toMap
+    var compared = 0
+    disj.foreach { r =>
+      cm.get(key(r)).foreach { case (nc, cc) =>
+        compared += 1
+        assert(r.getAs[Long]("n_match") >= nc,
+          s"disj must match at least the conj rows at ${key(r)}")
+        assert(r.getAs[Double]("coverage") >= cc - 1e-9,
+          s"disj coverage must dominate conj coverage at ${key(r)}")
+      }
+    }
+    assert(compared > 0, "the two forms must share lattice cells to compare")
+    // the disjunctive form finds passing rules at thresholds where the
+    // stricter conjunctions do not (the notebook's empirical headline:
+    // disj trades separation for coverage) — at this tiny SF no
+    // conjunction clears 30% label coverage, every rule is still scored
+    assert(disj.exists(_.getAs[Int]("passes") == 1))
+    assert(conj.forall(r => r.getAs[Double]("coverage") >= 0.0 &&
+      r.getAs[Double]("separation_err") >= 0.0))
+    // the unified dispatch exposes the disj form (the notebook's
+    // explanation_form kwarg) and returns the library function's rows
+    val viaDispatch = ExplainFrame(cust, "customer")
+      .explain("many_to_one", labelCol = "c_mktsegment",
+        catAttrs = Seq("c_nationkey"), numAttrs = Seq("c_acctbal"),
+        coverageThreshold = 0.3, separationThreshold = 0.95,
+        explanationForm = "disj").collect()
+    assert(viaDispatch.map(_.toString).toSeq === disj.map(_.toString).toSeq)
+  }
+
   test("recommender + auto-explore notebook tail runs off the flow's frames") {
     // the recommender needs ≥2 numeric non-key attributes for a 3-deep
     // ranking — lineitem (quantity, extendedprice, discount, tax) is
