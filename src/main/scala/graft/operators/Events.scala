@@ -384,7 +384,12 @@ object Events extends QFamily {
           .agg(r(sm / cnt).as("mu"), r(sqrt(varSamp(sm, sq, cnt)), 6).as("sd"))
         h.join(st, Seq("event_type"))
           .select(col("event_type"), col("window_start"), col("n"), col("mu"), col("sd"),
-            (col("n") > col("mu") + lit(3) * col("sd")).cast("int").as("is_spike"))
+            // when/otherwise, not a boolean cast: a single-window type
+            // has sd = NULL (var_samp of one row — both engines), and
+            // the oracle's CASE WHEN maps the NULL comparison to 0
+            // where a cast would keep NULL
+            when(col("n") > col("mu") + lit(3) * col("sd"), 1)
+              .otherwise(0).cast("int").as("is_spike"))
           .orderBy("event_type", "window_start")
       }),
 
@@ -821,7 +826,14 @@ object Events extends QFamily {
       val den = terms.map(_._2).reduce(_ + _)
       ev(s, dir)
         .select(col("user_id"), col("event_id"), col("ts"), col("value"),
-          r(round(num, 6).cast(DoubleType) / den.cast(DoubleType), 6).as("ewma"))
+          // den = 0 (every value in the 16-lag window NULL — e.g. a
+          // user's first event carrying a null value) must yield NULL
+          // like the DuckDB mirror's x/0, not an ANSI DIVIDE_BY_ZERO:
+          // Spark 4 ANSI throws for double division too (DirtySpec's
+          // degenerate event log pins the class; the dirty fixture had
+          // missed it — no user's FIRST event drew the null-value slice)
+          r(when(den > lit(0),
+            round(num, 6).cast(DoubleType) / den.cast(DoubleType)), 6).as("ewma"))
         .orderBy("user_id", "event_id")
     })
   )

@@ -105,5 +105,9 @@ object D {
 
   /** Sample variance from decimal-exact moments. */
   def varSamp(sumd: Column, sumsq: Column, n: Column): Column =
-    (sumsq - sumd * sumd / n) / (n - lit(1))
+    // n ≤ 1 must yield NULL, not an ANSI DIVIDE_BY_ZERO: DuckDB's
+    // var_samp (and its expanded Sq.varSamp mirror, whose /(COUNT-1)
+    // NULLs at n=1) both return NULL for a single-row group — a group
+    // shape every degenerate fixture produces (DirtySpec pins the class)
+    when(n > 1, (sumsq - sumd * sumd / n) / (n - lit(1)))
 }

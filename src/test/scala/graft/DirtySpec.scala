@@ -127,4 +127,43 @@ class DirtySpec extends AnyFunSuite {
     assert(crashed.isEmpty,
       s"queries crashed on the degenerate corpus:\n${crashed.mkString("\n")}")
   }
+
+  test("no events-family query crashes on a fully-degenerate event log") {
+    // same deterministic hash-luck killer for the events family: every
+    // degenerate event class present at once. ts and user_id stay
+    // non-null — they are the fold-ordering contract the dirty fixture
+    // documents; everything else is adversarial.
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000) // ms precision is enough here
+    val degenerate = Seq[(Long, java.sql.Timestamp, Long, String, java.lang.Double, String)](
+      (1L, ts(1000000L), 1L, null, null, null),                       // null type/value/props
+      (2L, ts(1000000L), 1L, "view", 0.0, "{}"),                      // same-ts tie, empty props
+      (3L, ts(1000000L), 1L, "view", -5.5, "not json"),               // tie + negative + malformed props
+      (4L, ts(2000000L), 1L, "purchase", 9e11, "{\"k\": 1}"),         // huge value (inside the documented DECIMAL(18,6) envelope; ≥1e12 is fail-loud BY CONTRACT in both engines)
+      (5L, ts(3000000L), 2L, "signup", null, "{\"k\": null}"),        // null value, null json field
+      (6L, ts(3000001L), 2L, "purchase", 1.0, "{\"k\": 2}"),          // instant conversion
+      (7L, ts(9000000L), 3L, "zzz-unknown-type", 2.0, "[]"),          // out-of-domain type, non-object json
+      (8L, ts(9000000L), 3L, "", 3.0, "{\"k\": 3}"))                  // empty-string type
+    val dir = java.nio.file.Files.createTempDirectory("degen_ev").toString
+    degenerate.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    var ran = 0
+    val crashed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try { fn(spark, dir).collect(); ran += 1 }
+      catch {
+        case e: Throwable =>
+          var c: Throwable = e
+          while (c.getCause != null && c.getCause != c) c = c.getCause
+          val m = Option(c.getMessage).getOrElse(c.getClass.getName)
+          val benign = m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist") ||
+            c.isInstanceOf[IllegalStateException] || c.isInstanceOf[IllegalArgumentException] ||
+            c.isInstanceOf[java.util.NoSuchElementException] ||
+            m.contains("UNRESOLVED_COLUMN") || m.contains("DATATYPE_MISMATCH")
+          if (!benign) crashed += name -> m.take(120)
+      }
+    }
+    assert(ran >= 15, s"expected a substantial events-only subset to run; ran=$ran")
+    assert(crashed.isEmpty,
+      s"queries crashed on the degenerate event log:\n${crashed.mkString("\n")}")
+  }
 }
