@@ -61,6 +61,23 @@ object GenScale {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/root/repo/bench-sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val mode = if (args.length > 3) args(3) else ""
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, out, copies, mode)
+    spark.stop()
+  }
+
+  /** The whole generator as a callable (main is a thin CLI wrapper) so
+    * the composition contracts — modes compose, rev stays on top of the
+    * per-copy perturbation — are unit-testable on a tiny src dir. */
+  def run(spark: SparkSession, src: String, out: String, copies: Int,
+          mode: String = ""): Unit = {
     // Modes compose with '+' (e.g. "dirty+zipf+seed=5"): the five
     // independently-proven shapes leave exactly one untested PRODUCT —
     // hot-key × null-key interaction (a null-heavy hot stratum
@@ -70,7 +87,6 @@ object GenScale {
     // injects its violation slices ON TOP (so dirt lands INSIDE the hot
     // stratum — both coins share the row-identity bucket). Each
     // single-mode fixture is bit-identical to the pre-composition form.
-    val mode = if (args.length > 3) args(3) else ""
     val parts = mode.split('+').filter(_.nonEmpty).toSeq
     // zipf: the SKEWED-KEY variant (see object doc)
     val zipf = parts.contains("zipf")
@@ -100,13 +116,6 @@ object GenScale {
     require(parts.forall(p =>
       p == "zipf" || p == "rev" || p == "dirty" || p.startsWith("seed=")),
       s"unknown mode '$mode' (supported: zipf, rev, dirty, seed=N, '+'-composed)")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
     def t(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
 
     val cons = "bcdfghjklmnpqrstvwxyz"
@@ -208,13 +217,20 @@ object GenScale {
         // content perturbation first (it reads text), dirt second (it
         // overwrites text for its slices) — so dirty composes with
         // seed/rev instead of masking them
-        val content =
-          if (rev) d0.withColumn("text",
-            array_join(reverse(split(col("text"), " ")), " "))
-          else if (i == 0) d0
+        // rev composes ON TOP of the per-copy consonant permutation: a
+        // multi-copy rev fixture must not collapse every copy's text to
+        // an exact cross-copy duplicate (the shingle-space degeneration
+        // the per-copy perm exists to prevent — it blows up minhash
+        // bucket pair counts). copies==1 rev output is unchanged.
+        val perCopy =
+          if (i == 0) d0
           else d0.withColumn("text",
             translate(col("text"), cons + cons.toUpperCase,
               perm(i) + perm(i).toUpperCase))
+        val content =
+          if (rev) perCopy.withColumn("text",
+            array_join(reverse(split(col("text"), " ")), " "))
+          else perCopy
         if (!dirty) content else {
           // text-family audit dirt: null / empty / whitespace-only text
           // and null lang — the cross-engine null-semantics slice for
@@ -229,19 +245,22 @@ object GenScale {
               when(b >= 60 && b < 80, lit(null).cast("string")).otherwise(col("lang")))
         }
       }),
-      "embeddings" -> scaled("embeddings", Seq("vec_id"), (d, i) =>
-      if (rev) d.withColumn("embedding", reverse(col("embedding"))) else {
+      "embeddings" -> scaled("embeddings", Seq("vec_id"), (d, i) => {
         // rotation alone has only dim distinct values (copy i >= dim
         // degenerates to identity — 37 exact-duplicate copies at
         // copies=100); compose with a norm-preserving sign flip per
         // rotation cycle so every copy stays near-orthogonal to copy 0.
+        // rev then composes ON TOP of the per-copy rotation (same
+        // reasoning as documents: rev alone would make every copy an
+        // exact cross-copy duplicate); copies==1 rev output unchanged.
         val r = i % 64
         val rot =
           if (r == 0) col("embedding")
           else concat(slice(col("embedding"), r + 1, 10000),
             slice(col("embedding"), 1, r))
-        val emb = if ((i / 64) % 2 == 0) rot
-                  else transform(rot, x => -x)
+        val emb0 = if ((i / 64) % 2 == 0) rot
+                   else transform(rot, x => -x)
+        val emb = if (rev) reverse(emb0) else emb0
         d.withColumn("label", col("label") + lit(i * 1000))
           .withColumn("embedding", emb)
       })
@@ -250,6 +269,5 @@ object GenScale {
       df.write.mode("overwrite").parquet(s"$out/$n.parquet")
       println(s"[genscale] $n -> $out/$n.parquet")
     }
-    spark.stop()
   }
 }

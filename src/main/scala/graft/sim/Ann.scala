@@ -357,10 +357,13 @@ object Ann {
     * filter `probe_rn <= nprobe` + re-rank over that already-scored
     * KB-scale table — no per-point rescans (verified: exactly one
     * assignment aggregate and one member-probe join in the plan).
-    * recall is the micro-average |ivf ∩ exact| / (k·Q): every query
-    * contributes exactly k exact rows (N−1 ≥ k), so micro == macro and
-    * the division is one exact BIGINT/BIGINT — no double-summation-order
-    * hazard in the cross-engine hash. n_candidates (scored candidate
+    * recall is the micro-average |ivf ∩ exact| / (Q·min(k, N−1)): every
+    * query contributes exactly min(k, N−1) exact rows by bruteTopK
+    * construction, so micro == macro and the division is one exact
+    * BIGINT/BIGINT — no double-summation-order hazard in the
+    * cross-engine hash, and the denominator agrees with the SQL
+    * mirror's COUNT(*) over exact rows even when the corpus has fewer
+    * than k non-self neighbors per query. n_candidates (scored candidate
     * rows at that depth) is the COST axis: recall/n_candidates is the
     * measured trade, monotone in nprobe by construction (AnnSpec pins
     * monotonicity and the full-probe recall=1.0 endpoint).
@@ -409,23 +412,32 @@ object Ann {
     // aggregate would reference the candidate subtree twice and Catalyst
     // would plan the corpus scoring pass (scan + assignment aggregate)
     // once per reference (ScaleSpec pins exactly one of each). The
-    // recall denominator is k·Q exactly: every query contributes k
-    // exact rows (N−1 ≥ k; AuditOpsSpec pins the ivfRecall identity),
-    // so a query with zero candidates at a shallow probe depth still
-    // counts — no per-exact-row join needed on the curve side.
+    // recall denominator is Q·min(k, N−1) exactly — the exact-row count
+    // by construction (bruteTopK emits exactly min(k, N−1) rows per
+    // query), computed from the SAME single-row corpus aggregate that
+    // yields n_queries, so the denominator matches the SQL mirror's
+    // COUNT(*)-over-exact-rows even on a degenerate corpus with fewer
+    // than k non-self neighbors (previously both engines silently
+    // disagreed there instead of failing loud; DirtySpec pins the
+    // N−1 < k endpoint). A query with zero candidates at a shallow
+    // probe depth still counts — no per-exact-row join needed on the
+    // curve side.
     val ex = bruteTopK(vecs, queryMod, k)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("exact"))
     val flagged = expanded.withColumn("rank", row_number().over(wR))
       .join(broadcast(ex), Seq("query_id", "neighbor_id"), "left")
-    val qCount = scaledBase(vecs).filter(col("vec_id") % queryMod === 0)
-      .agg(count(lit(1)).cast(LongType).as("n_queries"))
+    val qCount = scaledBase(vecs).agg(
+      sum(when(col("vec_id") % queryMod === 0, 1L).otherwise(0L))
+        .cast(LongType).as("n_queries"),
+      count(lit(1)).cast(LongType).as("n_corpus"))
     flagged.groupBy("nprobe")
       .agg(count(lit(1)).cast(LongType).as("n_candidates"),
         sum(when(col("rank") <= k && col("exact") === 1, 1).otherwise(0))
           .cast(LongType).as("n_hit"))
       .crossJoin(broadcast(qCount))
       .select(col("nprobe").cast(LongType).as("nprobe"), col("n_queries"),
-        graft.util.D.r(col("n_hit").cast(DoubleType) / (lit(k) * col("n_queries")), 6)
+        graft.util.D.r(col("n_hit").cast(DoubleType) /
+            (least(lit(k.toLong), col("n_corpus") - 1L) * col("n_queries")), 6)
           .as("mean_recall"),
         col("n_candidates"))
       .orderBy("nprobe")

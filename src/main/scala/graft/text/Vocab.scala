@@ -211,15 +211,20 @@ object Vocab {
     // merges over it are pure in-memory rescans, so the loop costs zero
     // Spark jobs instead of 2 jobs + a checkpoint per merge (measured
     // 1.7 s → ~0.4 s at sf1 for the default 8 merges).
+    // clamp before the +1 sentinel: a caller who sets MaxTrainWords to
+    // Int.MaxValue ("train on the full universe") must get the largest
+    // representable limit, not an Int overflow into a negative .limit()
+    // (which Spark rejects with an AnalysisException)
+    val maxWords = math.min(MaxTrainWords, Int.MaxValue - 1)
     val collected = docs
       .select(explode(TextOps.tokens(col("text"))).as("word"))
       .filter(length(col("word")) > 0 && !col("word").rlike("[\\uD800-\\uDFFF]"))
       .groupBy("word").agg(count(lit(1)).cast(LongType).as("freq"))
       .select(bpeEncode(col("word")).as("enc"), col("freq"))
-      .limit(MaxTrainWords + 1)
+      .limit(maxWords + 1)
       .collect()
-    if (collected.length > MaxTrainWords) throw new IllegalStateException(
-      s"bpeFit: word-frequency table exceeds $MaxTrainWords distinct words — " +
+    if (collected.length > maxWords) throw new IllegalStateException(
+      s"bpeFit: word-frequency table exceeds $maxWords distinct words — " +
         "train on a word-count sample, or raise graft.text.Vocab.MaxTrainWords " +
         "if the vocabulary size is intentional.")
     // encoded form: symbols separated by DOUBLE space, padded — split on

@@ -86,6 +86,79 @@ class AuditOpsSpec extends AnyFunSuite {
       s"curve point nprobe=4 ($curve4) must equal ivfRecall micro-average ($micro)")
   }
 
+  test("nprobeCurve denominator is the exact-row count: full-probe recall = 1.0 even when N−1 < k") {
+    import spark.implicits._
+    // 4 vectors, k = 10 > N−1 = 3: the recall denominator must be
+    // Q·min(k, N−1) = 12 — the exact-row count by bruteTopK
+    // construction, which is what the SQL mirror's COUNT(*)-over-exact
+    // divides by — NOT k·Q = 40. On a degenerate corpus the two engines
+    // previously disagreed silently (Spark capped recall at (N−1)/k).
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f)),
+      (1L, Array(0.9f, 0.2f, 0.1f)),
+      (2L, Array(0.1f, 1.0f, 0.2f)),
+      (3L, Array(0.0f, 0.2f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    // queryMod=1: all 4 vectors are queries; centMod=2 → 2 IVF lists,
+    // so nprobe=2 is a FULL probe (candidates == all non-self vectors)
+    val curve = Ann.nprobeCurve(vecs, 1, 2, 0, Seq(1, 2), 10).collect()
+    assert(curve.length === 2)
+    val full = curve.find(_.getAs[Long]("nprobe") == 2L).get
+    assert(full.getAs[Long]("n_queries") === 4L)
+    // full probe retrieves every exact row → recall exactly 1.0 under
+    // the min(k, N−1) denominator (0.3 under the old k·Q denominator)
+    assert(full.getAs[Double]("mean_recall") === 1.0)
+    assert(full.getAs[Long]("n_candidates") === 12L) // 4 queries × 3 non-self
+    val shallow = curve.find(_.getAs[Long]("nprobe") == 1L).get
+    assert(shallow.getAs[Double]("mean_recall") <= 1.0 &&
+      shallow.getAs[Double]("mean_recall") >= 0.0)
+  }
+
+  test("GenScale: rev composes ON TOP of per-copy perturbation (no cross-copy duplicate text or vectors)") {
+    import spark.implicits._
+    // multi-copy rev previously collapsed every copy's text to an exact
+    // cross-copy duplicate (and every embedding to an exact rotation-less
+    // reverse) — the shingle-space degeneration the per-copy perturbation
+    // exists to prevent. Pin: copies=2 + rev keeps copies distinct AND
+    // copy-0 output stays bit-identical to the single-copy rev fixture.
+    val outDir = java.nio.file.Files.createTempDirectory("genscale_rev").toString
+    val src = "/root/testdata/sf0.001"
+    GenScale.run(spark, src, outDir, 2, "rev")
+    val OFF = 10000000L
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+      .select("doc_id", "text")
+    val pairs = docs.filter(col("doc_id") < OFF).as("a")
+      .join(docs.filter(col("doc_id") >= OFF).as("b"),
+        col("a.doc_id") + OFF === col("b.doc_id"))
+      .select(col("a.text").as("t0"), col("b.text").as("t1"))
+      .collect()
+    assert(pairs.nonEmpty)
+    val dupFrac = pairs.count(r => r.getString(0) == r.getString(1)).toDouble / pairs.length
+    assert(dupFrac < 0.05,
+      s"rev+copies must not make copies exact duplicates (dup frac $dupFrac)")
+    // copy 0 must still be the plain single-copy rev transform
+    val orig = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"), col("text").as("otext"))
+    val c0 = docs.filter(col("doc_id") < OFF).join(orig, "doc_id")
+      .select(col("text"),
+        array_join(reverse(split(col("otext"), " ")), " ").as("want"))
+      .collect()
+    assert(c0.nonEmpty)
+    c0.foreach(r => assert(r.getString(0) === r.getString(1)))
+    // embeddings: copy-1 vectors are rotated THEN reversed — never an
+    // exact duplicate of copy-0's reversed vectors
+    val embs = spark.read.parquet(s"$outDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val epairs = embs.filter(col("vec_id") < OFF).as("a")
+      .join(embs.filter(col("vec_id") >= OFF).as("b"),
+        col("a.vec_id") + OFF === col("b.vec_id"))
+      .select(col("a.e").as("e0"), col("b.e").as("e1"))
+      .collect()
+    assert(epairs.nonEmpty)
+    epairs.foreach(r =>
+      assert(r.getSeq[Double](0) !== r.getSeq[Double](1), "copy-1 vector must differ"))
+  }
+
   test("q_anomaly_mad counts exactly the rows beyond the reported cutoff") {
     val rows = SparkEntry.queries("q_anomaly_mad")(spark, sf).collect()
     assert(rows.nonEmpty)

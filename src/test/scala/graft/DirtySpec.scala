@@ -81,6 +81,46 @@ class DirtySpec extends AnyFunSuite {
     assert(out.agg(sum("n_docs")).head().getLong(0) === 40L)
   }
 
+  /** Benignity for the degenerate-corpus pins is decided by MESSAGE
+    * FRAGMENT, never by exception class: Spark surfaces some genuine
+    * runtime failures as IllegalArgumentException (and guard-shaped
+    * classes generally), so a class-based filter could silently excuse
+    * exactly the crash class these pins exist to remove luck from. Every
+    * fragment below is either a missing-table shape (queries needing
+    * other tables are out of scope on a single-table dir) or a
+    * deliberate fail-loud guard message from main source. */
+  private val benignFragments = Seq(
+    // missing-table / schema shapes on a single-table fixture dir
+    "PATH_NOT_FOUND", "Path does not exist",
+    "UNRESOLVED_COLUMN", "DATATYPE_MISMATCH",
+    // deliberate nonempty-model / domain guards (fail loud BY DESIGN)
+    "exceeds the mask width",          // q_basket_pairs vocab-width guard
+    "need a positive corpus size",     // dsir corpus guard
+    "pca: empty corpus",               // Pca nonempty guard
+    "no non-null rows in",             // quantile/qcut guard on all-null col
+    "need at least one",               // vocabCoverage/ngram-family guards
+    "requires numeric attributes",     // pruning guards
+    "must be >= 1", "must be positive" // parameter guards surfaced via plans
+  )
+
+  private def runAll(dir: String): (Int, Seq[(String, String)]) = {
+    var ran = 0
+    val crashed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try { fn(spark, dir).collect(); ran += 1 }
+      catch {
+        case e: Throwable =>
+          // unwrap Spark's wrapped task failures to the root cause
+          var c: Throwable = e
+          while (c.getCause != null && c.getCause != c) c = c.getCause
+          val m = Option(c.getMessage).getOrElse(c.getClass.getName)
+          if (!benignFragments.exists(m.contains))
+            crashed += name -> s"${c.getClass.getSimpleName}: ${m.take(160)}"
+      }
+    }
+    (ran, crashed.toSeq)
+  }
+
   test("no documents-family query crashes on a fully-degenerate corpus (the deterministic hash-luck killer)") {
     // The fixture audits inject dirty text into HASH-CHOSEN slices — a
     // shape that never rolls a given degenerate doc simply isn't tested
@@ -103,26 +143,7 @@ class DirtySpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("degen").toString
     degenerate.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    var ran = 0
-    val crashed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try { fn(spark, dir).collect(); ran += 1 }
-      catch {
-        case e: Throwable =>
-          // unwrap Spark's wrapped task failures to the root cause
-          var c: Throwable = e
-          while (c.getCause != null && c.getCause != c) c = c.getCause
-          val m = Option(c.getMessage).getOrElse(c.getClass.getName)
-          // queries needing other tables (or nonempty-model guards that
-          // fail loud BY DESIGN) are out of scope; arithmetic crashes
-          // and NPEs are exactly in scope
-          val benign = m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist") ||
-            c.isInstanceOf[IllegalStateException] || c.isInstanceOf[IllegalArgumentException] ||
-            c.isInstanceOf[java.util.NoSuchElementException] ||
-            m.contains("UNRESOLVED_COLUMN") || m.contains("DATATYPE_MISMATCH")
-          if (!benign) crashed += name -> m.take(120)
-      }
-    }
+    val (ran, crashed) = runAll(dir)
     assert(ran >= 40, s"expected a substantial documents-only subset to run; ran=$ran")
     assert(crashed.isEmpty,
       s"queries crashed on the degenerate corpus:\n${crashed.mkString("\n")}")
@@ -146,22 +167,7 @@ class DirtySpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("degen_ev").toString
     degenerate.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    var ran = 0
-    val crashed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try { fn(spark, dir).collect(); ran += 1 }
-      catch {
-        case e: Throwable =>
-          var c: Throwable = e
-          while (c.getCause != null && c.getCause != c) c = c.getCause
-          val m = Option(c.getMessage).getOrElse(c.getClass.getName)
-          val benign = m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist") ||
-            c.isInstanceOf[IllegalStateException] || c.isInstanceOf[IllegalArgumentException] ||
-            c.isInstanceOf[java.util.NoSuchElementException] ||
-            m.contains("UNRESOLVED_COLUMN") || m.contains("DATATYPE_MISMATCH")
-          if (!benign) crashed += name -> m.take(120)
-      }
-    }
+    val (ran, crashed) = runAll(dir)
     assert(ran >= 15, s"expected a substantial events-only subset to run; ran=$ran")
     assert(crashed.isEmpty,
       s"queries crashed on the degenerate event log:\n${crashed.mkString("\n")}")

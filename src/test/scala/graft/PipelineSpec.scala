@@ -786,6 +786,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(r3.length === 1 && r3(0).getString(3) === "ab")
   }
 
+  test("bpeFit: MaxTrainWords = Int.MaxValue must not overflow the limit sentinel") {
+    import spark.implicits._
+    // 'train on the full universe' setting: the +1 sentinel previously
+    // overflowed to a negative .limit() (AnalysisException); the clamp
+    // must make the largest settable value behave as unbounded
+    val prev = graft.text.Vocab.MaxTrainWords
+    try {
+      graft.text.Vocab.MaxTrainWords = Int.MaxValue
+      val out = graft.text.Vocab.bpeFit(
+        Seq((0L, "low low lower")).toDF("doc_id", "text"), merges = 1).collect()
+      assert(out.length === 1 && out(0).getString(3) === "lo")
+    } finally graft.text.Vocab.MaxTrainWords = prev
+  }
+
   test("tfidfTerms: corpus-wide terms score zero, rare terms rank first") {
     import spark.implicits._
     // 'a' in all 3 docs -> idf 0; 'b'/'c' in one -> idf ln(3)
