@@ -682,11 +682,20 @@ object Dedup {
     * per doc the span count, duplicated-window count, tokens covered
     * by duplicated spans, and the covered fraction. The paper builds a
     * corpus-wide suffix array to find duplicate substrings ≥ 50 tokens;
-    * a fixed-length window hash finds exactly the spans ≥ `winLen`
-    * tokens (a length-k duplicate substring is a run of k−winLen+1
-    * duplicated windows), trading the suffix array's single-machine
-    * global sort for two linear hash shuffles — window quantization
-    * only coarsens span BOUNDARIES, never misses a qualifying span.
+    * the fixed-length window hash replaces that single-machine global
+    * sort with two linear hash shuffles under this EXACT guarantee:
+    * token COVERAGE (dup_tokens and the span extents) equals the union
+    * of all duplicated substrings of ≥ `winLen` tokens — a length-m
+    * duplicate is a run of m−winLen+1 duplicated windows covering
+    * precisely its m tokens, and conversely every duplicated window IS
+    * a ≥ `winLen`-token duplicate — so no qualifying token is missed or
+    * over-covered, and nothing below the threshold leaks in. The only
+    * coarsening is the span COUNT: overlapping duplicates with
+    * different partners merge into one maximal island (n_spans counts
+    * islands, not distinct partner-pairs) — the same merge the paper's
+    * removal step applies. The registered default (winLen=8) profiles a
+    * superset of the paper's pass; `q_dedup_substr50` registers the
+    * published 50-token threshold itself.
     *
     * Scale (100 TB): window hashing is scan-local ([[graft.functions.NgramHashes]]
     * emits 8-byte longs in whole-stage codegen — the window string is

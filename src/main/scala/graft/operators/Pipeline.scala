@@ -193,6 +193,14 @@ object Pipeline extends QFamily {
       Some(Dedup.substrSpansSql("documents")),
       (s, dir) => Dedup.substrSpans(t(s, dir, "documents"))),
 
+    // the published EXACTSUBSTR threshold (Lee et al. 2022 ship the
+    // pass at 50 tokens): same operator at winLen=50, where the span
+    // coverage IS the paper's guarantee exactly — every duplicated
+    // substring of >= 50 tokens, nothing shorter
+    QDef("q_dedup_substr50",
+      Some(Dedup.substrSpansSql("documents", winLen = 50)),
+      (s, dir) => Dedup.substrSpans(t(s, dir, "documents"), winLen = 50)),
+
     // the remaining published Gopher repetition measurements (top
     // n-gram fraction n=2..4, duplicated n-gram coverage n=5,10) —
     // q_text_repetition carries the top-token/dup-bigram members

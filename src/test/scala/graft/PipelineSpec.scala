@@ -484,6 +484,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(t0.getAs[Long]("n_tokens") === 2L && t0.getAs[Double]("dup_frac") === 0.0)
   }
 
+  test("substrSpans coverage is the exact >=winLen threshold: 50-token pass sees only >=50-token duplicates") {
+    import spark.implicits._
+    // the q_dedup_substr50 contract (Lee et al. 2022's published
+    // threshold): a 60-token shared passage qualifies; a 20-token shared
+    // passage must contribute NOTHING at winLen=50 (it has no 50-token
+    // duplicated window) while the winLen=8 profile covers both
+    val big = (1 to 60).map(i => s"b$i").mkString(" ")
+    val small = (1 to 20).map(i => s"s$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"a1 $big a2 $small"),
+      (2L, s"c1 c2 $big c3"),
+      (3L, s"$small d1 d2 d3")
+    ).toDF("doc_id", "text")
+    val at50 = Dedup.substrSpans(rows, winLen = 50).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("dup_tokens"))).toMap
+    // exactly the 60 shared tokens, in the two docs that share them
+    assert(at50(1L) === ((1L, 60L)))
+    assert(at50(2L) === ((1L, 60L)))
+    assert(at50(3L) === ((0L, 0L)), "20-token duplicate must not leak into the 50-token pass")
+    val at8 = Dedup.substrSpans(rows, winLen = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    assert(at8(1L) === 80L && at8(2L) === 60L && at8(3L) === 20L,
+      "winLen=8 covers both passages exactly (60+20 / 60 / 20 tokens)")
+  }
+
   test("triplets picks nearest same-label positive and different-label negative") {
     import spark.implicits._
     // anchor 0 (label 1): v1 same-label near, v2 same-label far,
