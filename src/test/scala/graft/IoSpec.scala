@@ -182,4 +182,64 @@ class IoSpec extends AnyFunSuite {
     // at least half the partitions are strictly tighter than the table
     assert(parted.count(_.getAs[Long]("cspan") < globalC) * 2 >= parted.length)
   }
+
+  test("z-ordered WRITE prunes on BOTH keys: row-group skip counts observed from the parquet footers") {
+    import graft.sources.Layout
+    // the read-side proof: write the clustered table, read the actual
+    // min/max statistics out of the written files' footers (the exact
+    // stats the parquet reader's row-group filter evaluates — observed
+    // skip counts, not spans inferred from in-memory partitions), and
+    // count how many row groups a single-key point predicate can skip
+    // on EACH dimension, against an unclustered same-file-count write.
+    val orders = graft.util.D.t(spark, sf, "orders")
+    val day = datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+    val dir = java.nio.file.Files.createTempDirectory("zorder_read").toString
+    Layout.zorderBy(orders, col("o_custkey"), day, 16)
+      .write.mode("overwrite").parquet(s"$dir/z")
+    orders.repartition(16).write.mode("overwrite").parquet(s"$dir/plain")
+    val cols = Seq("o_custkey", "o_orderdate")
+    def hits(path: String, column: String, v: Long): (Long, Long) = {
+      val st = Layout.rowGroupStats(spark, path, cols)
+        .filter(col("column") === column).collect()
+      (st.count(r => r.getAs[Long]("min_val") <= v &&
+        v <= r.getAs[Long]("max_val")).toLong, st.length.toLong)
+    }
+    // sweep the deciles of each key's domain (footer-derived, tz-free
+    // for the NTZ timestamp): a single point can land exactly on a
+    // z-strip boundary, so the OBSERVED pruning claim is about the
+    // mean skip rate across the domain, plus strict per-point dominance
+    // over the unclustered baseline
+    def decilePoints(column: String): Seq[Long] = {
+      val g = Layout.rowGroupStats(spark, s"$dir/plain", cols)
+        .filter(col("column") === column)
+        .agg(min("min_val"), max("max_val")).head()
+      val (lo, hi) = (g.getLong(0), g.getLong(1))
+      (1 to 9).map(d => lo + (hi - lo) / 10 * d)
+    }
+    def sweep(column: String): Unit = {
+      val pts = decilePoints(column)
+      val z = pts.map(v => hits(s"$dir/z", column, v))
+      val p = pts.map(v => hits(s"$dir/plain", column, v))
+      val nz = z.head._2
+      assert(nz >= 16L && p.head._2 >= 16L, s"expected >=16 row groups on $column")
+      // the z-layout lets the reader SKIP at least half the row groups
+      // on average across the key domain...
+      val zHits = z.map(_._1).sum
+      assert(zHits * 2 <= nz * pts.length,
+        s"$column: z-layout must skip >= half the row groups on average " +
+          s"(${zHits.toDouble / pts.length} of $nz hit)")
+      // ...and at EVERY point strictly fewer groups than the
+      // row-scattered baseline, which itself overlaps nearly all
+      z.zip(p).zip(pts).foreach { case (((zh, _), (ph, _)), v) =>
+        assert(zh < ph, s"$column=$v: z-layout must prune strictly better ($zh vs $ph)")
+      }
+      val pHits = p.map(_._1).sum
+      assert(pHits * 4 >= p.head._2 * pts.length * 3,
+        s"$column: row-scattered baseline should overlap nearly all groups")
+    }
+    sweep("o_custkey")   // first interleaved key
+    sweep("o_orderdate") // SECOND key — the whole point of the interleave
+    // out-of-domain completeness sanity: nothing overlaps an impossible key
+    assert(hits(s"$dir/z", "o_custkey", -5L)._1 === 0L)
+  }
 }
