@@ -289,6 +289,158 @@ class NotebookParitySpec extends AnyFunSuite {
     assert(viaDispatch.map(_.toString).toSeq === disj.map(_.toString).toSeq)
   }
 
+  /** The Spotify Demo 2 cells (Examples/Notebooks/Fedex Explainer
+    * Examples/Spotify Dataset Demo 2.ipynb) — the JOIN-explainer
+    * notebook: load → numeric filter → .explain() → year filter →
+    * groupby(decade).popularity.mean() → .explain() → .explain(outlier,
+    * low) → per-artist count → values>N index filter (isin) →
+    * groupby(artist).popularity.mean() → value filter → category filter
+    * → b_join(on=artist) → explain consider='right'. orders stands in
+    * for songs (popularity := o_totalprice, main_artist := o_custkey,
+    * decade := o_orderpriority). */
+  private def spotifyJoinFlow(): Seq[Array[Row]] = {
+    // lineitem stands in (the numeric-rich frame, like the songs CSV:
+    // popularity := l_extendedprice, main_artist := l_suppkey, decade :=
+    // l_returnflag, year := l_shipdate, acousticness := l_discount) —
+    // the outlier cell needs numeric attributes left over after the
+    // mean consumes one, which orders does not have
+    val songs = ExplainFrame(graft.util.D.t(spark, sf, "lineitem"), "lineitem")
+    // popular_songs_df = songs_df[popularity > 65]; .explain()
+    val popular = songs.filter(col("l_extendedprice") > 80000)
+    val ex1 = popular.explain().collect()
+    // new_songs_df = songs_df[year >= 1990]
+    // gb_decade = new_songs_df.groupby('decade').popularity.mean(); .explain()
+    val recent = songs.filter(
+      col("l_shipdate").cast("date") >= lit("1995-01-01").cast("date"))
+    val gbDecade = recent.groupBy("l_returnflag").mean("l_extendedprice")
+    val ex2 = gbDecade.explain().collect()
+    // gb_decade.explain(explainer='outlier', target=2020, dir='low')
+    val ex3 = gbDecade.explain(explainer = "outlier",
+      target = "R", dir = "low").collect()
+    // count_artist = songs.groupby(artist).count(); [values > 100].index
+    val countArtist = songs.groupBy("l_suppkey").count()
+    val hot = countArtist.df.filter(col("l_suppkey_count") >= 600)
+      .select("l_suppkey").collect().map(_.getLong(0)).toSeq
+    // frequent_df = songs[artist.isin(count_artist.index)]
+    val frequent = songs.filter(col("l_suppkey").isin(hot: _*))
+    // gb_artist_popularity = frequent.groupby(artist).popularity.mean();
+    // then [values > 60]
+    val gbArtist = frequent.groupBy("l_suppkey").mean("l_extendedprice")
+      .filter(col("l_extendedprice_mean") > 53000)
+    // acoustic_df = frequent[acousticness > 0.95]
+    val acoustic = frequent.filter(col("l_discount") > 0.05)
+    // acoustic_df.b_join(gb_artist_popularity, on=artist,
+    //                    explain=True, consider='right')
+    val joined = acoustic.join(gbArtist, on = Seq("l_suppkey"))
+    val ex4 = joined.explain(topK = 3).collect() // consider='right' default
+    Seq(ex1, ex2, ex3, ex4)
+  }
+
+  test("Spotify join-explainer notebook flow: filter/groupby cells, isin tail, and the b_join explain considering the right side") {
+    val out = spotifyJoinFlow()
+    val Seq(ex1, ex2, ex3, ex4) = out
+    // filter fedex: ranked desc, finite
+    assert(ex1.nonEmpty && ex1.length <= 3)
+    val kls = ex1.map(r => r.getDouble(r.fieldIndex("kl_score"))).toSeq
+    assert(kls.forall(k => !k.isNaN && !k.isInfinite))
+    assert(kls === kls.sorted(Ordering[Double].reverse))
+    // groupby fedex: zdev ranked desc
+    assert(ex2.nonEmpty && ex2.length <= 3)
+    val zs = ex2.map(r => r.getDouble(r.fieldIndex("zdev"))).toSeq
+    assert(zs === zs.sorted(Ordering[Double].reverse))
+    // outlier-low on the groupby result: influence ranked desc, finite
+    assert(ex3.nonEmpty)
+    val infl = ex3.map(r => r.getDouble(r.fieldIndex("influence"))).toSeq
+    assert(infl.forall(x => !x.isNaN && !x.isInfinite))
+    assert(infl === infl.sorted(Ordering[Double].reverse))
+    // the join explain considers the RIGHT side: the only explainable
+    // right attribute is the joined-in mean (join key excluded), so
+    // every explanation row must be about it
+    assert(ex4.nonEmpty && ex4.length <= 3)
+    ex4.foreach(r => assert(
+      r.getString(r.fieldIndex("attribute")) === "l_extendedprice_mean",
+      "join explain must score the right side's non-key attribute"))
+    val jkls = ex4.map(r => r.getDouble(r.fieldIndex("kl_score"))).toSeq
+    assert(jkls.forall(k => !k.isNaN && !k.isInfinite))
+    // consider='left' flips the explained side to the left frame's attrs
+    val songs = ExplainFrame(graft.util.D.t(spark, sf, "lineitem"), "lineitem")
+    val hot2 = songs.groupBy("l_suppkey").count().df
+      .filter(col("l_suppkey_count") >= 600)
+      .select("l_suppkey").collect().map(_.getLong(0)).toSeq
+    val frequent2 = songs.filter(col("l_suppkey").isin(hot2: _*))
+    val gbArtist2 = frequent2.groupBy("l_suppkey").mean("l_extendedprice")
+      .filter(col("l_extendedprice_mean") > 53000)
+    val left = frequent2.filter(col("l_discount") > 0.05)
+      .join(gbArtist2, on = Seq("l_suppkey"))
+      .explainFedex(topK = 3, consider = "left").collect()
+    assert(left.nonEmpty)
+    left.foreach(r => assert(
+      r.getString(r.fieldIndex("attribute")) !== "l_extendedprice_mean"))
+    // whole-flow determinism
+    val again = spotifyJoinFlow()
+    out.zip(again).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+        s"spotify join flow cell $i diverged between runs")
+    }
+  }
+
+  /** The MetaInsight demo replayed on a SECOND dataset (events standing
+    * in for adults; the notebook's own cells run against one CSV — the
+    * flow contract must not be an artifact of one table's shape): load
+    * with a derived weekday dimension (the Spotify notebooks derive
+    * 'decade' the same way at load) → numeric filter → auto metainsight
+    * → two-key groupby().mean() → metainsight → full-scope manual call. */
+  private def metaInsightEventsFlow(): Seq[Array[Row]] = {
+    val ev0 = graft.util.D.t(spark, sf, "events")
+      .withColumn("weekday", date_format(col("ts"), "EEEE"))
+      .select("event_type", "weekday", "value")
+    val events = ExplainFrame(ev0, "events")
+    val m1 = events.filter(col("value") > 0)
+      .explain(explainer = "metainsight").collect()
+    val byTypeDay = events.groupBy("event_type", "weekday").mean("value")
+    val m2 = byTypeDay.explain(explainer = "metainsight").collect()
+    val m3 = events.explain(explainer = "metainsight", topK = 5,
+      filterColumns = Seq("event_type"),
+      groupbyColumns = Seq("weekday"),
+      aggregations = Seq("value"),
+      minCommonness = 0.15).collect()
+    Seq(m1, m2, m3)
+  }
+
+  test("MetaInsight notebook flow on a second dataset: same cells, events table, dims confined to the provided scopes") {
+    val out = metaInsightEventsFlow()
+    val Seq(m1, m2, m3) = out
+    def scores(rs: Array[Row]): Seq[Double] =
+      rs.map(r => r.getDouble(r.fieldIndex("score"))).toSeq
+    assert(m1.nonEmpty, "auto metainsight on the filtered events frame must mine patterns")
+    assert(scores(m1) === scores(m1).sorted(Ordering[Double].reverse))
+    // auto mode derives its dims from the frame itself: every mined
+    // pattern's scope stays inside the frame's two string dimensions
+    val dims = Set("event_type", "weekday")
+    m1.foreach { r =>
+      assert(dims.contains(r.getString(r.fieldIndex("filter_dim"))))
+      assert(dims.contains(r.getString(r.fieldIndex("breakdown"))))
+    }
+    assert(m2.nonEmpty, "metainsight on the two-key groupby result must mine patterns")
+    assert(scores(m2) === scores(m2).sorted(Ordering[Double].reverse))
+    // the manual full-scope call: ≤ top_k ranked patterns, scope exactly
+    // as provided
+    assert(m3.nonEmpty && m3.length <= 5)
+    assert(scores(m3) === scores(m3).sorted(Ordering[Double].reverse))
+    m3.foreach { r =>
+      assert(r.getString(r.fieldIndex("filter_dim")) === "event_type")
+      assert(r.getString(r.fieldIndex("breakdown")) === "weekday")
+      // the explainer mines the provided aggregation (surfaced as its
+      // mean measure) AND the implicit count measure over the same scope
+      assert(Set("value_mean", "row_count").contains(r.getString(r.fieldIndex("measure"))))
+    }
+    val again = metaInsightEventsFlow()
+    out.zip(again).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+        s"events metainsight flow cell $i diverged between runs")
+    }
+  }
+
   test("recommender + auto-explore notebook tail runs off the flow's frames") {
     // the recommender needs ≥2 numeric non-key attributes for a 3-deep
     // ranking — lineitem (quantity, extendedprice, discount, tax) is
