@@ -34,4 +34,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // extra forked-JVM flags for bench experiments (e.g. a
+  // -XX:G1HeapRegionSize sweep), space-separated
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+").filter(_.nonEmpty))
