@@ -97,13 +97,26 @@ object GenScale {
     // right only on the original data (hash ties, %-mod alignments,
     // empty edge buckets) fails its oracle there.
     val seed = parts.find(_.startsWith("seed=")).map(_.drop(5).toInt).getOrElse(0)
-    // rev: the VOCABULARY-PRESERVING content audit — reverse token
-    // order in documents and dimension order in embeddings, keys and
-    // every other column untouched. Complements seed=N (which offsets
-    // keys and permutes consonants): queries whose literals are query
-    // TERMS (bm25) or key ranges keep nonzero results here while still
-    // seeing genuinely different shingles/pairs/vectors.
+    // rev: the single-copy VOCABULARY-PRESERVING content audit —
+    // reverse token order in documents and dimension order in
+    // embeddings, keys and every other column untouched. Complements
+    // seed=N (which offsets keys and permutes consonants): queries
+    // whose literals are query TERMS (bm25) or key ranges keep nonzero
+    // results here while still seeing genuinely different shingles/
+    // pairs/vectors. At copies > 1, rev composes ON TOP of the
+    // per-copy perturbation (round-10 change — rev alone used to win,
+    // silently collapsing every copy into an exact cross-copy
+    // duplicate); the multi-copy CONSTANT-VOCABULARY scale shape that
+    // behavior provided is now the EXPLICIT `dup` mode below.
     val rev = parts.contains("rev")
+    // dup: the constant-vocabulary SCALE audit — copies keep their key
+    // offsets but their CONTENT (text, embeddings, labels) is
+    // bit-identical across copies, so bytes grow N× while distinct
+    // terms/pairs/vectors stay constant. This is the shape that
+    // falsified the disjoint-vocab superlinearity artifact (BASELINE
+    // "vocab artifact" section); `dup+rev` reproduces the pre-r10
+    // multi-copy rev fixtures (bench-sf1-rev / bench-sf10-rev) exactly.
+    val dup = parts.contains("dup")
     // dirty: the DATA-QUALITY audit fixture — inject a deterministic
     // violation slice for EVERY q_dq_suite constraint (null FKs, orphan
     // FKs on both legs, duplicate orderkeys, out-of-range and null
@@ -114,8 +127,8 @@ object GenScale {
     // NULL/NOT-IN semantics the FK legs align explicitly.
     val dirty = parts.contains("dirty")
     require(parts.forall(p =>
-      p == "zipf" || p == "rev" || p == "dirty" || p.startsWith("seed=")),
-      s"unknown mode '$mode' (supported: zipf, rev, dirty, seed=N, '+'-composed)")
+      p == "zipf" || p == "rev" || p == "dirty" || p == "dup" || p.startsWith("seed=")),
+      s"unknown mode '$mode' (supported: zipf, rev, dirty, dup, seed=N, '+'-composed)")
     def t(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
 
     val cons = "bcdfghjklmnpqrstvwxyz"
@@ -221,9 +234,10 @@ object GenScale {
         // multi-copy rev fixture must not collapse every copy's text to
         // an exact cross-copy duplicate (the shingle-space degeneration
         // the per-copy perm exists to prevent — it blows up minhash
-        // bucket pair counts). copies==1 rev output is unchanged.
+        // bucket pair counts). copies==1 rev output is unchanged; the
+        // exact-duplicate shape is the explicit `dup` mode.
         val perCopy =
-          if (i == 0) d0
+          if (i == 0 || dup) d0
           else d0.withColumn("text",
             translate(col("text"), cons + cons.toUpperCase,
               perm(i) + perm(i).toUpperCase))
@@ -246,23 +260,29 @@ object GenScale {
         }
       }),
       "embeddings" -> scaled("embeddings", Seq("vec_id"), (d, i) => {
-        // rotation alone has only dim distinct values (copy i >= dim
-        // degenerates to identity — 37 exact-duplicate copies at
-        // copies=100); compose with a norm-preserving sign flip per
-        // rotation cycle so every copy stays near-orthogonal to copy 0.
-        // rev then composes ON TOP of the per-copy rotation (same
-        // reasoning as documents: rev alone would make every copy an
-        // exact cross-copy duplicate); copies==1 rev output unchanged.
-        val r = i % 64
-        val rot =
-          if (r == 0) col("embedding")
-          else concat(slice(col("embedding"), r + 1, 10000),
-            slice(col("embedding"), 1, r))
-        val emb0 = if ((i / 64) % 2 == 0) rot
-                   else transform(rot, x => -x)
-        val emb = if (rev) reverse(emb0) else emb0
-        d.withColumn("label", col("label") + lit(i * 1000))
-          .withColumn("embedding", emb)
+        // dup: content identical across copies (vectors AND labels —
+        // only vec_id offsets), the constant-vocabulary scale shape
+        if (dup) {
+          if (rev) d.withColumn("embedding", reverse(col("embedding"))) else d
+        } else {
+          // rotation alone has only dim distinct values (copy i >= dim
+          // degenerates to identity — 37 exact-duplicate copies at
+          // copies=100); compose with a norm-preserving sign flip per
+          // rotation cycle so every copy stays near-orthogonal to copy 0.
+          // rev then composes ON TOP of the per-copy rotation (same
+          // reasoning as documents: rev alone would make every copy an
+          // exact cross-copy duplicate); copies==1 rev output unchanged.
+          val r = i % 64
+          val rot =
+            if (r == 0) col("embedding")
+            else concat(slice(col("embedding"), r + 1, 10000),
+              slice(col("embedding"), 1, r))
+          val emb0 = if ((i / 64) % 2 == 0) rot
+                     else transform(rot, x => -x)
+          val emb = if (rev) reverse(emb0) else emb0
+          d.withColumn("label", col("label") + lit(i * 1000))
+            .withColumn("embedding", emb)
+        }
       })
     )
     tables.foreach { case (n, df) =>

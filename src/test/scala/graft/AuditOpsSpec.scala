@@ -157,6 +157,28 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(epairs.nonEmpty)
     epairs.foreach(r =>
       assert(r.getSeq[Double](0) !== r.getSeq[Double](1), "copy-1 vector must differ"))
+    // dup+rev is the EXPLICIT constant-vocabulary scale shape (the
+    // pre-r10 multi-copy rev behavior, which the vocab-artifact
+    // falsification in BASELINE depends on): content bit-identical
+    // across copies, keys offset
+    val dupDir = java.nio.file.Files.createTempDirectory("genscale_dup").toString
+    GenScale.run(spark, src, dupDir, 2, "dup+rev")
+    val ddocs = spark.read.parquet(s"$dupDir/documents.parquet")
+      .select("doc_id", "text")
+    val dpairs = ddocs.filter(col("doc_id") < OFF).as("a")
+      .join(ddocs.filter(col("doc_id") >= OFF).as("b"),
+        col("a.doc_id") + OFF === col("b.doc_id"))
+      .select(col("a.text").as("t0"), col("b.text").as("t1"))
+      .collect()
+    assert(dpairs.nonEmpty)
+    dpairs.foreach(r => assert(r.getString(0) === r.getString(1),
+      "dup copies must be content-identical"))
+    val dc0 = ddocs.filter(col("doc_id") < OFF).join(orig, "doc_id")
+      .select(col("text"),
+        array_join(reverse(split(col("otext"), " ")), " ").as("want"))
+      .collect()
+    dc0.foreach(r => assert(r.getString(0) === r.getString(1),
+      "dup+rev copy 0 must be the plain rev transform"))
   }
 
   test("q_anomaly_mad counts exactly the rows beyond the reported cutoff") {
