@@ -172,4 +172,56 @@ class DirtySpec extends AnyFunSuite {
     assert(crashed.isEmpty,
       s"queries crashed on the degenerate event log:\n${crashed.mkString("\n")}")
   }
+
+  test("no embeddings-family query crashes on a degenerate vector corpus") {
+    // same deterministic hash-luck killer for the ANN/kmeans/PQ family:
+    // every degenerate vector class present at once — zero vectors
+    // (cosine denominators), exact ties, near-zero norms, and huge
+    // magnitudes. vec_id stays a clean key and dims stay uniform —
+    // they are the storage contract the generator documents; the
+    // VALUES are adversarial.
+    val dim = 8
+    def v(xs: Float*): Array[Float] = (xs ++ Seq.fill(dim - xs.length)(0.0f)).toArray
+    val degenerate = Seq[(Long, Array[Float], Long)](
+      (0L, Array.fill(dim)(0.0f), 0L),                 // all-zero vector (norm 0)
+      (1L, Array.fill(dim)(0.0f), 0L),                 // zero-vector TIE (dup content)
+      (2L, v(1.0f), 1L),                               // unit axis
+      (3L, v(1.0f), 1L),                               // exact duplicate (cosine 1 tie)
+      (4L, v(-1.0f), 1L),                              // antipodal (cosine -1)
+      (5L, v(1e-8f, 1e-8f), 2L),                       // near-zero norm (fixed-point underflow)
+      (6L, v(8.0f, -8.0f, 8.0f), 2L),                  // large magnitude, inside the documented Σ|x·y|<920 fixed-point envelope
+      (7L, Array.tabulate(dim)(i => (i - 3).toFloat), 3L), // mixed signs
+      (8L, v(0.5f, 0.5f, 0.5f, 0.5f), 3L),             // plain vector
+      (9L, v(0.707f, -0.707f), 4L))                    // singleton label
+    val dir = java.nio.file.Files.createTempDirectory("degen_emb").toString
+    val spark0 = spark
+    import spark0.implicits._
+    degenerate.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val (ran, crashed) = runAll(dir)
+    assert(ran >= 10, s"expected a substantial embeddings-only subset to run; ran=$ran")
+    assert(crashed.isEmpty,
+      s"queries crashed on the degenerate vector corpus:\n${crashed.mkString("\n")}")
+  }
+
+  test("out-of-envelope vectors FAIL LOUD in the fixed-point hot path, matching the oracle's BIGINT overflow") {
+    // |x| = 80 at dim 8 puts Σ(x·1e8)² past Long.MaxValue. DuckDB
+    // errors on the BIGINT overflow; FixedDot must do the same
+    // (multiplyExact/addExact) — a silent Java wraparound would be a
+    // cross-engine DIVERGENCE instead of a crash, the worst failure
+    // class the oracle hash compare exists to prevent.
+    val big = Seq((0L, Array.fill(8)(80.0f), 0L), (1L, Array.fill(8)(80.0f), 0L))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[Exception] {
+      big.select(graft.functions.FixedDot(
+          graft.sim.Ann.scaled(col("embedding")),
+          graft.sim.Ann.scaled(col("embedding"))).as("d"))
+        .collect()
+    }
+    var c: Throwable = e
+    while (c.getCause != null && c.getCause != c) c = c.getCause
+    assert(c.isInstanceOf[ArithmeticException] ||
+      Option(c.getMessage).exists(_.contains("overflow")),
+      s"expected a loud overflow, got $c")
+  }
 }
