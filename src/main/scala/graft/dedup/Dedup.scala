@@ -773,6 +773,103 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** The EXACTSUBSTR REMOVAL transform ([[substrSpans]] is the profile;
+    * this applies the paper's pass): cut every token covered by a
+    * duplicated ≥ `winLen`-token substring, in EVERY document — the
+    * remove-all-occurrences policy the reference paper's released
+    * dedup tooling applies (Lee et al. 2022 §3; their code deletes each
+    * duplicated span where it occurs, not keep-one — the keep-one
+    * variant is a different pipeline choice, stated here so the
+    * contract is exact). Output per doc: original/removed/kept token
+    * counts and the cleaned text (space-joined KEPT tokens — the
+    * tokenized form, so original inter-token whitespace is normalized;
+    * a null text keeps its row with clean_text = '' like the tokenize
+    * family).
+    *
+    * Scale: the covered-token test is a LINEAR event sweep, not a
+    * token×span join — duplicated window starts merge into the token
+    * stream (one union), and a per-doc running max of window ends
+    * marks coverage in one window pass over T+W rows; reconstruction
+    * is one bounded per-doc collect_list. Same two hash shuffles as
+    * the profile plus the one sort the sweep pays. */
+  def substrCut(docs: DataFrame, winLen: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = winLen
+    val pos = docs.select(col("doc_id"),
+      posexplode(graft.functions.NgramHashes(col("text"), L)).as(Seq("pos", "wh")))
+    val cnt = pos.groupBy("wh").agg(count(lit(1)).as("n_occ"))
+    val dup = pos.join(cnt.filter(col("n_occ") > 1), Seq("wh"))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        lit(null).cast(StringType).as("tok"),
+        (col("pos") + lit(L - 1)).cast(LongType).as("wend"))
+    val toks = docs.select(col("doc_id"),
+        posexplode(graft.text.TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("tok"),
+        lit(null).cast(LongType).as("wend"))
+    // sweep order: at equal pos the WINDOW-START event sorts before the
+    // token row (tok null first), so the token at a window's start
+    // position sees its own window's end in the running max
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("pos").asc, col("tok").isNotNull.asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val swept = toks.unionByName(dup)
+      .withColumn("cov_end", max(col("wend")).over(w))
+      .filter(col("tok").isNotNull)
+    val perDoc = swept.groupBy("doc_id").agg(
+      count(lit(1)).cast(LongType).as("n_tokens"),
+      sum(when(col("cov_end") >= col("pos"), 1L).otherwise(0L))
+        .cast(LongType).as("n_removed"),
+      array_join(transform(array_sort(collect_list(
+          when(col("cov_end") >= col("pos"), lit(null))
+            .otherwise(struct(col("pos"), col("tok"))))),
+        t => t.getField("tok")), " ").as("clean_text"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (coalesce(col("n_tokens"), lit(0L)) - coalesce(col("n_removed"), lit(0L)))
+          .as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[substrCut]] (same sweep: window starts union
+    * into the token stream, running MAX of window ends marks covered
+    * tokens, string_agg ORDER BY pos rebuilds the kept text). */
+  def substrCutSql(table: String, winLen: Int = 50): String = {
+    val L = winLen
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS a FROM $table),
+       |w AS (SELECT doc_id, t.pos,
+       |    ('0x' || substr(md5(array_to_string(a[t.pos + 1 : t.pos + $L], ' ')), 1, 15))::BIGINT AS wh
+       |  FROM tk, UNNEST(range(0, GREATEST(len(a) - $L + 1, 0))) AS t(pos)),
+       |cnt AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(*) > 1),
+       |dup AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(NULL AS VARCHAR) AS tok,
+       |    CAST(pos + ${L - 1} AS BIGINT) AS wend FROM w JOIN cnt USING (wh)),
+       |toks AS (SELECT doc_id, CAST(t.pos AS BIGINT) AS pos, a[t.pos + 1] AS tok,
+       |    CAST(NULL AS BIGINT) AS wend
+       |  FROM tk, UNNEST(range(0, len(a))) AS t(pos)),
+       |ev AS (SELECT * FROM toks UNION ALL SELECT * FROM dup),
+       |sw AS (SELECT doc_id, pos, tok,
+       |    MAX(wend) OVER (PARTITION BY doc_id ORDER BY pos, (tok IS NOT NULL)
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov_end
+       |  FROM ev),
+       |kept AS (SELECT doc_id, pos, tok,
+       |    CASE WHEN cov_end IS NOT NULL AND cov_end >= pos THEN 1 ELSE 0 END AS cov
+       |  FROM sw WHERE tok IS NOT NULL),
+       |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(cov) AS BIGINT) AS n_removed,
+       |    COALESCE(string_agg(CASE WHEN cov = 0 THEN tok END, ' ' ORDER BY pos), '') AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(per.n_removed, 0) AS BIGINT) AS n_removed,
+       |  CAST(COALESCE(per.n_tokens, 0) - COALESCE(per.n_removed, 0) AS BIGINT) AS n_kept,
+       |  COALESCE(per.clean_text, '') AS clean_text
+       |FROM $table d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def ngramJaccardSql(table: String, blockCol: String, th: Double,
                       dfCap: Int = NgramDfCap): String =
     s"""WITH sh AS (SELECT DISTINCT doc_id, blk, ('0x' || substr(md5(sh0), 1, 15))::BIGINT AS sh

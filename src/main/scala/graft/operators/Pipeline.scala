@@ -201,6 +201,13 @@ object Pipeline extends QFamily {
       Some(Dedup.substrSpansSql("documents", winLen = 50)),
       (s, dir) => Dedup.substrSpans(t(s, dir, "documents"), winLen = 50)),
 
+    // the EXACTSUBSTR pass as a TRANSFORM: cut every token covered by a
+    // duplicated >=50-token substring (the remove-all-occurrences
+    // policy of the paper's released tooling) and emit the cleaned text
+    QDef("q_dedup_substr_cut",
+      Some(Dedup.substrCutSql("documents", winLen = 50)),
+      (s, dir) => Dedup.substrCut(t(s, dir, "documents"), winLen = 50)),
+
     // the remaining published Gopher repetition measurements (top
     // n-gram fraction n=2..4, duplicated n-gram coverage n=5,10) —
     // q_text_repetition carries the top-token/dup-bigram members

@@ -508,6 +508,27 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
     assert(at8(1L) === 80L && at8(2L) === 60L && at8(3L) === 20L,
       "winLen=8 covers both passages exactly (60+20 / 60 / 20 tokens)")
+
+    // the TRANSFORM: substrCut removes exactly the profiled tokens and
+    // rebuilds the kept text in order (remove-all-occurrences policy)
+    val cut = Dedup.substrCut(rows, winLen = 50).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(cut(1L).getAs[Long]("n_tokens") === 82L)
+    assert(cut(1L).getAs[Long]("n_removed") === 60L)
+    assert(cut(1L).getAs[Long]("n_kept") === 22L)
+    assert(cut(1L).getAs[String]("clean_text") === s"a1 a2 $small")
+    assert(cut(2L).getAs[String]("clean_text") === "c1 c2 c3")
+    // the sub-threshold doc is untouched
+    assert(cut(3L).getAs[Long]("n_removed") === 0L)
+    assert(cut(3L).getAs[String]("clean_text") === s"$small d1 d2 d3")
+    // null/empty text keeps its row, zero counts, empty clean text
+    val edge = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text")
+    val ce = Dedup.substrCut(edge, winLen = 50).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(ce(1L).getAs[Long]("n_tokens") === 0L && ce(1L).getAs[String]("clean_text") === "")
+    // "" splits to one empty token in both engines (the tokenize-family
+    // convention) — kept, since nothing covers it
+    assert(ce(2L).getAs[Long]("n_tokens") === 1L && ce(2L).getAs[Long]("n_removed") === 0L)
   }
 
   test("triplets picks nearest same-label positive and different-label negative") {
