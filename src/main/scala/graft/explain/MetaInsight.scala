@@ -145,7 +145,11 @@ object MetaInsight {
     val sigma = sigmaExpr(col("sv"), col("svv"), col("k"))
     def zOf(c: Column) =
       when(sigma > 1e-12, abs(c.getField("v") - mu) / sigma).otherwise(lit(0.0))
-    def shOf(c: Column) = c.getField("v") / col("sv")
+    // share of an all-zero cell sum is undefined: NULL like the
+    // oracle's x/0, never an ANSI DIVIDE_BY_ZERO (degenerate-pin class)
+    def shOf(c: Column) =
+      when(col("sv") =!= 0.0, c.getField("v") / col("sv"))
+        .otherwise(lit(null).cast(DoubleType))
     // the highlight is the top cell by (metric desc NULLS LAST, b asc) =
     // head of the ascending sort by (coalesce(−metric, MaxValue), b)
     def topBy(metric: Column => Column) = element_at(array_sort(

@@ -101,7 +101,14 @@ object Outlier {
       .na.fill(0L, Seq("cnt"))
       .withColumn("sm", coalesce(col("sm"), lit(0).cast(D.dec25)))
       .withColumn("cnt_kept", col("cnt_g") - col("cnt"))
-      .withColumn("v", (col("sm_g") - col("sm")).cast(D.dec25).cast(DoubleType) / col("cnt_kept"))
+      // a bin holding ALL of a group's rows has no leave-out mean:
+      // NULL like the oracle's x/0, never an ANSI DIVIDE_BY_ZERO
+      // (degenerate-pin class); the NULL row drops out of the moment
+      // sums below exactly as it does in the SQL mirror
+      .withColumn("v",
+        when(col("cnt_kept") > 0,
+          (col("sm_g") - col("sm")).cast(D.dec25).cast(DoubleType) / col("cnt_kept"))
+          .otherwise(lit(null).cast(DoubleType)))
 
     val per = grid.groupBy("attribute", "bin")
       .agg(count(lit(1)).as("k"),

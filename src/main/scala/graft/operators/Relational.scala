@@ -755,8 +755,11 @@ object Relational extends QFamily {
         |ORDER BY brand_a, brand_b""".stripMargin) { (s, dir) =>
       import graft.functions.MaskPairCountAgg
       import s.implicits._
-      // item dictionary: bounded vocabulary, sorted for a stable encoding
+      // item dictionary: bounded vocabulary, sorted for a stable
+      // encoding; a NULL brand is not an item (the oracle's equi-joins
+      // on brand never match NULL, and the driver-side sort would NPE)
       val brands = t(s, dir, "part").select("p_brand").distinct()
+        .filter(col("p_brand").isNotNull)
         .collect().map(_.getString(0)).sorted
       val w = brands.length // sentinel bit w carries the basket total
       require(w < 63, s"q_basket_pairs: item vocabulary $w exceeds the mask width")

@@ -100,7 +100,10 @@ class DirtySpec extends AnyFunSuite {
     "no non-null rows in",             // quantile/qcut guard on all-null col
     "need at least one",               // vocabCoverage/ngram-family guards
     "requires numeric attributes",     // pruning guards
-    "must be >= 1", "must be positive" // parameter guards surfaced via plans
+    "must be >= 1", "must be positive", // parameter guards surfaced via plans
+    // metainsight auto's documented all-NULL-measure-cell guard (fail
+    // loud WITH remediation: 'use the in-plan autoTables path')
+    "use the in-plan autoTables path"
   )
 
   private def runAll(dir: String): (Int, Seq[(String, String)]) = {
@@ -202,6 +205,68 @@ class DirtySpec extends AnyFunSuite {
     assert(ran >= 10, s"expected a substantial embeddings-only subset to run; ran=$ran")
     assert(crashed.isEmpty,
       s"queries crashed on the degenerate vector corpus:\n${crashed.mkString("\n")}")
+  }
+
+  test("no relational/explainer query crashes on a fully-degenerate TPC-H micro-schema") {
+    // the fourth family pin: all seven TPC-H tables at once (the
+    // relational + explainer families join across them), every
+    // degenerate row class present deterministically — null/orphan/
+    // duplicate keys, null and zero measures, discount = 1.0 (the
+    // 1-discount multiplier hits zero), NULL DATES (the class the
+    // hash-sliced dirty fixture never injects: every window/datediff/
+    // date_format path sees a null), empty and null strings.
+    def ts(day: Int): java.sql.Timestamp =
+      if (day < 0) null else java.sql.Timestamp.valueOf(f"1995-01-${day + 1}%02d 00:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("degen_tpch").toString
+    Seq[(java.lang.Long, String, java.lang.Integer, java.lang.Double, String)](
+      (1L, "cust-a", 0, 100.0, "BUILDING"),
+      (2L, "cust-b", 1, null, "BUILDING"),          // null acctbal
+      (3L, null, 1, -999.99, null),                 // null name + segment, negative bal
+      (4L, "", 2, 0.0, ""),                         // empty strings, zero bal
+      (4L, "cust-dup", 2, 50.0, "MACHINERY"),       // DUPLICATE custkey
+      (5L, "cust-e", null, 25.0, "AUTOMOBILE"))     // null nationkey
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq[(java.lang.Long, java.lang.Long, String, java.lang.Double, java.sql.Timestamp, String)](
+      (10L, 1L, "F", 1000.0, ts(0), "1-URGENT"),
+      (11L, 2L, "O", 0.0, ts(1), "5-LOW"),          // zero price
+      (12L, null, "F", null, null, null),           // null FK + price + DATE + priority
+      (13L, -7L, "", 500.0, ts(3), "9-INVALID"),    // orphan FK, empty status
+      (13L, 1L, "P", 250.0, ts(4), "2-HIGH"),       // DUPLICATE orderkey
+      (14L, 5L, "O", 750.0, null, "3-MEDIUM"))      // null date
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq[(java.lang.Long, java.lang.Long, java.lang.Long, java.lang.Integer, java.lang.Double, java.lang.Double, java.lang.Double, java.lang.Double, String, String, java.sql.Timestamp)](
+      (10L, 100L, 200L, 1, 5.0, 1000.0, 0.1, 0.02, "A", "F", ts(0)),
+      (10L, 101L, 201L, 2, 0.0, 0.0, 0.0, 0.0, "N", "O", ts(1)),     // zero qty/price
+      (11L, 100L, 200L, 1, null, null, null, null, null, null, null), // all-null measures + DATE + flags
+      (12L, -1L, 200L, 1, 3.0, 300.0, 1.0, 0.05, "R", "F", ts(2)),   // orphan part, discount = 1.0
+      (13L, 101L, -2L, 1, 7.0, 700.0, 0.5, 0.01, "A", "F", null),    // orphan supp, null date
+      (13L, 101L, 201L, 1, 2.0, 200.0, 0.2, 0.03, "R", "O", ts(5)),  // DUPLICATE (orderkey, linenumber)
+      (99L, 100L, 200L, 3, 4.0, 400.0, 0.05, 0.04, "N", "O", ts(6))) // orphan orderkey
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq[(java.lang.Long, String, java.lang.Integer, java.lang.Double)](
+      (200L, "supp-a", 0, 10.0), (201L, null, null, null))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq[(java.lang.Long, String, String, String, java.lang.Integer, java.lang.Double)](
+      (100L, "part-a", "Brand#1", "TYPE A", 5, 100.0),
+      (101L, null, null, "", -3, null))              // negative size, nulls
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq[(java.lang.Integer, String, java.lang.Integer)](
+      (0, "NATION-A", 0), (1, "NATION-B", 0), (2, null, null))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq[(java.lang.Integer, String)]((0, "REGION-A"), (1, null))
+      .toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    val (ran, crashed) = runAll(dir)
+    assert(ran >= 70, s"expected the relational/explainer families to run; ran=$ran")
+    assert(crashed.isEmpty,
+      s"queries crashed on the degenerate TPC-H schema:\n${crashed.mkString("\n")}")
   }
 
   test("out-of-envelope vectors FAIL LOUD in the fixed-point hot path, matching the oracle's BIGINT overflow") {
