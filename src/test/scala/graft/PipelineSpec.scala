@@ -531,6 +531,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(ce(2L).getAs[Long]("n_tokens") === 1L && ce(2L).getAs[Long]("n_removed") === 0L)
   }
 
+  test("fuzz: substrCut equals a brute-force reference and reconciles with the profile on random corpora") {
+    import spark.implicits._
+    // seeded random corpora over a TINY alphabet (collisions guaranteed)
+    // — the luck-remover for the sweep/hash machinery: coverage must
+    // equal the from-first-principles definition (union of windows whose
+    // exact text occurs > 1 time), the rebuilt text must be the kept
+    // tokens in order, and n_removed must equal the profile's
+    // dup_tokens (the same definition computed by a different plan)
+    val rnd = new scala.util.Random(42)
+    val L = 4
+    for (round <- 1 to 3) {
+      val docs = (0L until 30L).map { id =>
+        val n = 5 + rnd.nextInt(40)
+        (id, Seq.fill(n)(s"t${rnd.nextInt(4)}").mkString(" "))
+      }
+      // brute force: window text -> global occurrence count
+      val wins = docs.flatMap { case (id, text) =>
+        val tk = text.split(" ", -1)
+        (0 to tk.length - L).map(p => (id, p, tk.slice(p, p + L).mkString(" ")))
+      }
+      val occ = wins.groupBy(_._3).view.mapValues(_.size).toMap
+      val expected = docs.map { case (id, text) =>
+        val tk = text.split(" ", -1)
+        val covered = Array.fill(tk.length)(false)
+        wins.filter(w => w._1 == id && occ(w._3) > 1).foreach { case (_, p, _) =>
+          (p until p + L).foreach(covered(_) = true)
+        }
+        val kept = tk.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+        id -> ((tk.length.toLong, covered.count(identity).toLong, kept.mkString(" ")))
+      }.toMap
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.substrCut(df, winLen = L).collect()
+      assert(got.length === 30)
+      got.foreach { r =>
+        val (nt, nr, clean) = expected(r.getAs[Long]("doc_id"))
+        assert(r.getAs[Long]("n_tokens") === nt, s"round $round doc ${r.getLong(0)}")
+        assert(r.getAs[Long]("n_removed") === nr, s"round $round doc ${r.getLong(0)}")
+        assert(r.getAs[String]("clean_text") === clean, s"round $round doc ${r.getLong(0)}")
+      }
+      val prof = Dedup.substrSpans(df, winLen = L).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+      got.foreach(r => assert(
+        r.getAs[Long]("n_removed") === prof(r.getAs[Long]("doc_id")),
+        "cut must remove exactly the profiled coverage"))
+    }
+  }
+
   test("triplets picks nearest same-label positive and different-label negative") {
     import spark.implicits._
     // anchor 0 (label 1): v1 same-label near, v2 same-label far,
