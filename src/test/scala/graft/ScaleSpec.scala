@@ -590,7 +590,8 @@ class ScaleSpec extends AnyFunSuite {
     // bruteTopK's N x Q shape; the IVF-PQ coarse quantizer scores
     // corpus x broadcast-centroids) -- those are the documented
     // broadcast-small-side designs, not unkeyed corpus x corpus.
-    val keyedOnly = Seq("q_dedup_substr", "q_salted_nunique", "q_corpus_diff",
+    val keyedOnly = Seq("q_dedup_substr", "q_dedup_substr50", "q_dedup_substr_cut",
+      "q_salted_nunique", "q_corpus_diff",
       "q_repetition_ngram", "q_sample_weighted",
       "q_events_attribution", "q_dedup_cluster_keep", "q_quality_funnel")
     keyedOnly.foreach { n =>
@@ -613,6 +614,26 @@ class ScaleSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(ws.contains("WindowGroupLimit"),
       "q_sample_weighted lost its WindowGroupLimit rank cut")
+    // q_dedup_substr_cut's sweep contract: every corpus leaf is
+    // column-pruned to (doc_id, text) subsets (4 scans — window
+    // explode, its count re-reference, token explode, doc_id spine),
+    // the coverage window is doc_id-PARTITIONED (one linear sweep per
+    // doc, never a global sort), and exactly one Window op exists
+    val cut = graft.SparkEntry.queries("q_dedup_substr_cut")(spark, sf)
+    cut.collect()
+    val cutPlan = cut.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val cutScans = "FileScan parquet".r.findAllIn(cutPlan).size
+    assert(cutScans <= 4,
+      s"q_dedup_substr_cut scans the corpus $cutScans times (want <= 4):\n${cutPlan.take(1600)}")
+    val cutSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(cutPlan).map(_.group(1)).toSeq
+    assert(cutSchemas.nonEmpty && cutSchemas.forall(s0 =>
+      s0.split(",").forall(c => c.startsWith("doc_id:") || c.startsWith("text:"))),
+      s"q_dedup_substr_cut reads more than (doc_id, text): $cutSchemas")
+    assert("\\bWindow\\b".r.findAllIn(cutPlan).size == 1,
+      "q_dedup_substr_cut must sweep with exactly ONE window pass")
+    assert(cutPlan.contains("hashpartitioning(doc_id"),
+      "the sweep window must be doc_id-partitioned (per-doc linear, no global sort)")
   }
   test("round-7 operators: IVF triplets list-keyed; phash pairs band-joined") {
     // q_triplets_ivf is the registered sub-quadratic path: candidates
