@@ -131,7 +131,13 @@ object Multimodal {
         val m = u8(p, i + 1)
         if (m == 0xFF) { i += 1 } // fill byte before a marker (T.81 B.1.1.2)
         else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
-          // SOFn payload: len(2) precision(1) height(2) width(2) ...
+          // SOFn payload: len(2) precision(1) height(2) width(2) ... —
+          // a stream truncated INSIDE the frame header passes the
+          // 4-byte loop guard but not the 9 bytes the dim reads need
+          // (the degenerate-payload pin's AIOOBE class: fail loud, not
+          // with an array bounds crash)
+          if (i + 9 > p.length)
+            throw new IllegalStateException(s"jpeg: truncated SOF frame header at $i")
           return ("jpeg", rdBe2(p, i + 7).toLong, rdBe2(p, i + 5).toLong)
         } else i += 2 + rdBe2(p, i + 2)
       }

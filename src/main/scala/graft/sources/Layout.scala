@@ -57,9 +57,25 @@ object Layout {
     require(partitions >= 1, s"zorderBy: partitions must be >= 1, got $partitions")
     val b = df.agg(min(x.cast(LongType)), max(x.cast(LongType)),
       min(y.cast(LongType)), max(y.cast(LongType))).head()
-    def norm(c: Column, lo: Long, hi: Long): Column =
-      if (hi <= lo) lit(0L)
-      else ((c.cast(LongType) - lit(lo)) * lit(65535L)) / lit(hi - lo)
+    def norm(c: Column, lo: Long, hi: Long): Column = {
+      val span = BigInt(hi) - BigInt(lo) // Long math could wrap for hi>0, lo<0
+      if (span <= 0) lit(0L)
+      else if (span < Long.MaxValue / 65535L)
+        // exact multiply-first form — safe only while the product fits
+        ((c.cast(LongType) - lit(lo)) * lit(65535L)) / lit(hi - lo)
+      else {
+        // domain wider than ~2^47: the exact multiply would overflow —
+        // and under ANSI even (c - lo) itself can throw for a
+        // near-full-Long domain. Quantize through double instead: its
+        // ~2^11 ULP at full-Long magnitudes is orders of magnitude
+        // below the ≥2^31-wide buckets this branch produces, the map
+        // stays monotone, and the result is clamped into [0, 65535].
+        // (Layout quality only — no query result depends on the bucket
+        // boundary a double rounds a key into.)
+        val d = (c.cast(DoubleType) - lit(lo.toDouble)) * lit(65535.0 / span.toDouble)
+        least(greatest(d.cast(LongType), lit(0L)), lit(65535L))
+      }
+    }
     val (xs, ys) =
       if (b.anyNull) (x, y) // empty input: nothing to scale
       else (norm(x, b.getLong(0), b.getLong(1)), norm(y, b.getLong(2), b.getLong(3)))
@@ -115,6 +131,11 @@ object Layout {
     val fs = FileSystem.get(p.toUri, conf)
     val files = fs.listStatus(p).map(_.getPath)
       .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    // top-level listing only, by design (per partition-directory at
+    // scale) — but an empty listing would read as "no row groups hit"
+    // in a pruning assertion, so refuse it instead of returning 0 rows
+    require(files.nonEmpty,
+      s"rowGroupStats: no .parquet files directly under $path — pass a leaf partition directory")
     def widen(v: Any): Option[Long] = v match {
       case l: java.lang.Long => Some(l.longValue())
       case i: java.lang.Integer => Some(i.longValue())

@@ -181,6 +181,52 @@ class AuditOpsSpec extends AnyFunSuite {
       "dup+rev copy 0 must be the plain rev transform"))
   }
 
+  test("dup+rev reproduces the pre-r10 rev fixture shape EXACTLY, every table (adjudication provenance pin)") {
+    // The vocab-artifact adjudication (pmi/tfidf/dsir sub-linear growth)
+    // was measured on bench-sf1-rev / bench-sf10-rev, generated by the
+    // PRE-r10 rev mode; r10 changed rev to compose on top of the
+    // per-copy perturbation and claims `dup+rev` reproduces the old
+    // shape. This pin rebuilds the old shape FROM FIRST PRINCIPLES —
+    // keys offset per copy, text token-reversed identically across
+    // copies, embeddings dimension-reversed with labels untouched,
+    // dimension tables fixed — and asserts table-by-table set equality
+    // with a dup+rev regeneration. (evidence/fixture_sf1rev_duprev_
+    // identity.json holds the full-sf1 hash identity against the actual
+    // on-disk pre-r10 artifact; this spec keeps the claim enforced.)
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001"
+    val OFF = 10000000L
+    val copies = 3
+    val outDir = java.nio.file.Files.createTempDirectory("genscale_duprev").toString
+    GenScale.run(spark, src, outDir, copies, "dup+rev")
+    def expect(name: String, keyCols: Seq[String],
+               tweak: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity) = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      (0 until copies).map { i =>
+        tweak(keyCols.foldLeft(base)((d, k) => d.withColumn(k, col(k) + lit(i * OFF))))
+      }.reduce(_ unionByName _)
+    }
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "region" -> spark.read.parquet(s"$src/region.parquet"),
+      "nation" -> spark.read.parquet(s"$src/nation.parquet"),
+      "customer" -> expect("customer", Seq("c_custkey")),
+      "supplier" -> expect("supplier", Seq("s_suppkey")),
+      "part" -> expect("part", Seq("p_partkey")),
+      "orders" -> expect("orders", Seq("o_orderkey", "o_custkey")),
+      "lineitem" -> expect("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      "events" -> expect("events", Seq("event_id", "user_id")),
+      "documents" -> expect("documents", Seq("doc_id"),
+        _.withColumn("text", array_join(reverse(split(col("text"), " ")), " "))),
+      "embeddings" -> expect("embeddings", Seq("vec_id"),
+        _.withColumn("embedding", reverse(col("embedding")))))
+    cases.foreach { case (name, want) =>
+      val got = spark.read.parquet(s"$outDir/$name.parquet")
+      assert(got.count() === want.count(), s"$name: row count")
+      assert(got.exceptAll(want).count() === 0L, s"$name: rows not in the expected old-rev shape")
+      assert(want.exceptAll(got).count() === 0L, s"$name: expected old-rev rows missing")
+    }
+  }
+
   test("q_anomaly_mad counts exactly the rows beyond the reported cutoff") {
     val rows = SparkEntry.queries("q_anomaly_mad")(spark, sf).collect()
     assert(rows.nonEmpty)

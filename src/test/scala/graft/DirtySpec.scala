@@ -98,9 +98,13 @@ class DirtySpec extends AnyFunSuite {
     "need a positive corpus size",     // dsir corpus guard
     "pca: empty corpus",               // Pca nonempty guard
     "no non-null rows in",             // quantile/qcut guard on all-null col
-    "need at least one",               // vocabCoverage/ngram-family guards
+    "need at least one n per family",  // ngram-family guard (Corpus.scala, exact require() string)
     "requires numeric attributes",     // pruning guards
-    "must be >= 1", "must be positive", // parameter guards surfaced via plans
+    // parameter guards surfaced via plans — QUALIFIED with their exact
+    // require() prefixes from main source: the bare "must be >= 1" /
+    // "must be positive" fragments also appear in genuine Spark runtime
+    // errors, so an unqualified match could silently excuse a real crash
+    // (the luck class this message-fragment design exists to remove)
     // metainsight auto's documented all-NULL-measure-cell guard (fail
     // loud WITH remediation: 'use the in-plan autoTables path')
     "use the in-plan autoTables path"
@@ -288,5 +292,117 @@ class DirtySpec extends AnyFunSuite {
     assert(c.isInstanceOf[ArithmeticException] ||
       Option(c.getMessage).exists(_.contains("overflow")),
       s"expected a loud overflow, got $c")
+  }
+
+  test("multimodal byte-walkers fail LOUD (never an array-bounds crash) on every malformed payload class") {
+    // the fifth family pin. The registered queries only ever see
+    // payloads synthPayload built (well-formed by construction), but
+    // parseMeta is the library's decode surface for REAL crawl bytes —
+    // and a header byte-walker is exactly the code class where a
+    // malformed input turns into an ArrayIndexOutOfBoundsException
+    // instead of the documented fail-loud IllegalStateException. Every
+    // malformed class, deterministically present:
+    import graft.multimodal.Multimodal
+    def mustFailLoud(label: String, p: Array[Byte], frag: String): Unit = {
+      val e = intercept[IllegalStateException](Multimodal.parseMeta(p))
+      assert(e.getMessage.contains(frag), s"$label: got '${e.getMessage}'")
+    }
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // zero-length payload / format byte matching no branch
+    mustFailLoud("empty", Array.emptyByteArray, "unrecognized media payload")
+    mustFailLoud("all-zero", Array.fill[Byte](64)(0), "unrecognized media payload")
+    mustFailLoud("plain text", "not an image at all".getBytes("UTF-8"), "unrecognized media payload")
+    // JPEG truncated at the SOF marker with no room for even the length
+    // field: the walk's 4-byte loop guard rejects it before any read
+    mustFailLoud("jpeg truncated at SOF", bytes(0xFF, 0xD8, 0xFF, 0xC0), "no SOF marker")
+    // ...but with the length field present and the dims missing, the
+    // loop guard PASSES while the frame-dim read needs 9 bytes — pre-fix
+    // this was an ArrayIndexOutOfBoundsException (the silent class this
+    // pin exists to remove)
+    mustFailLoud("jpeg SOF missing dims", bytes(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x11, 0x08), "truncated SOF")
+    // marker walk running off the end (segment length field lies)
+    mustFailLoud("jpeg lying segment length", bytes(0xFF, 0xD8, 0xFF, 0xE0, 0xFF, 0xFF, 0x00, 0x00), "no SOF marker")
+    // garbage where a marker byte is required
+    mustFailLoud("jpeg non-marker byte", bytes(0xFF, 0xD8, 0x00, 0x12, 0x34, 0x56), "expected marker")
+    // SOI immediately followed by EOI — stream ends before any frame
+    mustFailLoud("jpeg SOI+EOI only", bytes(0xFF, 0xD8, 0xFF, 0xD9), "no SOF marker")
+    // PNG: a valid payload ('a' = 97, 97 % 3 == 1 → png), then corrupted
+    val png = Multimodal.synthPayload("a body that synthesizes as png".getBytes("UTF-8"))
+    assert(Multimodal.parseMeta(png)._1 === "png")
+    val crcBad = png.clone(); crcBad(17) = (crcBad(17) ^ 0x01).toByte // flip an IHDR width bit, keep CRC
+    mustFailLoud("png corrupted IHDR (CRC check)", crcBad, "IHDR CRC mismatch")
+    val notIhdr = png.clone(); notIhdr(12) = 'f'.toByte
+    mustFailLoud("png first chunk not IHDR", notIhdr, "first chunk is not IHDR")
+    // truncated PNG magic: shorter than one IHDR — documented downgrade
+    // to the unrecognized branch (never an out-of-bounds read)
+    mustFailLoud("png truncated", png.take(20), "unrecognized media payload")
+    // truncated GIF header ('b' = 98, 98 % 3 == 2 → gif)
+    val gif = Multimodal.synthPayload("b body that synthesizes as gif".getBytes("UTF-8"))
+    assert(Multimodal.parseMeta(gif)._1 === "gif")
+    mustFailLoud("gif truncated", gif.take(8), "unrecognized media payload")
+    // GIF87a is a legal variant the sniffer accepts
+    val gif87 = gif.clone(); gif87(4) = '7'.toByte
+    assert(Multimodal.parseMeta(gif87)._1 === "gif")
+
+    // seeded fuzz: random byte soup, marker-prefixed soup, and RANDOM
+    // TRUNCATIONS of valid synthesized payloads (the nastiest class — a
+    // structurally-plausible prefix). Contract: parseMeta either returns
+    // a (format, w, h) triple or throws IllegalStateException; anything
+    // else (AIOOBE, NPE, hang) fails here.
+    val rng = new scala.util.Random(20260816)
+    (0 until 4000).foreach { k =>
+      val p: Array[Byte] = (k % 3) match {
+        case 0 =>
+          val a = new Array[Byte](rng.nextInt(96)); rng.nextBytes(a)
+          if (a.length >= 2 && k % 2 == 0) { a(0) = 0xFF.toByte; a(1) = 0xD8.toByte }
+          a
+        case 1 =>
+          val a = new Array[Byte](rng.nextInt(96)); rng.nextBytes(a)
+          val magic = (k / 3) % 3 match {
+            case 0 => bytes(0xFF, 0xD8, 0xFF)
+            case 1 => bytes(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+            case _ => "GIF89a".getBytes("US-ASCII")
+          }
+          magic ++ a
+        case _ =>
+          val body = new Array[Byte](rng.nextInt(160)); rng.nextBytes(body)
+          val full = Multimodal.synthPayload(body)
+          full.take(rng.nextInt(full.length + 1))
+      }
+      try { Multimodal.parseMeta(p); () }
+      catch { case _: IllegalStateException => () }
+    }
+    // the signature walker shares the raw-bytes surface: same fuzz, and
+    // its 60-bit output must stay inside its domain on any input
+    (0 until 1000).foreach { _ =>
+      val a = new Array[Byte](rng.nextInt(200)); rng.nextBytes(a)
+      val s = graft.functions.PhashHelper.sig(a, Multimodal.PhashBits)
+      assert(s >= 0L && s < (1L << Multimodal.PhashBits))
+    }
+  }
+
+  test("media decode recovers the oracle's UTF-8 BYTE conventions on degenerate text (multi-byte lead, empty, null)") {
+    // the hb/byte_len contract from first principles: the format rotation
+    // and dims read the first UTF-8 BYTE and the BYTE length — for a
+    // 4-byte emoji lead char hb = 0xF0 = 240 (not the codepoint), and
+    // byte_len counts UTF-8 bytes (not characters). DuckDB's
+    // strlen/hex(BLOB) mirror must see identical values.
+    val docs = Seq[(Long, String)](
+      (1L, null),            // null body: all-null metadata row, kept
+      (2L, ""),              // empty body: hb 0 → jpeg, dims from len 0
+      (3L, "🦄 unicorn"), // U+1F984, UTF-8 lead byte 0xF0 = 240 → 240 % 3 == 0 → jpeg
+      (4L, "é accent"))      // U+00E9, UTF-8 lead byte 0xC3 = 195 → 195 % 3 == 0 → jpeg
+      .toDF("doc_id", "text")
+    val out = graft.multimodal.Multimodal.decodeMeta(spark, docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).isNullAt(1) && out(1L).isNullAt(5)) // null text: null metadata
+    val jpegOverhead = 124L // SOI 2 + APP0 18 + DQT 69 + SOF0 19 + SOS 14 + EOI 2 (Multimodal.JpegOverhead)
+    val emptyLen = out(2L).getLong(1)
+    assert(emptyLen === jpegOverhead && out(2L).getString(5) === "jpeg")
+    val uniBytes = "🦄 unicorn".getBytes("UTF-8").length.toLong
+    assert(out(3L).getString(5) === "jpeg") // 0xF0 % 3 == 0
+    assert(out(3L).getLong(1) === uniBytes + jpegOverhead)
+    assert(out(3L).getLong(3) === 16L + (uniBytes % 64) * 4) // width formula over BYTES
+    assert(out(4L).getString(5) === "jpeg") // 0xC3 % 3 == 0
   }
 }

@@ -242,4 +242,40 @@ class IoSpec extends AnyFunSuite {
     // out-of-domain completeness sanity: nothing overlaps an impossible key
     assert(hits(s"$dir/z", "o_custkey", -5L)._1 === 0L)
   }
+
+  test("zorderBy clusters a key domain wider than the exact-multiply range (double-quantized path)") {
+    import spark.implicits._
+    import graft.sources.Layout
+    // keys spanning nearly the full Long range: the multiply-first
+    // normalization (c - lo) * 65535 overflows (ANSI: throws; non-ANSI:
+    // silently garbles the z-order); the double-quantized path must
+    // keep the layout monotone — with y constant, range partitions on z
+    // are contiguous x ranges, so per-partition [min, max] spans must
+    // be disjoint
+    val rng = new scala.util.Random(7)
+    val xs = Seq(Long.MinValue, Long.MaxValue, 0L, -1L, 1L) ++ Seq.fill(195)(rng.nextLong())
+    val df = xs.toDF("x").withColumn("y", lit(1L))
+    val parts = Layout.zorderBy(df, col("x"), col("y"), 8)
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid").agg(min("x").as("lo"), max("x").as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1).toSeq
+    assert(parts.length > 1)
+    parts.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"wide-domain partitions must cover disjoint x ranges: $parts")
+      case _ =>
+    }
+  }
+
+  test("rowGroupStats refuses a directory with no top-level parquet files (nested-layout misread guard)") {
+    // it lists ONE directory level by design (per leaf partition dir at
+    // scale); silently returning zero rows on a partitioned root could
+    // be misread as "no row groups hit" by a pruning assertion
+    val dir = java.nio.file.Files.createTempDirectory("rg_empty").toString
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Layout.rowGroupStats(spark, dir, Seq("o_custkey"))
+    }
+    assert(e.getMessage.contains("leaf partition directory"))
+  }
 }
