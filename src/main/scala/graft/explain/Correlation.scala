@@ -133,21 +133,18 @@ object Correlation {
     * 0.7 s on the 9-moment matrix — the decimal expressions bloat the
     * generated code past JIT-friendly size). NULL input falls through
     * to the same branch and stays NULL, matching SUM's null-skip. */
-  private def momentQuant(c: Column): Column = {
-    val y = c.cast(DoubleType) * 1e6
-    // Outer guard sits ABOVE 2^63 (~9.223e18): for |y| in [9.0e18, 2^63)
-    // the helper's fast-path margin (|y|·1.8e-15 ≈ 16 > 0.5) is
-    // unsatisfiable, so those values take its exact decimal path
-    // (raising iff ≥ 2^63); beyond 9.3e18 the plain double→long ANSI
-    // cast below always raises. A 9.0e18 guard silently double-rounded
-    // the [9.0e18, 2^63) window. The quantization itself is the native
-    // [[graft.functions.QuantLong]]: same decision, same branch
-    // semantics, but ONE static call in the generated projection — the
-    // inlined decimal fallback's code mass alone ran the 9-moment
-    // projection ~2× slower (see QuantHelper's scaladoc).
-    when(abs(y) < 9.3e18, graft.functions.QuantLong(c.cast(DoubleType)))
-      .otherwise(y.cast(LongType))
-  }
+  private def momentQuant(c: Column): Column =
+    // ONE static call in the generated projection — the range guard
+    // (NaN/±Inf/|m·1e6| ≥ 9.3e18 raise the loud "overflow"
+    // ArithmeticException the ANSI cast used to) lives inside
+    // [[graft.functions.QuantLong]] since r11: the previous outer
+    // `when(abs(y) < 9.3e18, ...)` recomputed m·1e6 + abs + branch per
+    // moment per row and multiplied the projection's CASE code mass by
+    // the moment count, for a branch that only ever raised. Values in
+    // [9.0e18, 2^63) take the helper's exact decimal path (raising iff
+    // ≥ 2^63), exactly as before; every non-raising value is
+    // bit-identical (oracle hash-verified).
+    graft.functions.QuantLong(c.cast(DoubleType))
 
   // narrow private[graft] surface so other one-scan aggregators (the
   // Scorpion cube in explain.Outlier) reuse the exact-sum machinery

@@ -27,12 +27,22 @@ import org.apache.spark.sql.types._
   *    `BigDecimal(d)` takes inside Spark's Cast), ×1e6, exact long —
   *    raising on overflow exactly where the ANSI decimal→long cast
   *    would (message carries "overflow", the QuantizeSpec contract).
-  * Callers keep their outer `when(abs(y) < 9.3e18, ...)` range guard, so
-  * NaN/±Inf/out-of-range inputs never reach the helper (they fall to the
-  * caller's always-raising ANSI cast branch, unchanged). */
+  * The range guard lives INSIDE the helper: NaN/±Inf/|x·1e6| ≥ 9.3e18
+  * raise the same loud ArithmeticException the ANSI cast branch used
+  * to (r11: the guard was previously an outer `when(abs(y) < 9.3e18,
+  * quant_long(x)).otherwise(ansi cast)` per MOMENT in the caller's
+  * projection — one extra multiply+abs+branch per row per moment and
+  * 9× the CASE code mass in the 9-moment matrix projection, for a
+  * branch whose whole job was to raise; the raising set and every
+  * non-raising value are IDENTICAL with the internal check, oracle
+  * hash-verified). Values in [9.0e18, 9.3e18) keep taking the exact
+  * decimal path below, raising iff ≥ 2^63 — unchanged. */
 object QuantHelper {
   def quant6(x: Double): Long = {
     val y = x * 1e6
+    if (y != y || math.abs(y) >= 9.3e18) // NaN or past the long range
+      throw new ArithmeticException(
+        s"quant6: overflow — |${x}·1e6| exceeds the long range (the ANSI decimal→long cast contract)")
     val d = y - math.floor(y)
     if (math.abs(d - 0.5) > math.abs(y) * 1.8e-15 + 1e-12) math.floor(y + 0.5).toLong
     else {
