@@ -178,6 +178,8 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
   def explain(explainer: String = "fedex",
               target: String = null, dir: String = null,
               labelCol: String = null,
+              consider: String = "right",
+              attr: String = null, value: String = null,
               attributes: Seq[String] = Nil, topK: Int = 3,
               coverageThreshold: Double = 0.7, separationThreshold: Double = 0.3,
               catAttrs: Seq[String] = Nil, numAttrs: Seq[String] = Nil,
@@ -207,7 +209,8 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
               useAllGroupbyCombinations: Boolean = false): DataFrame = {
     if (pValue < 0)
       throw new IllegalArgumentException("p_value must be a non-negative number")
-    applySchema(dispatch(explainer, target, dir, labelCol, attributes, topK,
+    applySchema(dispatch(explainer, target, dir, labelCol, consider, attr, value,
+      attributes, topK,
       coverageThreshold, separationThreshold, catAttrs, numAttrs, filterDim,
       breakdown, aggCol, useSampling, sampleSize, binningMethod,
       binNumericLabel, numLabelBins, pruneIfTooManyLabels, maxLabels,
@@ -234,6 +237,7 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
   private def dispatch(explainer: String,
               target: String, dir: String,
               labelCol: String,
+              consider: String, attr: String, value: String,
               attributes: Seq[String], topK: Int,
               coverageThreshold: Double, separationThreshold: Double,
               catAttrs: Seq[String], numAttrs: Seq[String],
@@ -260,12 +264,13 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
               allowMultipleAggregations: Boolean,
               allowMultipleGroupbys: Boolean,
               useAllGroupbyCombinations: Boolean): DataFrame = explainer match {
-    case "fedex" => explainFedex(attributes, topK,
+    case "fedex" => explainFedex(attributes, topK, consider = consider,
       useSampling = useSampling, sampleSize = sampleSize, ignore = ignore)
     case "shapley" => op match {
       case Some(FilterOp(src, res, _, condCol)) =>
         val attrs =
-          if (attributes.nonEmpty) {
+          if (attr != null) resolveAttrs(src, Seq(attr), ignore.toSet)
+          else if (attributes.nonEmpty) {
             val byName = src.schema.fields.map(f => f.name -> f).toMap
             attributes.filterNot(ignore.contains)
               .map(a => Fedex.Attr(a, byName(a).dataType.isInstanceOf[NumericType]))
@@ -277,8 +282,41 @@ final class ExplainFrame(val df: DataFrame, val op: Option[Operation], val name:
           case None => Fedex.binCounts(s2, hashSample(res, src.columns.toSeq, mod), attrs)
         }
         Fedex.binShapley(counts).orderBy("attribute", "bin")
+      case Some(JoinOp(left, right, res, on, _)) =>
+        // join shapley (the Spotify fedex notebook's
+        // explain(explainer='shapley', value=…, attr=…, consider=…)
+        // cell; fedex_explainer.py:31,107,144 threads consider/cont/attr
+        // into the operation): per-bin Shapley attribution of the
+        // scored attribute's distribution shift from its source frame
+        // into the join result — the same conditional counts the fedex
+        // join deviation uses, Shapley terms instead of the KL ranking.
+        // `attr` pins the scored attribute; the notebooks pass an attr
+        // carried by the OTHER side of the join (consider='left' on a
+        // key-only left frame), so it resolves on whichever side has
+        // it, preferring the `consider` side. `value` names the display
+        // aggregation in the reference (validated, presentation-only —
+        // the deterministic scores are aggregation-free).
+        if (consider != "left" && consider != "right")
+          throw new IllegalArgumentException("consider must be either 'left' or 'right'")
+        if (value != null && !Set("mean", "count", "sum", "min", "max").contains(value))
+          throw new IllegalArgumentException(s"unknown value aggregation '$value'")
+        val (preferred, other) = if (consider == "left") (left, right) else (right, left)
+        val side =
+          if (attr == null || preferred.columns.contains(attr)) preferred
+          else if (other.columns.contains(attr)) other
+          else throw new IllegalArgumentException(
+            s"attr '$attr' is on neither side of the join")
+        val sideCols = side.columns.toSeq
+        val attrs =
+          if (attr != null) resolveAttrs(side, Seq(attr), ignore.toSet)
+          else resolveAttrs(side, attributes.filterNot(ignore.contains), on.toSet ++ ignore)
+        val mod = if (useSampling) sampleMod(approxRows(side), sampleSize) else 1L
+        val counts = Fedex.binCounts(
+          hashSample(side, sideCols, mod),
+          hashSample(res.select(sideCols.map(col): _*), sideCols, mod), attrs)
+        Fedex.binShapley(counts).orderBy("attribute", "bin")
       case _ => throw new IllegalArgumentException(
-        "shapley explainer requires a filter operation")
+        "shapley explainer requires a filter or join operation")
     }
     case "outlier" =>
       if (target == null) throw new IllegalArgumentException("target must be specified")

@@ -86,12 +86,22 @@ object Outlier {
 
     // full outlier score S
     val g0 = tot.select(col("grp"), vCol(col("sm_g"), col("cnt_g")).as("v"))
+    // σ can be EXACTLY 0 when every per-group mean quantizes to the
+    // same dbig cell (a tiny-magnitude aggCol: v ≈ 0.05 → v² rounds to
+    // 0.00 at DECIMAL(24,2), svv = 0, variance clamps to 0 — the
+    // Houses-notebook replay found it): the oracle's double (vt−μ)/0
+    // is NULL in DuckDB, so the score must be NULL here too, never an
+    // ANSI DIVIDE_BY_ZERO (the degenerate-pin divergence class).
+    def scoreExpr(vt: Column, sv: Column, svv: Column, k: Column): Column = {
+      val sig = sigmaExpr(sv, svv, k)
+      when(sig > 0, lit(dir) * (vt - sv / k) / sig)
+        .otherwise(lit(null).cast(DoubleType))
+    }
     val s0 = g0.agg(count(lit(1)).as("k"),
         sum(col("v").cast(dval)).cast(DoubleType).as("sv"),
         sum((col("v") * col("v")).cast(dbig)).cast(DoubleType).as("svv"),
         max(when(col("grp") === target, col("v"))).as("vt"))
-      .select((lit(dir) * (col("vt") - col("sv") / col("k")) /
-        sigmaExpr(col("sv"), col("svv"), col("k"))).as("s_full"))
+      .select(scoreExpr(col("vt"), col("sv"), col("svv"), col("k")).as("s_full"))
 
     // candidate grid × groups (left join so groups missing a bin keep all rows)
     val cands = cube.filter(col("attribute") =!= "__total__")
@@ -122,7 +132,7 @@ object Outlier {
     per.crossJoin(broadcast(s0))
       .filter(col("min_kept") > 0) // drop candidates that empty out a group
       .withColumn("s_excl",
-        lit(dir) * (col("vt") - col("sv") / col("k")) / sigmaExpr(col("sv"), col("svv"), col("k")))
+        scoreExpr(col("vt"), col("sv"), col("svv"), col("k")))
       .select(col("attribute"), col("bin"), col("n_removed"),
         graft.util.D.r(col("s_full"), 6).as("s_full"),
         graft.util.D.r((col("s_full") - col("s_excl")) * (col("n_total") - col("n_removed")) / col("n_total"), 6)

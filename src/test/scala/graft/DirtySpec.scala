@@ -294,6 +294,26 @@ class DirtySpec extends AnyFunSuite {
       s"expected a loud overflow, got $c")
   }
 
+  test("outlier explainer yields NULL scores (the oracle's x/0) when the group means collapse σ to exactly 0") {
+    // tiny-magnitude agg column: every per-group mean v ≈ 0.0x, v²
+    // rounds to 0.00 at the mirror's DECIMAL(24,2), svv = 0, variance
+    // clamps to 0 → σ = 0 exactly. DuckDB's (vt − μ)/0.0 is NULL; ANSI
+    // Spark used to throw DIVIDE_BY_ZERO (found by the Houses-notebook
+    // replay). Contract: rows come back, scores NULL, no crash.
+    val rng = new scala.util.Random(5)
+    val rows = (1L to 400L).map(i =>
+      (i, 1990L + i % 5, 0.04 + (rng.nextInt(20) * 1e-3), i % 3))
+    val df = rows.toDF("id", "yr", "ratio", "attr")
+    val gb = graft.core.ExplainFrame(df, "tiny").groupBy("yr").mean("ratio")
+    val out = gb.explain(explainer = "outlier", dir = "high", target = "1991",
+      attributes = Seq("attr"), useSampling = false).collect()
+    assert(out.nonEmpty, "σ=0 must yield rows, not a crash")
+    out.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("s_full")), "s_full must be NULL at σ=0 (oracle x/0)")
+      assert(r.isNullAt(r.fieldIndex("influence")), "influence must be NULL at σ=0")
+    }
+  }
+
   test("multimodal byte-walkers fail LOUD (never an array-bounds crash) on every malformed payload class") {
     // the fifth family pin. The registered queries only ever see
     // payloads synthPayload built (well-formed by construction), but

@@ -474,4 +474,286 @@ class NotebookParitySpec extends AnyFunSuite {
       .map(s => (s.iteration, s.kind, s.query, s.score))
     assert(r1.nonEmpty && r1 === r2, "auto-exploration must be deterministic")
   }
+
+  /** The FIRST Spotify fedex demo (Examples/Notebooks/Fedex Explainer
+    * Examples/Spotify Dataset Demo.ipynb — the join-explainer flow above
+    * replays `Spotify Dataset Demo 2`): filter.explain(top_k=2) →
+    * decade groupby mean + outlier(dir='low') → derived boolean artist
+    * column (the apply cell) + value_counts → drop_duplicates →
+    * inner join → per-artist mean/count → explain(explainer='shapley',
+    * value='mean', attr=…, consider='left', top_k=3) → re-explains →
+    * operation introspection (`operation.type` / `source_name`).
+    * songs := lineitem; popularity := l_extendedprice; decade :=
+    * shipdate decade; 'Is By artist' := l_returnflag == 'R';
+    * main_artist := l_suppkey. */
+  private def spotifyFedexFlow(): Seq[Array[Row]] = {
+    val songs = ExplainFrame(graft.util.D.t(spark, sf, "lineitem")
+      .withColumn("decade",
+        (floor(year(col("l_shipdate")) / 10) * 10).cast("long")), "songs")
+    // cell: popular_songs = songs[popularity > 65]; .explain(top_k=2)
+    val popular = songs.filter(col("l_extendedprice") > 30000)
+    val ex1 = popular.explain(topK = 2, useSampling = false).collect()
+    // cells: new_songs = songs[year >= 1990]; gb_decade = groupby mean
+    val newSongs = songs.filter(year(col("l_shipdate")) >= 1995)
+    val gbDecade = newSongs.groupBy("decade").mean("l_extendedprice")
+    val decades = gbDecade.df.collect()
+    // cell: gb_decade.explain(explainer='outlier', target=2020, dir='low')
+    val loDecade = decades.map(_.getLong(0)).min.toString
+    val ex2 = gbDecade.explain(explainer = "outlier", target = loDecade,
+      dir = "low").collect()
+    // cell: the apply() that derives the boolean artist column + its
+    // value_counts — a scan-local derived column here, no driver loop
+    val songs2 = songs.select(col("*"), (col("l_returnflag") === "R").as("is_by_artist"))
+    val vc = songs2.valueCounts("is_by_artist").collect()
+    // cells: collaborators = [..][['main_artist']].drop_duplicates();
+    //        artist_songs = collaborators.join(songs[is_by], how='inner')
+    val byArtist = songs2.filter(col("is_by_artist"))
+    val collaborators = byArtist.select(col("l_suppkey")).dropDuplicates()
+    val artistSongs = collaborators.join(byArtist, on = Seq("l_suppkey"))
+    // cells: groupby('main_artist').popularity.mean() / .count()
+    val perArtistMean = artistSongs.groupBy("l_suppkey").mean("l_extendedprice").df.collect()
+    val perArtistCnt = artistSongs.groupBy("l_suppkey").count().df.collect()
+    // cell: .explain(explainer='shapley', value='mean',
+    //                attr='popularity', consider='left', top_k=3)
+    val exS = artistSongs.explain(explainer = "shapley", value = "mean",
+      attr = "l_extendedprice", consider = "left", useSampling = false).collect()
+    // cells: popular.explain(top_k=3) and the outlier re-run
+    val ex1b = popular.explain(topK = 3, useSampling = false).collect()
+    val ex2b = gbDecade.explain(explainer = "outlier", target = loDecade,
+      dir = "low").collect()
+    Seq(ex1, ex2, vc, perArtistMean, perArtistCnt, exS, ex1b, ex2b)
+  }
+
+  test("Spotify fedex notebook flow: derived artist column, dedup join, shapley cell, operation introspection") {
+    val out = spotifyFedexFlow()
+    val Seq(ex1, ex2, vc, perArtistMean, perArtistCnt, exS, ex1b, ex2b) = out
+    // filter fedex at top_k=2: ranked desc, finite
+    assert(ex1.nonEmpty && ex1.length <= 2)
+    val kls = ex1.map(r => r.getDouble(r.fieldIndex("kl_score"))).toSeq
+    assert(kls.forall(k => !k.isNaN && !k.isInfinite))
+    assert(kls === kls.sorted(Ordering[Double].reverse))
+    // the top_k=3 re-explain extends the top_k=2 ranking (same cells,
+    // wider K — the notebook re-runs the same explain with more figures)
+    assert(ex1b.length >= ex1.length)
+    assert(ex1b.take(ex1.length).map(_.toString).toSeq === ex1.map(_.toString).toSeq)
+    // outlier-low on the decade groupby: influence desc + finite, and
+    // the re-run cell is identical
+    assert(ex2.nonEmpty)
+    val infl = ex2.map(r => r.getDouble(r.fieldIndex("influence"))).toSeq
+    assert(infl.forall(x => !x.isNaN && !x.isInfinite))
+    assert(infl === infl.sorted(Ordering[Double].reverse))
+    assert(ex2b.map(_.toString).toSeq === ex2.map(_.toString).toSeq)
+    // value_counts of the derived boolean: exactly the two truth counts
+    val truth = graft.util.D.t(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag") === "R").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(vc.map(r => r.getBoolean(0) -> r.getLong(1)).toMap === truth)
+    // the dedup join keeps exactly the flagged songs (1:1 on the key set)
+    assert(perArtistCnt.map(_.getLong(1)).sum ===
+      truth(true), "join must keep each flagged song exactly once")
+    assert(perArtistMean.length === perArtistCnt.length)
+    // shapley cell: only the pinned attribute, finite scores, and the
+    // Shapley EFFICIENCY property — the per-bin attributions sum to the
+    // attribute's fedex deviation score on the same join
+    assert(exS.nonEmpty)
+    exS.foreach(r => assert(r.getString(r.fieldIndex("attribute")) === "l_extendedprice"))
+    val shap = exS.map(r => r.getDouble(r.fieldIndex("shapley")))
+    assert(shap.forall(s => !s.isNaN && !s.isInfinite))
+    val songs2 = {
+      val songs = ExplainFrame(graft.util.D.t(spark, sf, "lineitem")
+        .withColumn("decade",
+          (floor(year(col("l_shipdate")) / 10) * 10).cast("long")), "songs")
+      songs.select(col("*"), (col("l_returnflag") === "R").as("is_by_artist"))
+    }
+    val byArtist = songs2.filter(col("is_by_artist"))
+    val joined = byArtist.select(col("l_suppkey")).dropDuplicates()
+      .join(byArtist, on = Seq("l_suppkey"))
+    val dev = joined.explainFedex(attributes = Seq("l_extendedprice"), topK = 1)
+      .collect()
+    assert(dev.nonEmpty)
+    val klScore = dev.head.getDouble(dev.head.fieldIndex("kl_score"))
+    assert(math.abs(shap.sum - klScore) < 1e-9,
+      s"shapley attributions (${shap.sum}) must sum to the fedex deviation ($klScore)")
+    // the notebook's final introspection cell: operation type + source
+    val songs = ExplainFrame(graft.util.D.t(spark, sf, "lineitem"), "songs")
+    val popular = songs.filter(col("l_extendedprice") > 30000)
+    assert(popular.op.exists(_.describe.startsWith("filter")))
+    assert(popular.name === "songs")
+    // whole-flow determinism
+    val again = spotifyFedexFlow()
+    out.zip(again).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+        s"spotify fedex flow cell $i diverged between runs")
+    }
+  }
+
+  /** The Bank Churners FEDEX demo (Examples/Notebooks/Fedex Explainer
+    * Examples/Bank Churners Dataset Demo.ipynb — distinct from the
+    * OUTLIER demo replayed above): where() filter + explain(attributes=
+    * […], show_scores) → loyal/churn split → mean-threshold filter
+    * (the x = loyal[col].mean() cell) + explain(top_k=3) → multi-agg
+    * groupby ({col: [mean, max], col2: mean}) explain(top_k=2,
+    * use_sampling=False) → three-column groupby mean explain(top_k=5) →
+    * custom aggregation (count-over-threshold reduce) via a derived
+    * column + sum, explain(show_scores). bank := lineitem;
+    * Attrition_Flag := l_returnflag ('N' = existing);
+    * Customer_Age := l_quantity; Total_Count_Change := l_discount;
+    * Credit_Limit := l_extendedprice; Credit_Used := l_tax;
+    * Marital_Status := l_linestatus; Education_Level := l_linenumber. */
+  private def churnersFedexFlow(): Seq[Array[Row]] = {
+    val bank = ExplainFrame(graft.util.D.t(spark, sf, "lineitem"), "bank")
+    // cell: where(Customer_Age > 45) + explain(attributes=[…], show_scores)
+    val filterResults = bank.where(col("l_quantity") > 25)
+    val ex1 = filterResults.explain(
+      attributes = Seq("l_discount", "l_returnflag"), useSampling = false).collect()
+    // cells: loyal / churn split on the attrition flag
+    val loyal = bank.filter(col("l_returnflag") === "N")
+    val churn = bank.filter(col("l_returnflag") =!= "N")
+    // cell: x = loyal.Total_Count_Change.mean(); churn[col > x].explain(top_k=3)
+    val x = loyal.df.agg(avg(col("l_discount"))).head().getDouble(0)
+    val filter2 = churn.filter(col("l_discount") > x)
+    val ex2 = filter2.explain(topK = 3, useSampling = false).collect()
+    // cell: groupby('Marital_Status').agg({Credit_Limit: [mean, max],
+    //       Credit_Used: mean}).explain(top_k=2, use_sampling=False)
+    val gb1 = churn.groupBy("l_linestatus").agg(
+      "l_extendedprice" -> "mean", "l_extendedprice" -> "max", "l_tax" -> "mean")
+    val ex3 = gb1.explain(topK = 2, useSampling = false).collect()
+    // cell: groupby([3 cats])['Credit_Used'].mean().explain(top_k=5)
+    val gb2 = churn.groupBy("l_linestatus", "l_returnflag", "l_linenumber")
+      .mean("l_tax")
+    val ex4 = gb2.explain(topK = 5, useSampling = false).collect()
+    // cells: the custom total_more_then_20 reduce — count of values over
+    // a threshold, expressed as a derived 0/1 column + sum (same math,
+    // scan-local instead of a driver-side reduce)
+    val churn2 = churn.select(col("*"),
+      (col("l_discount") > 0.05).cast("long").as("over_thresh"))
+    val gb3 = churn2.groupBy("l_linenumber", "l_returnflag", "l_linestatus")
+      .agg("l_tax" -> "mean", "over_thresh" -> "sum")
+    val gb3rows = gb3.df.collect()
+    val ex5 = gb3.explain(useSampling = false).collect()
+    Seq(ex1, ex2, ex3, ex4, gb3rows, ex5)
+  }
+
+  test("Bank-Churners fedex notebook flow: attribute-pinned filter explain, mean-threshold cell, multi-agg and 3-column groupbys, custom aggregation") {
+    val out = churnersFedexFlow()
+    val Seq(ex1, ex2, ex3, ex4, gb3rows, ex5) = out
+    // attribute-pinned filter explain: only the passed attributes appear
+    assert(ex1.nonEmpty)
+    val attrSet = ex1.map(r => r.getString(r.fieldIndex("attribute"))).toSet
+    assert(attrSet.subsetOf(Set("l_discount", "l_returnflag")))
+    val kls1 = ex1.map(r => r.getDouble(r.fieldIndex("kl_score"))).toSeq
+    assert(kls1 === kls1.sorted(Ordering[Double].reverse))
+    // the mean-threshold filter cell: ranked, finite, ≤3
+    assert(ex2.nonEmpty && ex2.length <= 3)
+    val kls2 = ex2.map(r => r.getDouble(r.fieldIndex("kl_score"))).toSeq
+    assert(kls2.forall(k => !k.isNaN && !k.isInfinite))
+    assert(kls2 === kls2.sorted(Ordering[Double].reverse))
+    // multi-agg groupby: measures come from the dict-agg cell's outputs
+    assert(ex3.nonEmpty && ex3.length <= 2)
+    val measures3 = ex3.map(r => r.getString(r.fieldIndex("measure"))).toSet
+    assert(measures3.subsetOf(Set("l_extendedprice_mean", "l_extendedprice_max",
+      "l_tax_mean", "row_count")), s"unexpected measures $measures3")
+    // three-column groupby: zdev ranked desc over ≤5 rows
+    assert(ex4.nonEmpty && ex4.length <= 5)
+    val zs4 = ex4.map(r => r.getDouble(r.fieldIndex("zdev"))).toSeq
+    assert(zs4 === zs4.sorted(Ordering[Double].reverse))
+    // the custom aggregation matches the notebook's reduce exactly:
+    // over_thresh_sum = count of values over the threshold per group
+    val truth = graft.util.D.t(spark, sf, "lineitem")
+      .filter(col("l_returnflag") =!= "N")
+      .groupBy("l_linenumber", "l_returnflag", "l_linestatus")
+      .agg(sum((col("l_discount") > 0.05).cast("long")).as("want"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    gb3rows.foreach { r =>
+      val k = (r.getInt(0), r.getString(1), r.getString(2))
+      // the agg surface emits sums through the decimal→double path
+      assert(r.getDouble(r.fieldIndex("over_thresh_sum")) === truth(k).toDouble, s"group $k")
+    }
+    assert(ex5.nonEmpty)
+    // whole-flow determinism
+    val again = churnersFedexFlow()
+    out.zip(again).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+        s"churners fedex flow cell $i diverged between runs")
+    }
+  }
+
+  /** The Houses demo (Examples/Notebooks/Fedex Explainer Examples/
+    * Houses Dataset Demo.ipynb): load with a COLUMN SUBSET →
+    * SalePrice.describe() → price filter explain(top_k=6) →
+    * groupby(YrSold).mean() [all numerics] explain(top_k=6) →
+    * groupby(YrSold)[PoolArea].mean().explain(outlier, dir='high',
+    * target=2006) → GarageCars.value_counts(). houses := lineitem;
+    * SalePrice := l_extendedprice; YrSold := year(l_shipdate);
+    * PoolArea := l_discount; GarageCars := l_linenumber. */
+  private def housesFlow(): Seq[Array[Row]] = {
+    // load cell: the notebook immediately projects a column subset (and
+    // pool_area keeps PoolArea's square-feet magnitude — the σ=0
+    // tiny-mean case is pinned separately below)
+    val houses = ExplainFrame(graft.util.D.t(spark, sf, "lineitem")
+      .withColumn("yr_sold", year(col("l_shipdate")).cast("long"))
+      .withColumn("pool_area", (col("l_discount") * 1000).cast("double")), "houses")
+      .select(col("yr_sold"), col("l_extendedprice"), col("l_quantity"),
+        col("pool_area"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_linenumber"))
+    // cell: houses['SalePrice'].describe()
+    val desc = houses.describeStats(Seq("l_extendedprice")).collect()
+    // cell: expensive = houses[SalePrice > 214000]; explain(top_k=6)
+    val expensive = houses.filter(col("l_extendedprice") > 40000)
+    val ex1 = expensive.explain(topK = 6, useSampling = false).collect()
+    // cell: houses.groupby('YrSold').mean().explain(top_k=6) — pandas
+    // .mean() over every numeric column = the explicit all-numerics agg
+    val gbYear = houses.groupBy("yr_sold").agg(
+      "l_extendedprice" -> "mean", "l_quantity" -> "mean",
+      "pool_area" -> "mean", "l_tax" -> "mean")
+    val ex2 = gbYear.explain(topK = 6, useSampling = false).collect()
+    // cell: groupby('YrSold')['PoolArea'].mean().explain(outlier, high, 2006)
+    val poolGb = houses.groupBy("yr_sold").mean("pool_area")
+    val hiYear = poolGb.df.collect().map(_.getLong(0)).max.toString
+    val ex3 = poolGb.explain(explainer = "outlier", dir = "high",
+      target = hiYear).collect()
+    // cell: houses['GarageCars'].value_counts()
+    val vc = houses.valueCounts("l_linenumber").collect()
+    Seq(desc, ex1, ex2, ex3, vc)
+  }
+
+  test("Houses notebook flow: column-subset load, describe, wide filter explain, all-numerics groupby, outlier-high on a derived year") {
+    val out = housesFlow()
+    val Seq(desc, ex1, ex2, ex3, vc) = out
+    // describe(): the pandas core stats for the price column, count
+    // agreeing with a direct truth
+    assert(desc.nonEmpty)
+    val li = graft.util.D.t(spark, sf, "lineitem")
+    val wantN = li.filter(col("l_extendedprice").isNotNull).count()
+    val priceRow = desc.find(_.getString(0) == "l_extendedprice").get
+    assert(priceRow.getLong(priceRow.fieldIndex("n")) === wantN)
+    // filter explain at top_k=6: ranked desc, finite, only subset columns
+    assert(ex1.nonEmpty && ex1.length <= 6)
+    val kls = ex1.map(r => r.getDouble(r.fieldIndex("kl_score"))).toSeq
+    assert(kls.forall(k => !k.isNaN && !k.isInfinite))
+    assert(kls === kls.sorted(Ordering[Double].reverse))
+    // all-numerics groupby explain: measures confined to the agg outputs
+    assert(ex2.nonEmpty && ex2.length <= 6)
+    val measures = ex2.map(r => r.getString(r.fieldIndex("measure"))).toSet
+    assert(measures.subsetOf(Set("l_extendedprice_mean", "l_quantity_mean",
+      "pool_area_mean", "l_tax_mean", "row_count")), s"unexpected measures $measures")
+    // outlier-high on the derived year dimension: influence desc, finite
+    assert(ex3.nonEmpty)
+    val infl = ex3.map(r => r.getDouble(r.fieldIndex("influence"))).toSeq
+    assert(infl.forall(x => !x.isNaN && !x.isInfinite))
+    assert(infl === infl.sorted(Ordering[Double].reverse))
+    // value_counts: counts desc and equal to a direct truth
+    val truth = li.groupBy("l_linenumber").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    vc.foreach(r => assert(truth(r.getInt(0)) === r.getLong(1)))
+    val cnts = vc.map(_.getLong(1)).toSeq
+    assert(cnts === cnts.sorted(Ordering[Long].reverse))
+    // whole-flow determinism
+    val again = housesFlow()
+    out.zip(again).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+        s"houses flow cell $i diverged between runs")
+    }
+  }
 }
