@@ -5,14 +5,16 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** `value` is an Option so a dirty feed's NULL purchase values flow
+  * through the typed encoder (the batch join carries them as NULL). */
 final case class AttrEvent(user_id: Long, ts: Timestamp, event_id: Long,
-                           event_type: String, value: Double)
+                           event_type: String, value: Option[Double])
 
 /** One row per purchase: its touch counts inside the trailing horizon —
   * the pre-aggregation table `q_events_attribution` divides credit
-  * from. */
+  * from. `value` passes through untouched (NULL stays NULL). */
 final case class AttrOut(purchase_id: Long, user_id: Long, ts: Timestamp,
-                         value: Double, n_view: Long, n_click: Long)
+                         value: Option[Double], n_view: Long, n_click: Long)
 
 /** Per-user touch buffer: (micros, isView) pairs inside the horizon. */
 final case class AttrState(touches: List[(Long, Boolean)])
@@ -33,8 +35,11 @@ final case class AttrState(touches: List[(Long, Boolean)])
   * batch join's to replay — the Enrich convention). */
 object Attribution {
 
-  private def micros(ts: Timestamp): Long =
+  private def micros(ts: Timestamp): Long = {
+    if (ts == null) throw new IllegalArgumentException(
+      "Attribution: event ts must be non-null — an event-time fold cannot order a null timestamp")
     ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+  }
 
   /** Fold one user's batch into emitted purchase rows + advanced state. */
   def foldAttr(events: Seq[AttrEvent], st: Option[AttrState],

@@ -36,12 +36,17 @@ final case class AsOfState(signupUs: Long)
   */
 object Enrich {
 
-  private def micros(ts: Timestamp): Long =
+  private def micros(ts: Timestamp): Long = {
+    if (ts == null) throw new IllegalArgumentException(
+      "Enrich: event ts must be non-null — an event-time fold cannot order a null timestamp")
     ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+  }
 
+  /** floorDiv/floorMod, not / and %: a pre-epoch position must keep a
+    * non-negative sub-second part or setNanos throws. */
   private def toTs(us: Long): Timestamp = {
-    val t = new Timestamp(us / 1000)
-    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
     t
   }
 

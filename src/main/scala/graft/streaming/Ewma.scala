@@ -5,9 +5,16 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-final case class EwmaEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+/** `value` is an Option so a dirty feed's NULL values flow through the
+  * typed encoder: a NULL value occupies a lag slot with no term and no
+  * weight — exactly the batch window's COALESCE/CASE treatment, the
+  * same slot the decimal-rejected (NaN/overflow) values get. */
+final case class EwmaEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Option[Double])
 
-final case class EwmaOut(user_id: Long, event_id: Long, ts: Timestamp, ewma: Double)
+/** `ewma` is None for an all-NULL lag window — the batch emission's
+  * `when(den > 0, …)` guard yields NULL there (the DuckDB x/0
+  * convention), never NaN. */
+final case class EwmaOut(user_id: Long, event_id: Long, ts: Timestamp, ewma: Option[Double])
 
 /** Per-user history of the last `Lags − 1` scale-6 values, most recent
   * first — CONSTANT-size state (15 longs per user, ~the smallest state
@@ -48,14 +55,20 @@ object Ewma {
     * silently diverge from the window it mirrors. */
   val Lags: Int = graft.operators.Events.EwmaLags
 
-  private def micros(ts: Timestamp): Long =
+  private def micros(ts: Timestamp): Long = {
+    if (ts == null) throw new IllegalArgumentException(
+      "Ewma: event ts must be non-null — an event-time fold cannot order a null timestamp")
     ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+  }
 
   /** value → exact scale-6 long, mirroring the batch DECIMAL(18,6)
-    * cast INCLUDING its null-producing edges: a NaN/±Inf double or a
-    * value past DECIMAL(18,6)'s range casts to NULL batch-side (ANSI
-    * off), which drops both the term and its weight — so here those
-    * values become None rather than an exception.
+    * cast's MEASURED edges under this session's ANSI mode: NaN and ±Inf
+    * cast to NULL (which drops both the term and its weight — None
+    * here), while a FINITE value past DECIMAL(18,6)'s range raises
+    * NUMERIC_VALUE_OUT_OF_RANGE batch-side — so the fold fails loud on
+    * it too (DirtySpec's event-log pin documents ≥1e12 as fail-loud BY
+    * CONTRACT in both engines; a silent None here would diverge from
+    * the window it mirrors).
     *
     * valueOf (Double.toString shortest-decimal semantics), NOT
     * `new BigDecimal(v)` (exact binary expansion): Spark's
@@ -68,8 +81,11 @@ object Ewma {
     if (v.isNaN || v.isInfinite) return None
     val u = java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).unscaledValue()
-    if (u.bitLength > 62 || math.abs(u.longValue) > 999999999999999999L) None
-    else Some(u.longValue)
+    if (u.bitLength > 62 || math.abs(u.longValue) > 999999999999999999L)
+      throw new IllegalArgumentException(
+        s"Ewma: value $v exceeds DECIMAL(18,6) — the batch q_events_ewma cast raises " +
+          "NUMERIC_VALUE_OUT_OF_RANGE for it under ANSI; the fold mirrors that contract")
+    Some(u.longValue)
   }
 
   /** 0.5^k as the exact scale-15 decimal the batch side casts to. */
@@ -83,9 +99,13 @@ object Ewma {
   def foldEwma(events: Seq[EwmaEvent], st: Option[EwmaState]): (Seq[EwmaOut], EwmaState) = {
     var recent = st.map(_.recent).getOrElse(Nil)
     val out = Seq.newBuilder[EwmaOut]
-    events.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+    // micros computed eagerly per event, not inside sortBy's comparator:
+    // a comparator is never invoked for a 1-element batch, which would
+    // let a null ts slip past the fail-loud guard unordered
+    events.map(e => (micros(e.ts), e)).sortBy { case (t, e) => (t, e.event_id) }
+      .foreach { case (_, e) =>
       val window: List[Option[Long]] =
-        v6(e.value) :: recent.map(x => if (x == NullSlot) None else Some(x))
+        e.value.flatMap(v6) :: recent.map(x => if (x == NullSlot) None else Some(x))
       var num = java.math.BigDecimal.ZERO
       var den = java.math.BigDecimal.ZERO
       window.iterator.zipWithIndex.foreach {
@@ -96,11 +116,12 @@ object Ewma {
       }
       // one 6dp numerator round + one decimal→double conversion per
       // side of the quotient, exactly as the batch emission does; an
-      // all-null window divides 0.0/0.0 → NaN in BOTH engines
+      // all-null window is NULL in both engines (the batch emission's
+      // when(den > 0) guard / the DuckDB mirror's x/0), never NaN
       val ewma =
-        if (den.signum == 0) Double.NaN
-        else graft.util.D.rDriver(
-          num.setScale(6, java.math.RoundingMode.HALF_UP).doubleValue / den.doubleValue)
+        if (den.signum == 0) None
+        else Some(graft.util.D.rDriver(
+          num.setScale(6, java.math.RoundingMode.HALF_UP).doubleValue / den.doubleValue))
       out += EwmaOut(e.user_id, e.event_id, e.ts, ewma)
       recent = window.take(Lags - 1).map(_.getOrElse(NullSlot))
     }

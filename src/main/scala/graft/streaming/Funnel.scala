@@ -34,15 +34,20 @@ final case class FunnelState(signupUs: Long, converted: Boolean)
   */
 object Funnel {
 
-  private def micros(ts: Timestamp): Long =
+  private def micros(ts: Timestamp): Long = {
+    if (ts == null) throw new IllegalArgumentException(
+      "Funnel: event ts must be non-null — an event-time fold cannot order a null timestamp")
     ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+  }
 
   /** Micros → Timestamp WITHOUT dropping the sub-millisecond part (the
     * events table is microsecond-resolution; `new Timestamp(us/1000)`
-    * alone would truncate to ms and break parity with the SQL form). */
+    * alone would truncate to ms and break parity with the SQL form).
+    * floorDiv/floorMod, not / and %: a pre-epoch position must keep a
+    * non-negative sub-second part or setNanos throws. */
   private def toTs(us: Long): Timestamp = {
-    val t = new Timestamp(us / 1000)
-    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
     t
   }
 

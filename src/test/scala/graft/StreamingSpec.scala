@@ -37,7 +37,7 @@ class StreamingSpec extends AnyFunSuite {
     val batch = Sessionizer
       .sessionizeBatch(spark, spark.createDataset(events))
       .collect()
-      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, math.round(s.total_value * 100)))
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.total_value.map(v => math.round(v * 100))))
       .toSet
 
     implicit val sqlCtx = spark.sqlContext
@@ -52,7 +52,7 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData(second)
       q.processAllAvailable()
       val streamed = spark.table("sessions_out").as[Session].collect()
-        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, math.round(s.total_value * 100)))
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.total_value.map(v => math.round(v * 100))))
         .toSet
       assert(streamed.nonEmpty, "no sessions emitted")
       assert(streamed.subsetOf(batch),
@@ -242,11 +242,12 @@ class StreamingSpec extends AnyFunSuite {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
     val evs = Seq(
-      SessionEvent(1, at(0), 1.0), SessionEvent(1, at(10), 2.0),
-      SessionEvent(1, at(70), 3.0)) // 60-min gap → new session
+      SessionEvent(1, at(0), Some(1.0)), SessionEvent(1, at(10), Some(2.0)),
+      SessionEvent(1, at(70), Some(3.0))) // 60-min gap → new session
     val (closed, open) = Sessionizer.foldEvents(evs, None)
-    assert(closed.length === 1 && closed.head.n_events === 2 && closed.head.total_value === 3.0)
-    assert(open.get.n === 1 && open.get.total === 3.0)
+    assert(closed.length === 1 && closed.head.n_events === 2 &&
+      closed.head.total_value === Some(3.0))
+    assert(open.get.n === 1 && open.get.totalU === 3000000L && open.get.hasVal)
   }
 
   test("streaming funnel conversions match the batch funnel and the SQL form") {
@@ -379,14 +380,15 @@ class StreamingSpec extends AnyFunSuite {
       .as[RollingEvent].collect().toSeq
       .sortBy(e => (us(e.ts), e.event_id)) // event-time-order feeding
 
-    def key(id: Long, n: Long, s: Double) = (id, n, math.rint(s * 1e6) / 1e6)
+    def key(id: Long, n: Long, s: Option[Double]) = (id, n, s.map(x => math.rint(x * 1e6) / 1e6))
     val batch = Rolling.rollingBatch(spark, spark.createDataset(raw)).collect()
       .map(o => key(o.event_id, o.n_1h, o.sum_1h)).toSet
 
     // three-way leg 1: the typed fold equals q_rolling_time's rows
     val sqlRows = SparkEntry.queries("q_rolling_time")(spark, sf)
       .filter(col("user_id") < 10).collect()
-      .map(r => key(r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+      .map(r => key(r.getLong(0), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSet
     assert(batch === sqlRows, "typed batch fold diverges from q_rolling_time: " +
       s"${batch.diff(sqlRows).take(3)} / ${sqlRows.diff(batch).take(3)}")
 
@@ -403,7 +405,8 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData(a); q.processAllAvailable()
       mem.addData(b); q.processAllAvailable()
       val streamed = spark.table("rolling_out").collect()
-        .map(r => key(r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+        .map(r => key(r.getLong(0), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSet
       assert(streamed === batch, "stream/batch divergence: " +
         s"${streamed.diff(batch).take(3)} / ${batch.diff(streamed).take(3)}")
     } finally q.stop()
@@ -585,7 +588,7 @@ class StreamingSpec extends AnyFunSuite {
       .as[EwmaEvent].collect().toSeq
       .sortBy(e => (us(e.ts), e.event_id)) // event-time-order feeding
 
-    def key(id: Long, v: Double) = id -> math.rint(v * 1e6) / 1e6
+    def key(id: Long, v: Option[Double]) = id -> v.map(x => math.rint(x * 1e6) / 1e6)
     val batch = Ewma.ewmaBatch(spark, spark.createDataset(raw)).collect()
       .map(o => key(o.event_id, o.ewma)).toMap
 
@@ -593,7 +596,8 @@ class StreamingSpec extends AnyFunSuite {
     // (exactly — both sides share the decimal contract)
     val sqlRows = SparkEntry.queries("q_events_ewma")(spark, sf)
       .filter(col("user_id") < 10).collect()
-      .map(r => key(r.getLong(1), r.getDouble(4))).toMap
+      .map(r => key(r.getLong(1),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
     assert(batch === sqlRows, "typed batch fold diverges from q_events_ewma: " +
       s"${batch.toSet.diff(sqlRows.toSet).take(3)} / ${sqlRows.toSet.diff(batch.toSet).take(3)}")
 
@@ -611,7 +615,8 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData(a); q.processAllAvailable()
       mem.addData(b); q.processAllAvailable()
       val streamed = spark.table("ewma_out").collect()
-        .map(r => key(r.getLong(1), r.getDouble(3))).toMap
+        .map(r => key(r.getLong(1),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
       assert(streamed === batch, "stream/batch divergence: " +
         s"${streamed.toSet.diff(batch.toSet).take(3)} / ${batch.toSet.diff(streamed.toSet).take(3)}")
     } finally q.stop()
@@ -861,14 +866,15 @@ class StreamingSpec extends AnyFunSuite {
     import graft.streaming.{Ewma, EwmaEvent}
     def ts(i: Int) = new java.sql.Timestamp(1000L * i)
     val (out, _) = Ewma.foldEwma(Seq(
-      EwmaEvent(1L, ts(1), 1L, 2.0),
-      EwmaEvent(1L, ts(2), 2L, Double.NaN),
-      EwmaEvent(1L, ts(3), 3L, 4.0)), None)
-    assert(out(0).ewma === 2.0)
-    assert(out(1).ewma === 2.0) // current NaN -> only the 2.0 lag counts
-    assert(out(2).ewma === 3.6) // (4·1 + 2·0.25) / 1.25; NaN slot skipped
-    // an all-null window is 0.0/0.0 — NaN in both engines' doubles
-    val (o2, _) = Ewma.foldEwma(Seq(EwmaEvent(1L, ts(1), 1L, Double.NaN)), None)
-    assert(o2.head.ewma.isNaN)
+      EwmaEvent(1L, ts(1), 1L, Some(2.0)),
+      EwmaEvent(1L, ts(2), 2L, Some(Double.NaN)),
+      EwmaEvent(1L, ts(3), 3L, Some(4.0))), None)
+    assert(out(0).ewma === Some(2.0))
+    assert(out(1).ewma === Some(2.0)) // current NaN -> only the 2.0 lag counts
+    assert(out(2).ewma === Some(3.6)) // (4·1 + 2·0.25) / 1.25; NaN slot skipped
+    // an all-null window is NULL in both engines (the batch emission's
+    // when(den > 0) guard / the DuckDB mirror's x/0), never NaN
+    val (o2, _) = Ewma.foldEwma(Seq(EwmaEvent(1L, ts(1), 1L, Some(Double.NaN))), None)
+    assert(o2.head.ewma === None)
   }
 }
