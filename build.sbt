@@ -1,5 +1,11 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// The container's platform charset is ASCII (file.encoding =
+// ANSI_X3.4-1968); without an explicit -encoding, scalac reads UTF-8
+// sources through it and silently mangles every non-ASCII character
+// to '?' at COMPILE time (caught by the IO degenerate pin via a
+// mangled test literal). Sources are UTF-8; say so.
+ThisBuild / scalacOptions ++= Seq("-encoding", "UTF-8")
 name := "pdexplainspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
@@ -31,6 +37,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // the forked JVM inherits the container's ASCII platform charset;
+  // text writers that consult the platform default (CSV/JSON) would
+  // mangle non-ASCII data on write — pin UTF-8 (IO.scala also sets it
+  // per-writer, so the library is correct even without this)
+  "-Dfile.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
