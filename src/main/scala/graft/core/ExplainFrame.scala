@@ -796,9 +796,16 @@ final class ExplainGroupBy(parent: ExplainFrame, cols: Seq[String]) {
     val stat = parent.df.groupBy(cols.map(col): _*).agg(
       D.r(D.emit6(D.dsum(col(c))) / n).as(s"${c}_mean"),
       D.r(sqrt(D.varSamp(D.emit6(D.dsum(col(c))), D.dsumsq(col(c)), n))).as(s"${c}_std"))
+    // sd can be EXACTLY 0 for a constant group (n >= 2) — the n<=1
+    // case is already NULL via varSamp's guard, but the constant case
+    // reaches the division: DuckDB's x/0 emits NULL (measured, every
+    // numeric form) while ANSI Spark raises DIVIDE_BY_ZERO, so guard
+    // it (the σ=0 class ApiDirtySpec pins; same family as the outlier
+    // explainer's σ-collapse fix)
     val joined = parent.df.join(stat, cols, "left")
       .withColumn(s"${c}_zscore",
-        D.r((col(c) - col(s"${c}_mean")) / col(s"${c}_std"), 6))
+        when(col(s"${c}_std") > 0,
+          D.r((col(c) - col(s"${c}_mean")) / col(s"${c}_std"), 6)))
     new ExplainFrame(joined, parent.op, parent.name)
   }
 
