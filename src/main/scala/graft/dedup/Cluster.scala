@@ -54,32 +54,64 @@ object Cluster {
   def connectedComponents(pairs: DataFrame,
                           aCol: String = "doc_a",
                           bCol: String = "doc_b"): DataFrame = {
+    // materialize the (possibly expensive) pair subtree ONCE in its
+    // input orientation; the undirected doubling is a narrow map over
+    // the checkpointed blocks, derived lazily per round — the
+    // checkpoint writes E rows instead of 2E. The checkpointed blocks
+    // do NOT keep a hash partitioning contract (verified: a
+    // localCheckpoint'd frame re-exchanges under a shuffle join —
+    // LogicalRDD drops outputPartitioning), so the per-round join
+    // re-shuffles the edge table; that cost is bounded by the PAIR
+    // table (never the corpus) and at bench scale the joins go
+    // broadcast under AQE anyway.
     val e0 = pairs.select(col(aCol).cast(LongType).as("src"), col(bCol).cast(LongType).as("dst"))
-    // undirected: keep both orientations so labels flow both ways. The
-    // checkpointed blocks do NOT keep a hash partitioning contract
-    // (verified: a localCheckpoint'd frame re-exchanges under a
-    // shuffle join — LogicalRDD drops outputPartitioning), so the
-    // per-round join re-shuffles the edge table; that cost is bounded
-    // by the PAIR table (never the corpus) and at bench scale the
-    // joins go broadcast under AQE anyway.
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
+    // NULL-src rows are dropped once here: a NULL id can neither
+    // receive a label (the pre-fusion form's null id never equi-joined
+    // back) nor give one (min/least skip NULL dst), and the old
+    // NULL-id row was unobservable in the output anyway (dropped by
+    // the final sizes equi-join).
+    def edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src").isNotNull)
+    // ROUND 1 fused into ONE map-side-combined aggregation: with the
+    // initial labels being each node's own id, round 1's neighbor-min
+    // is simply min(dst) per src over both orientations, and the new
+    // label is least(own, neighbor-min) — the separate node-distinct
+    // checkpoint plus round-1's join+agg+join collapse into one
+    // groupBy (two Spark jobs and two shuffles fewer per call).
+    // Label/row equivalence with the unfused form is exact, incl. the
+    // degenerate cases: least() skips a NULL neighbor-min (a node
+    // whose only peers are NULL keeps its own id). Round 1 cannot
+    // converge on a non-degenerate edge set (any 2-node component
+    // relabels its larger endpoint), so the convergence check starts
+    // at round 2; the all-self-loop corner just pays one cheap extra
+    // round.
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nd"))
+      .select(col("id"), least(col("id"), col("nd")).as("lbl"))
       .localCheckpoint(true)
     var converged = false
-    var round = 0
+    var round = 1
     while (!converged && round < MaxIterations) {
       round += 1
       val prev = labels
-      // each node's best neighbor label this round (map-side combined min)
-      val nbrMin = edges
+      // VOTE-UNION round: each node's new label = min over (its own
+      // previous label) ∪ (its neighbors' previous labels). Expressing
+      // the self-vote as a union row instead of a second labels join
+      // removes one shuffle/broadcast of the labels table per round —
+      // one edges⋈labels join plus ONE map-side-combined aggregation.
+      // prev_lbl rides the same aggregation (a node has exactly one
+      // self-vote row, min over that singleton recovers it), so
+      // `changed` needs no re-join either.
+      val votes = edges
         .join(prev.select(col("id").as("dst"), col("lbl").as("nl")), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nl"))
-      val stepped = prev
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("lbl").as("prev_lbl"),
-          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .select(col("src").as("id"), col("nl").as("lbl"), lit(null).cast(LongType).as("self"))
+      val stepped = votes
+        .union(prev.select(col("id"), col("lbl"), col("lbl").as("self")))
+        .groupBy("id")
+        .agg(min(col("lbl")).as("lbl"), min(col("self")).as("prev_lbl"))
+        .select(col("id"), col("prev_lbl"), col("lbl"))
       // POINTER JUMP (path halving) from round 3 on: follow each node's
       // label to that label's own label. Labels are node ids with
       // lbl(x) ≤ x invariant (start = own id, monotone decreasing min),
