@@ -684,26 +684,39 @@ object Events extends QFamily {
              |  WHEN 3 THEN n3 ELSE n4 END AS n_users)
              |ORDER BY step""".stripMargin),
       (s, dir) => {
-        val e = ev(s, dir)
-        def slice0(tp: String) = e.filter(col("event_type") === tp)
-          .select(col("user_id"), col("ts"))
-        val s1 = slice0("signup").groupBy("user_id").agg(min(col("ts")).as("t"))
-        def next(prev: DataFrame, tp: String): DataFrame =
-          prev.join(slice0(tp).withColumnRenamed("ts", "ets"), "user_id")
-            .filter(col("ets") >= col("t"))
-            .groupBy("user_id").agg(min(col("ets")).as("t"))
-        val s2 = next(s1, "view")
-        val s3 = next(s2, "click")
-        val s4 = next(s3, "purchase")
-        val steps = Seq((1, "signup", s1), (2, "view", s2), (3, "click", s3), (4, "purchase", s4))
-        val counts = steps.map { case (i, nm, df) =>
-          df.agg(count(lit(1)).as("n_users"))
-            .select(lit(i).as("step"), lit(nm).as("step_name"), col("n_users"))
-        }.reduce(_ unionByName _)
-        val n1 = s1.agg(count(lit(1)).as("n1"))
-        counts.crossJoin(broadcast(n1))
-          .select(col("step"), col("step_name"), col("n_users").cast(LongType).as("n_users"),
-            r(col("n_users").cast(DoubleType) / col("n1"), 6).as("conv_from_start"))
+        // ONE corpus scan + ONE user_id shuffle. The old form chained
+        // four join+agg frames and then counted each frame separately,
+        // which re-executed the chain as a tree: step k's count branch
+        // re-scanned slices 1..k, 11 filtered corpus scans in all —
+        // O(steps²) passes at any scale. Here the chained step times
+        // t1..t4 stack as four whole-partition window minima over the
+        // SAME user_id partitioning (tk = min ts of its type at-or-after
+        // t(k−1); a NULL prior step nulls the comparison, so the strict
+        // chaining is preserved bit-for-bit), the per-user roll-up
+        // reuses that partitioning with no extra exchange, and the four
+        // step counts are non-null counts of one tiny aggregate row.
+        val wU = Window.partitionBy("user_id")
+        def stepMin(tp: String, after: Option[String]) = min(when(
+          after.map(a => col("event_type") === tp && col("ts") >= col(a))
+            .getOrElse(col("event_type") === tp), col("ts"))).over(wU)
+        val perUser = ev(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .withColumn("t1", stepMin("signup", None))
+          .withColumn("t2", stepMin("view", Some("t1")))
+          .withColumn("t3", stepMin("click", Some("t2")))
+          .withColumn("t4", stepMin("purchase", Some("t3")))
+          .groupBy("user_id")
+          .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+            max(col("t3")).as("t3"), max(col("t4")).as("t4"))
+        val a = perUser.agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+          count(col("t3")).as("n3"), count(col("t4")).as("n4"))
+        val stepRows = Seq((1, "signup", "n1"), (2, "view", "n2"),
+          (3, "click", "n3"), (4, "purchase", "n4")).map { case (i, nm, c) =>
+          struct(lit(i).as("step"), lit(nm).as("step_name"), col(c).as("n_users")) }
+        a.select(explode(array(stepRows: _*)).as("st"), col("n1"))
+          .select(col("st.step").as("step"), col("st.step_name").as("step_name"),
+            col("st.n_users").cast(LongType).as("n_users"),
+            r(col("st.n_users").cast(DoubleType) / col("n1"), 6).as("conv_from_start"))
           .orderBy("step")
       }),
 
