@@ -331,17 +331,25 @@ object ManyToOne {
     val srcP = keep.map(ks => src.filter(labelExpr.isin(ks: _*))).getOrElse(src)
     val pairs = explodedPairs(srcP, labelExpr, attrs, nb, binningMethod)
 
-    // lt and ct are RE-AGGREGATIONS of lc, not separate passes over
-    // pairs: the three lc subtrees are then identical (same pruned
-    // columns), so the runtime exchange reuse collapses them to ONE
-    // pairs scan — aggregating pairs three ways directly pushes three
-    // different prunings below the exchanges and defeats the reuse
+    // n_label and n_cond are WINDOW totals over the aggregated lc
+    // table, not separate re-aggregations joined back: the join form
+    // cost two more exchanges plus two broadcast builds per call (and
+    // needed the exchange-reuse trick to keep pairs at one scan — lc
+    // now has exactly one consumer, so reuse is moot). The windows are
+    // key-partitioned (never unpartitioned) and lc is already
+    // aggregated, so both stay safe at corpus scale. n_label is the
+    // attrs.head-restricted per-label total; a label with NO
+    // attrs.head rows gets a NULL window sum where the old inner join
+    // dropped it — the isNotNull filter reproduces the join exactly
+    // (n_cond can never be NULL: every lc row is its own group member).
     val lc = pairs.groupBy("label", "attribute", "val").agg(count(lit(1)).as("n_match"))
-    val lt = lc.filter(col("attribute") === attrs.head.name)
-      .groupBy("label").agg(sum(col("n_match")).as("n_label"))
-    val ct = lc.groupBy("attribute", "val").agg(sum(col("n_match")).as("n_cond"))
-
-    lc.join(lt, Seq("label")).join(ct, Seq("attribute", "val"))
+    lc.withColumn("n_label",
+        sum(when(col("attribute") === attrs.head.name, col("n_match")))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("label")))
+      .withColumn("n_cond",
+        sum(col("n_match"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("attribute", "val")))
+      .filter(col("n_label").isNotNull)
       .select(col("label"), col("attribute"), col("val"), col("n_match"),
         graft.util.D.r(col("n_match").cast("double") / col("n_label"), 6).as("coverage"),
         graft.util.D.r((col("n_cond") - col("n_match")).cast("double") / col("n_cond"), 6).as("separation_err"))
@@ -414,13 +422,19 @@ object ManyToOne {
       else None
     val srcP = keep.map(ks => src.filter(labelExpr.isin(ks: _*))).getOrElse(src)
     val pairs = explodedPairs(srcP, labelExpr, attrs, nb, binningMethod)
-    // lt/ct re-aggregate lc (identical subtrees → exchange reuse → one
-    // pairs scan), as in [[explain]]
+    // n_label/n_cond as key-partitioned window totals over lc, as in
+    // [[explain]] (two exchanges + two broadcast builds fewer than the
+    // re-aggregate-and-join form; the isNotNull filter reproduces the
+    // old inner join on the label totals exactly)
     val lc = pairs.groupBy("label", "attribute", "val").agg(count(lit(1)).as("n_match"))
-    val lt = lc.filter(col("attribute") === attrs.head.name)
-      .groupBy("label").agg(sum(col("n_match")).as("n_label"))
-    val ct = lc.groupBy("attribute", "val").agg(sum(col("n_match")).as("n_cond"))
-    val rules = lc.join(lt, Seq("label")).join(ct, Seq("attribute", "val"))
+    val rules = lc
+      .withColumn("n_label",
+        sum(when(col("attribute") === attrs.head.name, col("n_match")))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("label")))
+      .withColumn("n_cond",
+        sum(col("n_match"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("attribute", "val")))
+      .filter(col("n_label").isNotNull)
       .withColumn("coverage", graft.util.D.r(col("n_match").cast("double") / col("n_label"), 6))
       .withColumn("separation_err",
         graft.util.D.r((col("n_cond") - col("n_match")).cast("double") / col("n_cond"), 6))
@@ -434,9 +448,12 @@ object ManyToOne {
           col("n_match").as("n_err")),
         Seq("attribute", "val"))
       .filter(col("err_label") =!= col("label"))
-    val tot = contrib.groupBy("label", "attribute", "val")
-      .agg(sum("n_err").as("err_total"))
-    val withFrac = contrib.join(tot, Seq("label", "attribute", "val"))
+    // err_total likewise rides a window over contrib instead of a
+    // re-aggregate + self-join (same inner-join equivalence: every
+    // contrib row belongs to its own window group)
+    val withFrac = contrib
+      .withColumn("err_total", sum(col("n_err")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("label", "attribute", "val")))
       .withColumn("err_frac", graft.util.D.r(col("n_err").cast("double") / col("err_total"), 6))
     // ONE groupBy covers both cases: >threshold contributors keep their
     // err_label (singleton groups — n_groups 1, err_frac unchanged by

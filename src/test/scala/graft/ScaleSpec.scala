@@ -371,7 +371,7 @@ class ScaleSpec extends AnyFunSuite {
     // aggregate (identical subtrees) precisely so the runtime exchange
     // reuse collapses them to one scan — assert the final adaptive
     // plan actually contains ReusedExchange nodes
-    for (name <- Seq("q_value_counts", "q_many_to_one", "q_dsir",
+    for (name <- Seq("q_value_counts", "q_dsir",
                      "q_tfidf_terms", "q_bm25", "q_semdedup", "q_dedup_embedding_ivf")) {
       val df = graft.SparkEntry.queries(name)(spark, sf)
       df.collect()
@@ -393,6 +393,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(!outlierPlan.contains("FileScan") && !outlierPlan.contains("Scan parquet"),
       s"q_outlier_explain's finish plan re-reads the corpus — the one-scan " +
         s"LocalRelation contract regressed:\n${outlierPlan.take(1200)}")
+
+    // q_many_to_one left the ReusedExchange list in round 11: its
+    // n_label/n_cond totals are now key-partitioned WINDOW sums over
+    // the one lc aggregate instead of re-aggregations joined back, so
+    // there is no duplicate subtree left to reuse — the sharp pin is
+    // that the exploded-pairs corpus aggregate survives exactly ONCE
+    // in the final adaptive plan (the same property reuse used to
+    // deliver, without depending on reuse firing).
+    val mto = graft.SparkEntry.queries("q_many_to_one")(spark, sf)
+    mto.collect()
+    val mtoPlan = mto.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val mtoAggs = "partial_count".r.findAllIn(mtoPlan).size
+    assert(mtoAggs == 1,
+      s"q_many_to_one runs the pairs aggregate $mtoAggs times (want 1):\n${mtoPlan.take(1600)}")
 
     // contains("ReusedExchange") is a weak pin (one reuse can coexist
     // with duplicated corpus scans — exactly how dsir's lang-filtered
