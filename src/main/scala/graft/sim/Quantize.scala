@@ -181,15 +181,55 @@ object Quantize {
     * family's bounded post-aggregation HOF convention. */
   def pqCodes(vecs: DataFrame, m: Int, centMod: Int, centOff: Int): DataFrame = {
     require(m >= 1, s"m must be >= 1, got $m")
-    val xs = subs(vecs, "vec_id", m)
-    val cb = codebook(vecs, m, centMod, centOff)
-    val best = nearestCode(xs, cb)
-    best.groupBy("vec_id")
-      .agg(concat_ws("-",
-          transform(array_sort(collect_list(struct(col("s"), col("code")))),
-            t => t.getField("code").cast(StringType))).as("codes"),
-        graft.util.D.r(sum(col("d")).cast(DoubleType) / lit(1e8), 6).as("err_sq"))
-      .orderBy("vec_id")
+    pqEncoder(vecs, m, centMod, centOff) match {
+      case Some(enc) =>
+        // scan-local coding (see [[pqEncoder]]): the whole assignment
+        // is a projection — the explode → broadcast-join → two
+        // aggregations of the legacy path (two m·N-row shuffles)
+        // disappear; values/ties/err are bit-identical by the
+        // PqCodebook arithmetic contract
+        vecs.select(col("vec_id"), enc.as("pq"))
+          .select(col("vec_id"),
+            concat_ws("-", transform(col("pq.codes"),
+              x => x.cast(StringType))).as("codes"),
+            graft.util.D.r(col("pq.dsum").cast(DoubleType) / lit(1e8), 6).as("err_sq"))
+          .orderBy("vec_id")
+      case None => // empty seeded codebook (degenerate corpus): the
+        // legacy inner join yields the matching EMPTY result
+        val best = nearestCode(subs(vecs, "vec_id", m),
+          codebook(vecs, m, centMod, centOff))
+        best.groupBy("vec_id")
+          .agg(concat_ws("-",
+              transform(array_sort(collect_list(struct(col("s"), col("code")))),
+                t => t.getField("code").cast(StringType))).as("codes"),
+            graft.util.D.r(sum(col("d")).cast(DoubleType) / lit(1e8), 6).as("err_sq"))
+          .orderBy("vec_id")
+    }
+  }
+
+  /** Collect the bounded seeded codebook (≤ m×[[MaxCodes]] rows — the
+    * same KB-scale driver-table class as the silhouette centroids) and
+    * build the scan-local [[graft.functions.PqEncode]] column over the
+    * full fx4-scaled vector. None when the seed class is empty (the
+    * degenerate-corpus case) — callers keep the legacy join path,
+    * whose inner join produces the identical empty result. fx4 is
+    * elementwise, so fx4(full)[s·dsub..] == fx4(slice) exactly. */
+  private def pqEncoder(vecs: DataFrame, m: Int,
+      cbMod: Int, cbOff: Int): Option[Column] = {
+    val rows = codebook(vecs, m, cbMod, cbOff)
+      .select(col("s"), col("cid"), col("ce"), col("cn"))
+      .orderBy("s", "cid").collect()
+    if (rows.isEmpty) None
+    else {
+      val bys = rows.groupBy(_.getInt(0))
+      require(bys.keySet == (0 until m).toSet,
+        s"pqEncoder: codebook covers subspaces ${bys.keySet.toSeq.sorted}, want 0..${m - 1}")
+      val cids = Array.tabulate(m)(s => bys(s).map(_.getLong(1)))
+      val ces = Array.tabulate(m)(s => bys(s).map(_.getSeq[Long](2).toArray))
+      val cns = Array.tabulate(m)(s => bys(s).map(_.getLong(3)))
+      Some(graft.functions.PqEncode(fx4(col("embedding")),
+        new graft.functions.PqCodebook(m, cids, ces, cns)))
+    }
   }
 
   /** Shared DuckDB CTEs for the PQ family (m fixed at 8 — the registered
@@ -270,13 +310,21 @@ object Quantize {
     val wIdx = org.apache.spark.sql.expressions.Window
       .partitionBy("s").orderBy("cid")
     val cbIdx = cb.withColumn("idx", row_number().over(wIdx))
-    // one row per corpus vector: its m dense code indices, s-ordered
-    val codes = nearestCode(subs(vecs, "vec_id", m), cb)
-      .join(broadcast(cbIdx.select(col("s"), col("cid").as("code"), col("idx"))),
-        Seq("s", "code"))
-      .groupBy("vec_id")
-      .agg(transform(array_sort(collect_list(struct(col("s"), col("idx")))),
-        t => t.getField("idx")).as("cidx"))
+    // one row per corpus vector: its m dense code indices, s-ordered —
+    // scan-local via PqEncode (dense idx = 1-based cid rank, exactly
+    // cbIdx's row_number); legacy join path only for the empty-seed
+    // degenerate corpus (identical empty result)
+    val codes = pqEncoder(vecs, m, centMod, centOff) match {
+      case Some(enc) =>
+        vecs.select(col("vec_id"), enc.getField("idxs").as("cidx"))
+      case None =>
+        nearestCode(subs(vecs, "vec_id", m), cb)
+          .join(broadcast(cbIdx.select(col("s"), col("cid").as("code"), col("idx"))),
+            Seq("s", "code"))
+          .groupBy("vec_id")
+          .agg(transform(array_sort(collect_list(struct(col("s"), col("idx")))),
+            t => t.getField("idx")).as("cidx"))
+    }
     // one row per query: m K-arrays of exact subspace distances,
     // positioned by dense code index
     val qd = subs(vecs.filter(col("vec_id") % queryMod === 0)
@@ -336,12 +384,18 @@ object Quantize {
     val wIdx = org.apache.spark.sql.expressions.Window
       .partitionBy("s").orderBy("cid")
     val cbIdx = cb.withColumn("idx", row_number().over(wIdx))
-    val codes = nearestCode(subs(vecs, "vec_id", m), cb)
-      .join(broadcast(cbIdx.select(col("s"), col("cid").as("code"), col("idx"))),
-        Seq("s", "code"))
-      .groupBy("vec_id")
-      .agg(transform(array_sort(collect_list(struct(col("s"), col("idx")))),
-        t => t.getField("idx")).as("cidx"))
+    // scan-local coding (see [[adcTopK]]'s codes note)
+    val codes = pqEncoder(vecs, m, cbMod, cbOff) match {
+      case Some(enc) =>
+        vecs.select(col("vec_id"), enc.getField("idxs").as("cidx"))
+      case None =>
+        nearestCode(subs(vecs, "vec_id", m), cb)
+          .join(broadcast(cbIdx.select(col("s"), col("cid").as("code"), col("idx"))),
+            Seq("s", "code"))
+          .groupBy("vec_id")
+          .agg(transform(array_sort(collect_list(struct(col("s"), col("idx")))),
+            t => t.getField("idx")).as("cidx"))
+    }
     val lists = Ann.assignLists(vecs, listMod, listOff)
     val probes = Ann.probeLists(vecs, queryMod, listMod, listOff, nprobe)
     val cand = lists.join(probes, "list_id")
