@@ -76,7 +76,15 @@ object Pipeline extends QFamily {
     * bounded long collected once (the qcut convention). */
   private def pagerankIters(s: org.apache.spark.sql.SparkSession, dir: String,
       iters: Int): org.apache.spark.sql.DataFrame = {
+    // node table checkpointed ONCE: it feeds the max-id collect, the
+    // edge derivation (src side + semi-join target side) and every
+    // iteration's left join — as a lazy scan each of those re-read the
+    // corpus (6 scans at iters=1, 11 at iters=2); as a LogicalRDD the
+    // whole query reads the parquet exactly once (guide §2.4/§6; the
+    // connectedComponents checkpoint convention, inside the timed
+    // construction window like the qcut boundary collect)
     val ids = t(s, dir, "documents").select(col("doc_id").as("node_id"))
+      .localCheckpoint(true)
     val n = ids.agg(max(col("node_id"))).head().getLong(0) + 1
     val eraw = ids
       .select(col("node_id").as("src"),

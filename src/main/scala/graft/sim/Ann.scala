@@ -93,6 +93,77 @@ object Ann {
   def seedWhere(centMod: Int, centOff: Int): String =
     s"vec_id % $centMod = $centOff ORDER BY vec_id LIMIT $MaxSeeds"
 
+  /** Collect the bounded coarse-quantizer centroid table (≤ [[MaxSeeds]]
+    * rows — the same KB-scale driver-table class as the PQ codebook and
+    * the silhouette centroids) for the scan-local
+    * [[graft.functions.IvfAssign]] / [[graft.functions.IvfProbes]]
+    * projections. Rows sorted cid-ascending (the tie-break order). None
+    * when the seed class is empty (degenerate corpus) — callers keep
+    * the legacy crossJoin→argmax path, whose empty joins produce the
+    * identical (empty) results. NULL vector components read as 0,
+    * matching ArrayData.getLong on the legacy path. */
+  private def collectCents(base: DataFrame, centMod: Int,
+      centOff: Int): Option[graft.functions.IvfCents] = {
+    val rows = seedRows(base, centMod, centOff)
+      .select(col("vec_id"), col("fxe"), col("nsq")).collect()
+      .sortBy(_.getLong(0))
+    if (rows.isEmpty) None
+    else Some(new graft.functions.IvfCents(
+      rows.map(_.getLong(0)),
+      rows.map(r => if (r.isNullAt(1)) null
+        else r.getSeq[Any](1).map(x =>
+          if (x == null) 0L else x.asInstanceOf[Long]).toArray),
+      rows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2))))
+  }
+
+  /** (members, probes) with scan-LOCAL list assignment: `members` = the
+    * base rows plus their assigned `list_id` (a pure projection —
+    * [[graft.functions.IvfAssign]] over the embedded centroid table);
+    * `probes` = the queryMod-sampled rows exploded to their `maxP`
+    * probed lists with 1-based `probe_rn`. Replaces the
+    * crossJoin(broadcast(cents)) → N×K argmax aggregation → corpus
+    * rejoin (+ the Q×K probe window's exchange) with zero shuffles at
+    * any scale; values/ties are bit-identical by the IvfCents
+    * arithmetic contract. Falls back to the legacy form when the seed
+    * class is empty (identical — empty — results there). */
+  private def listAssignment(base: DataFrame, queryMod: Int, centMod: Int,
+      centOff: Int, maxP: Int): (DataFrame, DataFrame) =
+    collectCents(base, centMod, centOff) match {
+      case Some(cb) =>
+        val members = base.withColumn("list_id",
+          graft.functions.IvfAssign(col("fxe"), cb).getField("cid"))
+        val probes = base.filter(col("vec_id") % queryMod === 0)
+          .withColumn("__p", explode(graft.functions.IvfProbes(col("fxe"), cb, maxP)))
+          .withColumn("list_id", col("__p").getField("cid"))
+          .withColumn("probe_rn", col("__p").getField("rn"))
+          .drop("__p")
+        (members, probes)
+      case None =>
+        val cents = seedRows(base, centMod, centOff)
+          .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
+        def scoreCents(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
+          .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
+        val assign = scoreCents(base).groupBy("vec_id")
+          .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("list_id"))
+        val members = base.join(assign, "vec_id")
+        val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+        val probes = scoreCents(base.filter(col("vec_id") % queryMod === 0))
+          .withColumn("probe_rn", row_number().over(wA))
+          .filter(col("probe_rn") <= maxP)
+          .select(base.columns.map(col) ++ Seq(col("cid").as("list_id"), col("probe_rn")): _*)
+        (members, probes)
+    }
+
+  /** Scan-local coarse-assignment COLUMN over the raw `embedding`
+    * column, for composition outside this object (the IVF-PQ serving
+    * path fuses it with the PQ coding projection into one corpus
+    * pass). None when the seed class is empty — callers keep their
+    * legacy join path. */
+  private[sim] def ivfAssignCol(vecs: DataFrame, centMod: Int,
+      centOff: Int): Option[Column] =
+    collectCents(scaledBase(vecs), centMod, centOff).map(cb =>
+      graft.functions.IvfAssign(scaled(col("embedding")), cb).getField("cid"))
+
   /** Per-vector squared norm table: (vec_id, nsq raw-scale long). */
   def normSq(vecs: DataFrame): DataFrame =
     vecs.select(col("vec_id"), dotFix(col("embedding"), col("embedding")).as("nsq"))
@@ -201,19 +272,11 @@ object Ann {
   def hardNegativesIvf(vecs: DataFrame, queryMod: Int, centMod: Int,
                        centOff: Int, nprobe: Int, k: Int): DataFrame = {
     val base = scaledBase(vecs, Seq("label"))
-    val cents = seedRows(base, centMod, centOff)
-      .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
-    def scoreCents(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
-    val assign = scoreCents(base).groupBy("vec_id")
-      .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("list_id"))
-    val members = base.join(assign, "vec_id")
-    val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-    val probes = scoreCents(base.filter(col("vec_id") % queryMod === 0))
-      .withColumn("rn", row_number().over(wA))
-      .filter(col("rn") <= nprobe)
+    // scan-local assignment + probe selection (see [[listAssignment]])
+    val (members, probeRows) = listAssignment(base, queryMod, centMod, centOff, nprobe)
+    val probes = probeRows
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
-        col("fxe").as("qe"), col("nsq").as("qn"), col("cid").as("list_id"))
+        col("fxe").as("qe"), col("nsq").as("qn"), col("list_id"))
     val scored = members.join(broadcast(probes), "list_id")
       .filter(col("label") =!= col("qlabel"))
       .withColumn("cosine", cosExpr(FixedDot(col("qe"), col("fxe")), col("qn"), col("nsq")))
@@ -254,26 +317,13 @@ object Ann {
   def ivfTopK(vecs: DataFrame, queryMod: Int, centMod: Int, centOff: Int,
               nprobe: Int, k: Int): DataFrame = {
     val base = scaledBase(vecs)
-    val cents = seedRows(base, centMod, centOff)
-      .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
-    def scoreCents(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
-    // assignment via the hash-aggregable native argmax (same tie-break
-    // as ORDER BY ccos DESC, cid ASC). max_by over a struct ordering
-    // planned as SortAggregate — per-partition sorts of the N×K scored
-    // table just to take a per-vector max (2.5× slower measured at sf1);
-    // a row_number() window would be worse still (full sort-shuffle)
-    val assign = scoreCents(base).groupBy("vec_id")
-      .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("list_id"))
-    val members = base.join(assign, "vec_id")
-    // probes: score only the query vectors (N/queryMod rows) before the
-    // tiny top-nprobe window
-    val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-    val probes = scoreCents(base.filter(col("vec_id") % queryMod === 0))
-      .withColumn("rn", row_number().over(wA))
-      .filter(col("rn") <= nprobe)
+    // scan-local assignment + probe selection (see [[listAssignment]]):
+    // the corpus side is ONE projection pass — no N×K crossJoin, no
+    // argmax aggregation exchange, no corpus rejoin
+    val (members, probeRows) = listAssignment(base, queryMod, centMod, centOff, nprobe)
+    val probes = probeRows
       .select(col("vec_id").as("query_id"), col("fxe").as("qe"),
-        col("nsq").as("qn"), col("cid").as("list_id"))
+        col("nsq").as("qn"), col("list_id"))
     val scored = members.join(broadcast(probes), "list_id")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", cosExpr(FixedDot(col("qe"), col("fxe")), col("qn"), col("nsq")))
@@ -384,19 +434,11 @@ object Ann {
     import spark.implicits._
     val maxP = probes.max
     val base = scaledBase(vecs)
-    val cents = seedRows(base, centMod, centOff)
-      .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
-    def scoreCents(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
-    val assign = scoreCents(base).groupBy("vec_id")
-      .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("list_id"))
-    val members = base.join(assign, "vec_id")
-    val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-    val probeLists = scoreCents(base.filter(col("vec_id") % queryMod === 0))
-      .withColumn("probe_rn", row_number().over(wA))
-      .filter(col("probe_rn") <= maxP)
+    // scan-local assignment + probe selection (see [[listAssignment]])
+    val (members, probeRows) = listAssignment(base, queryMod, centMod, centOff, maxP)
+    val probeLists = probeRows
       .select(col("vec_id").as("query_id"), col("fxe").as("qe"),
-        col("nsq").as("qn"), col("cid").as("list_id"), col("probe_rn"))
+        col("nsq").as("qn"), col("list_id"), col("probe_rn"))
     // scored ONCE at depth maxP; probe_rn = rank of the candidate's list
     val cand = members.join(broadcast(probeLists), "list_id")
       .filter(col("vec_id") =!= col("query_id"))
@@ -546,12 +588,21 @@ object Ann {
     * its nprobe lists at the scan (asserted in ScaleSpec). */
   def assignLists(vecs: DataFrame, centMod: Int, centOff: Int): DataFrame = {
     val base = scaledBase(vecs)
-    val cents = seedRows(base, centMod, centOff)
-      .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
-    base.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
-      .groupBy("vec_id")
-      .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("list_id"))
+    collectCents(base, centMod, centOff) match {
+      case Some(cb) =>
+        // scan-local: the assignment is a pure projection on the scan
+        // ([[graft.functions.IvfAssign]] over the embedded ≤ MaxSeeds
+        // centroid table) — zero shuffles at any scale
+        base.select(col("vec_id"),
+          graft.functions.IvfAssign(col("fxe"), cb).getField("cid").as("list_id"))
+      case None =>
+        val cents = seedRows(base, centMod, centOff)
+          .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
+        base.crossJoin(broadcast(cents))
+          .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
+          .groupBy("vec_id")
+          .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("list_id"))
+    }
   }
 
   /** Contrastive training triplets (the DPR/SimCSE batch-construction
@@ -632,19 +683,11 @@ object Ann {
   def tripletsIvf(vecs: DataFrame, queryMod: Int, centMod: Int,
                   centOff: Int, nprobe: Int): DataFrame = {
     val base = scaledBase(vecs, Seq("label"))
-    val cents = seedRows(base, centMod, centOff)
-      .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
-    def scoreCents(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
-    val assign = scoreCents(base).groupBy("vec_id")
-      .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("list_id"))
-    val members = base.join(assign, "vec_id")
-    val wA = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-    val probes = scoreCents(base.filter(col("vec_id") % queryMod === 0))
-      .withColumn("rn", row_number().over(wA))
-      .filter(col("rn") <= nprobe)
+    // scan-local assignment + probe selection (see [[listAssignment]])
+    val (members, probeRows) = listAssignment(base, queryMod, centMod, centOff, nprobe)
+    val probes = probeRows
       .select(col("vec_id").as("anchor_id"), col("label").as("alabel"),
-        col("fxe").as("qe"), col("nsq").as("qn"), col("cid").as("list_id"))
+        col("fxe").as("qe"), col("nsq").as("qn"), col("list_id"))
     val joined = members.join(broadcast(probes), "list_id")
       .filter(col("vec_id") =!= col("anchor_id"))
       .withColumn("cosine", cosExpr(FixedDot(col("qe"), col("fxe")), col("qn"), col("nsq")))
@@ -703,21 +746,43 @@ object Ann {
   def probeLists(vecs: DataFrame, queryMod: Int, centMod: Int, centOff: Int,
       nprobe: Int): DataFrame = {
     val base = scaledBase(vecs)
-    val cents = seedRows(base, centMod, centOff)
-      .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
-    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-    base.filter(col("vec_id") % queryMod === 0).crossJoin(broadcast(cents))
-      .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("cid").as("list_id"))
+    collectCents(base, centMod, centOff) match {
+      case Some(cb) =>
+        // scan-local top-nprobe selection ([[graft.functions.IvfProbes]])
+        // — no Q×K crossJoin, no window exchange
+        base.filter(col("vec_id") % queryMod === 0)
+          .select(col("vec_id").as("query_id"),
+            explode(graft.functions.IvfProbes(col("fxe"), cb, nprobe)
+              .getField("cid")).as("list_id"))
+      case None =>
+        val cents = seedRows(base, centMod, centOff)
+          .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
+        val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+        base.filter(col("vec_id") % queryMod === 0).crossJoin(broadcast(cents))
+          .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= nprobe)
+          .select(col("vec_id").as("query_id"), col("cid").as("list_id"))
+    }
   }
 
   def embeddingPairsIvf(vecs: DataFrame, th: Double,
                         centMod: Int, centOff: Int): DataFrame = {
     val base = scaledBase(vecs)
-    val assign = assignLists(vecs, centMod, centOff)
-    val m = base.join(assign, "vec_id")
+    // scan-local assignment, materialized ONCE: both sides of the
+    // within-list pair self-join read the checkpointed (vec_id, fxe,
+    // nsq, list_id) blocks instead of re-scanning the corpus and
+    // re-running the K-centroid assignment per side (the
+    // connectedComponents checkpoint convention; replaces the former
+    // N×K crossJoin → argmax aggregation → corpus rejoin, whose
+    // exchange-reuse collapse this shape used to depend on)
+    val m = collectCents(base, centMod, centOff) match {
+      case Some(cb) =>
+        base.withColumn("list_id",
+          graft.functions.IvfAssign(col("fxe"), cb).getField("cid"))
+          .localCheckpoint(true)
+      case None => base.join(assignLists(vecs, centMod, centOff), "vec_id")
+    }
     val a = m.select(col("list_id"), col("vec_id").as("vec_a"),
       col("fxe").as("ea"), col("nsq").as("na"))
     val b = m.select(col("list_id"), col("vec_id").as("vec_b"),
@@ -1290,41 +1355,37 @@ object Ann {
     * looped kmeansStep) shrink blocks; eps only filters pairs. */
   def semDedup(vecs: DataFrame, eps: Double,
                centMod: Int, centOff: Int): DataFrame = {
-    // Explicit isnotnull(vec_id): the pair-side joins INFER this
-    // constraint and push it into their copies of the scan, while the
-    // left-outer report side and the block-count side don't — four
-    // almost-identical assignment subtrees that never canonicalize
-    // equal, so the N×K crossJoin planned FOUR times (measured 4–17×
-    // slower at sf1). Pinning the filter on every copy restores the
-    // identical-subtree property the barrier below depends on.
+    // NULL-id rows dropped up front (they could never join back into
+    // the report anyway — the historical contract).
     val base = scaledBase(vecs).filter(col("vec_id").isNotNull)
-    val cents = seedRows(base, centMod, centOff)
-      .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
-    // SLIM assignment aggregate (argmax + max only, ~24-byte buffers),
-    // then re-attach fxe/nsq by joining base back on vec_id. Carrying
-    // the vector through the aggregate (first(fxe)) put a d-long array
-    // in every hash-map buffer — measured 6× slower than the slim form
-    // at sf10 (137 s vs 23 s) once the aggregate actually runs
-    // hash-based; and under the default 128-key fallback it was
-    // per-partition SORTS of the N×K scored table. The rejoin is
-    // broadcast-sized at bench SFs (N slim rows) and one reused
-    // key-shuffle at cluster scale.
-    val slim = base.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
-      .groupBy("vec_id")
-      .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("cluster_id"),
-        graft.util.D.r(max(col("ccos")), 6).as("cent_sim"))
-    val assignedRaw = base.join(slim, Seq("vec_id"))
-    // Identical-subtree barrier (the tfidf/bm25 idiom): four consumers
-    // read the assignment — block counts, both pair sides, and the
-    // final report. Column pruning would specialize each copy's
-    // aggregate (the block count needs only cluster_id, the report
-    // drops fxe/nsq), planning the N×K assignment crossJoin FOUR
-    // times; the always-true filter references every aggregate output,
-    // keeping the subtrees identical so runtime exchange reuse runs
-    // the assignment ONCE (ScaleSpec pins ReusedExchange).
-    val assigned = assignedRaw.filter(col("nsq") >= 0L &&
-      size(col("fxe")) >= 0 && col("cent_sim") >= -2.0)
+    // Scan-local assignment ([[graft.functions.IvfAssign]]: cluster_id
+    // AND cent_sim — the argmax's ccos IS max(ccos)), materialized ONCE:
+    // four consumers read the assignment (block counts, both pair
+    // sides, the final report), so the checkpoint replaces both the
+    // former N×K crossJoin → slim argmax aggregation → corpus rejoin
+    // and the identical-subtree barrier that kept its four copies
+    // collapsible via runtime exchange reuse. The checkpointed blocks
+    // are the same byte volume the reused exchange used to hold, with
+    // no N×K aggregation and no rejoin shuffle in front. Legacy path
+    // only for the empty-seed degenerate corpus (identical — empty —
+    // result).
+    val assigned = collectCents(base, centMod, centOff) match {
+      case Some(cb) =>
+        base.withColumn("__a", graft.functions.IvfAssign(col("fxe"), cb))
+          .select(col("vec_id"), col("fxe"), col("nsq"),
+            col("__a").getField("cid").as("cluster_id"),
+            graft.util.D.r(col("__a").getField("ccos"), 6).as("cent_sim"))
+          .localCheckpoint(true)
+      case None =>
+        val cents = seedRows(base, centMod, centOff)
+          .select(col("vec_id").as("cid"), col("fxe").as("ce"), col("nsq").as("cn"))
+        val slim = base.crossJoin(broadcast(cents))
+          .withColumn("ccos", cosExpr(FixedDot(col("ce"), col("fxe")), col("cn"), col("nsq")))
+          .groupBy("vec_id")
+          .agg(graft.functions.ArgMaxBy.argmax(col("cid"), col("ccos")).as("cluster_id"),
+            graft.util.D.r(max(col("ccos")), 6).as("cent_sim"))
+        base.join(slim, Seq("vec_id"))
+    }
     // Hot-cluster guard: same count-broadcast-back idiom as
     // embeddingPairs — the error fires on the first streamed rows of a
     // hot block, before its quadratic pair set materializes.

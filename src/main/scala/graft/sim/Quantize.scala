@@ -384,23 +384,35 @@ object Quantize {
     val wIdx = org.apache.spark.sql.expressions.Window
       .partitionBy("s").orderBy("cid")
     val cbIdx = cb.withColumn("idx", row_number().over(wIdx))
-    // scan-local coding (see [[adcTopK]]'s codes note)
-    val codes = pqEncoder(vecs, m, cbMod, cbOff) match {
-      case Some(enc) =>
-        vecs.select(col("vec_id"), enc.getField("idxs").as("cidx"))
-      case None =>
-        nearestCode(subs(vecs, "vec_id", m), cb)
-          .join(broadcast(cbIdx.select(col("s"), col("cid").as("code"), col("idx"))),
-            Seq("s", "code"))
-          .groupBy("vec_id")
-          .agg(transform(array_sort(collect_list(struct(col("s"), col("idx")))),
-            t => t.getField("idx")).as("cidx"))
+    // FUSED single corpus pass (vec_id, list_id, cidx): the coarse IVF
+    // assignment and the PQ coding are BOTH scan-local projections, so
+    // the corpus is scanned once for the whole serving path — the
+    // former shape ran a separate assignLists aggregate and re-joined
+    // the codes on vec_id (a corpus-keyed shuffle at scale). Legacy
+    // join path only for the empty-seed degenerate corpus.
+    val codedLists = (pqEncoder(vecs, m, cbMod, cbOff),
+        Ann.ivfAssignCol(vecs, listMod, listOff)) match {
+      case (Some(enc), Some(ac)) =>
+        vecs.select(col("vec_id"), ac.as("list_id"),
+          enc.getField("idxs").as("cidx"))
+      case (encOpt, _) =>
+        val codes = encOpt match {
+          case Some(enc) =>
+            vecs.select(col("vec_id"), enc.getField("idxs").as("cidx"))
+          case None =>
+            nearestCode(subs(vecs, "vec_id", m), cb)
+              .join(broadcast(cbIdx.select(col("s"), col("cid").as("code"), col("idx"))),
+                Seq("s", "code"))
+              .groupBy("vec_id")
+              .agg(transform(array_sort(collect_list(struct(col("s"), col("idx")))),
+                t => t.getField("idx")).as("cidx"))
+        }
+        codes.join(Ann.assignLists(vecs, listMod, listOff), "vec_id")
     }
-    val lists = Ann.assignLists(vecs, listMod, listOff)
     val probes = Ann.probeLists(vecs, queryMod, listMod, listOff, nprobe)
-    val cand = lists.join(probes, "list_id")
+    val cand = codedLists.join(broadcast(probes), "list_id")
       .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"), col("cidx"))
     val qd = subs(vecs.filter(col("vec_id") % queryMod === 0)
         .select(col("vec_id").as("query_id"), col("embedding")), "query_id", m)
       .join(broadcast(cbIdx), "s")
@@ -415,7 +427,7 @@ object Quantize {
     val dSum = (0 until m).map(i =>
       element_at(element_at(col("dtab"), i + 1), element_at(col("cidx"), i + 1)))
       .reduce(_ + _)
-    val topk = cand.join(codes, "vec_id")
+    val topk = cand
       .join(broadcast(qd), "query_id")
       .select(col("query_id"), (dSum * lit(1L << 28) + col("vec_id")).as("pk"))
       .groupBy("query_id")
